@@ -12,6 +12,10 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     CoreQueries,
+    ScalarQueries,
+    JoinQueries,
+    WindowQueries,
+    PagingQueries,
   )
 
   lazy val all: Seq[QueryEntry] = {

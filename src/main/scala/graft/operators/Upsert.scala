@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup-upsert primitives — the reference's INSERT … ON CONFLICT DO
+  * NOTHING and catch-up membership test
+  * (/root/reference/src/subscription.ts:273-278,362-366) as anti-joins.
+  *
+  * Scale notes: the anti-join shuffles only on the key columns and
+  * broadcast-converts automatically when the incoming batch is small (the
+  * common ingest shape: small delta vs large stored table — Spark picks the
+  * stored side as streamed, delta as broadcast/build). Order-insensitive
+  * superset of the reference's sequential early-exit.
+  */
+object Upsert {
+
+  /** Rows of `incoming` whose key is absent from `existing` (J2/P12). */
+  def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Idempotent append: existing ∪ (incoming ∖ existing-by-key) (S8/T8). */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(newRows(existing, incoming, keys))
+
+  /** Fixed-size batching of a distinct key set (A3 — the reference's
+    * 25-DID profile-fetch flush, subscription.ts:253-268): assign each
+    * distinct key a batch id. The global row_number is the sequential-flush
+    * semantics; for pure scale-out batching, prefer hashing keys to
+    * buckets instead (no total order needed).
+    */
+  def batchIds(df: DataFrame, keyCol: String, batchSize: Int): DataFrame =
+    df.select(col(keyCol)).distinct()
+      .withColumn("batch_id",
+        floor((row_number().over(Window.orderBy(col(keyCol))) - lit(1)) / lit(batchSize))
+          .cast("long"))
+}
