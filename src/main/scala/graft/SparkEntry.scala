@@ -16,6 +16,9 @@ object SparkEntry {
     JoinQueries,
     WindowQueries,
     PagingQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries,
   )
 
   lazy val all: Seq[QueryEntry] = {

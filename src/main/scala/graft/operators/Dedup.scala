@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for the LLM-data-pipeline surface:
+  * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * All hash functions are built from md5 over UTF-8 so the DuckDB oracle can
+  * state the identical computation; every similarity is computed in exact
+  * integer or rational arithmetic before one final float op, so results are
+  * bit-identical across engines regardless of evaluation order.
+  *
+  * Scale notes: exact dedup is one hash shuffle on the digest; MinHash/LSH
+  * shuffles only (band, bandHash) pairs — never document pairs — so the
+  * candidate join is bounded by bucket sizes, not N²; Jaccard pairs must be
+  * bucketed by the caller (blocking keys) for the same reason.
+  */
+object Dedup {
+
+  /** Lower-cased distinct word set (the unigram shingle set). */
+  def tokenSet(text: Column): Column =
+    array_distinct(split(lower(text), " "))
+
+  /** Word n-gram (shingle) array, preserving order and duplicates. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*)))
+  }
+
+  /** Exact duplicate groups keyed by content digest: (digest, keeper, n). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
+
+  /** MinHash signature: sig(i) = min over the word set of md5(word + ":" + i).
+    * k independent permutations approximated by k salted hashes. */
+  def minhashSig(words: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(words, w => md5(concat(w, lit(s":$i")))))): _*)
+
+  /** LSH band digests: band j = md5 of its rows joined with '|'. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(j =>
+      md5(concat_ws("|", slice(sig, j * rowsPerBand + 1, rowsPerBand)))): _*)
+
+  /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
+    * shuffles on (band, bandHash) — bucket-local, never all-pairs. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val banded = df
+      .select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
+      .select(col(idCol), posexplode(lshBandHashes(col("__sig"), bands, rows)).as(Seq("band", "bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over the word set: bit j is set iff the majority of
+    * words have a high hex nibble at md5 position j. Small but real — the
+    * 64/128-bit version is the same expression over more positions. */
+  def simhash16(words: Column): Column = {
+    val n = size(words)
+    (0 until 16).map { j =>
+      val highBits = size(filter(words, w => substring(md5(w), j + 1, 1) >= "8"))
+      when(highBits * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a blocking bucket: hamming(simhash) ≤ maxDist. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bucket: Seq[String], maxDist: Int): DataFrame = {
+    val withSig = df.select((bucket :+ idCol).map(col) :+
+      simhash16(tokenSet(col(textCol))).as("__sh"): _*)
+    val a = withSig.as("a")
+    val b = withSig.as("b")
+    val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    a.join(b, joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(expr("a.__sh ^ b.__sh")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** n-gram Jaccard pairs within a blocking bucket: |A∩B| / |A∪B| over
+    * distinct shingle sets, exact integer set sizes, one final division. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      bucket: Seq[String], ngram: Int, threshold: Double): DataFrame = {
+    val sets = df.select((bucket :+ idCol).map(col) :+
+      (if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
+    val a = sets.as("a")
+    val b = sets.as("b")
+    val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val inter = size(array_intersect(col("a.__ws"), col("b.__ws"))).cast("long")
+    val union = size(col("a.__ws")).cast("long") + size(col("b.__ws")).cast("long") - inter
+    a.join(b, joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (inter.cast("double") / union.cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+}

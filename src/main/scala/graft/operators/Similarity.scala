@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * All dot products run in FIXED-POINT: each component is floored to integer
+  * micro-units, so sums are exact, order-independent, and bit-identical to
+  * the DuckDB oracle; cosine then does exactly one sqrt/division in double.
+  *
+  * Scale notes: the brute-force path broadcasts the (small) query set and
+  * streams candidates — one pass over N candidates, no shuffle of the
+  * candidate table, ranking via per-query window on the joined (Q×N) rows
+  * which shuffles only (qid, score) pairs. The IVF path additionally
+  * equi-joins on the coarse cluster id, cutting the candidate set per query
+  * to its cell — that equality join is Spark's ordinary hash join, so it
+  * scales out; at 100 TB you'd bucket the candidate table by cluster id to
+  * skip even that shuffle.
+  */
+object Similarity {
+
+  /** float → exact integer micro-units (floor, matching DuckDB CAST+FLOOR). */
+  def fixedPoint(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000d).cast("long"))
+
+  /** Exact integer dot product of two fixed-point vectors. */
+  def dotFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  def cosineFromFp(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Attach fixed-point vector + its squared norm. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String, extra: Seq[String]): DataFrame = {
+    val fe = fixedPoint(col(vecCol))
+    df.select((idCol +: extra).map(col) :+ fe.as("__fe"): _*)
+      .withColumn("__nsq", dotFp(col("__fe"), col("__fe")))
+  }
+
+  private def rank(joined: DataFrame, k: Int): DataFrame = {
+    val cos = cosineFromFp(
+      dotFp(col("q.__fe"), col("c.__fe")), col("q.__nsq"), col("c.__nsq"))
+    joined
+      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"), cos.as("sim"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Brute-force cosine top-k: every query against every candidate. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, Nil).withColumnRenamed(idCol, "__id")).as("q")
+    val c = prep(candidates, idCol, vecCol, Nil).withColumnRenamed(idCol, "__id").as("c")
+    rank(q.join(c, col("q.__id") =!= col("c.__id")), k)
+  }
+
+  /** IVF-style top-k: candidates restricted to the query's coarse cluster
+    * (cell), joined on cluster equality instead of cross product. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String, k: Int): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, Seq(clusterCol)).withColumnRenamed(idCol, "__id")).as("q")
+    val c = prep(candidates, idCol, vecCol, Seq(clusterCol)).withColumnRenamed(idCol, "__id").as("c")
+    rank(
+      q.join(c, col(s"q.$clusterCol") === col(s"c.$clusterCol") &&
+        col("q.__id") =!= col("c.__id")), k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking bucket. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bucket: Seq[String], threshold: Double): DataFrame = {
+    val p = prep(df, idCol, vecCol, bucket).withColumnRenamed(idCol, "__id")
+    val a = p.as("q")
+    val b = p.as("c")
+    val joinCond = bucket.map(c0 => col(s"q.$c0") === col(s"c.$c0"))
+      .reduce(_ && _) && col("q.__id") < col("c.__id")
+    val cos = cosineFromFp(
+      dotFp(col("q.__fe"), col("c.__fe")), col("q.__nsq"), col("c.__nsq"))
+    a.join(b, joinCond)
+      .select(col("q.__id").as("id_a"), col("c.__id").as("id_b"), cos.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: marker-based
+  * language ID, quality scoring, token counting, and content fingerprinting.
+  * Pure Column expressions — codegen-friendly, no UDFs, no shuffles.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies per language class. Deterministic toy model (the
+    * real thing swaps in per-language frequency tables); scoring = count of
+    * marker occurrences in the word sequence (duplicates count). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "sql" -> Seq("join", "merge", "sort"),
+    "ml" -> Seq("spark", "vector", "hash"),
+  )
+
+  def words(text: Column): Column = split(lower(text), " ")
+
+  def markerScore(ws: Column, vocab: Seq[String]): Column =
+    size(filter(ws, w => vocab.map(v => w === v).reduce(_ || _))).cast("long")
+
+  /** Argmax over marker scores, ties broken by declaration order. */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scores = markers.map { case (lang, vocab) => lang -> markerScore(ws, vocab) }
+    // first language whose score >= all later scores
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (lang, s) :: tail if tail.nonEmpty =>
+        when(tail.map(_._2).foldLeft(lit(true))((c, t) => c && s >= t), lang)
+          .otherwise(pick(tail))
+      case (lang, _) :: Nil => lit(lang)
+      case Nil => lit(null)
+    }
+    pick(scores.toList)
+  }
+
+  /** Quality metrics: word count, stopword ratio, length score, and a
+    * weighted quality score. One double expression tree, identical on the
+    * oracle side. */
+  def nWords(text: Column): Column = size(words(text)).cast("long")
+
+  def stopwordCount(text: Column): Column =
+    markerScore(words(text), Seq("the", "a"))
+
+  def qualityScore(text: Column): Column = {
+    val nw = nWords(text).cast("double")
+    val lenScore = least(nw, lit(200d)) / lit(200d)
+    val stopRatio = stopwordCount(text).cast("double") / nw
+    lit(0.6) * lenScore + lit(0.4) * stopRatio
+  }
+
+  /** Whitespace tokens + BPE-ish sub-tokens (runs of letters, digits, or a
+    * single other non-space char). */
+  def wsTokenCount(text: Column): Column = nWords(text)
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  /** Content fingerprint: md5 of the sorted distinct word set — robust to
+    * word order and duplication (the rolling-hash analog for word salads). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(Dedup.tokenSet(text))))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents corpus: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (SURVEY.md §7.2 M6 — LLM-pipeline operators).
+  * Hash family is md5-based on both engines so every signature and pair is
+  * hash-comparable with the DuckDB oracle.
+  */
+object DedupQueries extends QueryModule {
+
+  private val NumHashes = 8
+  private val Bands = 4
+
+  /** DuckDB word-set expression shared by the oracle CTEs. */
+  private val WsSql = "list_distinct(string_split(lower(text), ' '))"
+
+  private def sigExprSql(i: Int): String =
+    s"list_aggregate(list_transform(w, x -> md5(x || ':$i')), 'min')"
+
+  private val ns01 = QueryEntry(
+    "ns01_dedup_exact",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.exact(t.documents, "doc_id", "text").orderBy(col("h"))
+    },
+    Some(
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin),
+  )
+
+  private val ns02 = QueryEntry(
+    "ns02_minhash_sig",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val sig = t.documents.select(col("doc_id"),
+        Dedup.minhashSig(Dedup.tokenSet(col("text")), NumHashes).as("sig"))
+      sig.select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cols = (0 until NumHashes).map(i => s"  ${sigExprSql(i)} AS mh$i").mkString(",\n")
+      s"""SELECT doc_id,
+         |$cols
+         |FROM (SELECT doc_id, $WsSql AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  private val ns03 = QueryEntry(
+    "ns03_minhash_lsh_pairs",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.minhashLshPairs(t.documents, "doc_id", "text", NumHashes, Bands)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val rows = NumHashes / Bands
+      val sigCols = (0 until NumHashes).map(i => s"${sigExprSql(i)} AS s$i").mkString(", ")
+      val bandSelects = (0 until Bands).map { j =>
+        val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sig AS (SELECT doc_id, $sigCols FROM ws),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    headline = true,
+  )
+
+  private def simhashSql: String =
+    (0 until 16).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(w, x -> substr(md5(x), ${j + 1}, 1) >= '8')) > len(w) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val ns04 = QueryEntry(
+    "ns04_simhash",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), Dedup.simhash16(Dedup.tokenSet(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, $WsSql AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+  )
+
+  private val ns05 = QueryEntry(
+    "ns05_simhash_pairs",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.simhashPairs(t.documents, "doc_id", "text", Seq("lang"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, CAST($simhashSql AS BIGINT) AS s
+         |  FROM (SELECT doc_id, lang, $WsSql AS w FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin),
+  )
+
+  private val ns06 = QueryEntry(
+    "ns06_jaccard_pairs",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.jaccardPairs(t.documents, "doc_id", "text",
+          bucket = Seq("lang", "source"), ngram = 1, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      s"""WITH s AS (SELECT doc_id, lang, source, $WsSql AS w FROM documents)
+         |SELECT id_a, id_b, jac FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+         |      CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE) AS jac
+         |  FROM s a JOIN s b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+    headline = true,
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06)
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-plumbing suite (SURVEY.md §7.2 M6): marker
+  * language-ID, quality scoring, token counting, fingerprinting, and the
+  * stubbed media-decode pipeline (real mapPartitions plumbing, fake codec).
+  */
+object TextQueries extends QueryModule {
+
+  private def markerSql(vocab: Seq[String]): String = {
+    val cond = vocab.map(v => s"x = '$v'").mkString(" OR ")
+    s"CAST(len(list_filter(string_split(lower(text), ' '), x -> $cond)) AS BIGINT)"
+  }
+
+  private val ns10 = QueryEntry(
+    "ns10_langid",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ws = TextAnalysis.words(col("text"))
+      val scored = t.documents.select(
+        col("doc_id") +:
+          TextAnalysis.markers.map { case (l, v) => TextAnalysis.markerScore(ws, v).as(s"s_$l") } :+
+          TextAnalysis.langId(col("text")).as("predicted"): _*)
+      scored.orderBy(col("doc_id"))
+    },
+    Some {
+      val scores = TextAnalysis.markers
+        .map { case (l, v) => s"  ${markerSql(v)} AS s_$l" }.mkString(",\n")
+      """SELECT doc_id,
+        |SCORES,
+        |  CASE WHEN s_en >= s_sql AND s_en >= s_ml THEN 'en'
+        |       WHEN s_sql >= s_ml THEN 'sql'
+        |       ELSE 'ml' END AS predicted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    },
+  )
+
+  private val ns11 = QueryEntry(
+    "ns11_quality",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.select(
+          col("doc_id"),
+          TextAnalysis.nWords(col("text")).as("n_words"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+          TextAnalysis.qualityScore(col("text")).as("q_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""SELECT doc_id, n_words, n_stop,
+         |  0.6 * (least(CAST(n_words AS DOUBLE), 200.0) / 200.0)
+         |    + 0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) AS q_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+         |    ${markerSql(Seq("the", "a"))} AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+  )
+
+  private val ns12 = QueryEntry(
+    "ns12_tokens",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tok"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws_tok")).as("sum_ws_tok"),
+          sum(col("bpe_tok")).as("sum_bpe_tok"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some(
+      """SELECT lang,
+        |  sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS sum_ws_tok,
+        |  sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS sum_bpe_tok,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  private val ns13 = QueryEntry(
+    "ns13_fingerprint",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
+  /** Multimodal stub pipeline: pack text bytes as the opaque media payload,
+    * run the per-partition decode stub, emit typed metadata. The oracle
+    * states the same deterministic fake. */
+  private val ns14 = QueryEntry(
+    "ns14_multimodal_meta",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Multimodal.metadataFromText(spark, t.documents, "doc_id", "text", "image")
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id, 'image' AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS sha,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14)
+}

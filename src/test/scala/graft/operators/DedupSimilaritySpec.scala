@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf0001).documents.cache()
+  private lazy val emb = Tables(spark, sf0001).embeddings.cache()
+
+  test("exact dedup groups sum back to the table size") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+    assert(g.agg(sum("n")).head().getLong(0) == docs.count())
+  }
+
+  test("identical texts share minhash signature and land in the same LSH bucket") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is order- and duplication-invariant over the word set") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a a a")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.simhash16(Dedup.tokenSet(col("text"))))
+      .collect().map(_.getLong(0))
+    assert(sh(0) == sh(1))
+  }
+
+  test("jaccard of identical word sets is 1.0, disjoint sets absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", "a b c"), (2L, "g", "c b a"), (3L, "g", "x y z"))
+      .toDF("doc_id", "grp", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Seq("grp"), 1, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.size == 1)
+  }
+
+  test("shingles produces distinct in-order n-grams") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val sh = df.select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("brute-force top-k self-similarity: nearest neighbor of a duplicated vector is its twin") {
+    val s = spark
+    import s.implicits._
+    val base = emb.limit(8).collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dup = (100L, base.head._2) // exact copy of vec 0
+    val all = (base :+ dup).toSeq.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      all.filter(col("vec_id") === 0L), all, "vec_id", "embedding", 1)
+    val row = top.head()
+    assert(row.getAs[Long]("cand_id") == 100L)
+    assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("ivf restricts candidates to the query's cluster") {
+    val top = Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", "label", 5)
+    val byLabel = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    top.collect().foreach { r =>
+      assert(byLabel(r.getAs[Long]("q_id")) == byLabel(r.getAs[Long]("cand_id")))
+    }
+  }
+
+  test("multimodal decode stub emits deterministic metadata; frame sampling partitions the bytes") {
+    val meta = Multimodal.metadataFromText(spark, docs.limit(5), "doc_id", "text", "image")
+    val rows = meta.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[String]("sha").length == 32)
+    }
+    val packed = Multimodal.packFromText(docs.limit(3), "doc_id", "text", "image")
+    val frames = Multimodal.frameSample(packed, 4)
+    val sizes = frames.groupBy("doc_id").agg(
+      sum(length(col("frame_bytes"))).as("total")).collect()
+    val orig = packed.select(col("doc_id"), length(col("media")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sizes.foreach(r => assert(r.getLong(1) == orig(r.getLong(0)).toLong))
+  }
+
+  test("langid picks the dominant marker class") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "join merge sort join"), (2L, "the a the fast"), (3L, "spark vector hash"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "sql", 2L -> "en", 3L -> "ml"))
+  }
+}
