@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
+    PipelineQueries,
   )
 
   lazy val all: Seq[QueryEntry] = {
@@ -28,9 +29,11 @@ object SparkEntry {
     es
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full engine slice: wire-shaped posts → filter cascade → dedup upsert →
+    * serving page with ordinals. */
   def entry(spark: SparkSession): DataFrame =
-    all.head.run(spark, "/root/testdata/sf0.001")
+    PipelineQueries.firstPage(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

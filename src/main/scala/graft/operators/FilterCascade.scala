@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.model.Condition
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The per-condition filter cascade (/root/reference/src/subscription.ts:
+  * 271-350, operators P3-P10 in SURVEY.md §2.2) as ONE composed Column
+  * predicate over PostView-shaped rows — a single codegen'd stage, no UDFs.
+  *
+  * Regex dialect: Java with an embedded (?i) flag (SURVEY §7.4#1).
+  * Label quirk divergence (§7.4#3): missing `labels` is treated as
+  * unlabeled (kept), unlike the reference which drops undefined labels.
+  */
+object FilterCascade {
+
+  private def ci(pat: String): String = s"(?i)$pat"
+
+  /** Search text (P5): record.text, plus '\n'-joined image ALTs when the
+    * condition opts in (subscription.ts:284-288). */
+  def searchText(includeAltText: Boolean): Column = {
+    val text = coalesce(col("record.text"), lit(""))
+    if (!includeAltText) text
+    else concat_ws("\n",
+      text,
+      array_join(
+        filter(transform(coalesce(col("record.embed.images"), array()), i => i("alt")),
+          a => a.isNotNull),
+        "\n"))
+  }
+
+  private def imageCount: Column =
+    size(coalesce(col("record.embed.images"), array()))
+
+  /** P3 — include-regex match count > 0 on the search text. */
+  def includeRegex(st: Column, pat: String): Column =
+    regexp_count(st, lit(ci(pat))) > 0
+
+  /** P4 — exclude regex; empty pattern disables (subscription.ts:297-299). */
+  def excludeRegex(st: Column, pat: String): Column =
+    if (pat.isEmpty) lit(true) else !st.rlike(ci(pat))
+
+  /** P6 — image presence 3-state enum (subscription.ts:301-307). */
+  def imageFilter(mode: String): Column = mode match {
+    case "imageOnly" => imageCount > 0
+    case "textOnly"  => imageCount === 0
+    case _           => lit(true)
+  }
+
+  /** P7 — label filter (missing labels = unlabeled, divergence §7.4#3). */
+  def labelFilter(labelDisable: Boolean): Column =
+    if (!labelDisable) lit(true)
+    else size(coalesce(col("labels"), array())) === 0
+
+  /** P8 — reply filter. */
+  def replyFilter(replyDisable: Boolean): Column =
+    if (!replyDisable) lit(true) else col("record.reply").isNull
+
+  /** P10 — language membership (pushed into the source in the reference;
+    * a post-filter here, a DSv2 pushdown on a real search source). */
+  def langFilter(lang: Option[String]): Column =
+    lang.map(l => array_contains(coalesce(col("record.langs"), array()), l))
+      .getOrElse(lit(true))
+
+  /** P9 — profileMatch conditional two-regex (subscription.ts:319-350):
+    * when the text matches ONLY the narrow term (m1>0 and m0==m1), the
+    * author's profile text must match the profile regex. `profileText` is
+    * the joined displayName+' '+description column (null when the profile
+    * dimension had no row). */
+  def profileMatchFilter(st: Column, c: Condition, profileText: Column): Column =
+    c.profileMatch match {
+      case None => lit(true)
+      case Some(pm) =>
+        val m0 = regexp_count(st, lit(ci(c.inputRegex)))
+        val m1 = regexp_count(st, lit(ci(pm.textTerm)))
+        !(m1 > 0 && (m0 - m1) === 0) ||
+          coalesce(profileText, lit("")).rlike(ci(pm.profileRegex))
+    }
+
+  /** The full composed predicate for one condition. */
+  def predicate(c: Condition, profileText: Column): Column = {
+    val st = searchText(c.includeAltText)
+    includeRegex(st, c.inputRegex) &&
+      excludeRegex(st, c.invertRegex) &&
+      imageFilter(c.imageOnly) &&
+      labelFilter(c.labelDisable) &&
+      replyFilter(c.replyDisable) &&
+      langFilter(c.lang) &&
+      profileMatchFilter(st, c, profileText)
+  }
+
+  /** Apply one condition to a PostView DataFrame, joining the (small)
+    * profile dimension via broadcast only when profileMatch needs it, and
+    * stamping the feed key. Output: stored-Post-shaped rows. */
+  def apply(posts: DataFrame, c: Condition, profiles: Option[DataFrame]): DataFrame = {
+    val needsProfiles = c.profileMatch.isDefined && profiles.isDefined
+    val withProfile =
+      if (!needsProfiles) posts.withColumn("__profile_text", lit(null).cast("string"))
+      else {
+        val p = profiles.get.select(col("did").as("__pdid"),
+          concat_ws(" ", coalesce(col("displayName"), lit("")),
+            coalesce(col("description"), lit(""))).as("__profile_text"))
+        posts.join(broadcast(p), posts("author.did") === col("__pdid"), "left")
+          .drop("__pdid")
+      }
+    withProfile
+      .filter(predicate(c, col("__profile_text")))
+      .select(
+        col("uri"),
+        lit(c.key).as("key"),
+        col("cid"),
+        col("record.reply.parent.uri").as("replyParent"),
+        col("record.reply.root.uri").as("replyRoot"),
+        to_timestamp(col("record.createdAt")).as("indexedAt"))
+  }
+
+  /** Scale-out fan-out: evaluate ALL conditions in one distributed job —
+    * posts × broadcast(conditions) with column-typed regex patterns
+    * (SURVEY §7.4#6). One pass over the post stream regardless of the
+    * number of standing feeds; no driver loop over conditions.
+    */
+  def fanOut(posts: DataFrame, conditions: DataFrame, profiles: Option[DataFrame]): DataFrame = {
+    val withProfile = profiles match {
+      case Some(pr) =>
+        val p = pr.select(col("did").as("__pdid"),
+          concat_ws(" ", coalesce(col("displayName"), lit("")),
+            coalesce(col("description"), lit(""))).as("__profile_text"))
+        posts.join(broadcast(p), posts("author.did") === col("__pdid"), "left")
+          .drop("__pdid")
+      case None => posts.withColumn("__profile_text", lit(null).cast("string"))
+    }
+    val joined = withProfile.crossJoin(broadcast(conditions.select(
+      col("key").as("__ckey"), col("inputRegex").as("__in"),
+      col("invertRegex").as("__out"), col("lang").as("__lang"),
+      col("labelDisable").as("__nolabel"), col("replyDisable").as("__noreply"),
+      col("imageOnly").as("__img"), col("includeAltText").as("__alt"),
+      col("profileTerm").as("__pterm"), col("profileRegex").as("__pre"))))
+
+    val stBase = coalesce(col("record.text"), lit(""))
+    val stAlt = concat_ws("\n", stBase,
+      array_join(filter(transform(coalesce(col("record.embed.images"), array()),
+        i => i("alt")), a => a.isNotNull), "\n"))
+    val st = when(col("__alt"), stAlt).otherwise(stBase)
+    val ciCol = (p: Column) => concat(lit("(?i)"), p)
+    val m0 = regexp_count(st, ciCol(col("__in")))
+    val m1 = regexp_count(st, ciCol(coalesce(col("__pterm"), lit(""))))
+    val pred =
+      (m0 > 0) &&
+        (col("__out") === "" || !regexp_like(st, ciCol(col("__out")))) &&
+        (when(col("__img") === "imageOnly", imageCount > 0)
+          .when(col("__img") === "textOnly", imageCount === 0)
+          .otherwise(lit(true))) &&
+        (!col("__nolabel") || size(coalesce(col("labels"), array())) === 0) &&
+        (!col("__noreply") || col("record.reply").isNull) &&
+        (col("__lang").isNull ||
+          array_contains(coalesce(col("record.langs"), array()), col("__lang"))) &&
+        (col("__pterm").isNull ||
+          !(m1 > 0 && (m0 - m1) === 0) ||
+          regexp_like(coalesce(col("__profile_text"), lit("")), ciCol(col("__pre"))))
+
+    joined.filter(pred).select(
+      col("uri"),
+      col("__ckey").as("key"),
+      col("cid"),
+      col("record.reply.parent.uri").as("replyParent"),
+      col("record.reply.root.uri").as("replyRoot"),
+      to_timestamp(col("record.createdAt")).as("indexedAt"))
+  }
+
+  /** Conditions as the DataFrame shape fanOut expects. */
+  def conditionsDf(spark: org.apache.spark.sql.SparkSession, cs: Seq[Condition]): DataFrame = {
+    import spark.implicits._
+    cs.map(c => (c.key, c.inputRegex, c.invertRegex, c.lang.orNull,
+        c.labelDisable, c.replyDisable, c.imageOnly, c.includeAltText,
+        c.profileMatch.map(_.textTerm).orNull, c.profileMatch.map(_.profileRegex).orNull))
+      .toDF("key", "inputRegex", "invertRegex", "lang", "labelDisable",
+        "replyDisable", "imageOnly", "includeAltText", "profileTerm", "profileRegex")
+  }
+}

@@ -27,9 +27,10 @@ object Paging {
     df.orderBy(tsUs.desc, tiebreak.desc).limit(k)
 
   /** Tuple keyset predicate: strictly after the cursor position in
-    * (tsUs DESC, tiebreak DESC) order. */
-  def keysetPredicate(tsUs: Column, tiebreak: Column, curTs: Long, curTiebreak: Long): Column =
-    tsUs < curTs || (tsUs === curTs && tiebreak < curTiebreak)
+    * (tsUs DESC, tiebreak DESC) order. `curTiebreak` is a typed literal
+    * (Long for numeric tiebreaks, String for cid-style tiebreaks). */
+  def keysetPredicate(tsUs: Column, tiebreak: Column, curTs: Long, curTiebreak: Any): Column =
+    tsUs < curTs || (tsUs === curTs && tiebreak < lit(curTiebreak))
 
   /** Cursor string from the page's last (smallest-ranked) row; None for an
     * empty page — matches starrysky.ts:75-78. Driver-side single-row action
@@ -37,21 +38,25 @@ object Paging {
   def encodeCursor(page: DataFrame, tsUs: Column, tiebreak: Column): Option[String] = {
     val last = page.agg(min(struct(tsUs.as("t"), tiebreak.as("c"))).as("m"))
       .selectExpr("m.t", "m.c").collect()
-    last.headOption.filter(r => !r.isNullAt(0)).map(r => s"${r.getLong(0)}$CursorSep${r.getLong(1)}")
+    last.headOption.filter(r => !r.isNullAt(0))
+      .map(r => s"${r.getLong(0)}$CursorSep${r.get(1)}")
   }
 
   /** Parse `'<micros>::<tiebreak>'`; malformed cursors raise, mirroring the
     * reference's InvalidRequestError (starrysky.ts:60-62). */
-  def decodeCursor(cursor: String): (Long, Long) = cursor.split(CursorSep) match {
-    case Array(ts, tb) if ts.forall(_.isDigit) && tb.nonEmpty =>
-      (ts.toLong, tb.toLong)
+  def decodeCursor(cursor: String): (Long, String) = cursor.split(CursorSep, 2) match {
+    case Array(ts, tb) if ts.nonEmpty && ts.forall(_.isDigit) && tb.nonEmpty =>
+      (ts.toLong, tb)
     case _ => throw new IllegalArgumentException(s"malformed cursor: $cursor")
   }
 
-  /** One serving page: keyset-filter (when a cursor is given) then top-K. */
-  def page(df: DataFrame, tsUs: Column, tiebreak: Column, k: Int, cursor: Option[String]): DataFrame = {
+  /** One serving page: keyset-filter (when a cursor is given) then top-K.
+    * `parseTiebreak` types the cursor's tiebreak half (numeric ids pass
+    * `_.toLong`; string cids use the default identity). */
+  def page(df: DataFrame, tsUs: Column, tiebreak: Column, k: Int,
+      cursor: Option[String], parseTiebreak: String => Any = identity): DataFrame = {
     val filtered = cursor.map(decodeCursor) match {
-      case Some((t, c)) => df.filter(keysetPredicate(tsUs, tiebreak, t, c))
+      case Some((t, c)) => df.filter(keysetPredicate(tsUs, tiebreak, t, parseTiebreak(c)))
       case None         => df
     }
     topK(filtered, tsUs, tiebreak, k)

@@ -25,7 +25,7 @@ object PagingQueries extends QueryModule {
       val base = purchases(spark, dir)
       val page1 = Paging.page(base, col("ts_us"), col("event_id"), 50, None)
       val cursor = Paging.encodeCursor(page1, col("ts_us"), col("event_id"))
-      Paging.page(base, col("ts_us"), col("event_id"), 50, cursor)
+      Paging.page(base, col("ts_us"), col("event_id"), 50, cursor, _.toLong)
         .select(col("event_id"), col("ts_us"))
         .orderBy(col("ts_us").desc, col("event_id").desc)
     },

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.model.{Condition, Post}
+import graft.operators.{FilterCascade, Upsert}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The ingest plane: micro-batched PostView stream → filter-cascade fan-out
+  * over ALL standing conditions → anti-join dedup upsert → per-feed
+  * retention (/root/reference/src/subscription.ts:114-412 re-expressed as
+  * Structured Streaming foreachBatch — SURVEY.md §3.2/§7.1).
+  *
+  * Store layout: parquet partitioned by feed `key` — the serving path's
+  * `key = ?` filter becomes partition pruning. Offset tracking is Spark's
+  * checkpointLocation (strictly stronger than the reference's every-20-
+  * events sub_state stride, SURVEY T4). Late/out-of-order events are
+  * accepted unconditionally (no watermark BY DESIGN, SURVEY T7): retention
+  * is count-based, not time-based.
+  *
+  * At 100 TB the parquet store swaps for a Delta/Iceberg table and the
+  * rewrite in `retentionCompact` becomes a MERGE/DELETE; every dataflow
+  * here is already shuffle-minimal (broadcast dims, anti-join on key).
+  */
+object Ingest {
+
+  val postSchema = Encoders.product[Post].schema
+
+  def emptyStore(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], postSchema)
+
+  def readStore(spark: SparkSession, storeDir: String): DataFrame =
+    if (Files.exists(Paths.get(storeDir)) &&
+        Files.list(Paths.get(storeDir)).findFirst().isPresent)
+      spark.read.schema(postSchema).parquet(storeDir)
+    else emptyStore(spark)
+
+  /** One micro-batch: cascade fan-out then dedup against the store.
+    * Effectively-once regardless of redelivery (T8): replayed rows fall out
+    * of the anti-join. */
+  def processBatch(spark: SparkSession, stored: DataFrame, batch: DataFrame,
+      conditions: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
+    val candidates = FilterCascade.fanOut(
+      batch, FilterCascade.conditionsDf(spark, conditions), profiles)
+    Upsert.newRows(stored, candidates, Seq("uri", "key"))
+  }
+
+  /** Start the streaming ingest: every micro-batch appends its surviving
+    * new rows to the keyed store. */
+  def start(spark: SparkSession, stream: DataFrame, conditions: Seq[Condition],
+      profiles: Option[DataFrame], storeDir: String, checkpointDir: String): StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      val stored = readStore(spark, storeDir)
+      val fresh = processBatch(spark, stored, batch, conditions, profiles)
+      fresh.write.mode("append").partitionBy("key").parquet(storeDir)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+      .start()
+  }
+
+  /** Count-based retention (S11): keep each feed's newest `limitCount`
+    * rows. Parquet-harness compaction = rewrite-and-swap; on Delta this is
+    * a DELETE over the same window rank. */
+  def retentionCompact(spark: SparkSession, storeDir: String, conditions: Seq[Condition]): Unit = {
+    import spark.implicits._
+    val store = readStore(spark, storeDir)
+    if (store.isEmpty) return
+    val limits = conditions.map(c => (c.key, c.limitCount)).toDF("key", "__limit")
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        .orderBy(col("indexedAt").desc, col("cid").desc))
+    val kept = store.join(broadcast(limits), Seq("key"), "left")
+      .withColumn("__rn", rn)
+      .filter(col("__limit").isNull || col("__rn") <= col("__limit"))
+      .select(store.columns.map(col): _*)
+
+    val tmp = storeDir + ".compact-tmp"
+    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
+    deleteRecursively(Paths.get(storeDir))
+    Files.move(Paths.get(tmp), Paths.get(storeDir))
+  }
+
+  /** Refresh handling (S10): refresh == -1 deletes the feed's rows;
+    * refresh > 0 deletes its N newest (subscription.ts:143-169). */
+  def applyRefresh(spark: SparkSession, storeDir: String, c: Condition): Unit = {
+    if (c.refresh == 0) return
+    val store = readStore(spark, storeDir)
+    val kept =
+      if (c.refresh < 0) store.filter(col("key") =!= c.key)
+      else {
+        val mine = graft.operators.Retention.dropNewest(
+          store.filter(col("key") === c.key),
+          Seq(col("key")), unix_micros(col("indexedAt")), col("cid"), c.refresh)
+        store.filter(col("key") =!= c.key).unionByName(mine)
+      }
+    val tmp = storeDir + ".refresh-tmp"
+    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
+    deleteRecursively(Paths.get(storeDir))
+    Files.move(Paths.get(tmp), Paths.get(storeDir))
+  }
+
+  /** Per-feed bookkeeping after a cycle (S12/A4): stored counts clamped to
+    * the cap — the `recordCount` metric of the conditions table. */
+  def recordCounts(spark: SparkSession, storeDir: String, conditions: Seq[Condition]): DataFrame = {
+    import spark.implicits._
+    val limits = conditions.map(c => (c.key, c.limitCount)).toDF("key", "__limit")
+    readStore(spark, storeDir).groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .join(broadcast(limits), Seq("key"), "right")
+      .select(col("key"),
+        least(coalesce(col("n"), lit(0L)), col("__limit").cast("long")).as("recordCount"))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

@@ -1,0 +1,179 @@
+package graft.domain
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model._
+import graft.operators.FeedPage
+import graft.streaming.Ingest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class IngestServeSpec extends SparkSpec {
+
+  import Fixtures._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming ingest: micro-batches accumulate, redelivery is idempotent, late data lands by event time") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val store = tmpDir("graft-store")
+    val ckpt = tmpDir("graft-ckpt")
+    val conditions = Seq(cond(key = "f1"), cond(key = "f2", replyDisable = true))
+
+    val stream = MemoryStream[PostView]
+    val q = Ingest.start(spark, stream.toDF(), conditions,
+      Some(profiles.toDF()), store, ckpt)
+
+    stream.addData(posts.take(7))
+    q.processAllAvailable()
+    val afterB1 = Ingest.readStore(spark, store).count()
+    assert(afterB1 > 0)
+
+    // redeliver batch 1 + the rest (overlap) → no duplicates
+    stream.addData(posts)
+    q.processAllAvailable()
+    val all = Ingest.readStore(spark, store)
+    val n = all.count()
+    assert(all.select("uri", "key").distinct().count() == n)
+
+    // a third identical delivery changes nothing
+    stream.addData(posts)
+    q.processAllAvailable()
+    assert(Ingest.readStore(spark, store).count() == n)
+    q.stop()
+
+    // late event (2024-02-29) is present and sorts by event time at serve
+    val (page, _) = FeedPage.pageWithCursor(spark, Ingest.readStore(spark, store),
+      conditions.head, 100, None)
+    val served = page.orderBy(col("ord")).select("post").collect().map(_.getString(0))
+    assert(served.last == "at://a/11") // oldest event time serves last
+    assert(served.nonEmpty)
+  }
+
+  test("retention compact keeps each feed's newest limitCount rows") {
+    val s = spark
+    import s.implicits._
+    val store = tmpDir("graft-ret")
+    val conditions = Seq(cond(key = "f1", limitCount = 3))
+    val stored = FilterCascadeFixtureStore.build(spark, conditions)
+    stored.write.mode("overwrite").partitionBy("key").parquet(store)
+    Ingest.retentionCompact(spark, store, conditions)
+    val kept = Ingest.readStore(spark, store)
+    assert(kept.count() == 3)
+    // survivors are the newest by (indexedAt, cid)
+    val uris = kept.select("uri").collect().map(_.getString(0)).toSet
+    assert(!uris.contains("at://a/11")) // the late/oldest row evicted
+  }
+
+  test("refresh: -1 deletes the feed, N>0 deletes the N newest") {
+    val s = spark
+    import s.implicits._
+    val store = tmpDir("graft-refresh")
+    val conditions = Seq(cond(key = "f1"))
+    FilterCascadeFixtureStore.build(spark, conditions)
+      .write.mode("overwrite").partitionBy("key").parquet(store)
+    val before = Ingest.readStore(spark, store).count()
+
+    Ingest.applyRefresh(spark, store, cond(key = "f1", refresh = 2))
+    val after = Ingest.readStore(spark, store)
+    assert(after.count() == before - 2)
+
+    Ingest.applyRefresh(spark, store, cond(key = "f1", refresh = -1))
+    assert(Ingest.readStore(spark, store).isEmpty)
+  }
+
+  test("recordCounts clamps to limitCount (A4)") {
+    val store = tmpDir("graft-counts")
+    val conditions = Seq(cond(key = "f1", limitCount = 2), cond(key = "zz", limitCount = 5))
+    FilterCascadeFixtureStore.build(spark, Seq(cond(key = "f1", limitCount = 2)))
+      .write.mode("overwrite").partitionBy("key").parquet(store)
+    val counts = Ingest.recordCounts(spark, store, conditions)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("f1") == 2L) // clamped
+    assert(counts("zz") == 0L) // feed with no rows reports 0
+  }
+
+  test("feed page: pinned prepend on first page only, private gate, cursor walk") {
+    val s = spark
+    import s.implicits._
+    val conditions = Seq(cond(key = "f1",
+      pinnedPost = Seq("at://pin/1", "at://pin/2"),
+      privateFeed = Seq("did:plc:alice")))
+    val c = conditions.head
+    val store = FilterCascadeFixtureStore.build(spark, conditions).cache()
+
+    // private feed: unknown DID → empty page
+    assert(FeedPage.page(spark, store, c, 5, None, None).isEmpty)
+    assert(FeedPage.page(spark, store, c, 5, None, Some("did:plc:eve")).isEmpty)
+
+    // allowed DID: page 1 = pinned then newest-first
+    val (p1, cur1) = FeedPage.pageWithCursor(spark, store, c, 3, None, Some("did:plc:alice"))
+    val rows1 = p1.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows1.take(2).map(_._2).toSeq == Seq("at://pin/1", "at://pin/2"))
+    assert(rows1.map(_._1).toSeq == rows1.map(_._1).sorted.toSeq)
+    assert(cur1.isDefined)
+
+    // page 2: no pinned, continues strictly after page 1
+    val (p2, _) = FeedPage.pageWithCursor(spark, store, c, 3, cur1, Some("did:plc:alice"))
+    val rows2 = p2.collect().map(_.getString(1))
+    assert(rows2.nonEmpty)
+    assert(rows1.map(_._2).toSet.intersect(rows2.toSet).isEmpty)
+
+    // full walk = full ordered scan (minus pins)
+    var cursor: Option[String] = cur1
+    var seen = rows1.drop(2).map(_._2).toVector
+    var guard = 0
+    while (cursor.isDefined && guard < 100) {
+      guard += 1
+      val (p, nc) = FeedPage.pageWithCursor(spark, store, c, 3, cursor, Some("did:plc:alice"))
+      seen ++= p.collect().map(_.getString(1))
+      cursor = nc
+    }
+    val full = store.filter(col("key") === "f1")
+      .orderBy(col("indexedAt").desc, col("cid").desc)
+      .select("uri").collect().map(_.getString(0)).toVector
+    assert(seen == full)
+  }
+
+  test("condition normalization: string-bools, defaults, splits (B3)") {
+    val raw = ConditionRaw("k1", "my-feed", "q", "spark", Some(""), None,
+      Some(""), Some("true"), Some("false"), Some("imageOnly"), None,
+      None, Some("at://p/1,at://p/2"), None, Some("did:a,did:b"),
+      Some("vector::spark"))
+    val c = Condition.normalize(raw)
+    assert(c.labelDisable && !c.replyDisable && !c.includeAltText)
+    assert(c.initPost == 100 && c.limitCount == 2000)
+    assert(c.pinnedPost == Seq("at://p/1", "at://p/2"))
+    assert(c.privateFeed == Seq("did:a", "did:b"))
+    assert(c.profileMatch.contains(ProfileMatch("vector", "spark")))
+    assert(c.lang.isEmpty)
+  }
+
+  test("condition validation rejects bad record names and uncompilable regexes (P13)") {
+    def raw(rn: String, re: String) = ConditionRaw("k", rn, "q", re, None,
+      None, None, None, None, None, None, None, None, None, None, None)
+    assert(Condition.validate(raw("ok-name", "spark")).isRight)
+    assert(Condition.validate(raw("Bad Name!", "spark")).isLeft)
+    assert(Condition.validate(raw("ok", "(unclosed")).isLeft)
+    assert(Condition.validate(raw("ok", "")).isLeft)
+  }
+}
+
+/** Builds a stored-post table by running the cascade over the shared
+  * fixture posts for the given conditions. */
+object FilterCascadeFixtureStore {
+  def build(spark: org.apache.spark.sql.SparkSession,
+      conditions: Seq[Condition]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    graft.streaming.Ingest.processBatch(
+      spark,
+      graft.streaming.Ingest.emptyStore(spark),
+      Fixtures.posts.toDF(),
+      conditions,
+      Some(Fixtures.profiles.toDF()))
+  }
+}
