@@ -1,23 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every registered query at the given scale
+  * factor and prints ONE JSON line. A warmup pass (table scans + one tiny
+  * query) runs first so JVM/codegen/parquet-footer startup cost isn't
+  * charged to whichever query happens to run first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch every table + exercise codegen/shuffle machinery once.
+    val t = Tables(spark, sfDir)
+    Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+      t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
+    SparkEntry.queries("dq01_filter_scan")(spark, sfDir).count()
+
+    val results = SparkEntry.all.map { e =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try e.run(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release intermediate materializations (localCheckpoint RDDs) so one
+      // query's scratch state doesn't GC-pressure the next
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      e.name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

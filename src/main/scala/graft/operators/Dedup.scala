@@ -47,20 +47,38 @@ object Dedup {
       md5(concat_ws("|", slice(sig, j * rowsPerBand + 1, rowsPerBand)))): _*)
 
   /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
-    * shuffles on (band, bandHash) — bucket-local, never all-pairs. */
+    * shuffles on (band, bandHash) — bucket-local, never all-pairs. Each
+    * pair is emitted exactly once, from its FIRST matching band (prefix
+    * check against the carried band arrays) — semantically DISTINCT but
+    * without shuffling the pair set, which at high collision rates is the
+    * dominant cost. Band hashes are materialized once (localCheckpoint) so
+    * the self-join doesn't recompute the signatures on both sides.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val banded = df
+    val withBands = df
       .select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
-      .select(col(idCol), posexplode(lshBandHashes(col("__sig"), bands, rows)).as(Seq("band", "bh")))
+      .select(col(idCol), lshBandHashes(col("__sig"), bands, rows).as("__bands"))
+      .localCheckpoint()
+    val banded = withBands.select(col(idCol), col("__bands"),
+      posexplode(col("__bands")).as(Seq("band", "bh")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    // no band before this one also matched — unrolled to scalar string
+    // compares (codegen-friendly; array lambdas here would run interpreted
+    // on every candidate pair row)
+    val firstMatch = (0 until bands).map { j =>
+      val noEarlier = (0 until j)
+        .map(k => element_at(col("a.__bands"), k + 1) =!= element_at(col("b.__bands"), k + 1))
+        .foldLeft(lit(true))(_ && _)
+      (col("a.band") === j, noEarlier)
+    }.foldRight(lit(false)) { case ((isBand, cond), acc) => when(isBand, cond).otherwise(acc) }
+    a.join(broadcast(b),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(firstMatch)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
   }
 
   /** 16-bit SimHash over the word set: bit j is set iff the majority of
@@ -79,11 +97,12 @@ object Dedup {
       bucket: Seq[String], maxDist: Int): DataFrame = {
     val withSig = df.select((bucket :+ idCol).map(col) :+
       simhash16(tokenSet(col(textCol))).as("__sh"): _*)
+      .localCheckpoint() // signatures computed once, not per join side
     val a = withSig.as("a")
     val b = withSig.as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    a.join(b, joinCond)
+    a.join(broadcast(b), joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(expr("a.__sh ^ b.__sh")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -95,13 +114,14 @@ object Dedup {
       bucket: Seq[String], ngram: Int, threshold: Double): DataFrame = {
     val sets = df.select((bucket :+ idCol).map(col) :+
       (if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
+      .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
     val b = sets.as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     val inter = size(array_intersect(col("a.__ws"), col("b.__ws"))).cast("long")
     val union = size(col("a.__ws")).cast("long") + size(col("b.__ws")).cast("long") - inter
-    a.join(b, joinCond)
+    a.join(broadcast(b), joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (inter.cast("double") / union.cast("double")).as("jac"))
       .filter(col("jac") >= threshold)

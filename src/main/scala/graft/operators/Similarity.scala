@@ -25,23 +25,29 @@ object Similarity {
   def fixedPoint(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000000d).cast("long"))
 
-  /** Exact integer dot product of two fixed-point vectors. */
-  def dotFp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Exact integer dot product of two fixed-point vectors, via the native
+    * codegen expression [[graft.functions.DotFp]] (a zip_with/aggregate
+    * lambda formulation interprets per element — ~10× slower on pair
+    * scans). `dim` is kept for API stability; the loop reads the runtime
+    * length. */
+  def dotFp(a: Column, b: Column, dim: Option[Int] = None): Column =
+    org.apache.spark.sql.graft.DotFp(a, b)
 
   def cosineFromFp(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
   /** Attach fixed-point vector + its squared norm. */
-  private def prep(df: DataFrame, idCol: String, vecCol: String, extra: Seq[String]): DataFrame = {
+  private def prep(df: DataFrame, idCol: String, vecCol: String, extra: Seq[String],
+      dim: Option[Int]): DataFrame = {
     val fe = fixedPoint(col(vecCol))
     df.select((idCol +: extra).map(col) :+ fe.as("__fe"): _*)
-      .withColumn("__nsq", dotFp(col("__fe"), col("__fe")))
+      .withColumn("__nsq", dotFp(col("__fe"), col("__fe"), dim))
+      .localCheckpoint() // fixed-point vectors + norms materialized once
   }
 
-  private def rank(joined: DataFrame, k: Int): DataFrame = {
+  private def rank(joined: DataFrame, k: Int, dim: Option[Int]): DataFrame = {
     val cos = cosineFromFp(
-      dotFp(col("q.__fe"), col("c.__fe")), col("q.__nsq"), col("c.__nsq"))
+      dotFp(col("q.__fe"), col("c.__fe"), dim), col("q.__nsq"), col("c.__nsq"))
     joined
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"), cos.as("sim"))
       .withColumn("rank",
@@ -52,33 +58,34 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query against every candidate. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(prep(queries, idCol, vecCol, Nil).withColumnRenamed(idCol, "__id")).as("q")
-    val c = prep(candidates, idCol, vecCol, Nil).withColumnRenamed(idCol, "__id").as("c")
-    rank(q.join(c, col("q.__id") =!= col("c.__id")), k)
+      idCol: String, vecCol: String, k: Int, dim: Option[Int] = None): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id")).as("q")
+    val c = prep(candidates, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id").as("c")
+    rank(q.join(c, col("q.__id") =!= col("c.__id")), k, dim)
   }
 
   /** IVF-style top-k: candidates restricted to the query's coarse cluster
     * (cell), joined on cluster equality instead of cross product. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, clusterCol: String, k: Int): DataFrame = {
-    val q = broadcast(prep(queries, idCol, vecCol, Seq(clusterCol)).withColumnRenamed(idCol, "__id")).as("q")
-    val c = prep(candidates, idCol, vecCol, Seq(clusterCol)).withColumnRenamed(idCol, "__id").as("c")
+      idCol: String, vecCol: String, clusterCol: String, k: Int,
+      dim: Option[Int] = None): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, Seq(clusterCol), dim).withColumnRenamed(idCol, "__id")).as("q")
+    val c = prep(candidates, idCol, vecCol, Seq(clusterCol), dim).withColumnRenamed(idCol, "__id").as("c")
     rank(
       q.join(c, col(s"q.$clusterCol") === col(s"c.$clusterCol") &&
-        col("q.__id") =!= col("c.__id")), k)
+        col("q.__id") =!= col("c.__id")), k, dim)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking bucket. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      bucket: Seq[String], threshold: Double): DataFrame = {
-    val p = prep(df, idCol, vecCol, bucket).withColumnRenamed(idCol, "__id")
+      bucket: Seq[String], threshold: Double, dim: Option[Int] = None): DataFrame = {
+    val p = prep(df, idCol, vecCol, bucket, dim).withColumnRenamed(idCol, "__id")
     val a = p.as("q")
-    val b = p.as("c")
+    val b = broadcast(p).as("c")
     val joinCond = bucket.map(c0 => col(s"q.$c0") === col(s"c.$c0"))
       .reduce(_ && _) && col("q.__id") < col("c.__id")
     val cos = cosineFromFp(
-      dotFp(col("q.__fe"), col("c.__fe")), col("q.__nsq"), col("c.__nsq"))
+      dotFp(col("q.__fe"), col("c.__fe"), dim), col("q.__nsq"), col("c.__nsq"))
     a.join(b, joinCond)
       .select(col("q.__id").as("id_a"), col("c.__id").as("id_b"), cos.as("sim"))
       .filter(col("sim") >= threshold)
