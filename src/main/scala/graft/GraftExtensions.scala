@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.DotFp
+
+/** Engine extensions: registers the native functions with the session's
+  * FunctionRegistry so they're usable from SQL text as well as the Column
+  * API. Install via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_fp"),
+      new ExpressionInfo(classOf[DotFp].getName, "dot_fp"),
+      (children: Seq[Expression]) => DotFp(children(0), children(1))))
+  }
+}

@@ -14,6 +14,7 @@ object GraftSession {
       .builder()
       .master(s"local[$threads]")
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -16,9 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Rows of `incoming` whose key is absent from `existing` (J2/P12). */
-  def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+  /** Rows of `incoming` whose key is absent from `existing` (J2/P12).
+    * Duplicates WITHIN the batch collapse too (one row per key,
+    * deterministic min-by-row pick) — the reference's row-at-a-time PK
+    * conflict-ignore keeps only the first arrival; a set-oriented batch
+    * needs an explicit in-batch dedup or replays would double-insert. */
+  def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(struct(incoming.columns.map(col): _*))
+    incoming
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+  }
 
   /** Idempotent append: existing ∪ (incoming ∖ existing-by-key) (S8/T8). */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.security.MessageDigest
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 source modeling the reference's paged `searchPosts` ingest
+  * (/root/reference/src/subscription.ts:219-239): cursor-paged scan with a
+  * per-cycle page budget (`apiCall < 100`, T3) and the language predicate
+  * pushed INTO the source (`' lang:xx'` appended to the search query,
+  * P10/S1 — here a DSv2 `SupportsPushDownFilters` on the `lang` column).
+  *
+  * The remote API is replaced by a deterministic in-process post generator
+  * (zero-egress harness); the connector surface — offsets, micro-batch
+  * planning, pushdown, rate budget — is the real thing. Options:
+  *   totalPosts (default 1000), pageSize (100), pagesPerTrigger (100).
+  *
+  * Registered as format("graft-search"); supports batch and micro-batch
+  * reads. Offsets are post indices, checkpointed by Spark (T4 — strictly
+  * stronger than the reference's every-20-events stride).
+  */
+class SearchPostsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-search"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SearchPosts.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SearchPostsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SearchPosts {
+  val schema: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = false),
+    StructField("cid", StringType, nullable = false),
+    StructField("did", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("createdAt", TimestampType, nullable = false),
+  ))
+
+  private val langs = Seq("en", "es", "de", "fr", "zh")
+  private val vocab = ("the a fast slow big small spark vector hash join merge sort scan filter " +
+    "group agg window batch stream table row column key value order part line customer").split(" ")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def lang(i: Long): String = langs((i % langs.size).toInt)
+
+  /** Deterministic fake post #i (what the remote search API would return). */
+  def row(i: Long): InternalRow = {
+    val h = md5hex(s"post:$i")
+    val words = (0 until 8 + (h(0) % 8)).map { j =>
+      vocab((Integer.parseInt(h.substring(j % 28, j % 28 + 2), 16)) % vocab.length)
+    }
+    InternalRow(
+      UTF8String.fromString(s"at://did:plc:src${i % 20}/app.bsky.feed.post/$i"),
+      UTF8String.fromString(h),
+      UTF8String.fromString(s"did:plc:src${i % 20}"),
+      UTF8String.fromString(words.mkString(" ")),
+      UTF8String.fromString(lang(i)),
+      // createdAt: 2024-01-01T00:00:00Z + i seconds, micros
+      1704067200000000L + i * 1000000L,
+    )
+  }
+}
+
+class SearchPostsTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_search_posts"
+  override def schema(): StructType = SearchPosts.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SearchScanBuilder(
+      totalPosts = options.getLong("totalPosts", 1000L),
+      pageSize = options.getInt("pageSize", 100),
+      pagesPerTrigger = options.getInt("pagesPerTrigger", 100))
+}
+
+/** Pushdown: EqualTo("lang", v) is consumed by the source (the reference
+  * appends ' lang:xx' to the remote query); everything else stays a Spark
+  * post-filter. */
+class SearchScanBuilder(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var langFilter: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("lang", v: String) => true
+      case _ => false
+    }
+    accepted.foreach { case EqualTo(_, v: String) => langFilter = Some(v) }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SearchScan(totalPosts, pageSize, pagesPerTrigger, langFilter)
+}
+
+class SearchScan(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int,
+    langFilter: Option[String]) extends Scan {
+  override def readSchema(): StructType = SearchPosts.schema
+  override def description(): String =
+    s"graft-search(totalPosts=$totalPosts, pushedLang=${langFilter.getOrElse("-")})"
+  override def toBatch: Batch = new SearchBatch(0L, totalPosts, pageSize, langFilter)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SearchMicroBatchStream(totalPosts, pageSize, pagesPerTrigger, langFilter)
+}
+
+case class PageOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+/** Micro-batch stream over the paged scan: each trigger advances by at most
+  * pagesPerTrigger × pageSize posts (the reference's 100-call budget). */
+class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
+    pagesPerTrigger: Int, langFilter: Option[String]) extends MicroBatchStream {
+
+  @volatile private var planned = 0L
+
+  override def initialOffset(): Offset = PageOffset(0L)
+
+  /** Each trigger advances by at most the page budget past what was last
+    * planned — the reference's per-cycle `apiCall < 100` bound; successive
+    * triggers drain the backlog (catch-up, T2/T3). */
+  override def latestOffset(): Offset = {
+    val next = math.min(totalPosts, planned + pageSize.toLong * pagesPerTrigger)
+    planned = next
+    PageOffset(next)
+  }
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].index
+    val e = end.asInstanceOf[PageOffset].index
+    planned = math.max(planned, e)
+    SearchBatch.partitions(s, e, pageSize)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SearchReaderFactory(langFilter)
+}
+
+/** One partition = one "API page" — parallel fetch across executors. */
+case class SearchPagePartition(start: Long, end: Long) extends InputPartition
+
+object SearchBatch {
+  def partitions(start: Long, end: Long, pageSize: Int): Array[InputPartition] =
+    (start until end by pageSize)
+      .map(s => SearchPagePartition(s, math.min(end, s + pageSize)): InputPartition)
+      .toArray
+}
+
+class SearchBatch(start: Long, end: Long, pageSize: Int,
+    langFilter: Option[String]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    SearchBatch.partitions(start, end, pageSize)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SearchReaderFactory(langFilter)
+}
+
+class SearchReaderFactory(langFilter: Option[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SearchPagePartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        i += 1
+        // language pushdown: non-matching posts are never materialized
+        while (i < p.end && langFilter.exists(_ != SearchPosts.lang(i))) i += 1
+        if (i < p.end) { current = SearchPosts.row(i); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2#3): keyset pagination
+  * reproduces the full ordered scan for random data / page sizes / tied
+  * timestamps; retention survivors are exactly the newest-N; upsert is
+  * idempotent under arbitrary batch replays.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Deterministic generator sampling (the scalatest-scalacheck bridge is
+    * not on the offline classpath). */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 8)(body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+
+  // (ts, id) rows with deliberately-colliding timestamps
+  private val rowsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 120)
+    ts <- Gen.listOfN(n, Gen.choose(0L, 20L))
+  } yield ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+
+  test("property: pagination walk == full ordered scan, no dup/loss") {
+    val s = spark
+    import s.implicits._
+    forAll(rowsGen, Gen.choose(1, 17)) { (rows, pageSize) =>
+      val df = rows.toDF("ts_us", "id").cache()
+      val full = rows.sortBy { case (t, i) => (-t, -i) }.map(_._2)
+      var out = Vector.empty[Long]
+      var cursor: Option[String] = None
+      var done = false
+      var guard = 0
+      while (!done && guard < 200) {
+        guard += 1
+        val page = Paging.page(df, col("ts_us"), col("id"), pageSize, cursor, _.toLong)
+        val got = page.orderBy(col("ts_us").desc, col("id").desc)
+          .select("id").collect().map(_.getLong(0)).toVector
+        if (got.isEmpty) done = true
+        else {
+          out ++= got
+          cursor = Paging.encodeCursor(page, col("ts_us"), col("id"))
+          if (cursor.isEmpty) done = true
+        }
+      }
+      df.unpersist()
+      assert(out.toList == full)
+    }
+  }
+
+  test("property: retention keeps exactly the newest n per key") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 80)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        t <- Gen.choose(0L, 10L)
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    forAll(gen, Gen.choose(1, 6)) { (rows, keep) =>
+      val df = rows.toDF("key", "ts_us", "id")
+      val got = Retention.keepNewest(df, Seq(col("key")), col("ts_us"), col("id"), keep)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.groupBy(_._1).values.flatMap(
+        _.sortBy(r => (-r._2, -r._3)).take(keep).map(_._3)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("property: upsert idempotence under arbitrary replays") {
+    val s = spark
+    import s.implicits._
+    val batchGen = Gen.listOf(for {
+      u <- Gen.choose(0, 25)
+      v <- Gen.choose(0, 1000)
+    } yield (s"u$u", "k", v))
+    forAll(batchGen, batchGen) { (b1, b2) =>
+      val empty = Seq.empty[(String, String, Int)].toDF("uri", "key", "v")
+      val d1 = b1.toDF("uri", "key", "v")
+      val d2 = b2.toDF("uri", "key", "v")
+      val once = Upsert.upsert(Upsert.upsert(empty, d1, Seq("uri", "key")), d2, Seq("uri", "key"))
+      val replayed = Upsert.upsert(
+        Upsert.upsert(once, d1, Seq("uri", "key")), d2, Seq("uri", "key"))
+      assert(replayed.count() == once.count())
+      assert(once.select("uri").distinct().count() == once.count())
+    }
+  }
+}
