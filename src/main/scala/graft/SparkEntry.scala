@@ -20,6 +20,7 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     PipelineQueries,
+    AnalyticsQueries,
   )
 
   lazy val all: Seq[QueryEntry] = {

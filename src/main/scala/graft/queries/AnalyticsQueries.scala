@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.functions.MinHashAgg
+import graft.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multi-way join aggregates (classic analytics shapes for the bench
+  * headline) + the Aggregator-based MinHash sketch (custom typed UDAF with
+  * map-side partial aggregation).
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** Revenue by nation: fact orders joined through two broadcast
+    * dimensions — no fact-side shuffle before the aggregate. */
+  private val q02 = QueryEntry(
+    "q02_revenue_by_nation",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+    Some(
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    headline = true,
+  )
+
+  /** Order-priority counts per ship-mode-ish dimension over a fact-fact
+    * join (orders ⋈ lineitem) — the one genuinely shuffled join in the
+    * catalog; AQE picks the strategy at runtime. */
+  private val q03 = QueryEntry(
+    "q03_order_lineitem_join",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    headline = true,
+  )
+
+  /** Per-source MinHash sketch via the typed Aggregator — the sketch of a
+    * group equals the elementwise min of member signatures, which the
+    * oracle states directly. */
+  private val ns16 = QueryEntry(
+    "ns16_minhash_group_sketch",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val sk = t.documents.groupBy(col("source"))
+        .agg(MinHashAgg.sketch(col("text"), 8).as("sketch"))
+      sk.select(col("source") +:
+        (0 until 8).map(i => element_at(col("sketch"), i + 1).as(s"mh$i")): _*)
+        .orderBy(col("source"))
+    },
+    Some {
+      val per = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(w, x -> md5(x || ':$i')), 'min') AS mh$i").mkString(", ")
+      val mins = (0 until 8).map(i => s"min(mh$i) AS mh$i").mkString(", ")
+      s"""SELECT source, $mins FROM (
+         |  SELECT source, $per
+         |  FROM (SELECT source, list_distinct(string_split(lower(text), ' ')) AS w FROM documents))
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(q02, q03, ns16)
+}
