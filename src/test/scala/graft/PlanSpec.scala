@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan assertions: the catalog's queries must keep the plan
+  * shapes that survive a 100× scale-up — predicate/column pushdown into
+  * the parquet scan, broadcast joins for dimensions, TakeOrderedAndProject
+  * for top-K (never a global sort), and partial (map-side) aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    spark.catalog.clearCache() // other suites may have cached these tables
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("dq01: predicates and column pruning reach the parquet scan") {
+    val p = planOf("dq01_filter_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase), GreaterThan(value,100.0)]"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"), p)
+  }
+
+  test("dq02: regex filter scans only the needed columns") {
+    val p = planOf("dq02_regex_include")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("dq18: top-K page compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf("dq18_topk_page")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dq08: the profile dimension joins via broadcast hash join") {
+    val p = planOf("dq08_profile_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dq10: catch-up dedup runs as a real anti join") {
+    val p = planOf("dq10_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q01: grouped aggregate does map-side partial aggregation") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q02: star join uses two broadcast joins, no fact shuffle before agg") {
+    val p = planOf("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ns15: the feed pipeline keeps the cascade as scan-level filters") {
+    val p = planOf("ns15_feed_pipeline")
+    // include-regex predicate evaluated in the scan stage, not post-join
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
