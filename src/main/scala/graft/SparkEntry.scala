@@ -21,6 +21,7 @@ object SparkEntry {
     TextQueries,
     PipelineQueries,
     AnalyticsQueries,
+    TemporalQueries,
   )
 
   lazy val all: Seq[QueryEntry] = {

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+
+  test("batch sessionization: gaps split sessions, bounds and counts are exact") {
+    val s = spark
+    import s.implicits._
+    // key 1: [0, 10, 20] gap [100, 105]; key 2: single event
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 100L, 4L), (1L, 105L, 5L),
+      (2L, 7L, 6L),
+    ).toDF("user_id", "ts_us", "event_id")
+    val got = Sessionize.batch(df, "user_id", "ts_us", "event_id", gapUs = 30L)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 20L),
+      (1L, 2L, 2L, 100L, 105L),
+      (2L, 1L, 1L, 7L, 7L),
+    ))
+  }
+
+  test("streaming flatMapGroupsWithState matches batch sessionization on closed sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      Sessionize.Ev(1L, 0L), Sessionize.Ev(1L, 10L), Sessionize.Ev(1L, 100L),
+      Sessionize.Ev(1L, 105L), Sessionize.Ev(1L, 300L),
+      Sessionize.Ev(2L, 7L), Sessionize.Ev(2L, 500L),
+    )
+    val stream = MemoryStream[Sessionize.Ev]
+    val out = Sessionize.streaming(stream.toDS(), gapUs = 30L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_out").as[Sessionize.SessionOut]
+      .collect().map(o => (o.key, o.n_events, o.start_us, o.end_us)).toSet
+    // sessions CLOSED by a later event in the same run (open tails stay in state)
+    assert(closed == Set(
+      (1L, 2L, 0L, 10L), (1L, 2L, 100L, 105L), (2L, 1L, 7L, 7L),
+    ))
+    // batch over the same events yields those closed sessions plus the open tails
+    val batchAll = Sessionize.batch(
+        events.map(e => (e.key, e.tsUs)).toDF("user_id", "ts_us")
+          .withColumn("event_id", col("ts_us")),
+        "user_id", "ts_us", "event_id", gapUs = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(closed.subsetOf(batchAll))
+    assert(batchAll.size == closed.size + 2) // two open tails (1@300, 2@500)
+  }
+}
