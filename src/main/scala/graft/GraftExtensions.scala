@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.DotFp
+import org.apache.spark.sql.graft.{DotFp, RegexCountToRLike}
 
 /** Engine extensions: registers the native functions with the session's
-  * FunctionRegistry so they're usable from SQL text as well as the Column
-  * API. Install via `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * FunctionRegistry (usable from SQL text as well as the Column API) and
+  * the optimizer rules. Install via `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_fp"),
       new ExpressionInfo(classOf[DotFp].getName, "dot_fp"),
       (children: Seq[Expression]) => DotFp(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RegexCountToRLike)
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class OptimizerRuleSpec extends SparkSpec {
+
+  // parquet-backed (LocalRelation inputs get constant-folded away before
+  // the optimized plan can be inspected)
+  private lazy val docs = Tables(spark, sf0001).documents
+
+  test("regexp_count > 0 predicates optimize to RLIKE, results unchanged") {
+    val pred = docs.filter(regexp_count(col("text"), lit("(spark|vector)")) > 0)
+    val optimized = pred.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("RLIKE"), optimized)
+    assert(!optimized.toLowerCase.contains("regexp_count"), optimized)
+    assert(!optimized.contains("regexp_extract_all"), optimized)
+
+    // identical result set to the unoptimizable count-and-compare form
+    val viaCount = docs
+      .withColumn("n", regexp_count(col("text"), lit("(spark|vector)")))
+      .filter(col("n") > 0).select("doc_id")
+    val got = pred.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == viaCount.collect().map(_.getLong(0)).toSet)
+    assert(got.nonEmpty)
+
+    // negated form rewrites too
+    val none = docs.filter(regexp_count(col("text"), lit("zebra")) === 0)
+    assert(none.queryExecution.optimizedPlan.toString.contains("RLIKE"))
+    assert(none.count() == docs.count())
+
+    // a query that USES the count keeps regexp_count
+    val counted = docs.select(regexp_count(col("text"), lit("spark")).as("n"))
+    val cPlan = counted.queryExecution.optimizedPlan.toString
+    assert(cPlan.contains("regexp_count") || cPlan.contains("regexp_extract_all"), cPlan)
+  }
+
+  test("the cascade's include-regex benefits from the rewrite") {
+    val posts = graft.queries.PipelineQueries.postViews(spark, sf0001)
+    val out = graft.operators.FilterCascade(posts, graft.domain.Fixtures.cond(), None)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RLIKE"), plan)
+  }
+}
