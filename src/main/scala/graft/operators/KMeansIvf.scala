@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point k-means — the coarse quantizer that upgrades
+  * [[Similarity.ivfTopK]] from a given-cluster column to a REAL IVF index:
+  * fit centroids, assign every vector to its nearest cell, search only the
+  * query's cell.
+  *
+  * Determinism: vectors are integer micro-units (Similarity.fixedPoint),
+  * distances are exact Longs, centroid updates use integer division, init
+  * is the k lowest-id vectors — no RNG, same result on every run/cluster.
+  *
+  * Scale notes: each Lloyd iteration is one scan + one (cluster, dim)
+  * aggregation; centroids (k × dim longs) live on the driver and ship as
+  * literals — nothing about the candidate table is ever collected.
+  */
+object KMeansIvf {
+
+  /** Squared L2 distance between a fixed-point vector column and a literal
+    * centroid, via the native dot expression: |x|² - 2x·c + |c|². */
+  private def distSq(fe: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column,
+      c: Array[Long]): org.apache.spark.sql.Column = {
+    val cLit = typedlit(c.toSeq)
+    val cNsq = c.map(v => v * v).sum
+    nsq - lit(2L) * Similarity.dotFp(fe, cLit) + lit(cNsq)
+  }
+
+  /** Fit k centroids, return (assignments, centroids). Assignments:
+    * (idCol, cluster int). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
+      : (DataFrame, Array[Array[Long]]) = {
+    val fp = df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
+      .withColumn("__nsq", Similarity.dotFp(col("__fe"), col("__fe")))
+      .localCheckpoint()
+
+    var centroids: Array[Array[Long]] = fp.orderBy(col(idCol)).limit(k)
+      .select("__fe").collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    def assign(frame: DataFrame): DataFrame = {
+      val dists = array(centroids.map(c => distSq(col("__fe"), col("__nsq"), c)): _*)
+      frame.withColumn("cluster",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(fp)
+      // per-(cluster, dim) integer means; k × dim rows — driver-side tiny
+      val means = assigned
+        .select(col("cluster"), posexplode(col("__fe")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(expr("sum(v) div count(v)").as("m"))
+        .collect()
+      val dim = centroids.head.length
+      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
+      centroids = next
+    }
+
+    (assign(fp).select(col(idCol), col("cluster")), centroids)
+  }
+
+  /** Full IVF search: fit on the candidate set, assign queries to their
+    * nearest centroid, search only that cell. */
+  def search(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, iters: Int = 3): DataFrame = {
+    val (assignments, _) = fit(candidates, idCol, vecCol, nCells, iters)
+    val cands = candidates.join(assignments, idCol)
+    val qs = queries.join(assignments, idCol) // queries drawn from the corpus
+    Similarity.ivfTopK(qs, cands, idCol, vecCol, "cluster", k)
+  }
+}

@@ -87,5 +87,22 @@ object SimilarityQueries extends QueryModule {
          |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09)
+  /** Real IVF: deterministic fixed-point k-means fits the coarse cells,
+    * search probes only the query's cell. No SQL oracle (k-means isn't
+    * reasonably SQL-expressible) → driver records a rows-only check; the
+    * spec suite covers determinism and cell-local correctness. */
+  private val ns20 = QueryEntry(
+    "ns20_ann_ivf_kmeans",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.KMeansIvf.search(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, iters = 2)
+        .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    oracle = None,
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20)
 }

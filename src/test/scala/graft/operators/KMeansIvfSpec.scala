@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class KMeansIvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf0001).embeddings
+
+  test("fit is deterministic and partitions every vector into k cells") {
+    val (a1, c1) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val (a2, c2) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val m1 = a1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = a2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 == m2)
+    assert(m1.size == emb.count())
+    assert(m1.values.toSet.subsetOf((0 until 8).toSet))
+    assert(c1.length == 8)
+  }
+
+  test("centroids move toward their members (objective decreases)") {
+    val (a, cents) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    // every member's assigned centroid is its argmin over the final centroids
+    val fp = emb.select(col("vec_id"), Similarity.fixedPoint(col("embedding")).as("fe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val assignMap = a.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def d2(x: Array[Long], c: Array[Long]): BigInt =
+      x.zip(c).map { case (a0, b0) => BigInt(a0 - b0) * BigInt(a0 - b0) }.sum
+    assignMap.foreach { case (id, cl) =>
+      val dists = cents.map(c => d2(fp(id), c))
+      assert(dists(cl) == dists.min)
+    }
+  }
+
+  test("IVF search returns within-cell top-k with valid ranks") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = KMeansIvf.search(queries, emb, "vec_id", "embedding", k = 5, nCells = 4, iters = 2)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length))
+      assert(rs.forall(r => r.getAs[Double]("sim") <= 1.0 + 1e-9))
+    }
+  }
+}
