@@ -52,6 +52,30 @@ object Multimodal {
     }
   }
 
+  /** One extracted feature vector per media row. */
+  final case class MediaFeature(doc_id: Long, kind: String, embedding: Seq[Float])
+
+  /** STUB featurizer — a real vision/audio model (ONNX/JNI) would run here
+    * per partition batch. Deterministic fake: each dimension is a hash of
+    * (bytes, dim) scaled to [-0.5, 0.5). Identical payloads get identical
+    * embeddings, so the downstream embedding-cosine dedup/ANN operators
+    * (graft.operators.Similarity) work unchanged over media columns. */
+  def featureExtractStub(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val base = MessageDigest.getInstance("MD5").digest(r.media)
+        val vec = (0 until dim).map { i =>
+          val b0 = base((i * 2) % base.length) & 0xff
+          val b1 = base((i * 2 + 1) % base.length) & 0xff
+          ((b0 * 256 + b1).toFloat / 65536f) - 0.5f
+        }
+        MediaFeature(r.doc_id, r.kind, vec)
+      }
+    }
+  }
+
   /** Frame sampling: slice the payload into `n` equal byte ranges (a real
     * video decoder would seek keyframes; the partition/batch shape is the
     * same). Emits (doc_id, frame_no, frame_bytes). */

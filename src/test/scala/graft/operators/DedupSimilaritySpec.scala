@@ -91,6 +91,19 @@ class DedupSimilaritySpec extends SparkSpec {
     sizes.foreach(r => assert(r.getLong(1) == orig(r.getLong(0)).toLong))
   }
 
+  test("multimodal featurizer feeds embedding near-dup: identical payloads pair at sim 1.0") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq((1L, "same payload"), (2L, "same payload"), (3L, "different bytes"))
+      .toDF("doc_id", "text")
+    val packed = Multimodal.packFromText(texts, "doc_id", "text", "image")
+    val feats = Multimodal.featureExtractStub(packed.as[Multimodal.MediaRow]).toDF()
+    val pairs = Similarity.cosineNearDupPairs(feats, "doc_id", "embedding",
+        bucket = Seq("kind"), threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("langid picks the dominant marker class") {
     val s = spark
     import s.implicits._
