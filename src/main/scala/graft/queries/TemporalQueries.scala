@@ -72,5 +72,38 @@ object TemporalQueries extends QueryModule {
     oracle = None,
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns17, ns18, ns19)
+  /** As-of attribution: each purchase matched to the user's latest view
+    * at-or-before it. The oracle states the identical union+window form. */
+  private val ns21 = QueryEntry(
+    "ns21_asof_join",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+      graft.operators.AsOfJoin.lastAtOrBefore(
+          purchases, views, "user_id", "ts_us", "event_id")
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("matched_id").as("view_id"), col("matched_ts_us").as("view_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts_us
+        |  FROM tagged)
+        |SELECT event_id, user_id, view_id, view_ts_us
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns17, ns18, ns19, ns21)
 }
