@@ -85,5 +85,26 @@ object AnalyticsQueries extends QueryModule {
     },
   )
 
-  override def entries: Seq[QueryEntry] = Seq(q02, q03, ns16)
+  /** Hierarchical totals via ROLLUP (grand total + per-flag + per-flag-
+    * status). Spark sorts NULLS FIRST ascending by default; the oracle
+    * says so explicitly because DuckDB defaults to NULLS LAST. */
+  private val q04 = QueryEntry(
+    "q04_rollup",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, ns16)
 }
