@@ -64,4 +64,19 @@ object TextAnalysis {
     * word order and duplication (the rolling-hash analog for word salads). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(Dedup.tokenSet(text))))
+
+  /** Training-data scrubbing: mask number runs, collapse whitespace runs,
+    * trim. Patterns are dialect-neutral (identical under Java regex and
+    * RE2) so the oracle states the same chain. */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[0-9]+", "<num>"),
+      " +", " "))
+
+  /** Deterministic content-hash sampling: keep a row iff the first hex
+    * digits of md5(key) fall under the rate. Reproducible across engines,
+    * runs, and partitionings — the sampling a curation pipeline can rerun.
+    * rate16 is in 16ths (e.g. 4 → keep ~25%). */
+  def hashSample(key: Column, rate16: Int): Column =
+    substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
 }

@@ -117,5 +117,69 @@ object TextQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14)
+  /** Scrub + deterministic hash sample — the reproducible cleaning step of
+    * a curation pipeline. */
+  private val ns22 = QueryEntry(
+    "ns22_scrub_sample",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .withColumn("clean", TextAnalysis.scrub(concat(col("text"), lit(" id 12345"))))
+        .filter(TextAnalysis.hashSample(col("text"), rate16 = 4))
+        .select(col("doc_id"), col("clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text || ' id 12345', '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM documents
+        |WHERE substr(md5(text), 1, 1) < '4'
+        |ORDER BY doc_id""".stripMargin),
+  )
+
+  /** The composed curation pipeline: quality-gate → exact-dedup keepers →
+    * deterministic sample → per-language corpus stats. Each stage is one of
+    * the catalog's operators; the oracle composes the same relational
+    * steps. */
+  private val ns23 = QueryEntry(
+    "ns23_curation_pipeline",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val quality = t.documents
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.3)
+      val keepers = quality
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      keepers
+        .filter(TextAnalysis.hashSample(col("text"), rate16 = 8))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
+         |      + 0.4 * (CAST(${markerSql(Seq("the", "a"))} AS DOUBLE)
+         |               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS qs
+         |  FROM documents),
+         |gated AS (SELECT * FROM q WHERE qs >= 0.3),
+         |keepers AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS sum_tokens
+         |FROM keepers
+         |WHERE substr(md5(text), 1, 1) < '8'
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23)
 }
