@@ -49,13 +49,18 @@ object Ingest {
   }
 
   /** Start the streaming ingest: every micro-batch appends its surviving
-    * new rows to the keyed store. */
+    * new rows to the keyed store; with `retentionEvery` > 0 the count-based
+    * cap (S11) runs after every Nth batch — the reference applies it every
+    * cycle (subscription.ts:379-393). */
   def start(spark: SparkSession, stream: DataFrame, conditions: Seq[Condition],
-      profiles: Option[DataFrame], storeDir: String, checkpointDir: String): StreamingQuery = {
-    val sink: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      profiles: Option[DataFrame], storeDir: String, checkpointDir: String,
+      retentionEvery: Int = 0): StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val stored = readStore(spark, storeDir)
       val fresh = processBatch(spark, stored, batch, conditions, profiles)
       fresh.write.mode("append").partitionBy("key").parquet(storeDir)
+      if (retentionEvery > 0 && batchId % retentionEvery == 0)
+        retentionCompact(spark, storeDir, conditions)
     }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

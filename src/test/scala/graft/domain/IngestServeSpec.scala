@@ -54,6 +54,26 @@ class IngestServeSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("streaming ingest with in-loop retention never exceeds the cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val store = tmpDir("graft-stream-ret")
+    val ckpt = tmpDir("graft-stream-ret-ckpt")
+    val conditions = Seq(cond(key = "f1", limitCount = 3))
+    val stream = MemoryStream[PostView]
+    val q = Ingest.start(spark, stream.toDF(), conditions,
+      Some(profiles.toDF()), store, ckpt, retentionEvery = 1)
+    stream.addData(posts.take(6))
+    q.processAllAvailable()
+    stream.addData(posts)
+    q.processAllAvailable()
+    q.stop()
+    val kept = Ingest.readStore(spark, store)
+    assert(kept.count() <= 3)
+    assert(kept.count() > 0)
+  }
+
   test("retention compact keeps each feed's newest limitCount rows") {
     val s = spark
     import s.implicits._
