@@ -133,5 +133,30 @@ object DedupQueries extends QueryModule {
     headline = true,
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06)
+  /** Wide (48-bit) SimHash via the native one-pass expression; the oracle
+    * states the same bit family with 48 per-bit majority terms (width kept
+    * ≤ 62 because 1<<63 overflows BIGINT in SQL arithmetic). */
+  private val ns24 = QueryEntry(
+    "ns24_simhash_wide",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.SimHashBits(
+            Dedup.tokenSet(col("text")), 48).as("simhash48"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val terms = (0 until 48).map { j =>
+        val nib = j / 4 + 1
+        val shift = 3 - j % 4
+        s"""(CASE WHEN 2 * len(list_filter(w, x -> (((strpos('0123456789abcdef', substr(md5(x), $nib, 1)) - 1) >> $shift) & 1) = 1)) > len(w) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash48
+         |FROM (SELECT doc_id, $WsSql AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24)
 }
