@@ -106,5 +106,48 @@ object AnalyticsQueries extends QueryModule {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, ns16)
+  /** Full CUBE over two dimensions (all grouping sets). */
+  private val q05 = QueryEntry(
+    "q05_cube",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .cube(col("event_type"), col("user_id") % 10)
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sum_vfloor"))
+        .withColumnRenamed("(user_id % 10)", "user_mod")
+        .orderBy(col("event_type"), col("user_mod"))
+    },
+    Some(
+      """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
+        |  CAST(sum(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_vfloor
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin),
+  )
+
+  /** Edit-distance fuzzy matching (curation-style entity dedup): nation
+    * name pairs within Levenshtein ≤ 5 — identical DP ints on both
+    * engines. */
+  private val ns25 = QueryEntry(
+    "ns25_edit_distance",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val a = t.nation.select(col("n_nationkey").as("id_a"), col("n_name").as("name_a"))
+      val b = t.nation.select(col("n_nationkey").as("id_b"), col("n_name").as("name_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 5)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      """SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 5
+        |ORDER BY id_a, id_b""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, ns16, ns25)
 }
