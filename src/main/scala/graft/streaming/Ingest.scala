@@ -32,11 +32,15 @@ object Ingest {
   def emptyStore(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], postSchema)
 
-  def readStore(spark: SparkSession, storeDir: String): DataFrame =
-    if (Files.exists(Paths.get(storeDir)) &&
-        Files.list(Paths.get(storeDir)).findFirst().isPresent)
-      spark.read.schema(postSchema).parquet(storeDir)
+  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = Paths.get(storeDir)
+    val nonEmpty = Files.exists(p) && {
+      val s = Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (nonEmpty) spark.read.schema(postSchema).parquet(storeDir)
     else emptyStore(spark)
+  }
 
   /** One micro-batch: cascade fan-out then dedup against the store.
     * Effectively-once regardless of redelivery (T8): replayed rows fall out
@@ -121,6 +125,9 @@ object Ingest {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }
