@@ -149,5 +149,46 @@ object AnalyticsQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, ns16, ns25)
+  /** Left-semi join (membership, the positive twin of dq10's anti-join). */
+  private val q06 = QueryEntry(
+    "q06_semi_join",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val errored = t.events.filter(col("event_type") === "error").select(col("user_id"))
+      t.events
+        .join(errored, Seq("user_id"), "left_semi")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """SELECT e.event_id, e.user_id FROM events e
+        |WHERE e.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events s WHERE s.event_type = 'error' AND s.user_id = e.user_id)
+        |ORDER BY e.event_id""".stripMargin),
+  )
+
+  /** Conditional aggregation (FILTER-clause shape). */
+  private val q07 = QueryEntry(
+    "q07_filtered_agg",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          sum(when(col("event_type") === "purchase", floor(col("value")).cast("long"))
+            .otherwise(lit(0L))).as("purchase_vfloor"))
+        .orderBy(col("user_id"))
+    },
+    Some(
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  CAST(coalesce(sum(CAST(FLOOR(value) AS BIGINT)) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_vfloor
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, q06, q07, ns16, ns25)
 }
