@@ -63,8 +63,11 @@ object Dedup {
       .localCheckpoint()
     val banded = withBands.select(col(idCol), col("__bands"),
       posexplode(col("__bands")).as(Seq("band", "bh")))
+    // banded = |withBands| × bands rows exactly; count the checkpointed base
+    val bandedRows = withBands.count() * bands
     val a = banded.as("a")
-    val b = banded.as("b")
+    val b = if (bandedRows <= JoinHints.DefaultBroadcastRowLimit) broadcast(banded).as("b")
+            else banded.as("b")
     // no band before this one also matched — unrolled to scalar string
     // compares (codegen-friendly; array lambdas here would run interpreted
     // on every candidate pair row)
@@ -74,7 +77,7 @@ object Dedup {
         .foldLeft(lit(true))(_ && _)
       (col("a.band") === j, noEarlier)
     }.foldRight(lit(false)) { case ((isBand, cond), acc) => when(isBand, cond).otherwise(acc) }
-    a.join(broadcast(b),
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(firstMatch)
@@ -99,10 +102,10 @@ object Dedup {
       simhash16(tokenSet(col(textCol))).as("__sh"): _*)
       .localCheckpoint() // signatures computed once, not per join side
     val a = withSig.as("a")
-    val b = withSig.as("b")
+    val b = JoinHints.maybeBroadcast(withSig).as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    a.join(broadcast(b), joinCond)
+    a.join(b, joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(expr("a.__sh ^ b.__sh")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -116,12 +119,12 @@ object Dedup {
       (if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
       .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
-    val b = sets.as("b")
+    val b = JoinHints.maybeBroadcast(sets).as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     val inter = size(array_intersect(col("a.__ws"), col("b.__ws"))).cast("long")
     val union = size(col("a.__ws")).cast("long") + size(col("b.__ws")).cast("long") - inter
-    a.join(broadcast(b), joinCond)
+    a.join(b, joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (inter.cast("double") / union.cast("double")).as("jac"))
       .filter(col("jac") >= threshold)

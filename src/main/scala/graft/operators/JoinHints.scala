@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated broadcast hints for self-join build sides.
+  *
+  * The pair-join operators materialize signatures with `localCheckpoint`,
+  * which wipes Catalyst size statistics — AQE then can't pick a broadcast
+  * join on its own, and an unconditional `broadcast()` hint would OOM the
+  * executors once the corpus outgrows driver memory. Since the frame is
+  * already materialized, a `count()` is one cheap job over cached blocks, so
+  * we gate the hint on the actual row count and otherwise fall back to
+  * Spark's ordinary shuffle join on the bucket key (which is what we want at
+  * 100 TB anyway — the equi-join on the blocking key is the scale path).
+  */
+object JoinHints {
+
+  /** Conservative default: signature/shingle rows are ≤ a few KB, so 200k
+    * rows ≈ low hundreds of MB — inside a 1–2 GB broadcast budget. */
+  val DefaultBroadcastRowLimit = 200000L
+
+  def maybeBroadcast(df: DataFrame, rowLimit: Long = DefaultBroadcastRowLimit): DataFrame =
+    if (df.count() <= rowLimit) broadcast(df) else df
+}

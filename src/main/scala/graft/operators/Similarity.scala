@@ -81,7 +81,7 @@ object Similarity {
       bucket: Seq[String], threshold: Double, dim: Option[Int] = None): DataFrame = {
     val p = prep(df, idCol, vecCol, bucket, dim).withColumnRenamed(idCol, "__id")
     val a = p.as("q")
-    val b = broadcast(p).as("c")
+    val b = JoinHints.maybeBroadcast(p).as("c")
     val joinCond = bucket.map(c0 => col(s"q.$c0") === col(s"c.$c0"))
       .reduce(_ && _) && col("q.__id") < col("c.__id")
     val cos = cosineFromFp(

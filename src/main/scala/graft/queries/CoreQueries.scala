@@ -85,7 +85,7 @@ object CoreQueries extends QueryModule {
         .orderBy(col("source"))
     },
     Some(
-      """SELECT source, count(*) AS cnt, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin),
   )

@@ -78,8 +78,8 @@ object TextQueries extends QueryModule {
     },
     Some(
       """SELECT lang,
-        |  sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS sum_ws_tok,
-        |  sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS sum_bpe_tok,
+        |  CAST(sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS sum_ws_tok,
+        |  CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS sum_bpe_tok,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
@@ -175,7 +175,7 @@ object TextQueries extends QueryModule {
          |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |    FROM gated) WHERE rn = 1)
          |SELECT lang, count(*) AS n_docs,
-         |  sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS sum_tokens
+         |  CAST(sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
          |FROM keepers
          |WHERE substr(md5(text), 1, 1) < '8'
          |GROUP BY lang ORDER BY lang""".stripMargin),

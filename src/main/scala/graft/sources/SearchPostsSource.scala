@@ -6,7 +6,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
@@ -126,22 +126,40 @@ case class PageOffset(index: Long) extends Offset {
 }
 
 /** Micro-batch stream over the paged scan: each trigger advances by at most
-  * pagesPerTrigger × pageSize posts (the reference's 100-call budget). */
+  * pagesPerTrigger × pageSize posts (the reference's 100-call budget).
+  *
+  * Admission control is stateless with respect to this object: the end
+  * offset is `start + budget`, where `start` is whatever Spark restored from
+  * the checkpoint — so a restarted query resumes at full budget immediately
+  * instead of re-warming an in-memory counter from zero. */
 class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
-    pagesPerTrigger: Int, langFilter: Option[String]) extends MicroBatchStream {
+    pagesPerTrigger: Int, langFilter: Option[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
-  @volatile private var planned = 0L
+  private def budgetRows: Long = pageSize.toLong * pagesPerTrigger
 
   override def initialOffset(): Offset = PageOffset(0L)
 
-  /** Each trigger advances by at most the page budget past what was last
-    * planned — the reference's per-cycle `apiCall < 100` bound; successive
-    * triggers drain the backlog (catch-up, T2/T3). */
-  override def latestOffset(): Offset = {
-    val next = math.min(totalPosts, planned + pageSize.toLong * pagesPerTrigger)
-    planned = next
-    PageOffset(next)
+  /** Per-trigger budget — the reference's per-cycle `apiCall < 100` bound;
+    * successive triggers drain the backlog (catch-up, T2/T3). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(budgetRows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PageOffset].index
+    val budget = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => budgetRows
+    }
+    PageOffset(math.min(totalPosts, s + budget))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  /** True head of the stream, reported for progress/lag metrics. */
+  override def reportLatestOffset(): Offset = PageOffset(totalPosts)
+
   override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -149,7 +167,6 @@ class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].index
     val e = end.asInstanceOf[PageOffset].index
-    planned = math.max(planned, e)
     SearchBatch.partitions(s, e, pageSize)
   }
   override def createReaderFactory(): PartitionReaderFactory =

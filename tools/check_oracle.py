@@ -11,6 +11,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -18,8 +19,34 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def load_spark(outdir, name):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
-        return None
-    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        return None, None
+    schema = pq.read_schema(files[0])
+    df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    return df, schema
+
+
+def norm_type(t):
+    """Coarse arrow-type class so cosmetic differences (large_string,
+    timestamp unit/tz) pass while real drift (HUGEINT sums -> decimal128,
+    int vs double) fails like the driver's type-aware hash gate does."""
+    s = str(t)
+    if s.startswith("large_string") or s == "string":
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("large_list") or s.startswith("list"):
+        return "list"
+    if s in ("float", "halffloat"):
+        return "double"
+    # int widths hash identically in the driver gate (dq02/dq11 passed r01
+    # with int32-vs-int64 drift); HUGEINT arrives as decimal128 and must fail
+    if s.startswith(("int", "uint")):
+        return "int"
+    return s
+
+
+def schema_types(schema):
+    return {f.name: norm_type(f.type) for f in schema}
 
 
 def canon(df):
@@ -47,13 +74,14 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        sdf = load_spark(outdir, name)
+        sdf, sschema = load_spark(outdir, name)
         if sdf is None:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
-            ddf = con.execute(sql).df()
+            dtbl = con.execute(sql).arrow()
+            ddf = dtbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -61,6 +89,16 @@ def main():
         a, b = canon(sdf), canon(ddf)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        stypes, dtypes = schema_types(sschema), schema_types(dtbl.schema)
+        if stypes != dtypes:
+            diff = {
+                c: (stypes.get(c), dtypes.get(c))
+                for c in set(stypes) | set(dtypes)
+                if stypes.get(c) != dtypes.get(c)
+            }
+            print(f"FAIL {name}: dtypes differ {diff}")
             n_fail += 1
             continue
         if len(a) != len(b):
