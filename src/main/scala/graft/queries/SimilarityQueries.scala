@@ -87,10 +87,32 @@ object SimilarityQueries extends QueryModule {
          |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin),
   )
 
+  /** One unrolled Lloyd iteration in DuckDB SQL: assign every vector to its
+    * nearest centroid (exact Long distances, ties to the lowest cluster, the
+    * same first-match rule as Spark's array_position), recompute per-dim
+    * integer means (TRUNC toward zero = Spark's `div`), keep the previous
+    * centroid for clusters that lost all members. */
+  private def kmeansIterSql(i: Int): String = {
+    val prev = s"c${i - 1}n"
+    s"""a$i AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM (SELECT n.vec_id, c.cluster,
+       |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |    FROM n CROSS JOIN $prev c)) WHERE rn = 1),
+       |m$i AS (SELECT cluster, pos, CAST(TRUNC(CAST(sum(v) AS DOUBLE) / count(v)) AS BIGINT) AS m
+       |  FROM (SELECT a.cluster, unnest(n.fe) AS v, unnest(range(len(n.fe))) AS pos
+       |        FROM a$i a JOIN n USING (vec_id))
+       |  GROUP BY cluster, pos),
+       |c$i AS (SELECT c.cluster, COALESCE(lm.cfe2, c.cfe) AS cfe
+       |  FROM $prev c LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS cfe2 FROM m$i GROUP BY cluster) lm USING (cluster)),
+       |c${i}n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c$i)""".stripMargin
+  }
+
   /** Real IVF: deterministic fixed-point k-means fits the coarse cells,
-    * search probes only the query's cell. No SQL oracle (k-means isn't
-    * reasonably SQL-expressible) → driver records a rows-only check; the
-    * spec suite covers determinism and cell-local correctness. */
+    * search probes only the query's cell. The fit is exact integer
+    * arithmetic end-to-end (lowest-id init, Long distances, integer-div
+    * centroid updates), so the oracle replays it in SQL: two unrolled Lloyd
+    * iterations, a final assignment, then the cell-local top-k. */
   private val ns20 = QueryEntry(
     "ns20_ann_ivf_kmeans",
     (spark, dir) => {
@@ -101,7 +123,29 @@ object SimilarityQueries extends QueryModule {
         .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
-    oracle = None,
+    Some(
+      s"""WITH $FpSql,
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
+         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |af AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM (SELECT n.vec_id, c.cluster,
+         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+         |    FROM n CROSS JOIN c2n c)) WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |  FROM n q
+         |  JOIN af qa ON qa.vec_id = q.vec_id AND q.vec_id < 5
+         |  JOIN af ca ON ca.cluster = qa.cluster
+         |  JOIN n c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id)
+         |SELECT q_id, cand_id, sim, rnk FROM (
+         |  SELECT q_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
   override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20)

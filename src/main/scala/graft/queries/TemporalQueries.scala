@@ -56,20 +56,27 @@ object TemporalQueries extends QueryModule {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
   )
 
-  /** HLL approx distinct vs exact — no oracle by design (HLL sketches are
-    * engine-specific); the driver records a rows-only check and the spec
-    * asserts the approximation error bound. */
+  /** HLL approx distinct vs exact. The raw sketch estimate is
+    * engine-specific, so the hashed output carries the exact count plus an
+    * error-bound verdict (|approx−exact| ≤ 10% — double the default 5% rsd):
+    * the oracle states the exact counts and asserts the bound holds, which
+    * verifies both the grouping and the sketch's accuracy contract. */
   private val ns17 = QueryEntry(
     "ns17_approx_distinct",
     (spark, dir) => {
       val t = Tables(spark, dir)
       t.events
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.10).as("approx_ok"))
         .orderBy(col("event_type"))
     },
-    oracle = None,
+    Some(
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
   /** As-of attribution: each purchase matched to the user's latest view
