@@ -36,10 +36,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
 
   /** MinHash signature: sig(i) = min over the word set of md5(word + ":" + i).
-    * k independent permutations approximated by k salted hashes. */
+    * k independent permutations approximated by k salted hashes; computed in
+    * one native pass ([[org.apache.spark.sql.graft.MinHashSig]] — the
+    * Column-API transform/array_min form interprets per word per slot). */
   def minhashSig(words: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(words, w => md5(concat(w, lit(s":$i")))))): _*)
+    org.apache.spark.sql.graft.MinHashSig(words, k)
 
   /** LSH band digests: band j = md5 of its rows joined with '|'. */
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -85,15 +86,11 @@ object Dedup {
   }
 
   /** 16-bit SimHash over the word set: bit j is set iff the majority of
-    * words have a high hex nibble at md5 position j. Small but real — the
-    * 64/128-bit version is the same expression over more positions. */
-  def simhash16(words: Column): Column = {
-    val n = size(words)
-    (0 until 16).map { j =>
-      val highBits = size(filter(words, w => substring(md5(w), j + 1, 1) >= "8"))
-      when(highBits * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * words have md5-bit j set (the [[org.apache.spark.sql.graft.SimHashBits]]
+    * family — one md5 + one pass per word; the per-bit list_filter form
+    * recomputes md5 once per word PER BIT). */
+  def simhash16(words: Column): Column =
+    org.apache.spark.sql.graft.SimHashBits(words, 16)
 
   /** SimHash near-dup pairs within a blocking bucket: hamming(simhash) ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -112,17 +109,21 @@ object Dedup {
   }
 
   /** n-gram Jaccard pairs within a blocking bucket: |A∩B| / |A∪B| over
-    * distinct shingle sets, exact integer set sizes, one final division. */
+    * distinct shingle sets, exact integer set sizes, one final division.
+    * Sets are sorted once per document so the per-pair intersection is a
+    * zero-allocation merge walk
+    * ([[org.apache.spark.sql.graft.IntersectSizeSorted]]) instead of
+    * array_intersect's per-pair hash set. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucket: Seq[String], ngram: Int, threshold: Double): DataFrame = {
     val sets = df.select((bucket :+ idCol).map(col) :+
-      (if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
+      array_sort(if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
       .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
     val b = JoinHints.maybeBroadcast(sets).as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    val inter = size(array_intersect(col("a.__ws"), col("b.__ws"))).cast("long")
+    val inter = org.apache.spark.sql.graft.IntersectSizeSorted(col("a.__ws"), col("b.__ws"))
     val union = size(col("a.__ws")).cast("long") + size(col("b.__ws")).cast("long") - inter
     a.join(b, joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),

@@ -76,9 +76,13 @@ object DedupQueries extends QueryModule {
     headline = true,
   )
 
+  /** Bit j = majority of md5-bit j (big-endian) — the SimHashBits family:
+    * nibble j/4, bit 3-j%4 within it. Same terms as ns24's 48-bit oracle. */
   private def simhashSql: String =
     (0 until 16).map { j =>
-      s"(CASE WHEN 2 * len(list_filter(w, x -> substr(md5(x), ${j + 1}, 1) >= '8')) > len(w) THEN ${1L << j} ELSE 0 END)"
+      val nib = j / 4 + 1
+      val shift = 3 - j % 4
+      s"(CASE WHEN 2 * len(list_filter(w, x -> (((strpos('0123456789abcdef', substr(md5(x), $nib, 1)) - 1) >> $shift) & 1) = 1)) > len(w) THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private val ns04 = QueryEntry(
