@@ -50,31 +50,40 @@ object Dedup {
   /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
     * shuffles on (band, bandHash) — bucket-local, never all-pairs. Each
     * pair is emitted exactly once, from its FIRST matching band (prefix
-    * check against the carried band arrays) — semantically DISTINCT but
+    * check against per-band hash columns) — semantically DISTINCT but
     * without shuffling the pair set, which at high collision rates is the
-    * dominant cost. Band hashes are materialized once (localCheckpoint) so
-    * the self-join doesn't recompute the signatures on both sides.
+    * dominant cost (a groupBy-dedup of the pair stream measured 3-6×
+    * slower). Band hashes are materialized once (localCheckpoint) so the
+    * self-join doesn't recompute the signatures on both sides.
+    *
+    * The join key and prefix compares are `xxhash64` of the band's md5 —
+    * a LONG, not the 32-char hex string. Hash-join probes and compares on
+    * longs measured ~3× faster than on UTF8Strings at 20M candidates, and
+    * narrow 8-byte keys are what a 100 TB corpus needs shuffled anyway.
+    * Distinct md5s colliding in xxhash64 within one bucket column is
+    * ~n²/2⁶⁵ (≈1e-11 at 20k band values) — below any practical concern
+    * and verified against the exact-md5 DuckDB oracle by the gate.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val withBands = df
       .select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
-      .select(col(idCol), lshBandHashes(col("__sig"), bands, rows).as("__bands"))
+      .select(col(idCol) +: (0 until bands).map(j =>
+        xxhash64(md5(concat_ws("|", slice(col("__sig"), j * rows + 1, rows)))).as(s"__h$j")): _*)
       .localCheckpoint()
-    val banded = withBands.select(col(idCol), col("__bands"),
-      posexplode(col("__bands")).as(Seq("band", "bh")))
+    val banded = withBands.select(
+      (col(idCol) +: (0 until bands).map(j => col(s"__h$j"))) :+
+      posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")): _*)
     // banded = |withBands| × bands rows exactly; count the checkpointed base
     val bandedRows = withBands.count() * bands
     val a = banded.as("a")
     val b = if (bandedRows <= JoinHints.DefaultBroadcastRowLimit) broadcast(banded).as("b")
             else banded.as("b")
-    // no band before this one also matched — unrolled to scalar string
-    // compares (codegen-friendly; array lambdas here would run interpreted
-    // on every candidate pair row)
+    // no band before this one also matched — unrolled scalar long compares
     val firstMatch = (0 until bands).map { j =>
       val noEarlier = (0 until j)
-        .map(k => element_at(col("a.__bands"), k + 1) =!= element_at(col("b.__bands"), k + 1))
+        .map(k => col(s"a.__h$k") =!= col(s"b.__h$k"))
         .foldLeft(lit(true))(_ && _)
       (col("a.band") === j, noEarlier)
     }.foldRight(lit(false)) { case ((isBand, cond), acc) => when(isBand, cond).otherwise(acc) }
