@@ -79,4 +79,34 @@ object TextAnalysis {
     * rate16 is in 16ths (e.g. 4 → keep ~25%). */
   def hashSample(key: Column, rate16: Int): Column =
     substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
+
+  /** Top-k characteristic terms per document by raw TF-IDF
+    * (tf × N / docfreq — no logarithm, so every score is one exact integer
+    * product and one IEEE division, bit-identical across engines).
+    *
+    * One token explode feeds both aggregations: term frequencies
+    * (group by doc, term) and document frequencies (re-aggregate the tf
+    * frame — its (doc, term) rows ARE the distinct doc-term incidences).
+    * The docfreq side is vocabulary-sized; it broadcasts under
+    * [[JoinHints]]' gate and shuffle-joins on term beyond it. The final
+    * per-document top-k is a partitioned window, never a global sort.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds docfreq AND the join below; computed once
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(JoinHints.maybeBroadcast(dfreq), "term")
+      .withColumn("tfidf",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+    val rn = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc))
+    scored.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

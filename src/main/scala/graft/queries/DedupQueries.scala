@@ -162,5 +162,46 @@ object DedupQueries extends QueryModule {
     },
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24)
+  /** Near-dup clusters = connected components over a STRICT LSH pair graph
+    * (2 bands × 4 rows — higher-precision candidates than ns03's 4×2).
+    * The Spark side propagates min-labels over the doc↔bucket bipartite
+    * graph (pairs never materialized); the oracle states the same fixpoint
+    * as a recursive reachability closure over the explicit pair set — both
+    * are "smallest doc_id reachable", independent of iteration strategy. */
+  private val ns26 = QueryEntry(
+    "ns26_dedup_components",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.minhashLshComponents(t.documents, "doc_id", "text", NumHashes, bands = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rows = NumHashes / 2
+      val sigCols = (0 until NumHashes).map(i => s"${sigExprSql(i)} AS s$i").mkString(", ")
+      val bandSelects = (0 until 2).map { j =>
+        val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sig AS (SELECT doc_id, $sigCols FROM ws),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lbl) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+    headline = true,
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26)
 }

@@ -181,5 +181,32 @@ object TextQueries extends QueryModule {
          |GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23)
+  /** Raw TF-IDF (tf × N / docfreq, no log — one exact integer product and
+    * one IEEE division, so scores hash-match bit-for-bit) with a per-doc
+    * top-3 window. */
+  private val ns27 = QueryEntry(
+    "ns27_tfidf_topterms",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.tfidfTopTerms(t.documents, "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("term"))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(tf * n.n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY CAST(tf * n.n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) <= 3
+        |ORDER BY doc_id, term""".stripMargin),
+    headline = true,
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27)
 }

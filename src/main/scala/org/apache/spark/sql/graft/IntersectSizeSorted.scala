@@ -31,17 +31,26 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
   override def prettyName: String = "intersect_size_sorted"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    IntersectSizeSorted.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    IntersectSizeSortedEval.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // Implementation in IntersectSizeSortedEval — an object with no companion
+  // class, so scalac emits the static forwarder this generated call needs
+  // (a companion of this class would clash with the inherited
+  // eval(InternalRow) and get none → janino failure → interpreted mode).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"org.apache.spark.sql.graft.IntersectSizeSorted.eval($a, $b)")
+      s"org.apache.spark.sql.graft.IntersectSizeSortedEval.eval($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object IntersectSizeSorted {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectSizeSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+object IntersectSizeSortedEval {
 
   def eval(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
@@ -60,7 +69,4 @@ object IntersectSizeSorted {
     }
     cnt
   }
-
-  def apply(a: Column, b: Column): Column =
-    ExpressionUtils.column(IntersectSizeSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

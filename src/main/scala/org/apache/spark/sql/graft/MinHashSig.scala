@@ -29,17 +29,26 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[ArrayData], k)
+    MinHashSigEval.eval(input.asInstanceOf[ArrayData], k)
 
+  // Implementation in MinHashSigEval — an object with no companion class,
+  // so scalac emits the static forwarder this generated call needs (a
+  // companion of this class would clash with the inherited
+  // eval(InternalRow) and get none → janino failure → interpreted mode).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"org.apache.spark.sql.graft.MinHashSig.eval($a, $k)")
+      s"org.apache.spark.sql.graft.MinHashSigEval.eval($a, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object MinHashSig {
+  def apply(words: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(words), k))
+}
+
+object MinHashSigEval {
 
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
@@ -89,7 +98,4 @@ object MinHashSig {
     }
     new GenericArrayData(out)
   }
-
-  def apply(words: Column, k: Int): Column =
-    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(words), k))
 }

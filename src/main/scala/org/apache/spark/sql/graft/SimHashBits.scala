@@ -28,17 +28,27 @@ case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash_bits"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashBits.eval(input.asInstanceOf[ArrayData], bits)
+    SimHashBitsEval.eval(input.asInstanceOf[ArrayData], bits)
 
+  // The implementation lives in SimHashBitsEval, an object with NO companion
+  // class: scalac only emits java-callable static forwarders for such
+  // objects (a companion of this class would clash with the inherited
+  // eval(InternalRow) and silently get none, making this call janino-
+  // uncompilable and dropping the whole stage to interpreted mode).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"org.apache.spark.sql.graft.SimHashBits.eval($a, $bits)")
+      s"org.apache.spark.sql.graft.SimHashBitsEval.eval($a, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHashBits {
+  def apply(words: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(words), bits))
+}
+
+object SimHashBitsEval {
 
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
@@ -79,7 +89,4 @@ object SimHashBits {
     }
     out
   }
-
-  def apply(words: Column, bits: Int): Column =
-    ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(words), bits))
 }

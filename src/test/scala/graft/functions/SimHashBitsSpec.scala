@@ -29,7 +29,7 @@ class SimHashBitsSpec extends SparkSpec {
       val words = s"w$id x$id common words here".toLowerCase.split(" ").distinct
       val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         words.map(org.apache.spark.unsafe.types.UTF8String.fromString))
-      assert(org.apache.spark.sql.graft.SimHashBits.eval(arr, 62) == h)
+      assert(org.apache.spark.sql.graft.SimHashBitsEval.eval(arr, 62) == h)
     }
   }
 }

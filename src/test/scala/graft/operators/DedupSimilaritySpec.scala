@@ -113,4 +113,50 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "sql", 2L -> "en", 3L -> "ml"))
   }
+
+  test("connected components label a chain to its minimum and leave isolates alone") {
+    val s = spark
+    import s.implicits._
+    // chain 5-3-9-7 (diameter 3 forces multiple propagation rounds),
+    // pair (2,4), isolate 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (3L, 9L), (7L, 9L), (2L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 3L))
+  }
+
+  test("components of the LSH pair graph partition the corpus and respect pair edges") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
+    val comp = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2).cache()
+    assert(comp.count() == docs.count())
+    // bucket-bipartite propagation reaches the same fixpoint as edge-wise
+    // propagation over the materialized pair set
+    val viaPairs = Dedup.connectedComponents(docs, "doc_id", pairs)
+    assert(comp.exceptAll(viaPairs).isEmpty && viaPairs.exceptAll(comp).isEmpty)
+    // every pair's two endpoints carry the same component label
+    val broken = pairs.as("p")
+      .join(comp.as("x"), col("p.id_a") === col("x.doc_id"))
+      .join(comp.as("y"), col("p.id_b") === col("y.doc_id"))
+      .filter(col("x.component") =!= col("y.component"))
+    assert(broken.count() == 0)
+    // a component's label is a member of the component
+    val labelNotMember = comp.as("c").join(comp.as("m"),
+        col("c.component") === col("m.doc_id"), "left_anti")
+    assert(labelNotMember.count() == 0)
+  }
+
+  test("tfidf top terms: a term unique to one doc outscores corpus-wide terms") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "shared shared rare"),
+      (2L, "shared common"),
+      (3L, "shared common"),
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare") // df=1 beats tf=2 of the ubiquitous term (2*3/3=2 < 1*3/1=3)
+    assert(top(2L) == "common" && top(3L) == "common")
+  }
 }
