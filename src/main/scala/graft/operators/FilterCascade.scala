@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * 271-350, operators P3-P10 in SURVEY.md §2.2) as ONE composed Column
   * predicate over PostView-shaped rows — a single codegen'd stage, no UDFs.
   *
-  * Regex dialect: Java with an embedded (?i) flag (SURVEY §7.4#1).
+  * Regex dialect: Java with an embedded (?iu) flag (SURVEY §7.4#1). The
+  * reference compiles `new RegExp(pat, 'ig')`, and the JS 'i' flag does
+  * FULL Unicode case folding; Java's (?i) alone folds ASCII only, so the
+  * faithful mapping is CASE_INSENSITIVE|UNICODE_CASE — which also agrees
+  * with RE2's Unicode-aware (?i) (the oracle engine). Remaining accepted
+  * divergences are documented in RegexDialectSpec.
   * Label quirk divergence (§7.4#3): missing `labels` is treated as
   * unlabeled (kept), unlike the reference which drops undefined labels.
   */
 object FilterCascade {
 
-  private def ci(pat: String): String = s"(?i)$pat"
+  private def ci(pat: String): String = s"(?iu)$pat"
 
   /** Search text (P5): record.text, plus '\n'-joined image ALTs when the
     * condition opts in (subscription.ts:284-288). */
@@ -141,7 +146,7 @@ object FilterCascade {
       array_join(filter(transform(coalesce(col("record.embed.images"), array()),
         i => i("alt")), a => a.isNotNull), "\n"))
     val st = when(col("__alt"), stAlt).otherwise(stBase)
-    val ciCol = (p: Column) => concat(lit("(?i)"), p)
+    val ciCol = (p: Column) => concat(lit("(?iu)"), p)
     val m0 = regexp_count(st, ciCol(col("__in")))
     val m1 = regexp_count(st, ciCol(coalesce(col("__pterm"), lit(""))))
     val pred =

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.domain.Fixtures
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §7.4 divergence #1: the reference compiles user patterns with
+  * JS `new RegExp(pat, 'ig')` (/root/reference/src/subscription.ts:203-204);
+  * we compile Java regex with an embedded `(?iu)` prefix. This spec pins
+  * the mapping:
+  *
+  *  - `(?iu)`, not `(?i)`: the JS 'i' flag performs full Unicode case
+  *    folding; Java's bare (?i) folds ASCII only. (?iu) restores JS (and
+  *    RE2/DuckDB-oracle) behavior.
+  *  - For ASCII patterns — every DQ oracle pattern — (?i) and (?iu) are
+  *    indistinguishable (property-checked), which is why the oracle suite
+  *    is dialect-neutral.
+  *  - Accepted, documented divergences that remain: Java admits possessive
+  *    quantifiers (JS errors on them), and Unicode property names differ
+  *    (Java \p{L} vs JS \p{Letter}). Patterns using those are
+  *    Java-semantics by policy.
+  */
+class RegexDialectSpec extends SparkSpec {
+
+  /** Deterministic generator sampling (the scalatest-scalacheck bridge is
+    * not on the offline classpath). */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 8)(body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+
+  test("(?iu) folds non-ASCII case like the JS 'i' flag; bare (?i) does not") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("ÄPFEL UND BIRNEN", "İSTANBUL").toDF("t")
+    val iu = df.filter(col("t").rlike("(?iu)äpfel")).count()
+    val iOnly = df.filter(col("t").rlike("(?i)äpfel")).count()
+    assert(iu == 1)    // JS /äpfel/i matches "ÄPFEL..." — (?iu) reproduces it
+    assert(iOnly == 0) // bare (?i) silently misses every non-ASCII match
+  }
+
+  test("filter cascade matches non-ASCII case-insensitively end to end") {
+    val s = spark
+    import s.implicits._
+    val posts = Seq(
+      Fixtures.pv("at://d/p/1", "c1", "ÄPFEL sind gut", "2024-03-01T10:00:00.000Z"),
+      Fixtures.pv("at://d/p/2", "c2", "nur birnen", "2024-03-01T10:01:00.000Z"),
+    )
+    val conds = FilterCascade.conditionsDf(spark,
+      Seq(Fixtures.cond(key = "f1", inputRegex = "äpfel")))
+    val kept = FilterCascade.fanOut(posts.toDF(), conds, None)
+      .select("uri").as[String].collect()
+    assert(kept.toSeq == Seq("at://d/p/1"))
+  }
+
+  test("ASCII patterns behave identically under (?i) and (?iu) — the oracle dialect-neutrality property") {
+    val s = spark
+    import s.implicits._
+    val asciiText = Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '-'))).map(_.mkString)
+    val asciiPat = Gen.oneOf("spark", "a.c", "x+", "[a-m]{2}", "(the|a) ", "\\d+", "^[a-z]")
+    forAll(Gen.listOfN(40, asciiText), asciiPat) { (texts: List[String], pat: String) =>
+      val df = texts.toDF("t")
+      val a = df.filter(col("t").rlike(s"(?i)$pat")).collect().map(_.getString(0)).toSeq
+      val b = df.filter(col("t").rlike(s"(?iu)$pat")).collect().map(_.getString(0)).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("documented divergence: Java accepts possessive quantifiers JS rejects") {
+    val s = spark
+    import s.implicits._
+    // JS: `new RegExp("a*+")` throws SyntaxError; Java compiles it.
+    // Policy (SURVEY §7.4#1): Java semantics, recorded here.
+    val n = Seq("aaa", "b").toDF("t").filter(col("t").rlike("a*+a")).count()
+    assert(n == 0) // possessive a*+ leaves nothing for the trailing 'a'
+    assert(Seq("aaa").toDF("t").filter(col("t").rlike("a++")).count() == 1)
+  }
+}

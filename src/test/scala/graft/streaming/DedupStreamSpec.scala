@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Doc(id: Long, text: String, ts: Timestamp)
+
+class DedupStreamSpec extends SparkSpec {
+
+  private def t(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("exact stream dedup drops in-horizon duplicates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = DedupStream.exact(stream.toDF(), "ts", "30 minutes", "id")
+      .writeStream.format("memory").queryName("dedup_exact").outputMode("append").start()
+
+    stream.addData(Doc(1, "a", t(0)), Doc(2, "b", t(1)), Doc(1, "a again", t(2)))
+    q.processAllAvailable()
+    stream.addData(Doc(1, "a redelivered", t(3)), Doc(3, "c", t(4)))
+    q.processAllAvailable()
+    val got = spark.table("dedup_exact").select("id").as[Long].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fingerprint dedup folds word order and repetition; state evicts past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = DedupStream.byFingerprint(stream.toDF(), "text", "ts", "5 minutes")
+      .writeStream.format("memory").queryName("dedup_fp").outputMode("append").start()
+
+    // same word set, different order/duplication → one survivor
+    stream.addData(Doc(1, "spark scales out", t(0)), Doc(2, "out scales spark spark", t(1)))
+    q.processAllAvailable()
+    assert(spark.table("dedup_fp").count() == 1)
+
+    // push the watermark far past t(1)+5min, evicting the fingerprint state
+    stream.addData(Doc(3, "unrelated words", t(30)))
+    q.processAllAvailable()
+    // the old fingerprint re-emits once its state is gone — the documented
+    // bounded-state trade-off (cross-horizon dedup is the store's anti-join)
+    stream.addData(Doc(4, "spark scales out", t(31)))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_fp").select("id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 3L, 4L))
+  }
+}
