@@ -80,6 +80,63 @@ object TextAnalysis {
   def hashSample(key: Column, rate16: Int): Column =
     substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
 
+  /** Word n-grams preserving order AND duplicates (repetition signals need
+    * the multiset; [[Dedup.shingles]] deduplicates for set similarity). */
+  def ngrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    transform(sequence(lit(0), greatest(size(ws) - n, lit(0))), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*))
+  }
+
+  /** Within-document repetition metrics (the Gopher/RefinedWeb-style
+    * quality signals): duplicate-word ratio, most-frequent-word fraction,
+    * duplicate-bigram ratio. All ratios are one exact integer subtraction
+    * and one IEEE division — bit-identical on the oracle.
+    *
+    * Computed by explode + two map-side-combined aggregations per signal
+    * rather than per-row array lambdas: the shuffles move one row per
+    * distinct (doc, term), and nothing is driver-side — the formulation
+    * that still works when a "document" is a 100 MB crawl page.
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val wordStats = tf.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct_words"),
+      max(col("c")).as("__top"))
+    val bigramStats = df
+      .select(col(idCol), explode(ngrams(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum(col("c")).as("__nb"), count(lit(1)).as("__ndb"))
+    wordStats.join(bigramStats, idCol)
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_ratio"),
+        (col("__top").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
+        ((col("__nb") - col("__ndb")).cast("double") /
+          col("__nb").cast("double")).as("dup_bigram_ratio"))
+  }
+
+  /** Benchmark-contamination screen: which documents contain any probe
+    * n-gram, and how many distinct ones. Probe and document texts are
+    * decomposed into the same word n-grams and equi-joined on md5(gram) —
+    * at scale the probe side is a few thousand benchmark rows, so the join
+    * is a broadcast hash semi-join against every document shard; no
+    * substring scans, no cross product. */
+  def contaminationScreen(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val probeHashes = probes
+      .select(explode(ngrams(col(probeTextCol), n)).as("pg"))
+      .select(md5(col("pg")).as("h")).distinct()
+    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .join(broadcast(probeHashes), md5(col("g")) === col("h"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_hits"))
+  }
+
   /** Top-k characteristic terms per document by raw TF-IDF
     * (tf × N / docfreq — no logarithm, so every score is one exact integer
     * product and one IEEE division, bit-identical across engines).

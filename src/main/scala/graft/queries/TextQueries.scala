@@ -208,5 +208,70 @@ object TextQueries extends QueryModule {
     headline = true,
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27)
+  /** Within-doc repetition signals; min corpus doc length is 10 words so
+    * the bigram expressions never hit the degenerate <2-word case. */
+  private val ns28 = QueryEntry(
+    "ns28_repetition",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.repetitionMetrics(t.documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY doc_id, t),
+        |ws AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words, max(c) AS top_c
+        |  FROM tf GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM w) GROUP BY doc_id, g),
+        |bgc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, count(*) AS ndb
+        |  FROM bg GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |  CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio,
+        |  CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        |  CAST(nb - ndb AS DOUBLE) / CAST(nb AS DOUBLE) AS dup_bigram_ratio
+        |FROM ws JOIN bgc USING (doc_id) ORDER BY doc_id""".stripMargin),
+  )
+
+  /** Contamination screen against three probe trigrams drawn from the
+    * corpus vocabulary (each hits a handful of documents at every SF). */
+  private val ProbeTexts = Seq("part filter scan", "stream table hash", "window fast query")
+
+  private val ns29 = QueryEntry(
+    "ns29_contamination",
+    (spark, dir) => {
+      val s = spark
+      import s.implicits._
+      val t = Tables(spark, dir)
+      val probes = ProbeTexts.toDF("ptext")
+      TextAnalysis.contaminationScreen(t.documents, "doc_id", "text", probes, "ptext", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val values = ProbeTexts.map(p => s"('$p')").mkString(", ")
+      s"""WITH probes(ptext) AS (VALUES $values),
+         |pw AS (SELECT string_split(lower(ptext), ' ') AS pw FROM probes),
+         |psh AS (SELECT DISTINCT md5(g) AS h FROM (
+         |  SELECT unnest(list_transform(range(1, len(pw) - 1),
+         |    i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])) AS g FROM pw)),
+         |dsh AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+         |SELECT doc_id, count(DISTINCT g) AS n_hits
+         |FROM dsh JOIN psh ON md5(g) = h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  override def entries: Seq[QueryEntry] =
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29)
 }

@@ -146,6 +146,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labelNotMember.count() == 0)
   }
 
+  test("repetition metrics expose duplicated words and bigrams") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a a a b"),     // 4 words, 2 distinct; top 'a' 3/4; bigrams: "a a","a a","a b" → 3 total 2 distinct
+      (2L, "x y z w"),     // no repetition
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 4 && m(1L).getLong(2) == 2)
+    assert(m(1L).getDouble(3) == 0.5 && m(1L).getDouble(4) == 0.75)
+    assert(m(1L).getDouble(5) == 1.0 / 3.0)
+    assert(m(2L).getDouble(3) == 0.0 && m(2L).getDouble(5) == 0.0)
+  }
+
+  test("contamination screen flags only documents sharing a probe n-gram") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "nothing in common here at all"),
+      (3L, "a quick brown fox appears twice quick brown fox yes"),
+    ).toDF("doc_id", "text")
+    val probes = Seq("quick brown fox").toDF("ptext")
+    val hits = TextAnalysis.contaminationScreen(docsDf, "doc_id", "text", probes, "ptext", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("tfidf top terms: a term unique to one doc outscores corpus-wide terms") {
     val s = spark
     import s.implicits._
