@@ -22,13 +22,16 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(text), " "))
 
-  /** Word n-gram (shingle) array, preserving order and duplicates. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*)))
-  }
+  /** Distinct word n-gram (shingle) set over a MATERIALIZED words-array
+    * column (see [[TextAnalysis.ngramsOf]] for why inline splits are
+    * O(words²) inside higher-order lambdas). */
+  def shinglesOf(ws: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngramsOf(ws, n))
+
+  /** Convenience for tiny frames/specs; hot paths must pre-project the
+    * words array and use [[shinglesOf]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOf(split(lower(text), " "), n)
 
   /** Exact duplicate groups keyed by content digest: (digest, keeper, n). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -235,7 +238,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucket: Seq[String], ngram: Int, threshold: Double): DataFrame = {
     val sets = df.select((bucket :+ idCol).map(col) :+
-      array_sort(if (ngram <= 1) tokenSet(col(textCol)) else shingles(col(textCol), ngram)).as("__ws"): _*)
+        split(lower(col(textCol)), " ").as("__w"): _*)
+      .select((bucket :+ idCol).map(col) :+
+        array_sort(if (ngram <= 1) array_distinct(col("__w"))
+                   else shinglesOf(col("__w"), ngram)).as("__ws"): _*)
       .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
     val b = JoinHints.maybeBroadcast(sets).as("b")

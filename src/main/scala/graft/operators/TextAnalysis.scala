@@ -80,13 +80,18 @@ object TextAnalysis {
   def hashSample(key: Column, rate16: Int): Column =
     substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
 
-  /** Word n-grams preserving order AND duplicates (repetition signals need
-    * the multiset; [[Dedup.shingles]] deduplicates for set similarity). */
-  def ngrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+  /** Word n-grams over an ALREADY-MATERIALIZED words-array column,
+    * preserving order and duplicates (repetition signals need the multiset;
+    * [[Dedup.shingles]] deduplicates for set similarity).
+    *
+    * `ws` must be a materialized column (projected attribute), never an
+    * inline `split(...)` expression: higher-order `transform` lambdas run
+    * interpreted with NO common-subexpression elimination, so an inline
+    * split would re-tokenize the full text once per element_at — O(words²)
+    * per document (measured 10× on the repetition query). */
+  def ngramsOf(ws: Column, n: Int): Column =
     transform(sequence(lit(0), greatest(size(ws) - n, lit(0))), i =>
       concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*))
-  }
 
   /** Within-document repetition metrics (the Gopher/RefinedWeb-style
     * quality signals): duplicate-word ratio, most-frequent-word fraction,
@@ -107,7 +112,8 @@ object TextAnalysis {
       count(lit(1)).as("n_distinct_words"),
       max(col("c")).as("__top"))
     val bigramStats = df
-      .select(col(idCol), explode(ngrams(col(textCol), 2)).as("g"))
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(ngramsOf(col("__ws"), 2)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(sum(col("c")).as("__nb"), count(lit(1)).as("__ndb"))
     wordStats.join(bigramStats, idCol)
@@ -129,9 +135,11 @@ object TextAnalysis {
       textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
     val probeHashes = probes
-      .select(explode(ngrams(col(probeTextCol), n)).as("pg"))
+      .select(words(col(probeTextCol)).as("__pw"))
+      .select(explode(ngramsOf(col("__pw"), n)).as("pg"))
       .select(md5(col("pg")).as("h")).distinct()
-    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+    docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
       .join(broadcast(probeHashes), md5(col("g")) === col("h"))
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("n_hits"))
