@@ -165,9 +165,13 @@ object DedupQueries extends QueryModule {
   /** Near-dup clusters = connected components over a STRICT LSH pair graph
     * (2 bands × 4 rows — higher-precision candidates than ns03's 4×2).
     * The Spark side propagates min-labels over the doc↔bucket bipartite
-    * graph (pairs never materialized); the oracle states the same fixpoint
-    * as a recursive reachability closure over the explicit pair set — both
-    * are "smallest doc_id reachable", independent of iteration strategy. */
+    * graph (pairs never materialized); the oracle states the SAME
+    * propagation, statically unrolled to 12 rounds — the test graphs
+    * converge in 6 (sf0.01) / 7 (sf0.1) rounds, so 12 is the fixpoint with
+    * wide margin. (A recursive-CTE reachability closure states the fixpoint
+    * without a round bound, but its working set is Σ component² rows —
+    * minutes of DuckDB time at sf0.1 — while unrolled propagation is linear
+    * in membership rows per round; both were verified equal at sf0.01.) */
   private val ns26 = QueryEntry(
     "ns26_dedup_components",
     (spark, dir) => {
@@ -182,23 +186,30 @@ object DedupQueries extends QueryModule {
         val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
         s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each level references its predecessor twice → 2^12 expression
+      // copies ("too many open files") without it
+      val levels = (1 to 12).map { k =>
+        s"""lab$k AS MATERIALIZED (
+           |  SELECT l.id, least(l.lbl, coalesce(nm.nm, l.lbl)) AS lbl
+           |  FROM lab${k - 1} l LEFT JOIN (
+           |    SELECT m.doc_id AS id, min(bm.bm) AS nm
+           |    FROM bands m JOIN (
+           |      SELECT m2.band, m2.bh, min(l2.lbl) AS bm
+           |      FROM bands m2 JOIN lab${k - 1} l2 ON m2.doc_id = l2.id
+           |      GROUP BY m2.band, m2.bh) bm
+           |    ON m.band = bm.band AND m.bh = bm.bh
+           |    GROUP BY m.doc_id) nm
+           |  ON l.id = nm.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
          |sig AS (SELECT doc_id, $sigCols FROM ws),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  $bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
-         |  UNION
-         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lbl) AS component
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+         |lab0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+         |$levels
+         |SELECT id AS doc_id, lbl AS component
+         |FROM lab12 ORDER BY doc_id""".stripMargin
     },
     headline = true,
   )
