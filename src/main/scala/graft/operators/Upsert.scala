@@ -20,12 +20,20 @@ object Upsert {
     * Duplicates WITHIN the batch collapse too (one row per key,
     * deterministic min-by-row pick) — the reference's row-at-a-time PK
     * conflict-ignore keeps only the first arrival; a set-oriented batch
-    * needs an explicit in-batch dedup or replays would double-insert. */
+    * needs an explicit in-batch dedup or replays would double-insert.
+    *
+    * The in-batch dedup is `min(struct(all columns))` per key — the same
+    * row a `row_number over (partition by key order by struct)` window
+    * picks (struct MIN and struct ORDER BY share one ordering), but as a
+    * partially-aggregated groupBy: the shuffle moves one candidate row per
+    * key per map partition and nothing is sorted, where the window form
+    * shuffles and sorts the entire batch. */
   def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(struct(incoming.columns.map(col): _*))
+    val cols = incoming.columns
     incoming
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(cols.map(col): _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
   }
 
