@@ -73,4 +73,26 @@ object KMeansIvf {
     val qs = queries.join(assignments, idCol) // queries drawn from the corpus
     Similarity.ivfTopK(qs, cands, idCol, vecCol, "cluster", k)
   }
+
+  /** Multi-probe IVF search: each query probes its `nProbe` nearest cells
+    * (ties broken by cell id) instead of one — the standard recall knob.
+    * Every candidate lives in exactly ONE cell, so probing several cells
+    * never duplicates a (query, candidate) pair; the probe fan-out just
+    * multiplies the broadcast query side by nProbe, and the cell equi-join
+    * stays an ordinary hash join over the candidate table. */
+  def searchMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val (assignments, centroids) = fit(candidates, idCol, vecCol, nCells, iters)
+    val cands = candidates.join(assignments, idCol)
+    val qfp = queries.select(col(idCol), col(vecCol),
+        Similarity.fixedPoint(col(vecCol)).as("__fe"))
+      .withColumn("__nsq", Similarity.dotFp(col("__fe"), col("__fe")))
+    // (distance, cell) per centroid; ascending struct sort = ORDER BY d, cell
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distSq(col("__fe"), col("__nsq"), c).as("d"), lit(i).as("c")) }: _*)
+    val probed = qfp
+      .withColumn("__probe", explode(slice(sort_array(cells), 1, nProbe)))
+      .select(col(idCol), col(vecCol), col("__probe.c").as("cluster"))
+    Similarity.ivfTopK(probed, cands, idCol, vecCol, "cluster", k)
+  }
 }

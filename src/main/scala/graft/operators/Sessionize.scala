@@ -92,4 +92,21 @@ object Sessionize {
     * residual state — exposed for the spec. */
   def flush(open: Map[Long, OpenSession]): Seq[SessionOut] =
     open.map { case (k, s) => SessionOut(k, s.n, s.startUs, s.lastUs) }.toSeq
+
+  /** Built-in `session_window` variant: the idiomatic Structured-Streaming
+    * gap-window aggregation. State bounds and eviction come from the
+    * watermark (closed sessions emit once the watermark passes their end),
+    * so unlike [[streaming]] no hand-rolled GroupState is carried — prefer
+    * this form unless per-event custom state is genuinely needed.
+    * `end` is last-event time + gap (Spark's session_window convention). */
+  def streamingSessionWindow(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"))
 }

@@ -148,5 +148,47 @@ object SimilarityQueries extends QueryModule {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20)
+  /** Multi-probe IVF (nProbe = 2): same k-means fit as ns20, queries probe
+    * their two nearest cells. Candidates keep unique cell assignments so
+    * no (q, cand) pair duplicates. */
+  private val ns30 = QueryEntry(
+    "ns30_ann_ivf_multiprobe",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.KMeansIvf.searchMultiProbe(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2)
+        .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
+         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |ad AS (SELECT n.vec_id, c.cluster,
+         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+         |  FROM n CROSS JOIN c2n c),
+         |af AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |qp AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |  FROM n q
+         |  JOIN qp ON qp.vec_id = q.vec_id AND q.vec_id < 5
+         |  JOIN af ca ON ca.cluster = qp.cluster
+         |  JOIN n c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id)
+         |SELECT q_id, cand_id, sim, rnk FROM (
+         |  SELECT q_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30)
 }

@@ -55,4 +55,28 @@ class SessionizeSpec extends SparkSpec {
     assert(closed.subsetOf(batchAll))
     assert(batchAll.size == closed.size + 2) // two open tails (1@300, 2@500)
   }
+
+  test("session_window streaming emits watermark-closed sessions with gap-extended ends") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Sessionize.streamingSessionWindow(
+      stream.toDF().toDF("key", "ts"), "key", "ts", "5 seconds", "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    // key 1: events at 0,3s (one session 0-8); key 2: event at 1s (session 1-6)
+    stream.addData((1L, ts(0)), (1L, ts(3)), (2L, ts(1)))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions' ends → they emit
+    stream.addData((9L, ts(50)))
+    q.processAllAvailable()
+    val got = spark.table("sw_out")
+      .select(col("key"), col("n_events"),
+        unix_timestamp(col("start")).as("s"), unix_timestamp(col("end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3) - r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((1L, 2L, 8L), (2L, 1L, 5L))) // durations: 3s span + 5s gap, 0 + 5s gap
+  }
 }
