@@ -145,6 +145,40 @@ object TextAnalysis {
       .agg(count_distinct(col("g")).as("n_hits"))
   }
 
+  /** Deterministic stratified sample: the first `n` rows per stratum in
+    * md5-of-id order — per-group quotas (the data-mixing step that balances
+    * a training corpus across languages/sources) with the same
+    * reproducibility story as [[hashSample]]: any engine, any run, any
+    * partitioning draws the identical sample. One window shuffle on the
+    * stratum key; no global sort. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, stratumCol: String,
+      idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .filter(col("__rn") <= n)
+      .withColumnRenamed("__rn", "draw_order")
+  }
+
+  /** Concatenate-and-chunk sequence packing: within each group (ordered by
+    * id), documents are laid end-to-end and cut into fixed token-budget
+    * bins — GPT-style pretraining batch prep. Emits each document's bin
+    * and its token offset inside the bin, all in exact integer arithmetic
+    * (one running-sum window per group; a document straddling a boundary
+    * belongs to the bin its first token lands in). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, tokensCol: Column, budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens", tokensCol)
+      .withColumn("__cum", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col(groupCol), col(idCol), col("tokens"),
+        expr(s"__cum div $budget").as("bin"), // integer quotient ('/' on longs is double division)
+        (col("__cum") % budget).as("bin_offset"))
+  }
+
   /** Top-k characteristic terms per document by raw TF-IDF
     * (tf × N / docfreq — no logarithm, so every score is one exact integer
     * product and one IEEE division, bit-identical across engines).

@@ -272,6 +272,47 @@ object TextQueries extends QueryModule {
     },
   )
 
+  /** Deterministic per-language quota sample (data mixing): first 50 docs
+    * per lang in md5-of-id order. */
+  private val ns31 = QueryEntry(
+    "ns31_stratified_sample",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.stratifiedSample(t.documents, "lang", "doc_id", n = 50)
+        .select(col("lang"), col("doc_id"), col("draw_order"))
+        .orderBy(col("lang"), col("draw_order"))
+    },
+    Some(
+      """SELECT lang, doc_id, draw_order FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS draw_order
+        |  FROM documents)
+        |WHERE draw_order <= 50 ORDER BY lang, draw_order""".stripMargin),
+  )
+
+  /** Concatenate-and-chunk packing into 200-token bins per source. */
+  private val ns32 = QueryEntry(
+    "ns32_sequence_packing",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.packSequences(t.documents, "source", "doc_id",
+          TextAnalysis.wsTokenCount(col("text")), budget = 200)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(
+      """SELECT source, doc_id, tokens,
+        |  cum // 200 AS bin, cum % 200 AS bin_offset
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
+        |    COALESCE(CAST(sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+        |  FROM documents)
+        |ORDER BY source, doc_id""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29)
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32)
 }

@@ -175,6 +175,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("stratified sample draws exact per-stratum quotas, reproducibly") {
+    val a = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 7)
+    val counts = a.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_._2 <= 7))
+    val b = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 7)
+    assert(a.select("lang", "doc_id").exceptAll(b.select("lang", "doc_id")).isEmpty)
+  }
+
+  test("sequence packing: offsets advance by token counts and wrap at the budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "s", "a b c"),          // 3 tokens, bin 0 offset 0
+      (2L, "s", "d e f g"),        // 4 tokens, bin 0 offset 3
+      (3L, "s", "h i j k l"),      // 5 tokens: cum 7 → bin 0, offset 7 (straddles)
+      (4L, "s", "m n"),            // cum 12 → bin 1, offset 2
+    ).toDF("doc_id", "src", "text")
+    val packed = TextAnalysis.packSequences(df, "src", "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), budget = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(packed == Map(1L -> (0L, 0L), 2L -> (0L, 3L), 3L -> (0L, 7L), 4L -> (1L, 2L)))
+  }
+
   test("tfidf top terms: a term unique to one doc outscores corpus-wide terms") {
     val s = spark
     import s.implicits._
