@@ -213,17 +213,25 @@ object Dedup {
           least(col("l0.lbl"), coalesce(col("n.nm"), col("l0.lbl"))).as("lbl"))
     }
 
-    var changed = 1L
+    // Labels only ever DECREASE, so Σlbl strictly decreases iff any label
+    // changed — convergence is one tiny aggregate per cycle, no join
+    // against the previous labels (decimal sum: overflow-proof at any id
+    // range/corpus size).
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       // two graph rounds per materialization+convergence check: the checks
       // and lineage checkpoints are whole Spark jobs, the rounds themselves
       // are two tiny combined aggregations — halve the job count, at worst
       // one wasted half-round after the fixpoint
-      val prev = labels
       labels = round(round(labels)).localCheckpoint()
-      changed = labels.as("s").join(prev.as("p"), col("s.id") === col("p.id"))
-        .filter(col("s.lbl") < col("p.lbl")).count()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     labels.select(col("id").as(idCol), col("lbl").as("component"))

@@ -45,18 +45,21 @@ object KMeansIvf {
         (array_position(dists, array_min(dists)) - 1).cast("int"))
     }
 
+    val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val assigned = assign(fp)
-      // per-(cluster, dim) integer means; k × dim rows — driver-side tiny
-      val means = assigned
-        .select(col("cluster"), posexplode(col("__fe")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(expr("sum(v) div count(v)").as("m"))
-        .collect()
-      val dim = centroids.head.length
+      // per-cluster integer means as dim sum-columns in ONE aggregation:
+      // the shuffle moves k partially-aggregated rows, not the k × dim ×
+      // |vectors| stream a posexplode would feed it
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("__fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+      val means = assigned.groupBy(col("cluster")).agg(sums.head, sums.tail: _*).collect()
       val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+        val cl = r.getInt(0)
+        val n = r.getLong(dim + 1)
+        var i = 0
+        while (i < dim) { next(cl)(i) = r.getLong(i + 1) / n; i += 1 } // Long '/' ≡ SQL div (trunc toward 0)
       }
       centroids = next
     }
