@@ -126,25 +126,28 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Connected components over a near-dup pair graph by iterated min-label
-    * propagation: every node's label converges to the smallest id reachable
-    * from it, which is the canonical "keeper" of its duplicate cluster —
-    * the step that turns pairwise candidates into groups a pipeline can
-    * actually drop.
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation WITH pointer jumping: every node's label converges to the
+    * smallest id reachable from it, which is the canonical "keeper" of its
+    * duplicate cluster — the step that turns pairwise candidates into
+    * groups a pipeline can actually drop.
     *
-    * Each iteration is one equi-join of the (bidirectional) edge list with
-    * the current labels plus a map-side-combined min aggregation; the loop
-    * stops at the first iteration that changes nothing, so the number of
-    * Spark jobs is graph diameter + 1. Near-dup graphs are dense clusters
-    * (diameter 2-3); for adversarial long-chain graphs swap the propagation
-    * body for large-star/small-star rounds (Kiveris et al., "Connected
-    * Components in MapReduce", SoCC'14) — same loop shell, O(log n) rounds.
+    * Each iteration is (a) neighbor-min: one equi-join of the
+    * (bidirectional) edge list with the current labels plus a
+    * map-side-combined min aggregation, then (b) a pointer jump
+    * lbl ← lbl(lbl): labels form a parent forest pointing at smaller ids,
+    * so chasing one hop per iteration halves path lengths — O(log
+    * diameter) iterations on chains where plain propagation needs
+    * O(diameter) (hash-to-min, cf. Kiveris et al., "Connected Components
+    * in MapReduce", SoCC'14).
     *
     * Scale notes: labels are broadcast only under [[JoinHints]]' row gate —
-    * beyond it the join shuffles on the edge src, which a real deployment
-    * pre-partitions once (edges re-used every iteration). Nothing is ever
-    * collected to the driver; per-iteration state is one (id, label) row
-    * per node, checkpointed to break lineage growth.
+    * beyond it the joins shuffle on the edge src / label value, which a
+    * real deployment pre-partitions once (edges re-used every iteration).
+    * Nothing is ever collected to the driver; per-iteration state is one
+    * (id, label) row per node, checkpointed to break lineage growth;
+    * convergence is a one-row aggregate (labels decrease monotonically, so
+    * an unchanged Σlbl is the fixpoint).
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
@@ -154,20 +157,31 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
     val nNodes = labels.count() // constant across iterations — gate broadcast once
-    var changed = 1L
+    def gate(l: DataFrame): DataFrame =
+      if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(l) else l
+
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val lbls = if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(labels) else labels
-      val nbrMin = edges.join(lbls, col("src") === col("id"))
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(gate(labels), col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nm"))
       val stepped = labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.dst"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("n.nm"), col("l.lbl"))).as("lbl"),
-          (col("n.nm").isNotNull && col("n.nm") < col("l.lbl")).as("__chg"))
+          least(col("l.lbl"), coalesce(col("n.nm"), col("l.lbl"))).as("lbl"))
+      // pointer jump: follow the new label one hop through itself
+      labels = stepped.as("a")
+        .join(gate(stepped).as("b"), col("a.lbl") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = stepped.filter(col("__chg")).count()
-      labels = stepped.drop("__chg")
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     labels.select(col("id").as(idCol), col("lbl").as("component"))

@@ -126,6 +126,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 3L))
   }
 
+  test("components match a union-find oracle on random graphs and a 150-node chain") {
+    val s = spark
+    import s.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 4).map { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(rnd.nextInt(30))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      (n, edges)
+    } :+ (150, (0L until 149L).map(i => (i, i + 1))) // chain: diameter 149
+    cases.foreach { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges),
+        s"n=$n edges=${edges.size}: pointer-jumped propagation must equal union-find")
+    }
+  }
+
   test("components of the LSH pair graph partition the corpus and respect pair edges") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
     val comp = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2).cache()
