@@ -145,6 +145,25 @@ object TextAnalysis {
       .agg(count_distinct(col("g")).as("n_hits"))
   }
 
+  /** Gopher-style surface-quality signals beyond [[qualityScore]]: mean
+    * word length, symbol-to-character ratio, and purely-alphabetic word
+    * fraction. Every ratio is one exact integer count over another with a
+    * single IEEE division (oracle-exact); all counts are scan-local
+    * Column expressions — no shuffle, no UDFs. */
+  def qualitySignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), words(t).as("__ws"), t.as("__t"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        (length(regexp_replace(col("__t"), " ", "")).cast("double") /
+          size(col("__ws")).cast("double")).as("mean_word_len"),
+        ((length(col("__t")) - length(regexp_replace(col("__t"), "[^A-Za-z0-9 ]", "")))
+          .cast("double") / length(col("__t")).cast("double")).as("symbol_ratio"),
+        (size(filter(col("__ws"), w => w.rlike("^[a-z]+$"))).cast("double") /
+          size(col("__ws")).cast("double")).as("alpha_word_frac"))
+  }
+
   /** Deterministic stratified sample: the first `n` rows per stratum in
     * md5-of-id order — per-group quotas (the data-mixing step that balances
     * a training corpus across languages/sources) with the same

@@ -313,6 +313,28 @@ object TextQueries extends QueryModule {
         |ORDER BY source, doc_id""".stripMargin),
   )
 
+  /** Surface-quality signals (the Gopher rule family minus line-based
+    * ones — the corpus is single-line). */
+  private val ns33 = QueryEntry(
+    "ns33_quality_signals",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.qualitySignals(t.documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / CAST(len(text) AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+        |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS alpha_word_frac
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32)
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33)
 }

@@ -204,6 +204,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("quality signals: exact counts, one division each") {
+    val s = spark
+    import s.implicits._
+    val m = TextAnalysis.qualitySignals(Seq((1L, "ab cd!")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(m.getLong(1) == 2)
+    assert(m.getDouble(2) == 2.5)        // (2 + 3) chars / 2 words
+    assert(m.getDouble(3) == 1.0 / 6.0)  // one '!' in six chars
+    assert(m.getDouble(4) == 0.5)        // "ab" alphabetic, "cd!" not
+  }
+
   test("stratified sample draws exact per-stratum quotas, reproducibly") {
     val a = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 7)
     val counts = a.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
