@@ -234,15 +234,25 @@ object Dedup {
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
 
+    // pointer jump (path halving): follow each new label one hop through
+    // itself — labels form a parent forest pointing at smaller ids, so the
+    // composed cycle below converges in O(log diameter) cycles
+    def jump(l: DataFrame): DataFrame = {
+      val lbls = if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(l) else l
+      l.as("a").join(lbls.as("b"), col("a.lbl") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
+    }
+
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // two graph rounds per materialization+convergence check: the checks
-      // and lineage checkpoints are whole Spark jobs, the rounds themselves
-      // are two tiny combined aggregations — halve the job count, at worst
-      // one wasted half-round after the fixpoint
-      labels = round(round(labels)).localCheckpoint()
+      // two graph rounds + one pointer jump per materialization+convergence
+      // check: the checks and lineage checkpoints are whole Spark jobs, the
+      // rounds themselves are tiny combined aggregations — batch them, at
+      // worst one wasted half-round after the fixpoint
+      labels = jump(round(round(labels))).localCheckpoint()
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
