@@ -335,6 +335,26 @@ object TextQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
+  /** Corpus vocabulary: top-100 terms by frequency. One partial-aggregated
+    * groupBy; the top-100 is TakeOrderedAndProject (bounded heap per
+    * partition + driver merge), never a global sort. */
+  private val ns34 = QueryEntry(
+    "ns34_vocab_top",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)
+    },
+    Some(
+      """SELECT t AS term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, term LIMIT 100""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33)
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33, ns34)
 }

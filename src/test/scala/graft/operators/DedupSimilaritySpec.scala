@@ -204,6 +204,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("dedup operators survive null and empty text without crashing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", "a b c"), (2L, "g", ""), (3L, "g", null: String), (4L, "g", "a b c"))
+      .toDF("doc_id", "grp", "text")
+    assert(Dedup.exact(df, "doc_id", "text").count() >= 2)
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.contains((1L, 4L))) // identical docs still pair; null/empty don't crash
+    Dedup.simhashPairs(df, "doc_id", "text", Seq("grp"), 16).collect()
+    Dedup.jaccardPairs(df, "doc_id", "text", Seq("grp"), 1, 0.5).collect()
+    assert(Dedup.minhashLshComponents(df, "doc_id", "text").count() == 4)
+  }
+
   test("quality signals: exact counts, one division each") {
     val s = spark
     import s.implicits._
