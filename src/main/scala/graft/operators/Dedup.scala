@@ -50,25 +50,14 @@ object Dedup {
     array((0 until bands).map(j =>
       md5(concat_ws("|", slice(sig, j * rowsPerBand + 1, rowsPerBand)))): _*)
 
-  /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
-    * shuffles on (band, bandHash) — bucket-local, never all-pairs. Each
-    * pair is emitted exactly once, from its FIRST matching band (prefix
-    * check against per-band hash columns) — semantically DISTINCT but
-    * without shuffling the pair set, which at high collision rates is the
-    * dominant cost (a groupBy-dedup of the pair stream measured 3-6×
-    * slower). Band hashes are materialized once (localCheckpoint) so the
-    * self-join doesn't recompute the signatures on both sides.
-    *
-    * The join key and prefix compares are `xxhash64` of the band's md5 —
-    * a LONG, not the 32-char hex string. Hash-join probes and compares on
-    * longs measured ~3× faster than on UTF8Strings at 20M candidates, and
-    * narrow 8-byte keys are what a 100 TB corpus needs shuffled anyway.
-    * Distinct md5s colliding in xxhash64 within one bucket column is
-    * ~n²/2⁶⁵ (≈1e-11 at 20k band values) — below any practical concern
-    * and verified against the exact-md5 DuckDB oracle by the gate.
-    */
-  /** Per-document 64-bit LSH band hashes as columns __h0..__h{bands-1}
-    * (xxhash64 of each band's md5), materialized once. */
+  /** Per-document 64-bit LSH band hashes as columns __h0..__h{bands-1},
+    * materialized once. Each hash is `xxhash64` of the band's md5 —
+    * a LONG join key, not the 32-char hex string: hash-join probes and
+    * compares on longs measured ~3× faster than on UTF8Strings at 20M
+    * candidates, and narrow 8-byte keys are what a 100 TB corpus needs
+    * shuffled anyway. Distinct md5s colliding in xxhash64 within one band
+    * column is ~n²/2⁶⁵ (≈1e-11 at 20k band values) — below any practical
+    * concern and verified against the exact-md5 DuckDB oracle by the gate. */
   private def bandHashCols(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -78,6 +67,14 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
+    * shuffles on (band, bandHash) — bucket-local, never all-pairs. Each
+    * pair is emitted exactly once, from its FIRST matching band (prefix
+    * check against per-band hash columns) — semantically DISTINCT but
+    * without shuffling the pair set, which at high collision rates is the
+    * dominant cost (a groupBy-dedup of the pair stream measured 3-6×
+    * slower). Band hashes are materialized once (localCheckpoint) so the
+    * self-join doesn't recompute the signatures on both sides. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)

@@ -61,4 +61,27 @@ class PlanSpec extends SparkSpec {
     // include-regex predicate evaluated in the scan stage, not post-join
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB a selective dimension filter becomes a bloom filter pushed
+    // into the fact scan (InjectRuntimeFilter). The size thresholds that
+    // gate it are cluster-scale; lower them to prove the plan shape here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = Tables(spark, sf0001)
+      val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      val j = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloom"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
