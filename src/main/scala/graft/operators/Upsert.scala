@@ -41,6 +41,27 @@ object Upsert {
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(newRows(existing, incoming, keys))
 
+  /** MERGE: update matched keys with the incoming row, keep unmatched
+    * existing rows, insert unmatched incoming rows — the reference's
+    * UPDATE-SET-WHERE + insert (S12, /root/reference/src/subscription.ts:
+    * 161-168,373-400) as one set operation. Incoming duplicates collapse
+    * to the deterministic min-struct row first (same rule as [[newRows]]).
+    *
+    * One anti-join plus one union: existing rows whose key has an incoming
+    * replacement simply drop out, so there is no wide full-outer COALESCE
+    * row assembly. On Delta/Iceberg this maps 1:1 to MERGE WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT; on a parquet store it is
+    * the rewrite-and-swap batch job. */
+  def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = incoming.columns
+    val deduped = incoming
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(cols.map(col): _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+    existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(deduped)
+  }
+
   /** Fixed-size batching of a distinct key set (A3 — the reference's
     * 25-DID profile-fetch flush, subscription.ts:253-268): assign each
     * distinct key a batch id. The global row_number is the sequential-flush

@@ -67,5 +67,30 @@ object JoinQueries extends QueryModule {
         |ORDER BY e.event_id""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(dq08, dq10)
+  /** MERGE semantics (S12): stale stored rows (values doubled) are
+    * replaced by fresh incoming rows on key match; unmatched stored rows
+    * survive; unmatched incoming rows insert. */
+  private val ns35 = QueryEntry(
+    "ns35_merge_upsert",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e = t.events.select(col("event_id"), col("user_id"), col("value"))
+      val stored = e.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+      val incoming = e.filter(col("event_id") % 2 === 0)
+      Upsert.merge(stored, incoming, Seq("event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """WITH stored AS (
+        |  SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 3 = 0),
+        |inc AS (
+        |  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0)
+        |SELECT s.event_id, s.user_id, s.value FROM stored s
+        |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = s.event_id)
+        |UNION ALL SELECT event_id, user_id, value FROM inc
+        |ORDER BY event_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(dq08, dq10, ns35)
 }

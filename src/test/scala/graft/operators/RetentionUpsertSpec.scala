@@ -49,6 +49,20 @@ class RetentionUpsertSpec extends SparkSpec {
     assert(twice.exceptAll(once).isEmpty)
   }
 
+  test("merge updates matched keys, keeps unmatched, inserts new, idempotently") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val incoming = Seq((2L, "new2"), (2L, "new2dup"), (4L, "new4")).toDF("k", "v")
+    val merged = Upsert.merge(existing, incoming, Seq("k"))
+    val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // in-batch dup on k=2 collapses to the min-struct row ("new2" < "new2dup")
+    assert(got == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
+    // re-merging the same batch changes nothing
+    val again = Upsert.merge(merged, incoming, Seq("k"))
+    assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+  }
+
   test("batchIds assigns ceil(n/size) batches over distinct keys") {
     val s = spark
     import s.implicits._
