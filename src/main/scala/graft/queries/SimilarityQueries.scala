@@ -190,5 +190,39 @@ object SimilarityQueries extends QueryModule {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30)
+  /** SQ8 scalar-quantized ANN: per-dimension affine 0..255 quantization
+    * (corpus min/max bounds), ranking by exact integer dot product of the
+    * quantized vectors — zero float ops anywhere, so the two engines agree
+    * bit-for-bit by construction. */
+  private val ns36 = QueryEntry(
+    "ns36_ann_sq8",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      Similarity.sq8TopK(queries, t.embeddings, "vec_id", "embedding", k = 10, dim = 64)
+        .select(col("q_id"), col("cand_id"), col("qsim"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(
+      """WITH fp AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
+        |  FROM embeddings),
+        |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+        |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM fp) GROUP BY pos),
+        |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
+        |q AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN mxl[i] = mnl[i] THEN 0
+        |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS qv
+        |  FROM fp CROSS JOIN bl),
+        |scored AS (SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS qsim
+        |  FROM q a JOIN q c ON a.vec_id < 5 AND c.vec_id <> a.vec_id)
+        |SELECT q_id, cand_id, qsim, rnk FROM (
+        |  SELECT q_id, cand_id, qsim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36)
 }

@@ -104,6 +104,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("sq8 quantized top-k: valid ranks, integer sims, reproducible") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = 5, dim = 64)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+    }
+    val b = Similarity.sq8TopK(queries, emb, "vec_id", "embedding", k = 5, dim = 64)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("langid picks the dominant marker class") {
     val s = spark
     import s.implicits._
