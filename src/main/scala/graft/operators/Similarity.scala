@@ -111,6 +111,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic ±1 random-hyperplane weights: w(j)(i) = +1 iff the low
+    * bit of md5("j:i")'s first byte is set. Embedded as literals on both
+    * engines, so the hash derivation never needs restating in SQL. */
+  def hyperplaneWeights(planes: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (j, i) =>
+      md.reset()
+      val b = md.digest(s"$j:$i".getBytes("UTF-8"))
+      if ((b(0) & 1) == 1) 1L else -1L
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j set iff the vector's dot with
+    * hyperplane j is strictly positive (sign-LSH / SRP). Nearby vectors
+    * collide with probability 1 − θ/π per plane. */
+  def hyperplaneBucket(fe: Column, weights: Array[Array[Long]]): Column =
+    weights.zipWithIndex.map { case (w, j) =>
+      when(dotFp(fe, typedlit(w.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k restricted to the query's hyperplane-LSH bucket — the
+    * bucketed alternative to IVF: no training pass at all, the bucket is a
+    * pure function of the vector, so it survives arbitrary re-sharding and
+    * incremental ingest (new vectors never invalidate old buckets, unlike
+    * refitted centroids). Search is the same cell equi-join as IVF. */
+  def lshBucketTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val w = hyperplaneWeights(planes, dim)
+    val withBucket = candidates.select(col(idCol), col(vecCol),
+        hyperplaneBucket(fixedPoint(col(vecCol)), w).as("__bkt"))
+      .localCheckpoint()
+    val qs = withBucket.join(queries.select(col(idCol)), Seq(idCol))
+    ivfTopK(qs, withBucket, idCol, vecCol, "__bkt", k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking bucket. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucket: Seq[String], threshold: Double, dim: Option[Int] = None): DataFrame = {

@@ -224,5 +224,39 @@ object SimilarityQueries extends QueryModule {
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36)
+  /** Hyperplane-LSH-bucketed ANN (sign random projections, 4 planes → 16
+    * buckets): the training-free bucketed alternative to IVF. The ±1
+    * hyperplane weights are generated once in Scala and embedded as list
+    * literals on BOTH engines. */
+  private val ns37 = QueryEntry(
+    "ns37_ann_lsh_bucket",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      Similarity.lshBucketTopK(queries, t.embeddings, "vec_id", "embedding",
+          k = 5, planes = 4, dim = 64)
+        .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some {
+      val w = Similarity.hyperplaneWeights(4, 64)
+      val bktSql = (0 until 4).map { j =>
+        val wl = w(j).mkString("[", ", ", "]")
+        s"(CASE WHEN CAST(list_sum(list_transform(list_zip(fe, $wl), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $FpSql,
+         |b AS (SELECT vec_id, fe, nsq, $bktSql AS bkt FROM n),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |  FROM b q JOIN b c
+         |    ON q.vec_id < 5 AND q.bkt = c.bkt AND c.vec_id <> q.vec_id)
+         |SELECT q_id, cand_id, sim, rnk FROM (
+         |  SELECT q_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37)
 }

@@ -116,6 +116,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hyperplane LSH: identical vectors share a bucket and find each other at rank 1") {
+    val s = spark
+    import s.implicits._
+    val v1 = Array.tabulate(64)(i => 0.3f - 0.01f * i)
+    val v2 = Array.tabulate(64)(i => -0.2f + 0.012f * i)
+    val df = Seq((0L, v1), (1L, v1), (2L, v2), (3L, v2.map(-_)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.lshBucketTopK(df.filter(col("vec_id") === 0), df,
+        "vec_id", "embedding", k = 3, planes = 4, dim = 64)
+      .collect().map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rank")))
+    assert(res.contains((1L, 1L))) // the exact twin is bucket-mate and rank 1
+  }
+
   test("langid picks the dominant marker class") {
     val s = spark
     import s.implicits._
