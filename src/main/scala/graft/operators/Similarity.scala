@@ -82,7 +82,9 @@ object Similarity {
     * are corpus-wide per-dimension min/max, computed in ONE aggregation
     * (2×dim partial-aggregated columns) and shipped as literals; the
     * quantized similarity is an exact integer dot product, so ranking is
-    * engine-independent by construction. */
+    * engine-independent by construction. Queries are drawn from the
+    * candidate corpus by id (the catalog convention — external query
+    * vectors would quantize with the same literal bounds). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int): DataFrame = {
     val fp = candidates.select(col(idCol), fixedPoint(col(vecCol)).as("__fe"))

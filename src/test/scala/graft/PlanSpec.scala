@@ -62,6 +62,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ns03: LSH pair join is a broadcast hash join on long keys, no sort-merge") {
+    val p = planOf("ns03_minhash_lsh_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ns27: tfidf docfreq side broadcasts; per-doc top-k is a partitioned window") {
+    val p = planOf("ns27_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ns34: vocab top-100 is TakeOrderedAndProject over a partial aggregate") {
+    val p = planOf("ns34_vocab_top")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB a selective dimension filter becomes a bloom filter pushed
