@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotFp].getName, "dot_fp"),
       (children: Seq[Expression]) => DotFp(children(0), children(1))))
     ext.injectOptimizerRule(_ => RegexCountToRLike)
+    ext.injectOptimizerRule(_ => graft.plans.CheapPredicateFirst)
   }
 }

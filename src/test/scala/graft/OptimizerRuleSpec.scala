@@ -40,4 +40,19 @@ class OptimizerRuleSpec extends SparkSpec {
     val plan = out.queryExecution.optimizedPlan.toString
     assert(plan.contains("RLIKE"), plan)
   }
+
+  test("filter conjuncts reorder cheapest-first: structural before regex") {
+    val f = docs.filter(
+      col("text").rlike("spark") && col("lang") === "en" && col("n_chars") > 10)
+    val filterLine = f.queryExecution.optimizedPlan.toString
+      .linesIterator.find(_.trim.startsWith("Filter")).get
+    // the written order put RLIKE first; the optimized Filter must not
+    assert(filterLine.contains("RLIKE"), filterLine)
+    assert(filterLine.indexOf("RLIKE") > filterLine.indexOf("n_chars"), filterLine)
+    assert(filterLine.indexOf("RLIKE") > filterLine.indexOf("= en"), filterLine)
+    // same rows as the hand-ordered form
+    val manual = docs.filter(
+      col("lang") === "en" && col("n_chars") > 10 && col("text").rlike("spark"))
+    assert(f.count() == manual.count())
+  }
 }
