@@ -76,6 +76,19 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales with a codec, and
+    * re-encodes; the deterministic stand-in keeps every `stride`-th byte
+    * (nearest-neighbor downsampling on the raw payload). Same
+    * per-partition binary-in/binary-out iterator contract as
+    * [[decodeStub]] — no driver-side bytes, swap the body for the codec. */
+  def resizeStub(ds: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      r.copy(media = Array.range(0, r.media.length, stride).map(r.media(_)))
+    })
+  }
+
   /** Frame sampling: slice the payload into `n` equal byte ranges (a real
     * video decoder would seek keyframes; the partition/batch shape is the
     * same). Emits (doc_id, frame_no, frame_bytes). */

@@ -145,6 +145,27 @@ object TextAnalysis {
       .agg(count_distinct(col("g")).as("n_hits"))
   }
 
+  /** Position-sensitive polynomial rolling hash (Rabin-Karp): h = Σᵢ
+    * wv(wᵢ)·Bⁱ mod M with wv = the word's first 6 md5 hex digits as an
+    * integer, B = 131, M = 1e9+7. Unlike [[fingerprint]] (md5 of the
+    * sorted word SET), reordering words changes this hash. The B-powers
+    * are precomputed and cycle every `maxLen` positions (documented,
+    * engine-identical); every term is < 2⁵⁴ and ≤ maxLen terms sum below
+    * 2⁶², so the arithmetic is exact Long both sides. Computed by explode
+    * + map-side-combined sum — no per-row lambdas, scales with tokens. */
+  def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxLen: Int = 128): org.apache.spark.sql.DataFrame = {
+    val M = 1000000007L
+    val pows = Array.iterate(1L, maxLen)(p => p * 131L % M)
+    df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") *
+          element_at(typedlit(pows.toSeq), (pmod(col("pos"), lit(maxLen)) + 1).cast("int")))
+          .as("term"))
+      .groupBy(col(idCol))
+      .agg((sum(col("term")) % M).as("rhash"))
+  }
+
   /** Gopher-style surface-quality signals beyond [[qualityScore]]: mean
     * word length, symbol-to-character ratio, and purely-alphabetic word
     * fraction. Every ratio is one exact integer count over another with a

@@ -355,6 +355,30 @@ object TextQueries extends QueryModule {
         |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, term LIMIT 100""".stripMargin),
   )
 
+  /** Rabin-Karp rolling-hash fingerprint (position-sensitive; B-powers
+    * embedded as literals on both engines). */
+  private val ns38 = QueryEntry(
+    "ns38_rolling_fingerprint",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.rollingFingerprint(t.documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val M = 1000000007L
+      val pows = Array.iterate(1L, 128)(p => p * 131L % M).mkString("[", ", ", "]")
+      val wv = (1 to 6).map { k =>
+        val mult = math.pow(16, 6 - k).toLong
+        s"(strpos('0123456789abcdef', substr(md5(w[i]), $k, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, len(w) + 1), i ->
+         |    ($wv) * ($pows)[(i - 1) % 128 + 1])) AS BIGINT) % 1000000007 AS rhash
+         |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33, ns34)
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33, ns34, ns38)
 }

@@ -243,6 +243,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.minhashLshComponents(df, "doc_id", "text").count() == 4)
   }
 
+  test("rolling fingerprint is position-sensitive; set fingerprint is not") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val rh = TextAnalysis.rollingFingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) == rh(3L) && rh(1L) != rh(2L))
+    val setfp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(setfp(1L) == setfp(2L)) // word order folded away by the set hash
+  }
+
+  test("resize stub keeps every stride-th byte, distributed") {
+    val s = spark
+    import s.implicits._
+    val packed = Multimodal.packFromText(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text", "image")
+    val out = Multimodal.resizeStub(packed.as[Multimodal.MediaRow], stride = 3).collect()
+    assert(new String(out.head.media, "UTF-8") == "adgj")
+  }
+
   test("quality signals: exact counts, one division each") {
     val s = spark
     import s.implicits._
