@@ -190,5 +190,27 @@ object AnalyticsQueries extends QueryModule {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, q06, q07, ns16, ns25)
+  /** Exact interpolated percentiles per group: Spark `percentile` and
+    * DuckDB `quantile_cont` share the textbook lower + (upper-lower)·frac
+    * formula at pos = q·(n-1), so the doubles agree bit-for-bit. */
+  private val ns39 = QueryEntry(
+    "ns39_length_percentiles",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.groupBy(col("source"))
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"))
+        .orderBy(col("source"))
+    },
+    Some(
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, q06, q07, ns16, ns25, ns39)
 }
