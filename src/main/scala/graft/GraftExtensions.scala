@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotFp(children(0), children(1))))
     ext.injectOptimizerRule(_ => RegexCountToRLike)
     ext.injectOptimizerRule(_ => graft.plans.CheapPredicateFirst)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }
 }

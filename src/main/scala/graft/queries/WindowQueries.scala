@@ -71,5 +71,27 @@ object WindowQueries extends QueryModule {
         |GROUP BY batch_id ORDER BY batch_id""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(dq12, dq13, dq15)
+  /** dq13's retention semantics through the custom whole-operator plan
+    * (TopKPerKeyNode → TopKPerKeyStrategy → bounded-heap TopKPerKeyExec,
+    * SURVEY §4.3 ladder rung (c)) — same oracle, no sort in the plan. */
+  private val ns40 = QueryEntry(
+    "ns40_topk_custom_plan",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
+      org.apache.spark.sql.graft.TopKPerKey(
+          e, Seq("user_id"), Seq("ts_us" -> true, "event_id" -> true), 5)
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY user_id, event_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(dq12, dq13, dq15, ns40)
 }

@@ -1,0 +1,111 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan: per-key bounded top-K selection — keep, for
+  * every key group, the first `k` rows under `order` (the retention/paging
+  * primitive, SURVEY W1/K1).
+  *
+  * The built-in formulation (`row_number over (partition by key order
+  * by …) <= k`) SORTS every partition: O(n log n) per key group and a full
+  * sort buffer even when k is tiny. This physical operator keeps a
+  * k-bounded binary heap per key inside one pass over each partition —
+  * O(n log k) compares, memory O(keys × k rows) — after the same
+  * clustered shuffle the window would have needed anyway. At a 2000-row
+  * retention cap over billions of rows per feed, the sort buffer IS the
+  * bottleneck; the heap never holds more than the survivors.
+  *
+  * Output row order within a key is unspecified (like any selection);
+  * callers order downstream if they need to (the catalog query does).
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "k must be >= 1")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Rows of one key must meet in one partition; Spark inserts the hash
+    * shuffle (or reuses an existing clustering) to satisfy this. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val ord = RowOrdering.create(sortOrder, schema)
+      // heap head = WORST retained row (reverse ordering), so admission is
+      // one compare against the head and replacement is O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        var heap = heaps.get(keyProj(row))
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, ord.reverse)
+          heaps.put(keyProj(row).copy(), heap)
+        }
+        if (heap.size < limit) heap.add(row.copy())
+        else if (ord.lt(row, heap.peek())) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to its physical operator. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Keep the first `k` rows per key under `order` — (column, descending)
+    * pairs resolved by name against `df` (computed sort keys: `withColumn`
+    * first). Column-API expressions are deliberately not accepted: the
+    * analyzer does not resolve lazy ColumnNode wrappers inside third-party
+    * logical nodes, so name-based resolution here is the stable contract. */
+  def apply(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def attr(name: String): Attribute =
+      analyzed.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(s"column $name not in ${analyzed.output.map(_.name)}"))
+    val sortOrder = order.map { case (name, desc) =>
+      SortOrder(attr(name),
+        if (desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    ClassicDataset.ofRows(df.sparkSession.asInstanceOf[ClassicSparkSession],
+      TopKPerKeyNode(keys.map(attr), sortOrder, k, analyzed))
+  }
+}
