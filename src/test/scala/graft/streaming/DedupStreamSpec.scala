@@ -28,6 +28,35 @@ class DedupStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("dedup state survives a query restart from the checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ckpt").toString
+    val stream = MemoryStream[Doc]
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = DedupStream.exact(stream.toDF(), "ts", "1 hour", "id")
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("id").collect().foreach(r => emitted.add(r.getLong(0)))
+      }
+      .start()
+
+    val q1 = start()
+    stream.addData(Doc(1, "first", t(0)), Doc(2, "second", t(1)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: key 1's state must still be there
+    val q2 = start()
+    stream.addData(Doc(1, "replay after restart", t(2)), Doc(3, "third", t(3)))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted == Seq(1L, 2L, 3L)) // replayed id=1 stayed deduped
+  }
+
   test("fingerprint dedup folds word order and repetition; state evicts past the watermark") {
     val s = spark
     import s.implicits._
