@@ -45,6 +45,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** The operator filters rows in place — the child's clustering survives,
+    * so a downstream groupBy/join on the same keys skips its exchange. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val keyExprs = keys
