@@ -284,6 +284,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.select("lang", "doc_id").exceptAll(b.select("lang", "doc_id")).isEmpty)
   }
 
+  test("stratified sampling is prefix-stable: smaller quotas are prefixes of larger ones") {
+    val five = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id")
+    val nine = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 9)
+      .select("lang", "doc_id")
+    // growing the quota only ADDS rows — earlier draws never change,
+    // so a pipeline can extend a sample without invalidating prior work
+    assert(five.exceptAll(nine).isEmpty)
+    assert(nine.count() > five.count())
+  }
+
+  test("sequence packing conserves tokens and keeps offsets under the budget") {
+    val packed = TextAnalysis.packSequences(docs, "source", "doc_id",
+      TextAnalysis.wsTokenCount(col("text")), budget = 200).cache()
+    assert(packed.filter(col("bin_offset") >= 200 || col("bin_offset") < 0).count() == 0)
+    // token totals survive packing exactly
+    val before = docs.select(sum(TextAnalysis.wsTokenCount(col("text")))).head().getLong(0)
+    assert(packed.select(sum(col("tokens"))).head().getLong(0) == before)
+    // per group, offset(next) == (offset(prev) + tokens(prev)) mod-carried by bins
+    val rows = packed.orderBy("source", "doc_id")
+      .select("source", "tokens", "bin", "bin_offset").collect()
+    rows.groupBy(_.getString(0)).values.foreach { grp =>
+      grp.sliding(2).foreach {
+        case Array(a, b) =>
+          val cum = a.getLong(2) * 200 + a.getLong(3) + a.getLong(1)
+          assert(b.getLong(2) * 200 + b.getLong(3) == cum)
+        case _ =>
+      }
+    }
+  }
+
   test("sequence packing: offsets advance by token counts and wrap at the budget") {
     val s = spark
     import s.implicits._
