@@ -97,7 +97,11 @@ object TopKPerKey {
     * pairs resolved by name against `df` (computed sort keys: `withColumn`
     * first). Column-API expressions are deliberately not accepted: the
     * analyzer does not resolve lazy ColumnNode wrappers inside third-party
-    * logical nodes, so name-based resolution here is the stable contract. */
+    * logical nodes, so name-based resolution here is the stable contract.
+    *
+    * Ties AT the k boundary retain an arbitrary k-subset of the tied rows
+    * (exactly like `row_number`'s arbitrary tie pick) — pass a total
+    * order (unique tiebreak column) for fully deterministic output. */
   def apply(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     val analyzed = df.queryExecution.analyzed
