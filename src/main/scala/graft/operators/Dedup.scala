@@ -196,9 +196,32 @@ object Dedup {
     * aggregation over membership rows), then node label = min over the
     * node's buckets (a second one). Both shuffles move one row per
     * membership, partially aggregated. Stops when nothing changes.
+    *
+    * `collapseExact` first contracts EXACT duplicates (identical text) to
+    * their min-id representative and runs everything on representatives —
+    * at crawl scale exact copies are the bulk of the corpus, and they
+    * share every band by construction, so the contraction provably
+    * preserves the result: each representative is its group's min id,
+    * hence a component's min over representatives IS its min over all
+    * members (spec-asserted). Signature hashing, membership state, and
+    * propagation then scale with DISTINCT texts, not rows.
     */
   def minhashLshComponents(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, bands: Int = 2, maxIters: Int = 25): DataFrame = {
+      numHashes: Int = 8, bands: Int = 2, maxIters: Int = 25,
+      collapseExact: Boolean = false): DataFrame = {
+    if (collapseExact) {
+      val reps = df.groupBy(md5(col(textCol)).as("__h"))
+        .agg(min(col(idCol)).as("__rep"))
+      val repDocs = df.join(reps, md5(col(textCol)) === col("__h"))
+        .filter(col(idCol) === col("__rep"))
+        .select(col(idCol), col(textCol))
+      val repComponents = minhashLshComponents(
+        repDocs, idCol, textCol, numHashes, bands, maxIters)
+      return df.select(col(idCol), md5(col(textCol)).as("__h"))
+        .join(reps, "__h")
+        .join(repComponents.withColumnRenamed(idCol, "__rep"), "__rep")
+        .select(col(idCol), col("component"))
+    }
     val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)
     val members = withBands.select(col(idCol).as("id"),
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))

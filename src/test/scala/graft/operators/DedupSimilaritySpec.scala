@@ -180,6 +180,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("collapsing exact duplicates before LSH components preserves the result") {
+    val s = spark
+    import s.implicits._
+    // duplicate every doc's text under new higher ids — at crawl scale this
+    // is the dominant shape, and contraction must not change any label
+    val base = docs.select(col("doc_id"), col("text"))
+    val dupes = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(dupes)
+    val plain = Dedup.minhashLshComponents(corpus, "doc_id", "text", 8, 2)
+    val collapsed = Dedup.minhashLshComponents(corpus, "doc_id", "text", 8, 2,
+      collapseExact = true)
+    assert(collapsed.count() == corpus.count())
+    assert(plain.exceptAll(collapsed).isEmpty && collapsed.exceptAll(plain).isEmpty)
+  }
+
   test("components of the LSH pair graph partition the corpus and respect pair edges") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
     val comp = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2).cache()
