@@ -172,6 +172,39 @@ object DedupQueries extends QueryModule {
     * without a round bound, but its working set is Σ component² rows —
     * minutes of DuckDB time at sf0.1 — while unrolled propagation is linear
     * in membership rows per round; both were verified equal at sf0.01.) */
+  /** Shared oracle CTE chain for the component fixpoint: strict-LSH bands
+    * then 12 unrolled min-label propagation rounds (lab12 = fixpoint).
+    * AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    * level references its predecessor twice → 2^12 expression copies
+    * ("too many open files") without it. */
+  private def componentsOracleCtes: String = {
+    val rows = NumHashes / 2
+    val sigCols = (0 until NumHashes).map(i => s"${sigExprSql(i)} AS s$i").mkString(", ")
+    val bandSelects = (0 until 2).map { j =>
+      val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val levels = (1 to 12).map { k =>
+      s"""lab$k AS MATERIALIZED (
+         |  SELECT l.id, least(l.lbl, coalesce(nm.nm, l.lbl)) AS lbl
+         |  FROM lab${k - 1} l LEFT JOIN (
+         |    SELECT m.doc_id AS id, min(bm.bm) AS nm
+         |    FROM bands m JOIN (
+         |      SELECT m2.band, m2.bh, min(l2.lbl) AS bm
+         |      FROM bands m2 JOIN lab${k - 1} l2 ON m2.doc_id = l2.id
+         |      GROUP BY m2.band, m2.bh) bm
+         |    ON m.band = bm.band AND m.bh = bm.bh
+         |    GROUP BY m.doc_id) nm
+         |  ON l.id = nm.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+       |sig AS (SELECT doc_id, $sigCols FROM ws),
+       |bands AS MATERIALIZED (
+       |  $bandSelects),
+       |lab0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$levels""".stripMargin
+  }
+
   private val ns26 = QueryEntry(
     "ns26_dedup_components",
     (spark, dir) => {
@@ -179,40 +212,33 @@ object DedupQueries extends QueryModule {
       Dedup.minhashLshComponents(t.documents, "doc_id", "text", NumHashes, bands = 2)
         .orderBy(col("doc_id"))
     },
-    Some {
-      val rows = NumHashes / 2
-      val sigCols = (0 until NumHashes).map(i => s"${sigExprSql(i)} AS s$i").mkString(", ")
-      val bandSelects = (0 until 2).map { j =>
-        val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
-      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-      // each level references its predecessor twice → 2^12 expression
-      // copies ("too many open files") without it
-      val levels = (1 to 12).map { k =>
-        s"""lab$k AS MATERIALIZED (
-           |  SELECT l.id, least(l.lbl, coalesce(nm.nm, l.lbl)) AS lbl
-           |  FROM lab${k - 1} l LEFT JOIN (
-           |    SELECT m.doc_id AS id, min(bm.bm) AS nm
-           |    FROM bands m JOIN (
-           |      SELECT m2.band, m2.bh, min(l2.lbl) AS bm
-           |      FROM bands m2 JOIN lab${k - 1} l2 ON m2.doc_id = l2.id
-           |      GROUP BY m2.band, m2.bh) bm
-           |    ON m.band = bm.band AND m.bh = bm.bh
-           |    GROUP BY m.doc_id) nm
-           |  ON l.id = nm.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
-         |sig AS (SELECT doc_id, $sigCols FROM ws),
-         |bands AS MATERIALIZED (
-         |  $bandSelects),
-         |lab0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-         |$levels
+    Some(
+      s"""$componentsOracleCtes
          |SELECT id AS doc_id, lbl AS component
-         |FROM lab12 ORDER BY doc_id""".stripMargin
-    },
+         |FROM lab12 ORDER BY doc_id""".stripMargin),
     headline = true,
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26)
+  /** The verdict table a dedup pipeline actually ships: per document its
+    * cluster, whether it is the cluster keeper, and its rank within the
+    * cluster (1 = keeper; drop everything with dup_rank > 1). */
+  private val ns41 = QueryEntry(
+    "ns41_dedup_verdict",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      import org.apache.spark.sql.expressions.Window
+      Dedup.minhashLshComponents(t.documents, "doc_id", "text", NumHashes, bands = 2)
+        .withColumn("is_keeper", col("doc_id") === col("component"))
+        .withColumn("dup_rank", row_number().over(
+          Window.partitionBy(col("component")).orderBy(col("doc_id"))).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""$componentsOracleCtes
+         |SELECT id AS doc_id, lbl AS component, id = lbl AS is_keeper,
+         |  CAST(row_number() OVER (PARTITION BY lbl ORDER BY id) AS BIGINT) AS dup_rank
+         |FROM lab12 ORDER BY doc_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41)
 }
