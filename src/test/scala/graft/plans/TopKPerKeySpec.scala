@@ -33,6 +33,16 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort") && !plan.toLowerCase.contains("window"), plan)
   }
 
+  test("k beyond group size returns whole groups; k = 1 returns exactly the per-key extreme") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("key", "v")
+    assert(TopKPerKey(df, Seq("key"), Seq("v" -> true), 100).count() == 3)
+    val tops = TopKPerKey(df, Seq("key"), Seq("v" -> true), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tops == Map(1L -> 20L, 2L -> 5L))
+  }
+
   test("retention via the custom operator matches Retention.keepNewest on real data") {
     val t = Tables(spark, sf0001)
     val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
