@@ -6,11 +6,23 @@ import org.apache.spark.sql.SparkSession
   * factor and prints ONE JSON line. A warmup pass (table scans + one tiny
   * query) runs first so JVM/codegen/parquet-footer startup cost isn't
   * charged to whichever query happens to run first.
+  *
+  * Timing runs as N whole-suite passes (SPARK_GRAFT_BENCH_PASSES, default
+  * 3) rather than back-to-back repeats of each query: the benchmark box is
+  * noisy (±50% run-to-run under external load), so per-query spread across
+  * passes is reported alongside the best — a "regression" whose spread
+  * straddles it is noise, not a plan change. "queries" stays the best-of-N
+  * (steady-state: pass 1 pays per-query codegen compilation; production
+  * standing queries run compiled); "queries_median"/"queries_max" carry
+  * the distribution. SharedCache is cleared at each pass start, so shared
+  * intermediates (the ns26/ns41 component fixpoint) are honestly computed
+  * exactly once per pass by whichever consumer runs first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -28,26 +40,35 @@ object Bench {
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
     SparkEntry.queries("dq01_filter_scan")(spark, sfDir).count()
 
-    // Steady-state timing: two passes per query, report the best (first
-    // pass pays per-query codegen compilation; production standing queries
-    // run compiled).
     def timeOnce(e: QueryEntry): Double = {
       val t0 = System.nanoTime()
       try e.run(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // release intermediate materializations (localCheckpoint RDDs) so one
-      // query's scratch state doesn't GC-pressure the next
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // query's scratch state doesn't GC-pressure the next; SharedCache
+      // pins survive until the pass ends
+      SharedCache.unpersistScratch(spark)
       dt
     }
-    val results = SparkEntry.all.map { e =>
-      e.name -> math.min(timeOnce(e), timeOnce(e))
+
+    val names = SparkEntry.all.map(_.name)
+    val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+      SharedCache.clear(spark)
+      SparkEntry.all.map(e => e.name -> timeOnce(e)).toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(f: Seq[Double] => Double): String =
+      names.map(n => "\"" + n + "\":" + f(samples.map(_(n))))
+        .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val best = names.map(n => n -> samples.map(_(n)).min).toMap
+    val total = names.map(best).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""queries":${fmt(_.min)},"queries_median":${fmt(median)},""" +
+      s""""queries_max":${fmt(_.max)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-query materialization cache: one expensive result (e.g. the
+  * near-dup component fixpoint) computed once per run and shared by every
+  * catalog query that derives from it — ns26 emits the component table,
+  * ns41 derives the verdict table, and only the first one to run pays for
+  * the propagation loop.
+  *
+  * This is the single-session analog of persisting a curated intermediate
+  * table: at 100 TB a pipeline writes components to storage once and every
+  * downstream job reads it, it does not re-run the fixpoint per consumer.
+  *
+  * Mechanics: the computed frame is pinned with an eager `localCheckpoint`
+  * and its backing RDD ids are recorded as PROTECTED; scratch
+  * materializations created *while* computing (per-iteration label
+  * checkpoints, signature tables) are released immediately. Verify/Bench
+  * free per-query scratch between queries by unpersisting every
+  * non-protected RDD ([[unpersistScratch]]) — unpersisting a protected
+  * checkpoint would be unrecoverable, since a localCheckpoint truncates
+  * lineage. Bench calls [[clear]] at the start of each timing pass so each
+  * pass honestly recomputes the shared work exactly once.
+  */
+object SharedCache {
+
+  private val entries = scala.collection.mutable.Map[String, DataFrame]()
+  private val protectedRddIds = scala.collection.mutable.Set[Int]()
+
+  /** Memoized compute: `key` must identify the result uniquely (include the
+    * data dir and any parameters). The builder may create its own scratch
+    * checkpoints; they are released once the final frame is pinned. */
+  def getOrCompute(key: String, spark: SparkSession)(build: => DataFrame): DataFrame =
+    synchronized {
+      entries.getOrElseUpdate(key, {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val computed = build
+        val scratchIds = sc.getPersistentRDDs.keySet -- before
+        val pinned = computed.localCheckpoint() // eager: materializes now
+        val pinnedIds = sc.getPersistentRDDs.keySet -- before -- scratchIds
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (scratchIds.contains(id)) rdd.unpersist(blocking = false)
+        }
+        protectedRddIds ++= pinnedIds
+        pinned
+      })
+    }
+
+  /** Release every persistent RDD EXCEPT pinned cache entries — the
+    * between-queries scratch sweep for Verify/Bench. */
+  def unpersistScratch(spark: SparkSession): Unit = synchronized {
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!protectedRddIds.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Drop all cache entries and their pinned blocks (start of a fresh
+    * benchmark pass). */
+  def clear(spark: SparkSession): Unit = synchronized {
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (protectedRddIds.contains(id)) rdd.unpersist(blocking = false)
+    }
+    protectedRddIds.clear()
+    entries.clear()
+  }
+}

@@ -24,8 +24,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free per-query materializations (localCheckpoint RDDs) so a 50+
-      // query run doesn't accumulate storage memory
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // query run doesn't accumulate storage memory; SharedCache pins
+      // survive — later queries derive from them instead of recomputing
+      SharedCache.unpersistScratch(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

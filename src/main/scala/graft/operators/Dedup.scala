@@ -145,9 +145,17 @@ object Dedup {
     * (id, label) row per node, checkpointed to break lineage growth;
     * convergence is a one-row aggregate (labels decrease monotonically, so
     * an unchanged Σlbl is the fixpoint).
+    *
+    * `idCol` must be NUMERIC (ids sum as decimal(38,0) in the convergence
+    * check; string ids fail the cast under ANSI — hash them to longs
+    * first). Throws if the fixpoint is not reached within `maxIters`
+    * rather than silently returning unconverged labels.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    require(nodes.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"connectedComponents needs a numeric id column (got ${nodes.schema(idCol).dataType}); " +
+        "hash string ids to longs (xxhash64) before clustering")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -181,6 +189,9 @@ object Dedup {
       prevSum = s
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations — raise maxIters " +
+        "(unconverged labels would silently split true components)")
     labels.select(col("id").as(idCol), col("lbl").as("component"))
   }
 
@@ -209,6 +220,9 @@ object Dedup {
   def minhashLshComponents(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 2, maxIters: Int = 25,
       collapseExact: Boolean = false): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"minhashLshComponents needs a numeric id column (got ${df.schema(idCol).dataType}); " +
+        "hash string ids to longs (xxhash64) before clustering")
     if (collapseExact) {
       val reps = df.groupBy(md5(col(textCol)).as("__h"))
         .agg(min(col(idCol)).as("__rep"))
@@ -278,6 +292,9 @@ object Dedup {
       prevSum = s
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"minhashLshComponents did not converge in $maxIters iterations — raise maxIters " +
+        "(unconverged labels would silently split true components)")
     labels.select(col("id").as(idCol), col("lbl").as("component"))
   }
 

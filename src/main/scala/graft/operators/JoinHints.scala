@@ -20,6 +20,12 @@ object JoinHints {
     * rows ≈ low hundreds of MB — inside a 1–2 GB broadcast budget. */
   val DefaultBroadcastRowLimit = 200000L
 
+  /** PRECONDITION: `df` must already be materialized (localCheckpoint /
+    * persist) — the row-count gate is an EAGER action inside what callers
+    * see as a lazy DataFrame-building API, and on an unmaterialized input
+    * it recomputes the entire upstream as an extra job at build time (and
+    * then again when the join runs). Every in-repo caller checkpoints
+    * first; new call sites must too. */
   def maybeBroadcast(df: DataFrame, rowLimit: Long = DefaultBroadcastRowLimit): DataFrame =
     if (df.count() <= rowLimit) broadcast(df) else df
 }

@@ -49,7 +49,9 @@ object TextAnalysis {
   def qualityScore(text: Column): Column = {
     val nw = nWords(text).cast("double")
     val lenScore = least(nw, lit(200d)) / lit(200d)
-    val stopRatio = stopwordCount(text).cast("double") / nw
+    // nullif guard: split() never returns an empty array today, but the
+    // operator is documented general-purpose and ANSI division must not raise
+    val stopRatio = stopwordCount(text).cast("double") / nullif(nw, lit(0d))
     lit(0.6) * lenScore + lit(0.4) * stopRatio
   }
 
@@ -88,10 +90,17 @@ object TextAnalysis {
     * inline `split(...)` expression: higher-order `transform` lambdas run
     * interpreted with NO common-subexpression elimination, so an inline
     * split would re-tokenize the full text once per element_at — O(words²)
-    * per document (measured 10× on the repetition query). */
+    * per document (measured 10× on the repetition query).
+    *
+    * A document shorter than `n` words yields an EMPTY gram array — the
+    * guard is load-bearing under Spark 4's default ANSI mode, where the
+    * unguarded sequence floor of 0 would element_at past the array end
+    * (INVALID_ARRAY_INDEX) instead of returning null-padded junk. */
   def ngramsOf(ws: Column, n: Int): Column =
-    transform(sequence(lit(0), greatest(size(ws) - n, lit(0))), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*))
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Within-document repetition metrics (the Gopher/RefinedWeb-style
     * quality signals): duplicate-word ratio, most-frequent-word fraction,
@@ -150,18 +159,22 @@ object TextAnalysis {
     * integer, B = 131, M = 1e9+7. Unlike [[fingerprint]] (md5 of the
     * sorted word SET), reordering words changes this hash. The B-powers
     * are precomputed and cycle every `maxLen` positions (documented,
-    * engine-identical); every term is < 2⁵⁴ and ≤ maxLen terms sum below
-    * 2⁶², so the arithmetic is exact Long both sides. Computed by explode
-    * + map-side-combined sum — no per-row lambdas, scales with tokens. */
+    * engine-identical). Arithmetic stays exact Long at ANY document
+    * length: each term's product is < 2²⁴·2³⁰ = 2⁵⁴ (wv is 6 hex digits,
+    * the power is < M) and is reduced mod M BEFORE the sum, so the summed
+    * terms are < 2³⁰ each and the running sum only overflows past ~2³³
+    * words — summing unreduced terms overflowed at ~550 words (an
+    * ARITHMETIC_OVERFLOW under ANSI mode). Computed by explode +
+    * map-side-combined sum — no per-row lambdas, scales with tokens. */
   def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxLen: Int = 128): org.apache.spark.sql.DataFrame = {
     val M = 1000000007L
     val pows = Array.iterate(1L, maxLen)(p => p * 131L % M)
     df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w")))
       .select(col(idCol),
-        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") *
+        ((conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") *
           element_at(typedlit(pows.toSeq), (pmod(col("pos"), lit(maxLen)) + 1).cast("int")))
-          .as("term"))
+          % M).as("term"))
       .groupBy(col(idCol))
       .agg((sum(col("term")) % M).as("rhash"))
   }
@@ -174,15 +187,19 @@ object TextAnalysis {
   def qualitySignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
+    // nullif guards on every denominator: an empty text (length 0) or an
+    // empty word array must yield null ratios, not an ANSI DIVIDE_BY_ZERO
+    val nw = nullif(size(col("__ws")).cast("double"), lit(0d))
     df.select(col(idCol), words(t).as("__ws"), t.as("__t"))
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_words"),
-        (length(regexp_replace(col("__t"), " ", "")).cast("double") /
-          size(col("__ws")).cast("double")).as("mean_word_len"),
+        (length(regexp_replace(col("__t"), " ", "")).cast("double") / nw)
+          .as("mean_word_len"),
         ((length(col("__t")) - length(regexp_replace(col("__t"), "[^A-Za-z0-9 ]", "")))
-          .cast("double") / length(col("__t")).cast("double")).as("symbol_ratio"),
-        (size(filter(col("__ws"), w => w.rlike("^[a-z]+$"))).cast("double") /
-          size(col("__ws")).cast("double")).as("alpha_word_frac"))
+          .cast("double") / nullif(length(col("__t")).cast("double"), lit(0d)))
+          .as("symbol_ratio"),
+        (size(filter(col("__ws"), w => w.rlike("^[a-z]+$"))).cast("double") / nw)
+          .as("alpha_word_frac"))
   }
 
   /** Deterministic stratified sample: the first `n` rows per stratum in
@@ -240,6 +257,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds docfreq AND the join below; computed once
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // maybeBroadcast's count gate needs a materialized input
     val scored = tf.join(JoinHints.maybeBroadcast(dfreq), "term")
       .withColumn("tfidf",
         (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))

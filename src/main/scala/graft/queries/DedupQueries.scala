@@ -205,13 +205,19 @@ object DedupQueries extends QueryModule {
        |$levels""".stripMargin
   }
 
+  /** The component fixpoint feeding BOTH ns26 and ns41, computed once per
+    * run through [[graft.SharedCache]] — the session analog of persisting
+    * the component table once and deriving every downstream verdict from
+    * it, instead of re-running the propagation loop per consumer. */
+  private def componentsFor(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.SharedCache.getOrCompute(s"lsh_components:$NumHashes:2:$dir", spark) {
+      Dedup.minhashLshComponents(Tables(spark, dir).documents, "doc_id", "text",
+        NumHashes, bands = 2)
+    }
+
   private val ns26 = QueryEntry(
     "ns26_dedup_components",
-    (spark, dir) => {
-      val t = Tables(spark, dir)
-      Dedup.minhashLshComponents(t.documents, "doc_id", "text", NumHashes, bands = 2)
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) => componentsFor(spark, dir).orderBy(col("doc_id")),
     Some(
       s"""$componentsOracleCtes
          |SELECT id AS doc_id, lbl AS component
@@ -225,9 +231,8 @@ object DedupQueries extends QueryModule {
   private val ns41 = QueryEntry(
     "ns41_dedup_verdict",
     (spark, dir) => {
-      val t = Tables(spark, dir)
       import org.apache.spark.sql.expressions.Window
-      Dedup.minhashLshComponents(t.documents, "doc_id", "text", NumHashes, bands = 2)
+      componentsFor(spark, dir)
         .withColumn("is_keeper", col("doc_id") === col("component"))
         .withColumn("dup_rank", row_number().over(
           Window.partitionBy(col("component")).orderBy(col("doc_id"))).cast("long"))

@@ -373,7 +373,7 @@ object TextQueries extends QueryModule {
       }.mkString(" + ")
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(range(1, len(w) + 1), i ->
-         |    ($wv) * ($pows)[(i - 1) % 128 + 1])) AS BIGINT) % 1000000007 AS rhash
+         |    (($wv) * ($pows)[(i - 1) % 128 + 1]) % 1000000007)) AS BIGINT) % 1000000007 AS rhash
          |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
