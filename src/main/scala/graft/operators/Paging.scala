@@ -22,9 +22,23 @@ object Paging {
 
   val CursorSep = "::"
 
-  /** ORDER BY tsUs DESC, tiebreak DESC LIMIT k — TakeOrderedAndProject. */
-  def topK(df: DataFrame, tsUs: Column, tiebreak: Column, k: Int): DataFrame =
-    df.orderBy(tsUs.desc, tiebreak.desc).limit(k)
+  /** ORDER BY tsUs DESC, tiebreak DESC LIMIT k.
+    *
+    * With the native flag on (default) and attribute sort columns this is
+    * the keyless [[org.apache.spark.sql.graft.TopKPerKey]] plan:
+    * per-partition bounded heaps, single-partition merge — the same
+    * two-level shape as TakeOrderedAndProject, through the custom
+    * operator ladder. Falls back to orderBy+limit (which compiles to
+    * TakeOrderedAndProject) for computed columns or when disabled. Both
+    * plans never sort or shuffle the full table. */
+  def topK(df: DataFrame, tsUs: Column, tiebreak: Column, k: Int): DataFrame = {
+    val native =
+      if (NativeTopK.enabled(df))
+        org.apache.spark.sql.graft.TopKPerKey.fromColumns(
+          df, Nil, Seq(tsUs -> true, tiebreak -> true), k)
+      else None
+    native.getOrElse(df.orderBy(tsUs.desc, tiebreak.desc).limit(k))
+  }
 
   /** Tuple keyset predicate: strictly after the cursor position in
     * (tsUs DESC, tiebreak DESC) order. `curTiebreak` is a typed literal

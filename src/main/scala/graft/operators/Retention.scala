@@ -20,9 +20,23 @@ object Retention {
     df.withColumn(Rn, row_number().over(
       Window.partitionBy(key: _*).orderBy(tsUs.desc, tiebreak.desc)))
 
-  /** Keep only the newest `n` rows per key (retention cap, S11/W1). */
-  def keepNewest(df: DataFrame, key: Seq[Column], tsUs: Column, tiebreak: Column, n: Int): DataFrame =
-    ranked(df, key, tsUs, tiebreak).filter(col(Rn) <= n).drop(Rn)
+  /** Keep only the newest `n` rows per key (retention cap, S11/W1).
+    *
+    * Routed through the native bounded-heap operator
+    * ([[org.apache.spark.sql.graft.TopKPerKey]]) when the flag is on
+    * (default) and the key/order columns are plain attributes: one
+    * map-side partial heap cuts each partition to ≤ keys×n rows before the
+    * shuffle, and the final heap replaces the per-key sort — O(rows log n)
+    * and no sort buffer, against the window plan's full per-key sort.
+    * Computed columns (or the flag off) fall back to the window rank. */
+  def keepNewest(df: DataFrame, key: Seq[Column], tsUs: Column, tiebreak: Column, n: Int): DataFrame = {
+    val native =
+      if (NativeTopK.enabled(df))
+        org.apache.spark.sql.graft.TopKPerKey.fromColumns(
+          df, key, Seq(tsUs -> true, tiebreak -> true), n)
+      else None
+    native.getOrElse(ranked(df, key, tsUs, tiebreak).filter(col(Rn) <= n).drop(Rn))
+  }
 
   /** Drop the newest `n` rows per key (refresh delete, S10/W2). */
   def dropNewest(df: DataFrame, key: Seq[Column], tsUs: Column, tiebreak: Column, n: Int): DataFrame =

@@ -109,20 +109,26 @@ object CoreQueries extends QueryModule {
   )
 
   /** DQ-18 — top-K newest-first page (K1, starrysky.ts:50-56): ORDER BY
-    * event-time DESC with a unique tiebreak, LIMIT 50 →
-    * TakeOrderedAndProject (no global sort). Timestamps are compared at
-    * microsecond precision on both engines (parquet ns is truncated).
+    * event-time DESC with a unique tiebreak, LIMIT 50, served through
+    * [[graft.operators.Paging.topK]] — by default the native keyless
+    * TopKPerKey plan (per-partition bounded heaps + single-partition
+    * merge; `spark.graft.topk.native=false` restores
+    * TakeOrderedAndProject). The projection runs BEFORE the heap so the
+    * parquet scan still prunes to three columns; the heap output is
+    * unordered, so the page order is a final 50-row sort. Timestamps are
+    * compared at microsecond precision on both engines (parquet ns is
+    * truncated).
     */
   private val dq18 = QueryEntry(
     "dq18_topk_page",
     (spark, dir) => {
       val t = Tables(spark, dir)
-      t.events
+      val base = t.events
         .filter(col("event_type") === "purchase")
         .withColumn("ts_us", unix_micros(col("ts")))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-        .limit(50)
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.operators.Paging.topK(base, col("ts_us"), col("event_id"), 50)
+        .orderBy(col("ts_us").desc, col("event_id").desc)
     },
     Some(
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

@@ -6,8 +6,7 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan: per-key bounded top-K selection — keep, for
@@ -18,10 +17,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * by …) <= k`) SORTS every partition: O(n log n) per key group and a full
   * sort buffer even when k is tiny. This physical operator keeps a
   * k-bounded binary heap per key inside one pass over each partition —
-  * O(n log k) compares, memory O(keys × k rows) — after the same
-  * clustered shuffle the window would have needed anyway. At a 2000-row
-  * retention cap over billions of rows per feed, the sort buffer IS the
-  * bottleneck; the heap never holds more than the survivors.
+  * O(n log k) compares, memory O(keys × k rows). At a 2000-row retention
+  * cap over billions of rows per feed, the sort buffer IS the bottleneck;
+  * the heap never holds more than the survivors.
+  *
+  * The planner emits TWO heap passes, mirroring partial aggregation: a
+  * map-side pass with no distribution requirement cuts each input
+  * partition to ≤ keys×k rows BEFORE the exchange (at a billion rows per
+  * feed and k=2000, the shuffle moves the survivors, not the corpus), then
+  * the clustered (or, for the global keyless form, single-partition) final
+  * pass merges the per-partition survivors — the same shape
+  * TakeOrderedAndProject uses for global LIMIT, generalized per key.
   *
   * Output row order within a key is unspecified (like any selection);
   * callers order downstream if they need to (the catalog query does).
@@ -36,14 +42,19 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Rows of one key must meet in one partition; Spark inserts the hash
-    * shuffle (or reuses an existing clustering) to satisfy this. */
+  /** Partial pass runs wherever the data already is; the final pass needs
+    * each key's survivors in one partition — Spark inserts the hash
+    * shuffle (or reuses an existing clustering), and the keyless global
+    * form gathers to a single partition exactly like the final step of
+    * TakeOrderedAndProject. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   /** The operator filters rows in place — the child's clustering survives,
     * so a downstream groupBy/join on the same keys skips its exchange. */
@@ -83,11 +94,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to its physical operator. */
+/** Planner strategy: logical node → map-side partial heap, exchange (from
+  * the final pass's required distribution), final heap. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -98,6 +111,8 @@ object TopKPerKey {
     * first). Column-API expressions are deliberately not accepted: the
     * analyzer does not resolve lazy ColumnNode wrappers inside third-party
     * logical nodes, so name-based resolution here is the stable contract.
+    * `keys` may be empty: global top-k (partial heaps per partition, one
+    * single-partition merge — TakeOrderedAndProject's shape).
     *
     * Ties AT the k boundary retain an arbitrary k-subset of the tied rows
     * (exactly like `row_number`'s arbitrary tie pick) — pass a total
@@ -116,5 +131,25 @@ object TopKPerKey {
     }
     ClassicDataset.ofRows(df.sparkSession.asInstanceOf[ClassicSparkSession],
       TopKPerKeyNode(keys.map(attr), sortOrder, k, analyzed))
+  }
+
+  /** Name of a Column that is a plain (possibly qualified) attribute
+    * reference; None for computed expressions. */
+  def attrName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute => Some(a.nameParts.last)
+    case _ => None
+  }
+
+  /** Column-API adapter for operators whose public surface takes Columns
+    * (Retention, Paging): routes through the native plan when every
+    * key/order column is a plain attribute reference, returns None (caller
+    * falls back to the window/sort formulation) otherwise. */
+  def fromColumns(df: DataFrame, keys: Seq[Column], order: Seq[(Column, Boolean)],
+      k: Int): Option[DataFrame] = {
+    val keyNames = keys.map(attrName)
+    val orderNames = order.map { case (c, desc) => attrName(c).map(_ -> desc) }
+    if (keyNames.forall(_.isDefined) && orderNames.forall(_.isDefined))
+      Some(apply(df, keyNames.flatten, orderNames.flatten, k))
+    else None
   }
 }

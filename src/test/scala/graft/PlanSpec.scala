@@ -28,9 +28,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("dq18: top-K page compiles to TakeOrderedAndProject, not a global sort") {
+  test("dq18: top-K page runs as partial+final bounded heaps, never a full-table sort") {
     val p = planOf("dq18_topk_page")
-    assert(p.contains("TakeOrderedAndProject"), p)
+    // native keyless TopKPerKey: map-side heap below the single-partition
+    // exchange, merge heap above — TakeOrderedAndProject's shape through
+    // the custom operator; the only Sort orders the 50 surviving rows
+    assert("TopKPerKey ".r.findAllIn(p).size == 2, p)
+    assert(p.indexOf("TopKPerKey ") > p.indexOf("Sort "), p) // sort sits above the heaps
   }
 
   test("dq08: the profile dimension joins via broadcast hash join") {
@@ -56,10 +60,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("ns15: the feed pipeline keeps the cascade as scan-level filters") {
+  test("ns15: the feed pipeline serves its page through the bounded-heap top-k") {
     val p = planOf("ns15_feed_pipeline")
-    // include-regex predicate evaluated in the scan stage, not post-join
-    assert(p.contains("TakeOrderedAndProject"), p)
+    // the serving page rides Paging.topK → native partial+final heap pair
+    assert("TopKPerKey ".r.findAllIn(p).size == 2, p)
   }
 
   test("ns03: LSH pair join is a broadcast hash join on long keys, no sort-merge") {

@@ -43,14 +43,61 @@ class TopKPerKeySpec extends SparkSpec {
     assert(tops == Map(1L -> 20L, 2L -> 5L))
   }
 
-  test("retention via the custom operator matches Retention.keepNewest on real data") {
+  test("retention via the custom operator matches the window formulation on real data") {
     val t = Tables(spark, sf0001)
     val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
     val custom = TopKPerKey(e, Seq("user_id"), Seq("ts_us" -> true, "event_id" -> true), 5)
       .select("user_id", "event_id").orderBy("user_id", "event_id")
-    val builtin = graft.operators.Retention.keepNewest(
-        e, Seq(col("user_id")), col("ts_us"), col("event_id"), 5)
-      .select("user_id", "event_id").orderBy("user_id", "event_id")
-    assert(custom.collect().toSeq == builtin.collect().toSeq)
+    // flag off → keepNewest takes the independent row_number path
+    spark.conf.set(graft.operators.NativeTopK.Flag, "false")
+    val builtin =
+      try graft.operators.Retention.keepNewest(
+          e, Seq(col("user_id")), col("ts_us"), col("event_id"), 5)
+        .select("user_id", "event_id").orderBy("user_id", "event_id").collect().toSeq
+      finally spark.conf.unset(graft.operators.NativeTopK.Flag)
+    assert(custom.collect().toSeq == builtin)
+  }
+
+  test("keepNewest routes through the native heap by default; flag restores the window plan") {
+    val t = Tables(spark, sf0001)
+    val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
+    def planOf(): String = graft.operators.Retention.keepNewest(
+      e, Seq(col("user_id")), col("ts_us"), col("event_id"), 5)
+      .queryExecution.executedPlan.toString
+    val native = planOf()
+    assert(native.contains("TopKPerKey "), native)
+    assert(!native.toLowerCase.contains("window"), native)
+    spark.conf.set(graft.operators.NativeTopK.Flag, "false")
+    try {
+      val fallback = planOf()
+      assert(!fallback.contains("TopKPerKey "), fallback)
+      assert(fallback.toLowerCase.contains("window"), fallback)
+    } finally spark.conf.unset(graft.operators.NativeTopK.Flag)
+  }
+
+  test("planner emits a map-side partial heap below the exchange (shuffle sees survivors only)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i % 5, i)).toDF("key", "id")
+    val plan = TopKPerKey(df, Seq("key"), Seq("id" -> true), 3)
+      .queryExecution.executedPlan.toString
+    // two heap passes: partial above the scan, final above the exchange
+    assert("TopKPerKey ".r.findAllIn(plan).size == 2, plan)
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning(key")
+    assert(exchangeAt >= 0, plan)
+    assert(plan.indexOf("TopKPerKey ") < exchangeAt, plan)
+    assert(plan.indexOf("TopKPerKey ", exchangeAt) > exchangeAt, plan)
+  }
+
+  test("keyless global top-k: partial heaps + single-partition merge equals orderBy.limit") {
+    val t = Tables(spark, sf0001)
+    val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "ts_us")
+    val native = graft.operators.Paging.topK(e, col("ts_us"), col("event_id"), 40)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), plan)
+    val got = native.orderBy(col("ts_us").desc, col("event_id").desc).collect().toSeq
+    val want = e.orderBy(col("ts_us").desc, col("event_id").desc).limit(40).collect().toSeq
+    assert(got == want)
   }
 }
