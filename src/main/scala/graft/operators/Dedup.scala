@@ -195,6 +195,93 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("component"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * alternative to [[connectedComponents]] for ADVERSARIAL pair graphs.
+    *
+    * Hash-to-min propagation moves labels one hop (plus a pointer jump)
+    * per round: on a long chain it needs ~log₂(diameter) rounds, and each
+    * round touches the full edge list. The two-phase operations instead
+    * REWRITE the edge set toward stars: large-star links every
+    * larger-than-center neighbor directly to the neighborhood minimum,
+    * small-star contracts the smaller neighbors; the graph's diameter
+    * collapses doubly-exponentially in practice and the edge set shrinks
+    * as it converges (provably O(log² n) rounds, near-constant on real
+    * dedup graphs). On a skewed graph — one giant near-dup cluster plus
+    * long chains of pairwise-similar documents — this converges where
+    * fixed-budget propagation exhausts its round budget (spec-proven).
+    *
+    * Each operation is one groupBy-min over the (bidirectional / oriented)
+    * edge list plus an equi-join back — map-side-combined shuffles on the
+    * node id, nothing driver-side; the edge set is checkpointed per round.
+    * Convergence = unchanged (count, Σ xxhash64(u,v)) signature — two
+    * tiny aggregates, collision odds ~2⁻⁶⁴ per round. `idCol` must be
+    * numeric, like [[connectedComponents]]; throws on round-budget
+    * exhaustion rather than returning a half-contracted graph.
+    */
+  def twoPhaseComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    require(nodes.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"twoPhaseComponents needs a numeric id column (got ${nodes.schema(idCol).dataType}); " +
+        "hash string ids to longs (xxhash64) before clustering")
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // large-star: for every center u, link each LARGER neighbor v to
+    // m = min(Γ(u) ∪ {u}) — centers are every node (bidirectional view)
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bidir.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      bidir.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: orient each edge large→small, link each smaller
+    // neighbor (and the center) to m = min of the small neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = signature(edges)
+      converged = s == prev
+      prev = s
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"twoPhaseComponents did not converge in $maxIters iterations — raise maxIters " +
+        "(a half-contracted edge set would yield wrong components)")
+    // fixpoint edges are stars (member, componentMin); isolated nodes are
+    // their own component
+    val members = edges.select(greatest(col("u"), col("v")).as("id"),
+      least(col("u"), col("v")).as("lbl"))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    nodes.select(col(idCol).as("id")).distinct().as("n")
+      .join(members.as("m"), col("n.id") === col("m.id"), "left")
+      .select(col("n.id").as(idCol),
+        coalesce(col("m.lbl"), col("n.id")).as("component"))
+  }
+
   /** Near-dup clusters straight from LSH bucket membership — the scale
     * path. Every LSH bucket is a clique of the candidate-pair graph, so
     * min-label propagation over the doc↔bucket BIPARTITE graph (|docs| ×

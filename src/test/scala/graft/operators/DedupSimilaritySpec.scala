@@ -215,6 +215,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labelNotMember.count() == 0)
   }
 
+  test("two-phase components converge on an adversarial chain where hash-to-min exhausts its budget") {
+    val s = spark
+    import s.implicits._
+    // skewed fixture: a 3000-node chain (diameter 2999) + one giant star
+    // cluster (hub 10000 with 500 spokes) + isolates. Hash-to-min covers at
+    // most ~2^k hops in k rounds (one neighbor hop + one pointer jump per
+    // round), so 10 rounds cannot traverse the chain — the convergence
+    // guard must throw; large-star/small-star collapses the same graph
+    // within the default budget.
+    val chain = (0L until 2999L).map(i => (i, i + 1))
+    val star = (1L to 500L).map(i => (10000L, 10000L + i))
+    val nodeIds = (0L until 3000L) ++ (10000L to 10500L) ++ Seq(99999L)
+    val nodes = nodeIds.toDF("doc_id")
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "doc_id", pairs, maxIters = 10)
+    }
+    val got = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L until 3000L).map(_ -> 0L) ++
+      (10000L to 10500L).map(_ -> 10000L) ++ Seq(99999L -> 99999L)).toMap
+    assert(got == want)
+  }
+
+  test("two-phase components equal hash-to-min on random graphs and the real LSH pair graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 25 + rnd.nextInt(25)
+      val edges = Seq.fill(rnd.nextInt(40))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val a = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      val b = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"n=$n edges=${edges.size}: two-phase must equal pointer-jumped propagation")
+    }
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
+    val a = Dedup.connectedComponents(docs, "doc_id", lshPairs)
+    val b = Dedup.twoPhaseComponents(docs, "doc_id", lshPairs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("repetition metrics expose duplicated words and bigrams") {
     val s = spark
     import s.implicits._
