@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
 object KMeansIvf {
 
   /** Squared L2 distance between a fixed-point vector column and a literal
-    * centroid, via the native dot expression: |x|² - 2x·c + |c|². */
-  private def distSq(fe: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column,
+    * centroid, via the native dot expression: |x|² - 2x·c + |c|².
+    * Package-visible: [[ProductQuantizer]] reuses it for per-subspace
+    * codebook assignment and ADC distance tables. */
+  private[operators] def distSq(fe: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column,
       c: Array[Long]): org.apache.spark.sql.Column = {
     val cLit = typedlit(c.toSeq)
     val cNsq = c.map(v => v * v).sum

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the compressed-domain
+  * complement to [[Similarity.sq8TopK]]: instead of quantizing each
+  * DIMENSION to a byte, the vector is split into `m` subvectors and each
+  * subvector is vector-quantized against its own `ks`-entry codebook, so a
+  * 64-dim float vector compresses to m=4 one-byte codes (64× less scan
+  * bandwidth than floats; 16× less than SQ8).
+  *
+  * Codebooks use the same deterministic fixed-point Lloyd recipe as
+  * [[KMeansIvf]] (integer micro-units, lowest-id init, lowest-code argmin
+  * ties, integer-division means — no RNG), but all `m` subspaces train
+  * JOINTLY and the codebooks live in a broadcast (subspace, code,
+  * centroid) TABLE rather than unrolled expression literals: every row of
+  * the exploded (id, subspace, subvector) membership table joins its
+  * subspace's codes, takes min(struct(distance, code)), and one
+  * map-side-combined aggregation on (subspace, code) yields all m×ks new
+  * centroids in a single shuffle. Two wins over per-subspace literal
+  * unrolling: m training scans collapse to one, and the generated code
+  * stays SMALL and shape-stable — m×ks×(dim/m) unrolled distance terms
+  * made every Lloyd step a fresh multi-hundred-ms whole-stage compile
+  * (measured ~3× the whole query's steady-state time at small SF).
+  *
+  * Search is asymmetric distance computation (ADC): each query precomputes
+  * an EXACT integer table of squared L2 distances from its subvectors to
+  * every codebook entry (m × ks longs — the same broadcast join, assembled
+  * into a code-indexed array), and a candidate's distance is m table
+  * lookups summed. Engine-identical ranking by construction: every
+  * distance is an exact Long, and the DuckDB oracle replays the training
+  * bit-for-bit.
+  *
+  * Scale notes: codebooks are m×ks-row broadcasts (the driver holds
+  * m×ks×(dim/m) longs, like the IVF centroids); candidate encoding is the
+  * same broadcast join + per-vector aggregation — the corpus is never
+  * shuffled full-width, only the m×ks partially-aggregated centroid rows
+  * and the per-vector (id, m codes) rows move; the query side (id +
+  * m×ks-long table) broadcasts; ranking shuffles only (q_id, dist) pairs
+  * through the per-query window. At 100 TB the candidate table stores
+  * ONLY the m byte-codes — the corpus scan that PQ exists to shrink.
+  */
+object ProductQuantizer {
+
+  /** Exploded membership table: one (id, ss, fe, nsq) row per vector per
+    * subspace — total volume equals the original vectors, just re-keyed by
+    * subspace. Persisted (not checkpointed): the first consumer (the
+    * codebook init) materializes the cache as part of its own job instead
+    * of paying a separate eager-checkpoint job, and every Lloyd/encode
+    * pass after that reads cached blocks. */
+  private def memberRows(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    val subVectors = (0 until m).map(j =>
+      Similarity.fixedPoint(slice(col(vecCol), j * sub + 1, sub)))
+    df.select(col(idCol).as("__pqid"),
+        posexplode(array(subVectors: _*)).as(Seq("ss", "fe")))
+      .withColumn("nsq", Similarity.dotFp(col("fe"), col("fe")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Codebooks as a broadcastable (ss, cl, cfe, cnsq) frame. */
+  private def centroidFrame(df: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, cl) =>
+        (j, cl, c.toSeq, c.map(v => v * v).sum)
+      }
+    }.toSeq.toDF("ss", "cl", "cfe", "cnsq")
+  }
+
+  /** Exact squared L2 distance of a member row to a joined centroid row:
+    * |x|² − 2x·c + |c|², all Longs. */
+  private val distExpr: Column =
+    col("nsq") - lit(2L) * Similarity.dotFp(col("fe"), col("cfe")) + col("cnsq")
+
+  /** Per-(id, subspace) nearest code with its subvector carried along:
+    * min(struct(d, cl, fe)) — codes are unique per group, so ties on d go
+    * to the lowest code, the same first-match rule as [[KMeansIvf.fit]]. */
+  private def assign(members: DataFrame, cents: DataFrame): DataFrame =
+    members.join(broadcast(cents), "ss")
+      .groupBy(col("__pqid"), col("ss"))
+      .agg(min(struct(distExpr.as("d"), col("cl").as("cl"), col("fe").as("fe"))).as("__m"))
+      .select(col("__pqid"), col("ss"),
+        col("__m.cl").as("cl"), col("__m.fe").as("fe"))
+
+  /** Joint Lloyd over all subspaces: one broadcast assignment join + one
+    * (ss, cl) mean aggregation per iteration. */
+  private def fitOnMembers(members: DataFrame, sub: Int, m: Int, ks: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    // init: the ks lowest-id subvectors of every subspace, one collect
+    val init = members.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("ss")).orderBy(col("__pqid"))))
+      .filter(col("__rn") <= ks)
+      .select(col("ss"), (col("__rn") - 1).cast("int").as("cl"), col("fe")).collect()
+    require(init.length == m * ks, s"need at least $ks vectors to seed $ks codes")
+    var books = Array.fill(m, ks)(Array.empty[Long])
+    init.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+
+    val sums = (0 until sub).map(i =>
+      sum(element_at(col("fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+    for (_ <- 1 to iters) {
+      val means = assign(members, centroidFrame(members, books))
+        .groupBy(col("ss"), col("cl")).agg(sums.head, sums.tail: _*).collect()
+      // empty codes keep their previous centroid, like KMeansIvf.fit
+      val next = Array.tabulate(m, ks)((j, c) => books(j)(c).clone())
+      means.foreach { r =>
+        val j = r.getInt(0)
+        val cl = r.getInt(1)
+        val n = r.getLong(sub + 2)
+        var i = 0
+        while (i < sub) { next(j)(cl)(i) = r.getLong(i + 2) / n; i += 1 } // Long '/' ≡ SQL div
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Per-subspace codebooks fitted on the candidate corpus: element j is a
+    * ks × (dim/m) array of fixed-point centroids. */
+  def fitCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): Seq[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    fitOnMembers(memberRows(candidates, idCol, vecCol, dim, m),
+      dim / m, m, ks, iters).toSeq
+  }
+
+  /** ADC top-k: fit codebooks on the candidates, encode candidates to m
+    * codes, rank by summed distance-table lookups (ascending — PQ
+    * approximates L2 distance, not cosine). Queries are drawn from the
+    * candidate corpus by id, like the other ANN catalog entries. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 4, ks: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val members = memberRows(candidates, idCol, vecCol, dim, m)
+    val books = fitOnMembers(members, sub, m, ks, iters)
+    val cents = centroidFrame(members, books)
+
+    // candidate codes: nearest code per subspace, pivoted to one row of m
+    // code columns in a SINGLE aggregation — min(when(ss=j, struct(d, cl)))
+    // skips the other subspaces' rows (nulls), so no intermediate
+    // per-(id, subspace) grouping pass is needed
+    val codeAggs = (0 until m).map(j =>
+      min(when(col("ss") === j, struct(distExpr.as("d"), col("cl").as("cl"))))
+        .getField("cl").as(s"__c$j"))
+    val coded = members.join(broadcast(cents), "ss")
+      .groupBy(col("__pqid")).agg(codeAggs.head, codeAggs.tail: _*)
+
+    // query ADC tables: all m×ks distances per query, assembled into
+    // code-indexed arrays per subspace, one aggregation for the same reason
+    val tabAggs = (0 until m).map(j =>
+      transform(array_sort(collect_list(
+          when(col("ss") === j, struct(col("cl"), col("d"))))),
+        x => x.getField("d")).as(s"__dt$j"))
+    val qtabs = members
+      .join(queries.select(col(idCol).as("__pqid")), "__pqid")
+      .join(broadcast(cents), "ss")
+      .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))
+      .groupBy(col("__pqid")).agg(tabAggs.head, tabAggs.tail: _*)
+
+    val dist = (0 until m).map(j =>
+      element_at(col(s"q.__dt$j"), col(s"c.__c$j") + 1)).reduce(_ + _)
+    broadcast(qtabs).as("q")
+      .join(coded.as("c"), col("q.__pqid") =!= col("c.__pqid"))
+      .select(col("q.__pqid").as("q_id"), col("c.__pqid").as("cand_id"),
+        dist.as("pq_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("pq_dist").asc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -258,5 +258,82 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37)
+  /** One unrolled Lloyd iteration for PQ subspace `j` (same math as
+    * [[kmeansIterSql]], names suffixed per subspace and the vector CTE
+    * replaced by the subspace's n$j). */
+  private def pqIterSql(j: Int, i: Int): String = {
+    val prev = s"c${j}_${i - 1}n"
+    s"""a${j}_$i AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM (SELECT n.vec_id, c.cluster,
+       |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |    FROM n$j n CROSS JOIN $prev c)) WHERE rn = 1),
+       |m${j}_$i AS (SELECT cluster, pos, CAST(TRUNC(CAST(sum(v) AS DOUBLE) / count(v)) AS BIGINT) AS m
+       |  FROM (SELECT a.cluster, unnest(n.fe) AS v, unnest(range(len(n.fe))) AS pos
+       |        FROM a${j}_$i a JOIN n$j n USING (vec_id))
+       |  GROUP BY cluster, pos),
+       |c${j}_$i AS (SELECT c.cluster, COALESCE(lm.cfe2, c.cfe) AS cfe
+       |  FROM $prev c LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS cfe2 FROM m${j}_$i GROUP BY cluster) lm USING (cluster)),
+       |c${j}_${i}n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c${j}_$i)""".stripMargin
+  }
+
+  /** PQ subspace CTE chain: fixed-point subvectors (list slice = Spark's
+    * `slice`), lowest-id codebook init, two Lloyd iterations, the final
+    * code assignment af$j, and the query-side ADC distance table qd$j. */
+  private def pqSubCtes(j: Int, sub: Int, ks: Int): String = {
+    val lo = j * sub + 1
+    val hi = (j + 1) * sub
+    s"""fp$j AS (SELECT vec_id, list_transform(embedding[$lo:$hi], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe FROM embeddings),
+       |n$j AS (SELECT vec_id, fe, CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq FROM fp$j),
+       |c${j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+       |  FROM (SELECT vec_id, fe FROM n$j ORDER BY vec_id LIMIT $ks)),
+       |c${j}_0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c${j}_0),
+       |${pqIterSql(j, 1)},
+       |${pqIterSql(j, 2)},
+       |af$j AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM (SELECT n.vec_id, c.cluster,
+       |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |    FROM n$j n CROSS JOIN c${j}_2n c)) WHERE rn = 1),
+       |qd$j AS (SELECT n.vec_id AS q_id, c.cluster,
+       |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |  FROM n$j n CROSS JOIN c${j}_2n c WHERE n.vec_id < 5)""".stripMargin
+  }
+
+  /** Product-quantization ANN: 64 dims → 4 subspaces × 16-entry codebooks
+    * (deterministic integer k-means per subspace), candidates reduced to 4
+    * codes, ranking by exact-integer ADC distance tables. The oracle
+    * replays the whole thing — training included — in SQL. */
+  private val ns42 = QueryEntry(
+    "ns42_ann_pq",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.ProductQuantizer.pqTopK(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, dim = 64, m = 4, ks = 16, iters = 2)
+        .select(col("q_id"), col("cand_id"), col("pq_dist"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some {
+      val subs = (0 until 4).map(j => pqSubCtes(j, sub = 16, ks = 16)).mkString(",\n")
+      s"""WITH $subs,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+         |  FROM af0 a0 JOIN af1 a1 USING (vec_id) JOIN af2 a2 USING (vec_id) JOIN af3 a3 USING (vec_id)),
+         |scored AS (
+         |  SELECT d0.q_id, cand.vec_id AS cand_id, d0.d + d1.d + d2.d + d3.d AS pq_dist
+         |  FROM codes cand
+         |  JOIN qd0 d0 ON d0.cluster = cand.k0
+         |  JOIN qd1 d1 ON d1.q_id = d0.q_id AND d1.cluster = cand.k1
+         |  JOIN qd2 d2 ON d2.q_id = d0.q_id AND d2.cluster = cand.k2
+         |  JOIN qd3 d3 ON d3.q_id = d0.q_id AND d3.cluster = cand.k3
+         |  WHERE cand.vec_id <> d0.q_id)
+         |SELECT q_id, cand_id, pq_dist, rnk FROM (
+         |  SELECT q_id, cand_id, pq_dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY pq_dist, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+  )
+
+  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42)
 }

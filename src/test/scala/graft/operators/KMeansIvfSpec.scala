@@ -68,4 +68,41 @@ class KMeansIvfSpec extends SparkSpec {
     assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet.size >= p1.size)
     p2best // recall widening sanity-checked via candidate-set growth above
   }
+
+  test("PQ: codebooks are deterministic, every candidate encodes, ranks are dense per query") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val r1 = graft.operators.ProductQuantizer.pqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64).collect()
+    val r2 = graft.operators.ProductQuantizer.pqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64).collect()
+    assert(r1.map(_.toSeq).toSet == r2.map(_.toSeq).toSet) // deterministic, no RNG
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L)) // dense ranks
+      assert(rows.forall(_.getLong(2) >= 0L)) // squared distances
+    }
+  }
+
+  test("PQ: well-separated clusters retrieve their own members first") {
+    val s = spark
+    import s.implicits._
+    // 3 clusters far apart in subspace structure, ids INTERLEAVED (cluster
+    // = id % 3) so the lowest-id codebook init sees every cluster — with
+    // block-contiguous ids all seeds land in one cluster and 2 Lloyd
+    // iterations can leave two clusters sharing a code
+    def v(base: Double): Seq[Float] = (0 until 64).map(i => (base + i * 0.001).toFloat)
+    val rows = (0 until 12).map { id =>
+      (id.toLong, v((id % 3) * 0.3 - 0.45).map(x => x + (id / 3) * 0.0001f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val res = graft.operators.ProductQuantizer.pqTopK(
+        df.filter(col("vec_id").isin(0L, 1L, 2L)), df,
+        "vec_id", "embedding", k = 3, dim = 64, m = 4, ks = 4, iters = 2)
+      .collect()
+    res.foreach { r =>
+      val (q, cand) = (r.getLong(0), r.getLong(1))
+      assert(q % 3 == cand % 3, s"query $q retrieved $cand from another cluster")
+    }
+  }
 }
