@@ -54,6 +54,81 @@ object Firehose {
         col("action").isin("create", "delete") &&
         col("collection").isin(Collections: _*))
 
+  /** REAL wire path: binary firehose frames (two concatenated CBOR items —
+    * the `{op, t}` header and the commit body whose `blocks` field is a
+    * CARv1 archive) → repo ops, mirroring `getOpsByType`
+    * (/root/reference/src/util/subscription.ts:76-122): per op, `create`
+    * looks its record block up in the CAR by CID and CBOR-decodes it,
+    * `delete` carries only the uri, `update` is skipped, and a frame or op
+    * that fails to parse is dropped — the reference's catch-and-continue
+    * (subscription.ts:24-33, 41-46). Runs in `mapPartitions` (a byte codec
+    * is per-row imperative work, same boundary as the multimodal codecs);
+    * each decoded op becomes one JSON line feeding the SAME schema-on-read
+    * [[decode]] the JSON stand-in uses, so both paths share one guard
+    * surface. */
+  def decodeCborFrames(raw: DataFrame, bytesCol: String = "frame"): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val jsons = raw.select(col(bytesCol)).as[Array[Byte]].mapPartitions { frames =>
+      frames.flatMap { bytes =>
+        try frameToOpJsons(bytes)
+        catch { case _: Exception => Iterator.empty } // skipped invalid message
+      }
+    }.toDF("value")
+    decode(jsons)
+  }
+
+  /** One binary frame → JSON op lines (empty for non-commit frames). */
+  private[sources] def frameToOpJsons(frame: Array[Byte]): Iterator[String] = {
+    import Cbor._
+    val r = new Reader(frame)
+    val header = r.decode() match { case m: CMap => m; case _ => return Iterator.empty }
+    val isCommit = header.get("op").contains(CInt(1)) &&
+      header.get("t").contains(CText("#commit"))
+    if (!isCommit || r.remaining == 0) return Iterator.empty
+    val body = r.decode() match { case m: CMap => m; case _ => return Iterator.empty }
+    val seq = body.get("seq") match { case Some(CInt(s)) => s; case _ => return Iterator.empty }
+    val repo = body.get("repo") match { case Some(CText(s)) => s; case _ => return Iterator.empty }
+    val blocks = body.get("blocks") match {
+      case Some(CBytes(b)) => readCar(b)
+      case _ => Map.empty[String, Array[Byte]]
+    }
+    val ops = body.get("ops") match { case Some(CArr(xs)) => xs; case _ => Vector.empty }
+    ops.iterator.flatMap {
+      case op: CMap =>
+        val action = op.get("action").collect { case CText(s) => s }
+        val path = op.get("path").collect { case CText(s) => s }
+        (action, path) match {
+          case (Some("create"), Some(p)) =>
+            val cidStr = op.get("cid").collect { case CTag(42, CBytes(b)) => cidToString(b.drop(1)) }
+            for {
+              cid <- cidStr // op without a cid: skipped (subscription.ts:93)
+              recordBytes <- blocks.get(cid) // block missing from CAR: skipped (:95)
+              record <- try Some(new Reader(recordBytes).decode())
+                        catch { case _: Exception => None }
+            } yield opJson(seq, "create", p, repo, Some(cid), Some(record))
+          case (Some("delete"), Some(p)) =>
+            Some(opJson(seq, "delete", p, repo, None, None))
+          case _ => None // updates not supported yet (subscription.ts:90)
+        }
+      case _ => None
+    }
+  }
+
+  private def opJson(seq: Long, action: String, path: String, repo: String,
+      cid: Option[String], record: Option[Cbor.Value]): String = {
+    val collection = path.split('/').head
+    val fields = Seq(
+      s""""seq":$seq""",
+      s""""action":"$action"""",
+      s""""collection":"$collection"""",
+      s""""uri":"at://$repo/$path"""",
+      s""""author":"$repo"""") ++
+      cid.map(c => s""""cid":"$c"""") ++
+      record.map(rec => s""""record":${Cbor.toJson(rec)}""")
+    fields.mkString("{", ",", "}")
+  }
+
   /** Route decoded ops: creates of one collection. */
   def creates(ops: DataFrame, collection: String): DataFrame =
     ops.filter(col("action") === "create" && col("collection") === collection)

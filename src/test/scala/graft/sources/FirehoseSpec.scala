@@ -63,4 +63,117 @@ class FirehoseSpec extends SparkSpec {
     val r = spark.sql("SELECT dot_fp(array(1L,2L,3L), array(4L,5L,6L)) AS d").head()
     assert(r.getLong(0) == 32L)
   }
+
+  // ---- real binary wire path: CBOR frames + CAR blocks -----------------
+
+  import Cbor._
+
+  /** CIDv1 bytes (version 1, dag-cbor 0x71, sha2-256 multihash) for a block. */
+  private def cidBytes(data: Array[Byte]): Array[Byte] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(data)
+    Array[Byte](0x01, 0x71.toByte, 0x12, 32) ++ digest
+  }
+
+  /** DAG-CBOR CID link: tag 42 around identity-multibase(0x00) ++ cid. */
+  private def cidLink(cid: Array[Byte]): Value = CTag(42, CBytes(0x00.toByte +: cid))
+
+  /** CARv1 archive: varint-framed CBOR header, then varint-framed cid++data blocks. */
+  private def car(blocks: Seq[Array[Byte]]): Array[Byte] = {
+    val header = Writer.encode(CMap(Vector(
+      "version" -> CInt(1), "roots" -> CArr(Vector.empty))))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VarInt.write(header.length)); out.write(header)
+    blocks.foreach { data =>
+      val cid = cidBytes(data)
+      out.write(VarInt.write(cid.length + data.length)); out.write(cid); out.write(data)
+    }
+    out.toByteArray
+  }
+
+  private def commitFrame(seq: Long, repo: String, ops: Seq[Value],
+      carBlocks: Seq[Array[Byte]]): Array[Byte] = {
+    val header = Writer.encode(CMap(Vector("op" -> CInt(1), "t" -> CText("#commit"))))
+    val body = Writer.encode(CMap(Vector(
+      "seq" -> CInt(seq), "repo" -> CText(repo),
+      "ops" -> CArr(ops.toVector), "blocks" -> CBytes(car(carBlocks)))))
+    header ++ body
+  }
+
+  private def op(action: String, path: String, cid: Option[Array[Byte]]): Value =
+    CMap(Vector("action" -> CText(action), "path" -> CText(path)) ++
+      cid.map(c => "cid" -> cidLink(c)))
+
+  private val postRecord = Writer.encode(CMap(Vector(
+    "$type" -> CText("app.bsky.feed.post"),
+    "text" -> CText("spark decodes cbor"),
+    "createdAt" -> CText("2024-03-01 10:00:00"),
+    "langs" -> CArr(Vector(CText("en"))))))
+  private val followRecord = Writer.encode(CMap(Vector(
+    "$type" -> CText("app.bsky.graph.follow"),
+    "subject" -> CText("did:plc:followee"),
+    "createdAt" -> CText("2024-03-01 11:00:00"))))
+
+  private def binFrames(frames: Array[Byte]*) = {
+    val s = spark
+    import s.implicits._
+    frames.toDF("frame")
+  }
+
+  test("binary commit frames decode through CAR + CBOR into routed ops (S2-S3)") {
+    val orphanCid = cidBytes("not in car".getBytes)
+    val frame = commitFrame(7L, "did:plc:x", Seq(
+      op("create", "app.bsky.feed.post/3kabc", Some(cidBytes(postRecord))),
+      op("delete", "app.bsky.feed.post/3kold", None),
+      op("create", "app.bsky.graph.follow/3kfol", Some(cidBytes(followRecord))),
+      op("update", "app.bsky.feed.post/3kupd", Some(cidBytes(postRecord))), // skipped (:90)
+      op("create", "app.bsky.feed.post/3knocid", None), // no cid: skipped (:93)
+      op("create", "app.bsky.feed.post/3korphan", Some(orphanCid)), // block missing: skipped (:95)
+    ), Seq(postRecord, followRecord))
+    val nonCommit = Writer.encode(CMap(Vector("op" -> CInt(1), "t" -> CText("#info"))))
+    val garbage = Array[Byte](0x7f, -1, 0x42)
+
+    val ops0 = Firehose.decodeCborFrames(binFrames(frame, nonCommit, garbage)).cache()
+    assert(ops0.count() == 3)
+    val post = Firehose.creates(ops0, "app.bsky.feed.post").head()
+    assert(post.getAs[Long]("seq") == 7L)
+    assert(post.getAs[String]("uri") == "at://did:plc:x/app.bsky.feed.post/3kabc")
+    assert(post.getAs[String]("author") == "did:plc:x")
+    assert(post.getAs[String]("cid") == Cbor.cidToString(cidBytes(postRecord)))
+    val rec = post.getStruct(post.fieldIndex("record"))
+    assert(rec.getAs[String]("text") == "spark decodes cbor")
+    assert(rec.getSeq[String](rec.fieldIndex("langs")) == Seq("en"))
+    assert(Firehose.creates(ops0, "app.bsky.graph.follow").count() == 1)
+    assert(Firehose.deletes(ops0, "app.bsky.feed.post")
+      .collect().map(_.getString(0)).toSeq == Seq("at://did:plc:x/app.bsky.feed.post/3kold"))
+  }
+
+  test("binary path and JSON stand-in share one guard surface: identical rows") {
+    val frame = commitFrame(9L, "did:plc:y", Seq(
+      op("create", "app.bsky.feed.post/3kp", Some(cidBytes(postRecord)))), Seq(postRecord))
+    val viaCbor = Firehose.decodeCborFrames(binFrames(frame))
+    val cidStr = Cbor.cidToString(cidBytes(postRecord))
+    val viaJson = Firehose.decode(raw(
+      s"""{"seq":9,"action":"create","collection":"app.bsky.feed.post",""" +
+        s""""uri":"at://did:plc:y/app.bsky.feed.post/3kp","cid":"$cidStr","author":"did:plc:y",""" +
+        """"record":{"text":"spark decodes cbor","createdAt":"2024-03-01 10:00:00","langs":["en"]}}"""))
+    assert(viaCbor.exceptAll(viaJson).isEmpty && viaJson.exceptAll(viaCbor).isEmpty)
+  }
+
+  test("CBOR codec round-trips the DAG-CBOR value domain") {
+    val v = CMap(Vector(
+      "i" -> CInt(23), "big" -> CInt(1L << 40), "neg" -> CInt(-42),
+      "s" -> CText("héllo \"quoted\"\n"), "b" -> CBool(true), "n" -> CNull,
+      "d" -> CDouble(2.5), "arr" -> CArr(Vector(CInt(0), CText("x"))),
+      "bytes" -> CBytes(Array[Byte](1, 2, 3)),
+      "link" -> cidLink(cidBytes("data".getBytes))))
+    val decoded = new Reader(Writer.encode(v)).decode()
+    def norm(x: Value): Any = x match {
+      case CBytes(b) => b.toSeq
+      case CTag(t, inner) => (t, norm(inner))
+      case CArr(xs) => xs.map(norm)
+      case CMap(kvs) => kvs.map { case (k, y) => k -> norm(y) }
+      case other => other
+    }
+    assert(norm(decoded) == norm(v))
+  }
 }
