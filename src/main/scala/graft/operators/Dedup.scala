@@ -74,9 +74,16 @@ object Dedup {
     * without shuffling the pair set, which at high collision rates is the
     * dominant cost (a groupBy-dedup of the pair stream measured 3-6×
     * slower). Band hashes are materialized once (localCheckpoint) so the
-    * self-join doesn't recompute the signatures on both sides. */
+    * self-join doesn't recompute the signatures on both sides.
+    *
+    * Above `broadcastRowLimit` the join shuffles on (band, bandHash) —
+    * there a HOT bucket (a viral near-duplicate at crawl scale) lands on
+    * one reducer, and AQE's skew-join splitting is the mitigation
+    * (spec-proven in SkewSpec, which forces this path with limit 0);
+    * [[Skew.saltedJoin]] is the explicit fallback for AQE-off builds. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4,
+      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
     val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)
     val banded = withBands.select(
       (col(idCol) +: (0 until bands).map(j => col(s"__h$j"))) :+
@@ -84,7 +91,7 @@ object Dedup {
     // banded = |withBands| × bands rows exactly; count the checkpointed base
     val bandedRows = withBands.count() * bands
     val a = banded.as("a")
-    val b = if (bandedRows <= JoinHints.DefaultBroadcastRowLimit) broadcast(banded).as("b")
+    val b = if (bandedRows <= broadcastRowLimit) broadcast(banded).as("b")
             else banded.as("b")
     // no band before this one also matched — unrolled scalar long compares
     val firstMatch = (0 until bands).map { j =>

@@ -74,6 +74,56 @@ class IngestServeSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("end-to-end: streamed DSv2 source converges to the batch formulation's exact store") {
+    // The full ingest plane over the REAL micro-batch source: graft-search
+    // pages → PostView wire shape → cascade fan-out → anti-join upsert →
+    // in-loop retention after EVERY batch — then the same pipeline stated
+    // as one batch dataflow (dq10 + dq13 composed). Count-based retention
+    // commutes with batching (a row evicted mid-stream is strictly older
+    // than cap-many survivors that outlive it), so the two stores must be
+    // IDENTICAL row sets, and the serving page + cursor built from them
+    // must match byte-for-byte.
+    val store = tmpDir("graft-e2e-stream")
+    val ckpt = tmpDir("graft-e2e-ckpt")
+    val conditions = Seq(
+      cond(key = "s1", inputRegex = "spark|vector", limitCount = 40),
+      cond(key = "s2", inputRegex = "merge|join", lang = Some("en"), limitCount = 25))
+
+    val streamHits = spark.readStream.format("graft-search")
+      .option("totalPosts", 2000).option("pageSize", 100)
+      .option("pagesPerTrigger", 4).load()
+    val q = Ingest.start(spark,
+      graft.sources.Firehose.searchHitsAsPostViews(streamHits),
+      conditions, None, store, ckpt, retentionEvery = 1)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Ingest.readStore(spark, store)
+    assert(streamed.count() > 0)
+
+    // batch formulation over the identical source rows
+    val batchHits = spark.read.format("graft-search").option("totalPosts", 2000).load()
+    val ingested = Ingest.processBatch(spark, Ingest.emptyStore(spark),
+      graft.sources.Firehose.searchHitsAsPostViews(batchHits), conditions, None)
+    val bdir = tmpDir("graft-e2e-batch")
+    ingested.write.mode("overwrite").partitionBy("key").parquet(bdir)
+    Ingest.retentionCompact(spark, bdir, conditions)
+    val batch = Ingest.readStore(spark, bdir)
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed and batch stores must converge to identical row sets")
+    // both feeds hit their caps — retention actually exercised
+    val perKey = batch.groupBy(col("key")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey("s1") == 40 && perKey("s2") == 25, perKey.toString)
+
+    // serving equivalence: same first page, same cursor
+    val (pageA, curA) = FeedPage.pageWithCursor(spark, streamed, conditions.head, 15, None)
+    val (pageB, curB) = FeedPage.pageWithCursor(spark, batch, conditions.head, 15, None)
+    assert(curA == curB && curA.isDefined)
+    assert(pageA.orderBy(col("ord")).collect().toSeq ==
+      pageB.orderBy(col("ord")).collect().toSeq)
+  }
+
   test("retention compact keeps each feed's newest limitCount rows") {
     val s = spark
     import s.implicits._

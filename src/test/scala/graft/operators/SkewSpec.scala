@@ -50,4 +50,55 @@ class SkewSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("LSH pair self-join under a hot bucket: AQE splits the skewed partition, result unchanged") {
+    val s = spark
+    import s.implicits._
+    // one viral near-duplicate: 400 identical texts share every LSH band
+    // (one hot (band, hash) bucket), plus a unique tail
+    val docs = ((0 until 400).map(i => (i.toLong, "hot viral post going around")) ++
+      (400 until 600).map(i => (i.toLong, s"unique text number $i about topic ${i % 7}")))
+      .toDF("doc_id", "text")
+
+    // ground truth from the broadcast path (default gate)
+    val viaBroadcast = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBroadcast.size >= 400 * 399 / 2) // the hot clique is present
+
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force the at-scale shape on a toy fixture: no broadcast anywhere,
+      // skew thresholds low enough that the hot bucket's partition trips them
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // shuffle sizes are COMPRESSED bytes and identical hot rows compress
+      // hard — thresholds must sit well below the hot partition's few KB
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      // broadcastRowLimit = 0 → the shuffle join path (what a 100 TB corpus takes)
+      val shuffled = Dedup.minhashLshPairs(docs, "doc_id", "text", broadcastRowLimit = 0L)
+      val viaShuffle = shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaShuffle == viaBroadcast, "skew-split shuffle join must equal the broadcast join")
+
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("skewed"), // AQEShuffleRead marks the split partitions
+        s"expected AQE skew-split markers in the final adaptive plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
