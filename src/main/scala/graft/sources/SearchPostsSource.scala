@@ -20,10 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * pushed INTO the source (`' lang:xx'` appended to the search query,
   * P10/S1 — here a DSv2 `SupportsPushDownFilters` on the `lang` column).
   *
-  * The remote API is replaced by a deterministic in-process post generator
-  * (zero-egress harness); the connector surface — offsets, micro-batch
-  * planning, pushdown, rate budget — is the real thing. Options:
-  *   totalPosts (default 1000), pageSize (100), pagesPerTrigger (100).
+  * The fetch body is pluggable. With `endpoint` set, every page is a REAL
+  * HTTP GET (`{endpoint}?offset=N&limit=M[&lang=xx]` → JSON post array,
+  * executed executor-side with the JDK HttpClient) — the pushed language
+  * predicate travels on the wire exactly like the reference appending
+  * `' lang:xx'` to the remote query. Without `endpoint` a deterministic
+  * in-process generator stands in (zero-egress harness default); the
+  * connector surface — offsets, micro-batch planning, pushdown, rate
+  * budget, page fan-out — is identical either way. Options:
+  *   totalPosts (default 1000), pageSize (100), pagesPerTrigger (100),
+  *   endpoint (default unset → synthetic).
   *
   * Registered as format("graft-search"); supports batch and micro-batch
   * reads. Offsets are post indices, checkpointed by Spark (T4 — strictly
@@ -85,14 +91,15 @@ class SearchPostsTable(options: CaseInsensitiveStringMap) extends Table with Sup
     new SearchScanBuilder(
       totalPosts = options.getLong("totalPosts", 1000L),
       pageSize = options.getInt("pageSize", 100),
-      pagesPerTrigger = options.getInt("pagesPerTrigger", 100))
+      pagesPerTrigger = options.getInt("pagesPerTrigger", 100),
+      endpoint = Option(options.get("endpoint")))
 }
 
 /** Pushdown: EqualTo("lang", v) is consumed by the source (the reference
   * appends ' lang:xx' to the remote query); everything else stays a Spark
   * post-filter. */
-class SearchScanBuilder(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+class SearchScanBuilder(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int,
+    endpoint: Option[String]) extends ScanBuilder with SupportsPushDownFilters {
   private var langFilter: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
@@ -108,17 +115,17 @@ class SearchScanBuilder(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SearchScan(totalPosts, pageSize, pagesPerTrigger, langFilter)
+    new SearchScan(totalPosts, pageSize, pagesPerTrigger, langFilter, endpoint)
 }
 
 class SearchScan(totalPosts: Long, pageSize: Int, pagesPerTrigger: Int,
-    langFilter: Option[String]) extends Scan {
+    langFilter: Option[String], endpoint: Option[String] = None) extends Scan {
   override def readSchema(): StructType = SearchPosts.schema
   override def description(): String =
     s"graft-search(totalPosts=$totalPosts, pushedLang=${langFilter.getOrElse("-")})"
-  override def toBatch: Batch = new SearchBatch(0L, totalPosts, pageSize, langFilter)
+  override def toBatch: Batch = new SearchBatch(0L, totalPosts, pageSize, langFilter, endpoint)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SearchMicroBatchStream(totalPosts, pageSize, pagesPerTrigger, langFilter)
+    new SearchMicroBatchStream(totalPosts, pageSize, pagesPerTrigger, langFilter, endpoint)
 }
 
 case class PageOffset(index: Long) extends Offset {
@@ -133,7 +140,8 @@ case class PageOffset(index: Long) extends Offset {
   * the checkpoint — so a restarted query resumes at full budget immediately
   * instead of re-warming an in-memory counter from zero. */
 class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
-    pagesPerTrigger: Int, langFilter: Option[String])
+    pagesPerTrigger: Int, langFilter: Option[String],
+    endpoint: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def budgetRows: Long = pageSize.toLong * pagesPerTrigger
@@ -170,7 +178,7 @@ class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
     SearchBatch.partitions(s, e, pageSize)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SearchReaderFactory(langFilter)
+    new SearchReaderFactory(langFilter, endpoint)
 }
 
 /** One partition = one "API page" — parallel fetch across executors. */
@@ -184,27 +192,72 @@ object SearchBatch {
 }
 
 class SearchBatch(start: Long, end: Long, pageSize: Int,
-    langFilter: Option[String]) extends Batch {
+    langFilter: Option[String], endpoint: Option[String] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     SearchBatch.partitions(start, end, pageSize)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SearchReaderFactory(langFilter)
+    new SearchReaderFactory(langFilter, endpoint)
 }
 
-class SearchReaderFactory(langFilter: Option[String]) extends PartitionReaderFactory {
+class SearchReaderFactory(langFilter: Option[String],
+    endpoint: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SearchPagePartition]
-    new PartitionReader[InternalRow] {
-      private var i = p.start - 1
-      private var current: InternalRow = _
-      override def next(): Boolean = {
-        i += 1
-        // language pushdown: non-matching posts are never materialized
-        while (i < p.end && langFilter.exists(_ != SearchPosts.lang(i))) i += 1
-        if (i < p.end) { current = SearchPosts.row(i); true } else false
+    endpoint match {
+      case Some(url) => new HttpPageReader(url, p, langFilter)
+      case None => new PartitionReader[InternalRow] {
+        private var i = p.start - 1
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          i += 1
+          // language pushdown: non-matching posts are never materialized
+          while (i < p.end && langFilter.exists(_ != SearchPosts.lang(i))) i += 1
+          if (i < p.end) { current = SearchPosts.row(i); true } else false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
       }
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
     }
   }
+}
+
+/** The REAL fetch body: one HTTP GET per page partition, executed on the
+  * executor that owns the partition (subscription.ts:227-239's
+  * `agent.app.bsky.feed.searchPosts({q, limit, cursor})` — offset/limit
+  * here, with the pushed language predicate as a query parameter like the
+  * reference's `' lang:xx'` query suffix). The response is a JSON array of
+  * `{uri, cid, did, text, lang, createdAt}` objects, createdAt in ISO-8601;
+  * rows convert straight to InternalRow, so everything downstream of the
+  * fetch is byte-identical to the synthetic path. */
+class HttpPageReader(url: String, p: SearchPagePartition,
+    langFilter: Option[String]) extends PartitionReader[InternalRow] {
+  private lazy val rows: Iterator[InternalRow] = {
+    val lang = langFilter.map(l => s"&lang=$l").getOrElse("")
+    val uri = java.net.URI.create(
+      s"$url?offset=${p.start}&limit=${p.end - p.start}$lang")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"search endpoint ${resp.statusCode()} for $uri")
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    (0 until arr.size()).iterator.map { i =>
+      val n = arr.get(i)
+      InternalRow(
+        UTF8String.fromString(n.get("uri").asText()),
+        UTF8String.fromString(n.get("cid").asText()),
+        UTF8String.fromString(n.get("did").asText()),
+        UTF8String.fromString(n.get("text").asText()),
+        UTF8String.fromString(n.get("lang").asText()),
+        java.time.Instant.parse(n.get("createdAt").asText()).toEpochMilli * 1000L +
+          java.time.Instant.parse(n.get("createdAt").asText()).getNano / 1000 % 1000,
+      )
+    }.toVector.iterator
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

@@ -64,4 +64,52 @@ class SearchPostsSourceSpec extends SparkSpec {
     assert(out.count() == 60)
     assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("de"))
   }
+
+  test("endpoint option makes every page a real HTTP GET; pushdown travels on the wire") {
+    // a local search API: GET /search?offset=N&limit=M[&lang=xx] → JSON posts
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val langs = Seq("en", "es", "de")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val q = exchange.getRequestURI.getRawQuery
+      requests.add(q)
+      val params = q.split('&').map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val off = params("offset").toLong
+      val lim = params("limit").toLong
+      val lang = params.get("lang")
+      val posts = (off until off + lim)
+        .filter(i => lang.forall(_ == langs((i % 3).toInt)))
+        .map { i =>
+          s"""{"uri":"at://did:plc:w$i/app.bsky.feed.post/$i","cid":"c$i",""" +
+            s""""did":"did:plc:w$i","text":"remote post $i",""" +
+            s""""lang":"${langs((i % 3).toInt)}","createdAt":"2024-05-01T00:00:${"%02d".format(i % 60)}Z"}"""
+        }.mkString("[", ",", "]")
+      val bytes = posts.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/search"
+    try {
+      val df = spark.read.format("graft-search")
+        .option("totalPosts", 120).option("pageSize", 40)
+        .option("endpoint", url).load()
+      val all = df.collect()
+      assert(all.length == 120)
+      assert(all.map(_.getAs[String]("uri")).toSet.size == 120)
+      assert(requests.size == 3) // one GET per page partition (120 / 40)
+      assert(all.forall(_.getAs[String]("text").startsWith("remote post")))
+
+      // pushed predicate reaches the HTTP layer: the server only ever sees
+      // lang-filtered requests and only matching rows come back
+      requests.clear()
+      val es = df.filter(col("lang") === "es").collect()
+      assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
+      assert(requests.size == 3 && requests.stream.allMatch(_.contains("lang=es")),
+        requests.toString)
+    } finally server.stop(0)
+  }
 }
