@@ -74,6 +74,41 @@ class IngestServeSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("supervised stream auto-restarts from the checkpoint after a failure (T5 reconnect)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val store = tmpDir("graft-supervised")
+    val ckpt = tmpDir("graft-supervised-ckpt")
+    val conditions = Seq(cond(key = "f1"))
+
+    // injected fault: the first batch containing the poison uri blows up
+    // the query; the replayed batch after restart passes (armed once)
+    IngestServeSpec.faultArmed.set(true)
+    val boom = org.apache.spark.sql.functions.udf((uri: String) => {
+      if (uri.endsWith("/11") && IngestServeSpec.faultArmed.getAndSet(false))
+        throw new RuntimeException("injected stream fault")
+      uri
+    })
+    val stream = MemoryStream[PostView]
+    val supervised = graft.streaming.Supervision.startSupervised(
+      () => Ingest.start(spark,
+        stream.toDF().withColumn("uri", boom(col("uri"))),
+        conditions, Some(profiles.toDF()), store, ckpt),
+      reconnectDelayMs = 200)
+
+    stream.addData(posts) // includes at://a/11 → first attempt fails
+    supervised.processAllAvailable(timeoutMs = 120000)
+    supervised.stop()
+
+    assert(supervised.restarts == 1, s"expected exactly one restart, got ${supervised.restarts}")
+    assert(supervised.error.exists(_.getMessage != null))
+    // the replayed batch landed exactly once: no loss, no duplicates
+    val stored = Ingest.readStore(spark, store)
+    assert(stored.filter(col("uri") === "at://a/11").count() == 1)
+    assert(stored.select("uri", "key").distinct().count() == stored.count())
+  }
+
   test("end-to-end: streamed DSv2 source converges to the batch formulation's exact store") {
     // The full ingest plane over the REAL micro-batch source: graft-search
     // pages → PostView wire shape → cascade fan-out → anti-join upsert →
@@ -246,4 +281,10 @@ object FilterCascadeFixtureStore {
       conditions,
       Some(Fixtures.profiles.toDF()))
   }
+}
+
+/** Static fault flag for the supervision spec: lives in an object so the
+  * serialized UDF and the driver share one JVM-wide switch (local mode). */
+object IngestServeSpec {
+  val faultArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
