@@ -25,6 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SharedCache {
 
   private val entries = scala.collection.mutable.Map[String, DataFrame]()
+  private val values = scala.collection.mutable.Map[String, Any]()
   private val protectedRddIds = scala.collection.mutable.Set[Int]()
 
   /** Memoized compute: `key` must identify the result uniquely (include the
@@ -47,6 +48,16 @@ object SharedCache {
       })
     }
 
+  /** Memoized DRIVER-SIDE value (fitted centroids, PQ codebooks, corpus
+    * bounds — anything small enough to collect). Same key discipline and
+    * lifecycle as [[getOrCompute]]: cleared by [[clear]] so each benchmark
+    * pass honestly recomputes the training once. The builder typically also
+    * pins a companion frame via [[getOrCompute]] — the lock is reentrant,
+    * so nesting the two is safe. */
+  def getOrComputeValue[T](key: String)(build: => T): T = synchronized {
+    values.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
+
   /** Release every persistent RDD EXCEPT pinned cache entries — the
     * between-queries scratch sweep for Verify/Bench. */
   def unpersistScratch(spark: SparkSession): Unit = synchronized {
@@ -63,5 +74,6 @@ object SharedCache {
     }
     protectedRddIds.clear()
     entries.clear()
+    values.clear()
   }
 }

@@ -69,11 +69,36 @@ object KMeansIvf {
     (assign(fp).select(col(idCol), col("cluster")), centroids)
   }
 
+  /** [[fit]] with the result shared across consumers via
+    * [[graft.SharedCache]]: single-probe and multi-probe search over the
+    * same corpus/params train the IDENTICAL model (deterministic fit — no
+    * RNG), so only the first caller pays the Lloyd iterations; the
+    * assignment table is pinned and the centroids memoized on the driver.
+    * `cacheKey` must identify corpus + params (include the data dir).
+    * The 100 TB analog: a fitted index is written once and every search
+    * job loads it, it is not retrained per query. */
+  def fitCached(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, cacheKey: Option[String]): (DataFrame, Array[Array[Long]]) =
+    cacheKey match {
+      case None => fit(df, idCol, vecCol, k, iters)
+      case Some(key) =>
+        val spark = df.sparkSession
+        val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
+          val (a, c) = fit(df, idCol, vecCol, k, iters)
+          graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
+          a
+        }
+        val centroids = graft.SharedCache.getOrComputeValue[Array[Array[Long]]](
+          s"$key:centroids")(sys.error(s"centroids missing for $key"))
+        (assignments, centroids)
+    }
+
   /** Full IVF search: fit on the candidate set, assign queries to their
     * nearest centroid, search only that cell. */
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int, iters: Int = 3): DataFrame = {
-    val (assignments, _) = fit(candidates, idCol, vecCol, nCells, iters)
+      vecCol: String, k: Int, nCells: Int, iters: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assignments, _) = fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey)
     val cands = candidates.join(assignments, idCol)
     val qs = queries.join(assignments, idCol) // queries drawn from the corpus
     Similarity.ivfTopK(qs, cands, idCol, vecCol, "cluster", k)
@@ -86,8 +111,9 @@ object KMeansIvf {
     * multiplies the broadcast query side by nProbe, and the cell equi-join
     * stays an ordinary hash join over the candidate table. */
   def searchMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3): DataFrame = {
-    val (assignments, centroids) = fit(candidates, idCol, vecCol, nCells, iters)
+      vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assignments, centroids) = fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey)
     val cands = candidates.join(assignments, idCol)
     val qfp = queries.select(col(idCol), col(vecCol),
         Similarity.fixedPoint(col(vecCol)).as("__fe"))

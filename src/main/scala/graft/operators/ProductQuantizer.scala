@@ -47,10 +47,11 @@ object ProductQuantizer {
 
   /** Exploded membership table: one (id, ss, fe, nsq) row per vector per
     * subspace — total volume equals the original vectors, just re-keyed by
-    * subspace. Persisted (not checkpointed): the first consumer (the
-    * codebook init) materializes the cache as part of its own job instead
-    * of paying a separate eager-checkpoint job, and every Lloyd/encode
-    * pass after that reads cached blocks. */
+    * subspace. Pure expression — TRAINING persists it (the init collect
+    * materializes the cache as part of its own job, every Lloyd pass after
+    * that reads cached blocks) and releases it when the last Lloyd collect
+    * returns; the encode/query passes after training re-derive it lazily
+    * in their own single scan, so `pqTopK` leaves nothing cached behind. */
   private def memberRows(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int): DataFrame = {
     val sub = dim / m
@@ -59,7 +60,17 @@ object ProductQuantizer {
     df.select(col(idCol).as("__pqid"),
         posexplode(array(subVectors: _*)).as(Seq("ss", "fe")))
       .withColumn("nsq", Similarity.dotFp(col("fe"), col("fe")))
+  }
+
+  /** Fit codebooks on a persisted member table and release the cache as
+    * soon as the last (eager) training collect has consumed it — callers
+    * never inherit a persistent RDD from training. */
+  private def trainBooks(candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Long]]] = {
+    val members = memberRows(candidates, idCol, vecCol, dim, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOnMembers(members, dim / m, m, ks, iters)
+    finally members.unpersist(blocking = false)
   }
 
   /** Codebooks as a broadcastable (ss, cl, cfe, cnsq) frame. */
@@ -125,21 +136,31 @@ object ProductQuantizer {
   def fitCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ks: Int, iters: Int): Seq[Array[Array[Long]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    fitOnMembers(memberRows(candidates, idCol, vecCol, dim, m),
-      dim / m, m, ks, iters).toSeq
+    trainBooks(candidates, idCol, vecCol, dim, m, ks, iters).toSeq
   }
 
   /** ADC top-k: fit codebooks on the candidates, encode candidates to m
     * codes, rank by summed distance-table lookups (ascending — PQ
     * approximates L2 distance, not cosine). Queries are drawn from the
-    * candidate corpus by id, like the other ANN catalog entries. */
+    * candidate corpus by id, like the other ANN catalog entries.
+    *
+    * `cacheKey` (include the data dir + params) memoizes the fitted
+    * codebooks in [[graft.SharedCache]] so repeat consumers over the same
+    * corpus skip the Lloyd iterations — training is deterministic, the
+    * shared fit is bit-identical to a private one. With or without it,
+    * `pqTopK` leaves no persistent RDDs behind: the training cache is
+    * released when the last Lloyd collect returns, and the encode/query
+    * scans are lazy single passes over the corpus. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 4, ks: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, cacheKey: Option[String] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val sub = dim / m
-    val members = memberRows(candidates, idCol, vecCol, dim, m)
-    val books = fitOnMembers(members, sub, m, ks, iters)
+    val books = cacheKey match {
+      case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
+        trainBooks(candidates, idCol, vecCol, dim, m, ks, iters))
+      case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters)
+    }
+    val members = memberRows(candidates, idCol, vecCol, dim, m) // lazy: one scan per consumer below
     val cents = centroidFrame(members, books)
 
     // candidate codes: nearest code per subspace, pivoted to one row of m

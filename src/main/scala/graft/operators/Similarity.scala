@@ -80,29 +80,33 @@ object Similarity {
     * vectors onto 0..255 (the FAISS SQ8 memory layout — 64 bytes instead
     * of 64 floats per vector, 4× less scan bandwidth at 100 TB). Bounds
     * are corpus-wide per-dimension min/max, computed in ONE aggregation
-    * (2×dim partial-aggregated columns) and shipped as literals; the
-    * quantized similarity is an exact integer dot product, so ranking is
-    * engine-independent by construction. Queries are drawn from the
-    * candidate corpus by id (the catalog convention — external query
-    * vectors would quantize with the same literal bounds). */
+    * (2×dim partial-aggregated columns collapsed to a single bounds-array
+    * row) that stays INSIDE the plan: the one-row result broadcast-joins
+    * back onto the corpus, so the bounds pass and the quantization pass
+    * materialize together in the job that checkpoints the quantized
+    * vectors — no separate driver collect. The quantized similarity is an
+    * exact integer dot product, so ranking is engine-independent by
+    * construction. Queries are drawn from the candidate corpus by id (the
+    * catalog convention — external query vectors would quantize with the
+    * same in-plan bounds). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int): DataFrame = {
     val fp = candidates.select(col(idCol), fixedPoint(col(vecCol)).as("__fe"))
-      .localCheckpoint()
-    val boundAggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col("__fe"), i + 1)).as(s"mn$i"),
-      max(element_at(col("__fe"), i + 1)).as(s"mx$i")))
-    val b = fp.agg(boundAggs.head, boundAggs.tail: _*).head()
-    val mn = Array.tabulate(dim)(i => b.getLong(2 * i))
-    val mx = Array.tabulate(dim)(i => b.getLong(2 * i + 1))
+    val bounds = fp.agg(
+      array((0 until dim).map(i => min(element_at(col("__fe"), i + 1))): _*).as("__mn"),
+      array((0 until dim).map(i => max(element_at(col("__fe"), i + 1))): _*).as("__mx"))
 
-    val quantize: Column = array((0 until dim).map { i =>
-      val span = mx(i) - mn(i)
-      if (span == 0L) lit(0L)
-      else expr(s"((element_at(__fe, ${i + 1}) - ${mn(i)}L) * 255L) div ${span}L")
-    }: _*)
+    // per-element affine map as a SQL lambda over the pre-projected arrays
+    // (__fe/__mn/__mx are plain columns — nothing re-derives per element);
+    // `div` = integer quotient, and fe−mn ≥ 0 makes trunc ≡ DuckDB's floor
+    val quantize: Column = expr(
+      s"""transform(sequence(1, $dim), i ->
+         |  CASE WHEN element_at(__mx, i) = element_at(__mn, i) THEN 0L
+         |       ELSE ((element_at(__fe, i) - element_at(__mn, i)) * 255L)
+         |            div (element_at(__mx, i) - element_at(__mn, i)) END)""".stripMargin)
 
-    val qc = fp.select(col(idCol).as("__id"), quantize.as("__q")).localCheckpoint()
+    val qc = fp.crossJoin(broadcast(bounds))
+      .select(col(idCol).as("__id"), quantize.as("__q")).localCheckpoint()
     val qq = broadcast(qc.join(
       queries.select(col(idCol).as("__id")), Seq("__id")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))

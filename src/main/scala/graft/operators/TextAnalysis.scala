@@ -243,24 +243,27 @@ object TextAnalysis {
     * One token explode feeds both aggregations: term frequencies
     * (group by doc, term) and document frequencies (re-aggregate the tf
     * frame — its (doc, term) rows ARE the distinct doc-term incidences).
-    * The docfreq side is vocabulary-sized; it broadcasts under
-    * [[JoinHints]]' gate and shuffle-joins on term beyond it. The final
-    * per-document top-k is a partitioned window, never a global sort.
+    * The docfreq side is vocabulary-sized; whether it broadcasts is left
+    * to AQE's runtime size check (the planner sees an aggregate of a
+    * checkpointed input, AQE sees its actual bytes), so no driver-side
+    * count gate or second checkpoint is needed. The corpus size N likewise
+    * stays in-plan: a one-row count aggregate broadcast onto the scored
+    * rows instead of an eager `df.count()` job. The final per-document
+    * top-k is a partitioned window, never a global sort.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count()
+    val nDocs = df.agg(count(lit(1)).as("__n"))
     val tf = df
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds docfreq AND the join below; computed once
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint() // maybeBroadcast's count gate needs a materialized input
-    val scored = tf.join(JoinHints.maybeBroadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+        (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
     val rn = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc))
     scored.withColumn("rn", rn).filter(col("rn") <= k)

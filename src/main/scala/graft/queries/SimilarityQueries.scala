@@ -119,7 +119,8 @@ object SimilarityQueries extends QueryModule {
       val t = Tables(spark, dir)
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.KMeansIvf.search(queries, t.embeddings,
-          "vec_id", "embedding", k = 5, nCells = 8, iters = 2)
+          "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"))
         .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
@@ -157,7 +158,8 @@ object SimilarityQueries extends QueryModule {
       val t = Tables(spark, dir)
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.KMeansIvf.searchMultiProbe(queries, t.embeddings,
-          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2)
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2,
+          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"))
         .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
@@ -310,7 +312,8 @@ object SimilarityQueries extends QueryModule {
       val t = Tables(spark, dir)
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.ProductQuantizer.pqTopK(queries, t.embeddings,
-          "vec_id", "embedding", k = 5, dim = 64, m = 4, ks = 16, iters = 2)
+          "vec_id", "embedding", k = 5, dim = 64, m = 4, ks = 16, iters = 2,
+          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"))
         .select(col("q_id"), col("cand_id"), col("pq_dist"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },

@@ -84,6 +84,40 @@ class KMeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("PQ leaves no persistent RDDs behind (training cache self-releases)") {
+    val queries = emb.filter(col("vec_id") < 3)
+    // no SharedCache / Verify sweep involved: run the full query and check
+    // the context directly — a library caller must not inherit a leaked
+    // MEMORY_AND_DISK cache from the training pass
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.operators.ProductQuantizer.pqTopK(queries, emb,
+      "vec_id", "embedding", k = 3, dim = 64).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pqTopK left persistent RDDs: $leaked")
+  }
+
+  test("cached fit (SharedCache key) returns the same model as a private fit") {
+    val key = Some(s"kmeansfit:spec:${System.identityHashCode(emb)}")
+    val queries = emb.filter(col("vec_id") < 3)
+    val shared1 = KMeansIvf.search(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, iters = 2, cacheKey = key)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    // second consumer over the same key reuses the pinned fit (multi-probe
+    // here, like ns30 after ns20) and must agree with its uncached twin
+    val shared2 = KMeansIvf.searchMultiProbe(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, iters = 2, cacheKey = key)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    val private1 = KMeansIvf.search(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, iters = 2)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    val private2 = KMeansIvf.searchMultiProbe(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, iters = 2)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    assert(shared1 == private1)
+    assert(shared2 == private2)
+    graft.SharedCache.clear(spark)
+  }
+
   test("PQ: well-separated clusters retrieve their own members first") {
     val s = spark
     import s.implicits._
