@@ -1,9 +1,9 @@
 package graft.serving
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.model.Condition
+import graft.model.{Condition, ConditionRaw, ControlPlane}
 import graft.operators.FeedPage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -27,6 +27,27 @@ import java.nio.charset.StandardCharsets
   * public feeds skip auth exactly like the reference's commented-out
   * example (feed-generation.ts:23-31 — auth only where user-specific).
   *
+  * With an [[FeedServer.Admin]] attached, the reference's admin CRUD trio
+  * (/root/reference/src/databaseUtil.ts:9-192) is exposed too:
+  *
+  *   - `POST /setQuery` — validate (reference order and result codes),
+  *     then full-replace upsert: delete + insert with `recordCount` reset
+  *     to 0 while the key's POSTS ARE RETAINED (the databaseUtil.ts:77-108
+  *     quirk, kept on purpose)
+  *   - `POST /getQuery` — the stored row in wire shape (string booleans,
+  *     comma-joined lists) + `recordCount` + `queryEngineVersion`;
+  *     `result: NOT_FOUND` for unknown keys (still HTTP 200, like the
+  *     reference)
+  *   - `POST /deleteCondition` — drop the condition AND its posts
+  *     (deletes from both tables, databaseUtil.ts:169-192)
+  *
+  * Admin auth is the reference's shared-secret header
+  * `x-starrtsky-webpasskey` (typo included — wire compatibility) checked
+  * against `Admin.passkey`; `None` disables the check exactly like an
+  * unset `EDIT_WEB_PASSKEY`. One deviation: the reference's
+  * deleteCondition writes a second response body after the 401 (a latent
+  * double-respond bug) — here a failed check replies 401 once.
+  *
   * Built on the JDK's HttpServer — zero new dependencies. One server
   * thread pool fronts the Spark session; each request runs one serving
   * query (partition-pruned scan + bounded-heap top-k). At scale this tier
@@ -35,7 +56,8 @@ import java.nio.charset.StandardCharsets
   * reference's express app over sqlite.
   */
 final class FeedServer(spark: SparkSession, store: () => DataFrame,
-    conditions: () => Seq[Condition], cfg: FeedServer.Config) {
+    conditions: () => Seq[Condition], cfg: FeedServer.Config,
+    admin: Option[FeedServer.Admin] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -48,6 +70,14 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
       handle(exchange)(_ => describe()))
     server.createContext("/.well-known/did.json", exchange =>
       handle(exchange)(_ => wellKnown()))
+    admin.foreach { a =>
+      server.createContext("/setQuery", exchange =>
+        handle(exchange)(ex => adminGate(ex, a)(setQuery(_, a))))
+      server.createContext("/getQuery", exchange =>
+        handle(exchange)(ex => adminGate(ex, a)(getQuery(_, a))))
+      server.createContext("/deleteCondition", exchange =>
+        handle(exchange)(ex => adminGate(ex, a)(deleteCondition(_, a))))
+    }
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server.getAddress.getPort
@@ -136,6 +166,156 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
     Reply(200, body)
   }
 
+  // ---- admin CRUD (databaseUtil.ts:9-192) ----
+
+  /** Shared-secret gate: header `x-starrtsky-webpasskey` vs the configured
+    * passkey; a `None` passkey disables the check like an unset
+    * EDIT_WEB_PASSKEY (databaseUtil.ts:13-15). */
+  private def adminGate(exchange: HttpExchange, a: FeedServer.Admin)
+      (f: JsonNode => Reply): Reply =
+    a.passkey match {
+      case Some(expected)
+        if Option(exchange.getRequestHeaders.getFirst("x-starrtsky-webpasskey"))
+          .forall(_ != expected) =>
+        error(401, "Unauthorized", "invalid web passkey")
+      case _ =>
+        f(mapper.readTree(new String(
+          exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+    }
+
+  private def text(body: JsonNode, field: String): Option[String] =
+    Option(body.get(field)).filterNot(_.isNull).map(_.asText())
+
+  /** `result`-coded 500, the reference's validation-failure shape. */
+  private def resultError(code: String, message: String): Reply = {
+    val n = mapper.createObjectNode()
+    n.put("result", code)
+    n.put("message", message)
+    Reply(500, n)
+  }
+
+  private def compiles(p: String): Boolean =
+    scala.util.Try(java.util.regex.Pattern.compile(
+      p, java.util.regex.Pattern.CASE_INSENSITIVE)).isSuccess
+
+  /** JS `Number(x)` truthiness for the count fields: empty string is 0,
+    * anything unparseable is NaN (→ validation error). */
+  private def jsNumber(v: Option[String]): Option[Double] = v match {
+    case None => None
+    case Some(s) if s.trim.isEmpty => Some(0d)
+    case Some(s) => s.trim.toDoubleOption
+  }
+
+  /** Full-replace upsert with reference-ordered validation and result
+    * codes (databaseUtil.ts:17-108). */
+  private def setQuery(body: JsonNode, a: FeedServer.Admin): Reply = {
+    val key = text(body, "key").filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException("missing key"))
+    val inputRegex = text(body, "inputRegex").getOrElse("")
+    val invertRegex = text(body, "invertRegex").getOrElse("")
+    val recordName = text(body, "recordName").getOrElse("")
+    val refresh = text(body, "refresh").getOrElse("")
+    val profileMatch = text(body, "profileMatch").filter(_.nonEmpty)
+
+    if (!compiles(inputRegex))
+      return resultError("INPUT_REGEX_ERROR", "inputRegex error. Please input valid regex.")
+    if (!compiles(invertRegex))
+      return resultError("INVERT_REGEX_ERROR", "invertRegex error. Please input valid regex.")
+    if (!recordName.matches("^[a-z0-9-]{1,15}$"))
+      return resultError("RECORDNAME_NOTALPHA", "RecordName should be 15 digit lowercase alphabets.")
+    if (!refresh.matches("^-?\\d+$"))
+      return resultError("NOT_NUMBER_REFRESH", "Refresh should be an integer.")
+    // missing ≡ Number(undefined) = NaN on the reference side → error
+    val initPost = jsNumber(text(body, "initPost"))
+    if (initPost.isEmpty)
+      return resultError("NOT_NUMBER_INITPOST", "Initial post count should be number.")
+    val limitCount = jsNumber(text(body, "limitCount"))
+    if (limitCount.isEmpty)
+      return resultError("NOT_NUMBER_LIMITCOUNT", "Limit post count should be number.")
+    if (profileMatch.exists { pm =>
+        val parts = pm.split("::", 2)
+        // JS: new RegExp(undefined) compiles, so a missing half never fails
+        !parts.forall(compiles)
+      })
+      return resultError("PROFILE_MATCH_REGEX_ERROR", "profileMatch error. Please input valid regex.")
+
+    val raw = ConditionRaw(
+      key = key,
+      recordName = recordName,
+      query = text(body, "query").getOrElse(""),
+      inputRegex = inputRegex,
+      invertRegex = Some(invertRegex),
+      refresh = Some(refresh.toInt),
+      lang = text(body, "lang"),
+      labelDisable = text(body, "labelDisable"),
+      replyDisable = text(body, "replyDisable"),
+      imageOnly = text(body, "imageOnly"),
+      includeAltText = text(body, "includeAltText"),
+      initPost = initPost.map(_.toInt),
+      pinnedPost = text(body, "pinnedPost"),
+      limitCount = limitCount.map(_.toInt),
+      privateFeed = text(body, "privateFeed"),
+      profileMatch = profileMatch)
+    a.control.setQuery(Condition.normalize(raw))
+    a.control.setMeta(key, Seq("feedName", "feedAvatar", "feedDescription")
+      .flatMap(f => text(body, f).map(f -> _)).toMap)
+
+    val n = mapper.createObjectNode()
+    n.put("result", "OK")
+    n.put("message", "update succeeded")
+    Reply(200, n)
+  }
+
+  /** Stored row in wire shape + recordCount + engine version
+    * (databaseUtil.ts:115-166). Unknown key is `result: NOT_FOUND` at
+    * HTTP 200 — the reference replies res.json without a status. */
+  private def getQuery(body: JsonNode, a: FeedServer.Admin): Reply = {
+    val key = text(body, "key").getOrElse("")
+    val n = mapper.createObjectNode()
+    a.control.get(key) match {
+      case None =>
+        n.put("result", "NOT_FOUND")
+        n.put("message", s"Specified key not found. $key")
+        n.put("queryEngineVersion", FeedServer.EngineVersion)
+      case Some(c) =>
+        val meta = a.control.meta(key)
+        n.put("result", "OK")
+        n.put("key", c.key)
+        n.put("recordName", c.recordName)
+        n.put("query", c.query)
+        n.put("inputRegex", c.inputRegex)
+        n.put("invertRegex", c.invertRegex)
+        n.put("refresh", c.refresh)
+        n.put("lang", c.lang.getOrElse(""))
+        n.put("labelDisable", c.labelDisable.toString) // wire string-bools
+        n.put("replyDisable", c.replyDisable.toString)
+        n.put("imageOnly", c.imageOnly)
+        n.put("includeAltText", c.includeAltText.toString)
+        n.put("initPost", c.initPost)
+        n.put("pinnedPost", c.pinnedPost.mkString(","))
+        n.put("feedAvatar", meta.getOrElse("feedAvatar", ""))
+        n.put("feedName", meta.getOrElse("feedName", ""))
+        n.put("feedDescription", meta.getOrElse("feedDescription", ""))
+        n.put("privateFeed", c.privateFeed.mkString(","))
+        n.put("limitCount", c.limitCount)
+        n.put("recordCount", a.control.recordCount(key))
+        n.put("profileMatch",
+          c.profileMatch.map(p => s"${p.textTerm}::${p.profileRegex}").getOrElse(""))
+        n.put("queryEngineVersion", FeedServer.EngineVersion)
+    }
+    Reply(200, n)
+  }
+
+  /** Drop the condition AND the key's posts (databaseUtil.ts:169-192). */
+  private def deleteCondition(body: JsonNode, a: FeedServer.Admin): Reply = {
+    val key = text(body, "key").getOrElse("")
+    a.control.delete(key)
+    a.deletePosts(key)
+    val n = mapper.createObjectNode()
+    n.put("result", "OK")
+    Reply(200, n)
+  }
+
   private def wellKnown(): Reply = {
     if (!cfg.serviceDid.endsWith(cfg.hostname))
       return error(404, "NotFound", "service DID does not match hostname")
@@ -151,10 +331,24 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
 }
 
 object FeedServer {
+
+  /** Reported as `queryEngineVersion` by getQuery, the analog of the
+    * reference's package.json version (subscription.ts:9-11). */
+  val EngineVersion = "0.1.0"
+
   final case class Config(
       serviceDid: String,
       hostname: String,
       publisherDid: String,
       keyResolver: Auth.KeyResolver = Auth.StaticKeyResolver(Map.empty),
       verifier: Auth.Verifier = Auth.Hs256Verifier)
+
+  /** Admin wiring: the mutable control plane plus a hook that deletes a
+    * key's posts from the store (the engine side of deleteCondition's
+    * second DELETE). `passkey = None` leaves the endpoints open, matching
+    * an unset EDIT_WEB_PASSKEY. */
+  final case class Admin(
+      control: ControlPlane,
+      deletePosts: String => Unit,
+      passkey: Option[String] = None)
 }

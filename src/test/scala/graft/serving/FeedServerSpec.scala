@@ -127,4 +127,133 @@ class FeedServerSpec extends SparkSpec {
     try assert(get(port, "/.well-known/did.json")._1 == 404)
     finally server.stop()
   }
+
+  // ---- admin CRUD (databaseUtil.ts:9-192) ----
+
+  private def post(port: Int, path: String, body: String, passkey: Option[String])
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+    passkey.foreach(b.header("x-starrtsky-webpasskey", _))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def setQueryBody(key: String, recordName: String,
+      inputRegex: String = "spark", invertRegex: String = "",
+      refresh: String = "0", initPost: String = "100",
+      limitCount: String = "2000", extra: Map[String, String] = Map.empty): String = {
+    val n = mapper.createObjectNode()
+    n.put("key", key).put("recordName", recordName).put("query", "spark")
+      .put("inputRegex", inputRegex).put("invertRegex", invertRegex)
+      .put("refresh", refresh).put("initPost", initPost)
+      .put("limitCount", limitCount)
+    extra.foreach { case (k, v) => n.put(k, v) }
+    n.toString
+  }
+
+  private def withAdminServer(control: graft.model.ControlPlane,
+      passkey: Option[String] = Some("hunter2"))
+      (body: (Int, () => Set[String]) => Unit): Unit = {
+    val s = spark
+    import s.implicits._
+    var store = Ingest.processBatch(spark, Ingest.emptyStore(spark),
+      Fixtures.posts.toDF(), control.conditions, Some(Fixtures.profiles.toDF()))
+      .cache()
+    val deletePosts: String => Unit = key => {
+      store = store.filter(org.apache.spark.sql.functions.col("key") =!= key).cache()
+    }
+    val keysInStore = () => store.select("key").distinct()
+      .collect().map(_.getString(0)).toSet
+    val server = new FeedServer(spark, () => store, () => control.conditions, cfg,
+      admin = Some(FeedServer.Admin(control, deletePosts, passkey)))
+    val port = server.start()
+    try body(port, keysInStore) finally server.stop()
+  }
+
+  test("admin CRUD lifecycle: create, read, full-replace quirk, delete (databaseUtil.ts:9-192)") {
+    val control = new graft.model.ControlPlane(Seq(Fixtures.cond(key = "f1")))
+    control.setRecordCount("f1", 42L)
+    withAdminServer(control) { (port, keysInStore) =>
+      val pk = Some("hunter2")
+      assert(keysInStore().contains("f1")) // seeded through real ingest
+
+      // create a second feed
+      val (st1, r1) = post(port, "/setQuery",
+        setQueryBody("f2", "f2", extra = Map("feedName" -> "Feed Two")), pk)
+      assert(st1 == 200 && r1.get("result").asText() == "OK", r1.toString)
+      assert(control.get("f2").exists(_.recordName == "f2"))
+
+      // read it back in wire shape
+      val (st2, r2) = post(port, "/getQuery", """{"key":"f2"}""", pk)
+      assert(st2 == 200 && r2.get("result").asText() == "OK")
+      assert(r2.get("recordName").asText() == "f2")
+      assert(r2.get("labelDisable").asText() == "false") // string-bool
+      assert(r2.get("feedName").asText() == "Feed Two")
+      assert(r2.get("recordCount").asLong() == 0L)
+      assert(r2.get("queryEngineVersion").asText() == FeedServer.EngineVersion)
+
+      // full-replace quirk: setQuery on f1 resets recordCount to 0 while
+      // the key's POSTS stay in the store (databaseUtil.ts:77-108)
+      assert(control.recordCount("f1") == 42L)
+      val (st3, r3) = post(port, "/setQuery",
+        setQueryBody("f1", "f1", inputRegex = "vector"), pk)
+      assert(st3 == 200 && r3.get("result").asText() == "OK")
+      assert(control.recordCount("f1") == 0L, "recordCount must reset on replace")
+      assert(keysInStore().contains("f1"), "posts must be RETAINED on replace")
+      assert(control.get("f1").exists(_.inputRegex == "vector"))
+
+      // deleteCondition drops the row AND the posts
+      val (st4, r4) = post(port, "/deleteCondition", """{"key":"f1"}""", pk)
+      assert(st4 == 200 && r4.get("result").asText() == "OK")
+      assert(control.get("f1").isEmpty)
+      assert(!keysInStore().contains("f1"), "posts must be deleted with the condition")
+
+      // and getQuery now reports NOT_FOUND (HTTP 200, reference shape)
+      val (st5, r5) = post(port, "/getQuery", """{"key":"f1"}""", pk)
+      assert(st5 == 200 && r5.get("result").asText() == "NOT_FOUND")
+    }
+  }
+
+  test("admin endpoints reject a wrong or missing passkey with 401") {
+    val control = new graft.model.ControlPlane(Seq(Fixtures.cond(key = "f1")))
+    withAdminServer(control) { (port, keysInStore) =>
+      assert(post(port, "/setQuery", setQueryBody("x", "x"), Some("wrong"))._1 == 401)
+      assert(post(port, "/setQuery", setQueryBody("x", "x"), None)._1 == 401)
+      assert(post(port, "/getQuery", """{"key":"f1"}""", Some("wrong"))._1 == 401)
+      assert(post(port, "/deleteCondition", """{"key":"f1"}""", None)._1 == 401)
+      assert(control.get("f1").nonEmpty && keysInStore().contains("f1")) // nothing mutated
+      // unset passkey (None) leaves the endpoints open, like an unset
+      // EDIT_WEB_PASSKEY — proven on a second server instance
+    }
+    val open = new graft.model.ControlPlane(Nil)
+    withAdminServer(open, passkey = None) { (port, _) =>
+      assert(post(port, "/setQuery", setQueryBody("y", "y"), None)._1 == 200)
+      assert(open.get("y").nonEmpty)
+    }
+  }
+
+  test("setQuery validation: reference result codes in reference order (databaseUtil.ts:17-75)") {
+    val control = new graft.model.ControlPlane(Nil)
+    withAdminServer(control) { (port, _) =>
+      val pk = Some("hunter2")
+      def code(body: String): (Int, String) = {
+        val (st, r) = post(port, "/setQuery", body, pk)
+        (st, r.get("result").asText())
+      }
+      assert(code(setQueryBody("k", "k", inputRegex = "[unclosed")) == (500, "INPUT_REGEX_ERROR"))
+      assert(code(setQueryBody("k", "k", invertRegex = "(?<bad")) == (500, "INVERT_REGEX_ERROR"))
+      assert(code(setQueryBody("k", "UPPER")) == (500, "RECORDNAME_NOTALPHA"))
+      assert(code(setQueryBody("k", "sixteen-chars-xx")) == (500, "RECORDNAME_NOTALPHA"))
+      assert(code(setQueryBody("k", "k", refresh = "soon")) == (500, "NOT_NUMBER_REFRESH"))
+      assert(code(setQueryBody("k", "k", initPost = "many")) == (500, "NOT_NUMBER_INITPOST"))
+      assert(code(setQueryBody("k", "k", limitCount = "lots")) == (500, "NOT_NUMBER_LIMITCOUNT"))
+      assert(code(setQueryBody("k", "k",
+        extra = Map("profileMatch" -> "term::[bad"))) == (500, "PROFILE_MATCH_REGEX_ERROR"))
+      assert(control.conditions.isEmpty) // nothing persisted on any failure
+      // negative refresh is allowed by the reference's /^-?\d+$/
+      assert(code(setQueryBody("k", "k", refresh = "-1")) == (200, "OK"))
+    }
+  }
 }
