@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.ByteBuffer
+import java.util.concurrent.{CompletableFuture, CompletionStage}
+
+/** WebSocket client for `com.atproto.sync.subscribeRepos`
+  * (/root/reference/src/util/subscription.ts:16-73) — the piece that was
+  * missing between the wire and [[Firehose.decodeCborFrames]]: it opens
+  * `ws(s)://<service>/xrpc/com.atproto.sync.subscribeRepos[?cursor=N]`
+  * with the JDK's built-in `java.net.http.WebSocket` (zero new
+  * dependencies), hands every complete binary frame to the sink, and
+  * persists the commit cursor every `cursorEvery` events — the
+  * reference's `if (isCommit(evt) && evt.seq % 20 === 0) updateCursor`
+  * cadence (subscription.ts:48-51).
+  *
+  * Reconnect mirrors the reference's
+  * `catch { setTimeout(() => this.run(delay), delay) }` (:39-56) and
+  * [[graft.streaming.Supervision]]'s contract for streaming queries: on
+  * abnormal close or transport error the client sleeps `reconnectDelayMs`
+  * and dials again, re-reading `getCursor` per attempt (the reference's
+  * `getParams`), so the server replays everything after the last stored
+  * cursor. Between the coarse cursor cadence and replay-on-reconnect the
+  * frame stream is AT-LEAST-ONCE; exactness is downstream's job — the
+  * ingest upsert is idempotent on (uri), exactly like the reference's
+  * on-conflict-ignore (T8).
+  *
+  * Frames go to `onFrame` as raw bytes, NOT through Spark here: the
+  * client is the single-socket edge (one per subscription, like the
+  * reference process); batching frames into DataFrames and decoding them
+  * in parallel is [[Firehose.decodeCborFrames]]'s distributed half.
+  */
+final class SubscribeReposClient(
+    service: String,
+    getCursor: () => Option[Long],
+    updateCursor: Long => Unit,
+    onFrame: Array[Byte] => Unit,
+    cursorEvery: Int = 20) {
+
+  @volatile private var stopping = false
+  @volatile private var socket: WebSocket = _
+  @volatile private var restartCount = 0
+  @volatile private var lastErr: Option[Throwable] = None
+  private var monitor: Thread = _
+  private val http = HttpClient.newHttpClient()
+
+  private def uri: URI = {
+    val base = s"$service/xrpc/com.atproto.sync.subscribeRepos"
+    URI.create(getCursor().map(c => s"$base?cursor=$c").getOrElse(base))
+  }
+
+  /** Commit frames carry the resumption cursor in `body.seq`; only the two
+    * leading CBOR items are inspected, non-commit frames yield None. */
+  private def commitSeq(frame: Array[Byte]): Option[Long] =
+    try {
+      val r = new Cbor.Reader(frame)
+      r.decode() match {
+        case h: Cbor.CMap
+          if h.get("op").contains(Cbor.CInt(1)) &&
+             h.get("t").contains(Cbor.CText("#commit")) && r.remaining > 0 =>
+          r.decode() match {
+            case b: Cbor.CMap => b.get("seq").collect { case Cbor.CInt(s) => s }
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None } // invalid frame: no cursor advance
+
+  private def handleFrame(frame: Array[Byte]): Unit = {
+    onFrame(frame)
+    commitSeq(frame).foreach(seq => if (seq % cursorEvery == 0) updateCursor(seq))
+  }
+
+  /** One dial: the future completes on normal close, fails on transport
+    * error or abnormal close (an abrupt TCP drop surfaces as onError). */
+  private def connectOnce(): CompletableFuture[Void] = {
+    val done = new CompletableFuture[Void]()
+    val listener = new WebSocket.Listener {
+      // JDK WebSocket may deliver one wire message in several parts
+      private val pending = new java.io.ByteArrayOutputStream()
+      override def onOpen(w: WebSocket): Unit = w.request(1)
+      override def onBinary(w: WebSocket, data: ByteBuffer, last: Boolean): CompletionStage[_] = {
+        val part = new Array[Byte](data.remaining())
+        data.get(part)
+        pending.write(part)
+        if (last) {
+          val frame = pending.toByteArray
+          pending.reset()
+          try handleFrame(frame)
+          catch { case _: Exception => () } // could-not-handle: skip (subscription.ts:41-46)
+        }
+        w.request(1)
+        null
+      }
+      override def onClose(w: WebSocket, status: Int, reason: String): CompletionStage[_] = {
+        if (status == WebSocket.NORMAL_CLOSURE || stopping) done.complete(null)
+        else done.completeExceptionally(
+          new java.io.IOException(s"abnormal websocket close: $status $reason"))
+        null
+      }
+      override def onError(w: WebSocket, err: Throwable): Unit =
+        done.completeExceptionally(err)
+    }
+    http.newWebSocketBuilder().buildAsync(uri, listener).whenComplete { (w, e) =>
+      if (e != null) done.completeExceptionally(e) else socket = w
+    }
+    done
+  }
+
+  /** Dial and keep the subscription alive on a daemon thread: reconnect
+    * after `reconnectDelayMs` on failure (up to `maxRestarts`), stop on
+    * normal close or [[stop]]. */
+  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue): Unit = {
+    monitor = new Thread(() => {
+      var alive = true
+      while (alive && !stopping) {
+        try {
+          connectOnce().join()
+          alive = false // server closed normally
+        } catch {
+          case e: Throwable if !stopping && restartCount < maxRestarts =>
+            lastErr = Some(e)
+            Thread.sleep(reconnectDelayMs)
+            restartCount += 1 // redial; uri re-reads the stored cursor
+          case e: Throwable =>
+            lastErr = Some(e)
+            alive = false
+        }
+      }
+    }, "graft-subscribe-repos")
+    monitor.setDaemon(true)
+    monitor.start()
+  }
+
+  def restarts: Int = restartCount
+  def error: Option[Throwable] = lastErr
+
+  /** Block until the monitor exits (normal close or restart budget). */
+  def awaitStopped(timeoutMs: Long): Boolean = {
+    monitor.join(timeoutMs)
+    !monitor.isAlive
+  }
+
+  def stop(): Unit = {
+    stopping = true
+    Option(socket).foreach(_.sendClose(WebSocket.NORMAL_CLOSURE, "bye"))
+    if (monitor != null) monitor.join(10000)
+  }
+}

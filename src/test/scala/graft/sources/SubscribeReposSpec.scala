@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.Cbor._
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+/** End-to-end wire test: a real RFC 6455 handshake + binary frames from
+  * an in-process server ([[SubscribeReposStub]]), the JDK WebSocket
+  * client ([[SubscribeReposClient]]), real DAG-CBOR/CARv1 commit frames,
+  * and [[Firehose.decodeCborFrames]] on the Spark side — including a
+  * forced mid-stream TCP drop with cursor-resumed reconnect
+  * (subscription.ts:39-56).
+  */
+class SubscribeReposSpec extends SparkSpec {
+
+  // -- the same wire builders FirehoseSpec uses (CIDv1 dag-cbor sha2-256) --
+  private def cidBytes(data: Array[Byte]): Array[Byte] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(data)
+    Array[Byte](0x01, 0x71.toByte, 0x12, 32) ++ digest
+  }
+  private def cidLink(cid: Array[Byte]): Value = CTag(42, CBytes(0x00.toByte +: cid))
+  private def car(blocks: Seq[Array[Byte]]): Array[Byte] = {
+    val header = Writer.encode(CMap(Vector(
+      "version" -> CInt(1), "roots" -> CArr(Vector.empty))))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VarInt.write(header.length)); out.write(header)
+    blocks.foreach { data =>
+      val cid = cidBytes(data)
+      out.write(VarInt.write(cid.length + data.length)); out.write(cid); out.write(data)
+    }
+    out.toByteArray
+  }
+  private def postRecord(i: Long) = Writer.encode(CMap(Vector(
+    "$type" -> CText("app.bsky.feed.post"),
+    "text" -> CText(s"post number $i"),
+    "createdAt" -> CText("2024-03-01 10:00:00"),
+    "langs" -> CArr(Vector(CText("en"))))))
+  private def commitFrame(seq: Long): Array[Byte] = {
+    val rec = postRecord(seq)
+    val header = Writer.encode(CMap(Vector("op" -> CInt(1), "t" -> CText("#commit"))))
+    val body = Writer.encode(CMap(Vector(
+      "seq" -> CInt(seq), "repo" -> CText(s"did:plc:u$seq"),
+      "ops" -> CArr(Vector(CMap(Vector(
+        "action" -> CText("create"),
+        "path" -> CText(s"app.bsky.feed.post/3k$seq"),
+        "cid" -> cidLink(cidBytes(rec)))))),
+      "blocks" -> CBytes(car(Seq(rec))))))
+    header ++ body
+  }
+
+  private def runClient(stub: SubscribeReposStub, cursorEvery: Int,
+      maxWaitMs: Long = 20000): (Seq[Array[Byte]], AtomicLong, SubscribeReposClient) = {
+    val received = new ConcurrentLinkedQueue[Array[Byte]]()
+    val cursor = new AtomicLong(-1L)
+    val client = new SubscribeReposClient(
+      service = s"ws://127.0.0.1:${stub.port}",
+      getCursor = () => Option(cursor.get()).filter(_ >= 0),
+      updateCursor = cursor.set,
+      onFrame = received.add(_),
+      cursorEvery = cursorEvery)
+    client.start(reconnectDelayMs = 100, maxRestarts = 3)
+    assert(client.awaitStopped(maxWaitMs), "client did not finish in time")
+    (received.toArray(Array.empty[Array[Byte]]).toSeq, cursor, client)
+  }
+
+  test("subscribes, receives real CBOR frames over a real websocket, stores the cursor") {
+    val frames = (1L to 10L).map(i => i -> commitFrame(i))
+    val stub = new SubscribeReposStub(frames)
+    try {
+      val (received, cursor, client) = runClient(stub, cursorEvery = 2)
+      assert(client.restarts == 0 && client.error.isEmpty, client.error.toString)
+      assert(received.size == 10)
+      assert(cursor.get() == 10L) // every-2 cadence lands on the last seq
+      assert(stub.connections == List(None)) // first dial has no cursor param
+
+      // the received bytes decode through the SAME distributed path
+      val s = spark
+      import s.implicits._
+      val decoded = Firehose.decodeCborFrames(received.toDF("frame"))
+      val seqs = decoded.select("seq").collect().map(_.getLong(0)).sorted.toSeq
+      assert(seqs == (1L to 10L))
+    } finally stub.stop()
+  }
+
+  test("mid-stream TCP drop: reconnects with ?cursor=N and resumes; ingest stays exactly-once") {
+    val frames = (1L to 10L).map(i => i -> commitFrame(i))
+    // first connection dies abruptly after 4 frames (cursor stored at 4)
+    val stub = new SubscribeReposStub(frames, dropFirstConnectionAfter = Some(4))
+    try {
+      val (received, cursor, client) = runClient(stub, cursorEvery = 2)
+      assert(client.restarts == 1, s"expected exactly one reconnect, got ${client.restarts}")
+      assert(cursor.get() == 10L)
+      // second dial carried the resume cursor the first connection stored
+      assert(stub.connections.reverse == List(None, Some(4L)), stub.connections.toString)
+      // no frame lost: 4 before the drop + 6 replayed-from-cursor
+      assert(received.size == 10)
+
+      val s = spark
+      import s.implicits._
+      val decoded = Firehose.decodeCborFrames(received.toDF("frame"))
+      val seqs = decoded.select("seq").collect().map(_.getLong(0)).sorted.toSeq
+      assert(seqs == (1L to 10L), "at-least-once stream must cover every seq")
+      // the idempotent upsert boundary: distinct uris == one post per commit
+      assert(decoded.select("uri").distinct().count() == 10L)
+    } finally stub.stop()
+  }
+
+  test("cursor cadence replays the uncommitted tail after a drop; dedup absorbs it") {
+    val frames = (1L to 10L).map(i => i -> commitFrame(i))
+    // drop after 5 frames with cursor cadence 2 → cursor stuck at 4, frame 5 replays
+    val stub = new SubscribeReposStub(frames, dropFirstConnectionAfter = Some(5))
+    try {
+      val (received, _, client) = runClient(stub, cursorEvery = 2)
+      assert(client.restarts == 1)
+      assert(stub.connections.reverse == List(None, Some(4L)))
+      assert(received.size == 11) // 5 + replayed 5..10: frame 5 arrives twice
+
+      val s = spark
+      import s.implicits._
+      val decoded = Firehose.decodeCborFrames(received.toDF("frame"))
+      assert(decoded.count() == 11)
+      // exactness is downstream: distinct on the upsert key collapses the replay
+      assert(decoded.select("uri").distinct().count() == 10L)
+    } finally stub.stop()
+  }
+}
