@@ -40,6 +40,25 @@ object Auth {
     case _ => false
   }
 
+  /** ES256K (secp256k1, the atproto wire alg): JOSE signature is r ‖ s
+    * (64 bytes) over SHA-256 of the signing input; the resolved key is a
+    * SEC 1 point (33-byte compressed or 65-byte uncompressed) — the shape
+    * did:plc / did:web documents publish. Backed by [[Secp256k1]], no new
+    * dependencies. */
+  val Es256kVerifier: Verifier = (alg, input, sig, key) => alg match {
+    case "ES256K" if sig.length == 64 =>
+      Secp256k1.decodePoint(key).exists { pub =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256").digest(input)
+        Secp256k1.verify(digest, BigInt(1, sig.take(32)), BigInt(1, sig.drop(32)), pub)
+      }
+    case _ => false
+  }
+
+  /** Per-alg dispatch: HS256 for shared-secret deployments, ES256K for
+    * the atproto wire — a sensible production default. */
+  val DefaultVerifier: Verifier = (alg, input, sig, key) =>
+    Hs256Verifier(alg, input, sig, key) || Es256kVerifier(alg, input, sig, key)
+
   private val mapper = new ObjectMapper()
 
   private def b64urlDecode(s: String): Array[Byte] =
@@ -58,6 +77,24 @@ object Auth {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
     mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
     s"$input.${b64urlEncode(mac.doFinal(input.getBytes("US-ASCII")))}"
+  }
+
+  /** Mint an ES256K service JWT with the fixture-grade deterministic
+    * signer ([[Secp256k1.sign]]) — AuthSpec's wire fixture and ops
+    * dry-runs; real tokens come from the requester's PDS. */
+  def signEs256k(iss: String, aud: String, expEpochSec: Long, priv: BigInt): String = {
+    val header = b64urlEncode("""{"alg":"ES256K","typ":"JWT"}""".getBytes("UTF-8"))
+    val payload = b64urlEncode(
+      s"""{"iss":"$iss","aud":"$aud","exp":$expEpochSec}""".getBytes("UTF-8"))
+    val input = s"$header.$payload"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(input.getBytes("US-ASCII"))
+    val (r, s) = Secp256k1.sign(digest, priv)
+    def fixed32(v: BigInt): Array[Byte] = {
+      val raw = v.toByteArray.dropWhile(_ == 0)
+      Array.fill[Byte](32 - raw.length)(0) ++ raw
+    }
+    s"$input.${b64urlEncode(fixed32(r) ++ fixed32(s))}"
   }
 
   /** Verify `Authorization: Bearer <jwt>` and return the requester DID
