@@ -331,10 +331,26 @@ object Dedup {
         .select(col(idCol), col("component"))
     }
     val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)
-    val members = withBands.select(col(idCol).as("id"),
+    val memberRows = withBands.select(col(idCol).as("id"),
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))
-      .localCheckpoint()
-    val nNodes = withBands.count()
+    val nNodes = df.count()
+
+    // Adaptive small-graph fast path — the broadcast-join argument applied
+    // to the fixpoint: below the threshold the whole doc↔bucket membership
+    // (nNodes × bands rows) fits on the driver, where union-find reaches
+    // the fixpoint in one pass instead of O(log diameter) distributed
+    // cycles of 4-5 stages each. Above it, the distributed loop below is
+    // the only option — there is no driver that holds a 100 TB corpus's
+    // node set, which is exactly why the threshold is on NODES, the
+    // quantity that survives scale-up decisions. Identical labels by
+    // construction (spec-asserted): both paths compute min-id per
+    // connected component of the same bucket graph.
+    val localThreshold = df.sparkSession.conf
+      .get("spark.graft.components.localThreshold", "100000").toLong
+    if (nNodes <= localThreshold)
+      return localBucketComponents(df, idCol, memberRows)
+
+    val members = memberRows.localCheckpoint()
     var labels = withBands.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
 
@@ -376,11 +392,11 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // two graph rounds + one pointer jump per materialization+convergence
-      // check: the checks and lineage checkpoints are whole Spark jobs, the
-      // rounds themselves are tiny combined aggregations — batch them, at
-      // worst one wasted half-round after the fixpoint
-      labels = jump(round(round(labels))).localCheckpoint()
+      // three graph rounds + a double pointer jump per materialization +
+      // convergence check: the checks and lineage checkpoints are whole
+      // Spark jobs, the rounds themselves are tiny combined aggregations —
+      // batch them, at worst one wasted round's map work after the fixpoint
+      labels = jump(jump(round(round(round(labels))))).localCheckpoint()
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -390,6 +406,46 @@ object Dedup {
       s"minhashLshComponents did not converge in $maxIters iterations — raise maxIters " +
         "(unconverged labels would silently split true components)")
     labels.select(col("id").as(idCol), col("lbl").as("component"))
+  }
+
+  /** Below-threshold component labelling: collect the (id, band, bh)
+    * membership rows once and union-find bucket cliques on the driver —
+    * every bucket's members merge into one set, roots then relabel to the
+    * component's MIN id (the same fixpoint the distributed loop reaches).
+    * Bounded by `spark.graft.components.localThreshold` nodes × bands
+    * rows; [[minhashLshComponents]] only routes here under the gate. */
+  private def localBucketComponents(df: DataFrame, idCol: String,
+      memberRows: DataFrame): DataFrame = {
+    val rows = memberRows
+      .select(col("id").cast("long"), col("band").cast("int"), col("bh").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val anchor = scala.collection.mutable.Map[(Int, Long), Long]() // bucket → first member
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      parent.getOrElseUpdate(id, id)
+      val bucket = (r.getInt(1), r.getLong(2))
+      anchor.get(bucket) match {
+        case Some(a) => union(a, id)
+        case None => anchor(bucket) = id
+      }
+    }
+    // min-id-root unions make find(id) the component minimum directly
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labelled = parent.keys.toSeq.map(id => (id, find(id))).toDF("__lid", "__lcomp")
+    val idType = df.schema(idCol).dataType
+    labelled.select(col("__lid").cast(idType).as(idCol),
+      col("__lcomp").cast(idType).as("component"))
   }
 
   /** n-gram Jaccard pairs within a blocking bucket: |A∩B| / |A∪B| over

@@ -103,14 +103,18 @@ object ProductQuantizer {
     * (ss, cl) mean aggregation per iteration. */
   private def fitOnMembers(members: DataFrame, sub: Int, m: Int, ks: Int,
       iters: Int): Array[Array[Array[Long]]] = {
-    // init: the ks lowest-id subvectors of every subspace, one collect
-    val init = members.withColumn("__rn",
-        row_number().over(Window.partitionBy(col("ss")).orderBy(col("__pqid"))))
-      .filter(col("__rn") <= ks)
-      .select(col("ss"), (col("__rn") - 1).cast("int").as("cl"), col("fe")).collect()
+    // init: the ks lowest-id subvectors of every subspace. Every vector
+    // carries all m subspaces, so the globally-lowest m×ks (id, ss) rows
+    // ARE the per-subspace seeds — a TakeOrdered (top-k per partition +
+    // driver merge), no window shuffle
+    val init = members.select(col("__pqid"), col("ss"), col("fe"))
+      .orderBy(col("__pqid"), col("ss")).limit(m * ks).collect()
     require(init.length == m * ks, s"need at least $ks vectors to seed $ks codes")
+    val seedIds = init.map(_.get(0)).distinct // ascending: rows arrive id-sorted
+    require(seedIds.length == ks, s"expected $ks seed vectors, got ${seedIds.length}")
     var books = Array.fill(m, ks)(Array.empty[Long])
-    init.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    init.foreach(r =>
+      books(r.getInt(1))(seedIds.indexOf(r.get(0))) = r.getSeq[Long](2).toArray)
 
     val sums = (0 until sub).map(i =>
       sum(element_at(col("fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")

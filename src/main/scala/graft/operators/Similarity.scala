@@ -36,13 +36,16 @@ object Similarity {
   def cosineFromFp(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
-  /** Attach fixed-point vector + its squared norm. */
+  /** Attach fixed-point vector + its squared norm. Lazy on purpose: every
+    * ranking consumes each side exactly once (one probe-side broadcast, one
+    * streamed candidate scan), so an eager checkpoint here would only add a
+    * materialization job — the explicit `broadcast()` hints at the call
+    * sites carry the sizing information a checkpoint used to provide. */
   private def prep(df: DataFrame, idCol: String, vecCol: String, extra: Seq[String],
       dim: Option[Int]): DataFrame = {
     val fe = fixedPoint(col(vecCol))
     df.select((idCol +: extra).map(col) :+ fe.as("__fe"): _*)
       .withColumn("__nsq", dotFp(col("__fe"), col("__fe"), dim))
-      .localCheckpoint() // fixed-point vectors + norms materialized once
   }
 
   private def rank(joined: DataFrame, k: Int, dim: Option[Int]): DataFrame = {

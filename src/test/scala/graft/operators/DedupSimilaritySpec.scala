@@ -195,6 +195,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plain.exceptAll(collapsed).isEmpty && collapsed.exceptAll(plain).isEmpty)
   }
 
+  test("driver union-find fast path equals the distributed fixpoint (same labels)") {
+    // default threshold routes this small corpus to the driver union-find;
+    // forcing threshold 0 runs the distributed bipartite propagation loop —
+    // the two must produce identical (id, component) labels
+    val local = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2)
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try {
+      val dist = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2)
+      assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty,
+        "local and distributed component paths diverged")
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+  }
+
   test("components of the LSH pair graph partition the corpus and respect pair edges") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
     val comp = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2).cache()
