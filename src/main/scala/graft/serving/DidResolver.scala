@@ -1,0 +1,140 @@
+package graft.serving
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Network DID resolution with a TTL cache — the production counterpart of
+  * [[Auth.StaticKeyResolver]] (/root/reference/src/server.ts:39-43: a
+  * `DidResolver({plcUrl: 'https://plc.directory', didCache})` backed by a
+  * `MemoryCache`; /root/reference/src/auth.ts:16 resolves the requester's
+  * atproto signing key from it on every private-feed request).
+  *
+  * Two DID methods, matching what the atproto wire actually serves:
+  *   - `did:plc:…` → `GET {plcUrl}/{did}` (the plc.directory API shape)
+  *   - `did:web:host[:path…]` → `GET https://host/.well-known/did.json`
+  *     (or `https://host/path…/did.json` for path-form DIDs) — the same
+  *     document [[FeedServer]] publishes for itself.
+  *
+  * The signing key is the `verificationMethod` whose id fragment is
+  * `#atproto`, published as a `publicKeyMultibase`: base58btc ('z' prefix)
+  * over a multicodec tag + SEC 1 key bytes. secp256k1-pub (varint 0xe701,
+  * compressed 33 bytes) is decoded to the raw point bytes that
+  * [[Auth.Es256kVerifier]] consumes; bare (untagged) 33/65-byte points are
+  * accepted for legacy `EcdsaSecp256k1VerificationKey2019` documents.
+  *
+  * Network I/O goes through a [[DidResolver.Fetcher]] so specs run against
+  * an in-process HTTP stub; the TTL clock is injectable the same way.
+  * Results (hits only) cache for `ttlMillis`, like the reference's
+  * MemoryCache — a miss is retried on the next request so a key published
+  * moments later is not negatively cached for an hour.
+  */
+final class DidResolver(
+    fetcher: DidResolver.Fetcher,
+    plcUrl: String = "https://plc.directory",
+    ttlMillis: Long = 3600L * 1000,
+    nowMillis: () => Long = () => System.currentTimeMillis()) extends Auth.KeyResolver {
+
+  private val mapper = new ObjectMapper()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+
+  /** did → document URL; None for unsupported methods. */
+  def documentUrl(did: String): Option[String] = did.split(':').toList match {
+    case "did" :: "plc" :: id :: Nil if id.nonEmpty =>
+      Some(s"${plcUrl.stripSuffix("/")}/did:plc:$id")
+    case "did" :: "web" :: host :: rest if host.nonEmpty =>
+      // did:web percent-encodes a port's colon; path segments join with /
+      val h = java.net.URLDecoder.decode(host, "UTF-8")
+      if (rest.isEmpty) Some(s"https://$h/.well-known/did.json")
+      else Some(s"https://$h/${rest.mkString("/")}/did.json")
+    case _ => None
+  }
+
+  override def resolveKey(did: String): Option[Array[Byte]] = {
+    val now = nowMillis()
+    Option(cache.get(did)).filter(now - _._2 < ttlMillis) match {
+      case Some((key, _)) => Some(key)
+      case None =>
+        val fresh = for {
+          url <- documentUrl(did)
+          body <- fetcher.fetch(url)
+          key <- DidResolver.atprotoKey(mapper, body, did)
+        } yield key
+        fresh.foreach(k => cache.put(did, (k, now)))
+        fresh
+    }
+  }
+}
+
+object DidResolver {
+
+  /** GET url → body on 2xx; None on error (resolution failure ≠ crash —
+    * the caller turns it into 401, auth.ts's behavior when the DID has no
+    * resolvable key). */
+  trait Fetcher { def fetch(url: String): Option[String] }
+
+  final class HttpFetcher extends Fetcher {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    override def fetch(url: String): Option[String] =
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+      } catch { case _: Exception => None }
+  }
+
+  private val Base58Alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  /** base58btc decode (the 'z' multibase body). None on a non-alphabet
+    * character. */
+  def base58Decode(s: String): Option[Array[Byte]] = {
+    var acc = BigInt(0)
+    for (c <- s) {
+      val i = Base58Alphabet.indexOf(c)
+      if (i < 0) return None
+      acc = acc * 58 + i
+    }
+    val body = acc.toByteArray.dropWhile(_ == 0)
+    Some(Array.fill[Byte](s.takeWhile(_ == '1').length)(0) ++ body)
+  }
+
+  def base58Encode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var acc = BigInt(1, bytes)
+    while (acc > 0) { sb.append(Base58Alphabet((acc % 58).toInt)); acc /= 58 }
+    bytes.takeWhile(_ == 0).foreach(_ => sb.append('1'))
+    sb.reverseInPlace().toString
+  }
+
+  /** Multibase+multicodec → raw SEC 1 key bytes. secp256k1-pub's varint
+    * tag is 0xe7 0x01; untagged 33/65-byte points pass through (legacy
+    * 2019-suite documents publish the bare compressed point). */
+  def decodeMultibaseKey(multibase: String): Option[Array[Byte]] =
+    if (!multibase.startsWith("z")) None
+    else base58Decode(multibase.drop(1)).flatMap { raw =>
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0xe7 && (raw(1) & 0xff) == 0x01)
+        Some(raw.drop(2))
+      else if (raw.length == 33 || raw.length == 65) Some(raw)
+      else None
+    }
+
+  /** The `#atproto` verification key of a DID document, as raw point
+    * bytes. Accepts both absolute (`did…#atproto`) and relative
+    * (`#atproto`) method ids — both appear in the wild. */
+  private[serving] def atprotoKey(mapper: ObjectMapper, documentJson: String,
+      did: String): Option[Array[Byte]] =
+    try {
+      val doc = mapper.readTree(documentJson)
+      val methods = Option(doc.get("verificationMethod")).toSeq
+        .flatMap(m => (0 until m.size()).map(m.get))
+      methods.find { m =>
+        val id = Option(m.get("id")).map(_.asText()).getOrElse("")
+        id == "#atproto" || id == s"$did#atproto"
+      }.flatMap(m => Option(m.get("publicKeyMultibase")).map(_.asText()))
+        .flatMap(decodeMultibaseKey)
+    } catch { case _: Exception => None }
+
+  /** Encode a compressed secp256k1 point as the multibase string a DID
+    * document publishes — fixtures and [[FeedServer]]'s own document. */
+  def encodeMultibaseKey(compressedPoint: Array[Byte]): String =
+    "z" + base58Encode(Array(0xe7.toByte, 0x01.toByte) ++ compressedPoint)
+}

@@ -1,0 +1,112 @@
+package graft.serving
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serving.Secp256k1.{G, mul}
+
+/** DidResolver: document URL mapping, multibase key decode, TTL caching,
+  * and the full wire loop — an ES256K token verified with a key fetched
+  * from a plc.directory-shaped HTTP stub (reference: server.ts:39-43 +
+  * auth.ts:8-18). */
+class DidResolverSpec extends AnyFunSuite {
+
+  private val priv = BigInt("1B1D89A8C6FA8EB4A9E6F0D1B0313F6D0E3AD38C6ED93D1E2CFFEF21A9FB6F0C", 16)
+  private val pubPoint = mul(G, priv).get
+  private val multibase = DidResolver.encodeMultibaseKey(Secp256k1.compress(pubPoint))
+
+  private def didDoc(did: String): String =
+    s"""{"id":"$did","verificationMethod":[
+       |  {"id":"$did#atproto","type":"Multikey","controller":"$did",
+       |   "publicKeyMultibase":"$multibase"}]}""".stripMargin
+
+  test("documentUrl maps did:plc to the directory and did:web to well-known") {
+    val r = new DidResolver(_ => None, plcUrl = "https://plc.directory")
+    assert(r.documentUrl("did:plc:abc123").contains("https://plc.directory/did:plc:abc123"))
+    assert(r.documentUrl("did:web:feeds.example.com")
+      .contains("https://feeds.example.com/.well-known/did.json"))
+    assert(r.documentUrl("did:web:example.com:u:alice")
+      .contains("https://example.com/u/alice/did.json"))
+    assert(r.documentUrl("did:key:zQ3sh").isEmpty && r.documentUrl("bogus").isEmpty)
+  }
+
+  test("base58 round-trips including leading zeros; bad alphabet rejects") {
+    val cases = Seq(Array[Byte](0, 0, 1, 2, 3), Array[Byte](-1, -2), Array.empty[Byte])
+    cases.foreach { b =>
+      assert(DidResolver.base58Decode(DidResolver.base58Encode(b)).get.sameElements(b))
+    }
+    assert(DidResolver.base58Decode("0OIl").isEmpty) // excluded characters
+  }
+
+  test("multibase decode strips the secp256k1 multicodec tag and accepts bare points") {
+    assert(DidResolver.decodeMultibaseKey(multibase).get
+      .sameElements(Secp256k1.compress(pubPoint)))
+    val bare = "z" + DidResolver.base58Encode(Secp256k1.compress(pubPoint))
+    assert(DidResolver.decodeMultibaseKey(bare).get
+      .sameElements(Secp256k1.compress(pubPoint)))
+    assert(DidResolver.decodeMultibaseKey("m" + multibase.drop(1)).isEmpty) // wrong base
+    assert(DidResolver.decodeMultibaseKey("z2j").isEmpty) // neither tagged nor a point
+  }
+
+  test("resolveKey fetches once, caches within TTL, refetches after expiry") {
+    var now = 1000L
+    var fetches = 0
+    val did = "did:plc:cachetest"
+    val r = new DidResolver(
+      url => { fetches += 1; if (url.endsWith(did)) Some(didDoc(did)) else None },
+      ttlMillis = 60000L, nowMillis = () => now)
+    assert(r.resolveKey(did).isDefined && fetches == 1)
+    assert(r.resolveKey(did).isDefined && fetches == 1) // cached
+    now += 59999L
+    assert(r.resolveKey(did).isDefined && fetches == 1) // still inside TTL
+    now += 2L
+    assert(r.resolveKey(did).isDefined && fetches == 2) // expired → refetch
+  }
+
+  test("resolution misses are not negatively cached") {
+    var fetches = 0
+    var available = false
+    val did = "did:plc:latecomer"
+    val r = new DidResolver(
+      _ => { fetches += 1; if (available) Some(didDoc(did)) else None })
+    assert(r.resolveKey(did).isEmpty && fetches == 1)
+    available = true
+    assert(r.resolveKey(did).isDefined && fetches == 2)
+  }
+
+  test("a document without an #atproto method or with garbage yields None") {
+    val did = "did:plc:nokey"
+    val noAtproto = s"""{"id":"$did","verificationMethod":[
+      |  {"id":"$did#other","publicKeyMultibase":"$multibase"}]}""".stripMargin
+    assert(new DidResolver(_ => Some(noAtproto)).resolveKey(did).isEmpty)
+    assert(new DidResolver(_ => Some("not json")).resolveKey(did).isEmpty)
+    assert(new DidResolver(_ => Some("{}")).resolveKey(did).isEmpty)
+  }
+
+  test("end-to-end over HTTP: ES256K token verifies with a directory-fetched key") {
+    val requester = "did:plc:wireloop"
+    val service = "did:web:feeds.example.com"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/" + requester, ex => {
+      val body = didDoc(requester).getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val plcUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val resolver = new DidResolver(new DidResolver.HttpFetcher, plcUrl = plcUrl)
+      val exp = System.currentTimeMillis() / 1000 + 600
+      val token = Auth.signEs256k(requester, service, exp, priv)
+      val got = Auth.validateAuth(Some(s"Bearer $token"), service, resolver,
+        Auth.Es256kVerifier)
+      assert(got == requester)
+      // tampered token still rejects with the network-resolved key
+      val bad = token.dropRight(2) + "AA"
+      val err = intercept[Auth.AuthError](
+        Auth.validateAuth(Some(s"Bearer $bad"), service, resolver, Auth.Es256kVerifier))
+      assert(err.status == 401)
+    } finally server.stop(0)
+  }
+}
