@@ -30,9 +30,41 @@ object KMeansIvf {
   }
 
   /** Fit k centroids, return (assignments, centroids). Assignments:
-    * (idCol, cluster int). */
+    * (idCol, cluster int).
+    *
+    * Adaptive like a broadcast join: below
+    * `spark.graft.kmeans.localThreshold` corpus rows (default 65536) the
+    * fixed-point vectors are collected ONCE and Lloyd runs on the driver —
+    * the iterations cost array arithmetic instead of an
+    * assign-join + centroid-aggregation Spark job each. Above it, the
+    * distributed loop below is the only option (no driver holds a 100 TB
+    * corpus), and the one probe job it spent deciding is noise against the
+    * iterations it runs. Identical centroids and assignments by
+    * construction — exact integer math, lowest-id init, first-min
+    * tie-break on both paths (spec-asserted). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
       : (DataFrame, Array[Array[Long]]) = {
+    val localThreshold = df.sparkSession.conf
+      .get("spark.graft.kmeans.localThreshold", "65536").toInt
+    val idType = df.schema(idCol).dataType
+    val probe =
+      if (!LocalLloyd.supportsId(idType)) Array.empty[org.apache.spark.sql.Row]
+      else df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
+        .limit(localThreshold + 1).collect()
+    if (LocalLloyd.supportsId(idType) && probe.length <= localThreshold) {
+      val vecs = probe.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)(LocalLloyd.idOrdering(df.schema(idCol).dataType))
+      val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(vecs.indices.map(i =>
+          org.apache.spark.sql.Row(vecs(i)._1, assignment(i))): _*)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        df.schema(idCol).copy(name = idCol),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return (df.sparkSession.createDataFrame(rows, schema), centroids)
+    }
+
     val fp = df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
       .withColumn("__nsq", Similarity.dotFp(col("__fe"), col("__fe")))
       .localCheckpoint()

@@ -67,6 +67,27 @@ object ProductQuantizer {
     * never inherit a persistent RDD from training. */
   private def trainBooks(candidates: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Long]]] = {
+    // Adaptive like KMeansIvf.fit: below the shared threshold the vectors
+    // collect once and all m subspaces train on the driver (fixedPoint
+    // commutes with subvector slicing, so the Longs are identical);
+    // above it, the joint distributed Lloyd below — bit-equal codebooks
+    // either way (spec-asserted).
+    val threshold = candidates.sparkSession.conf
+      .get("spark.graft.kmeans.localThreshold", "65536").toInt
+    val idType = candidates.schema(idCol).dataType
+    if (LocalLloyd.supportsId(idType)) {
+      val probe = candidates
+        .select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
+        .limit(threshold + 1).collect()
+      if (probe.length <= threshold) {
+        val sub = dim / m
+        val sorted = probe.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)(LocalLloyd.idOrdering(idType))
+        return Array.tabulate(m) { j =>
+          LocalLloyd.fit(sorted.map(_._2.slice(j * sub, j * sub + sub)), ks, iters)._2
+        }
+      }
+    }
     val members = memberRows(candidates, idCol, vecCol, dim, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOnMembers(members, dim / m, m, ks, iters)

@@ -118,6 +118,32 @@ class KMeansIvfSpec extends SparkSpec {
     graft.SharedCache.clear(spark)
   }
 
+  test("driver Lloyd fast path equals the distributed fit (centroids + assignments)") {
+    // default threshold routes this corpus to the driver; threshold 0
+    // forces the distributed assign-join/centroid-agg loop — bit-equal
+    // models required, not approximately equal
+    val (aLocal, cLocal) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    spark.conf.set("spark.graft.kmeans.localThreshold", "0")
+    try {
+      val (aDist, cDist) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      assert(cLocal.map(_.toSeq).toSeq == cDist.map(_.toSeq).toSeq)
+      val mLocal = aLocal.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val mDist = aDist.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(mLocal == mDist)
+    } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
+  }
+
+  test("driver PQ training equals the distributed joint Lloyd (codebooks bit-equal)") {
+    val local = graft.operators.ProductQuantizer.fitCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 4, ks = 16, iters = 2)
+    spark.conf.set("spark.graft.kmeans.localThreshold", "0")
+    try {
+      val dist = graft.operators.ProductQuantizer.fitCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, ks = 16, iters = 2)
+      assert(local.map(_.map(_.toSeq).toSeq) == dist.map(_.map(_.toSeq).toSeq))
+    } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
+  }
+
   test("PQ: well-separated clusters retrieve their own members first") {
     val s = spark
     import s.implicits._
