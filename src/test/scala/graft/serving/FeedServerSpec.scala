@@ -104,6 +104,52 @@ class FeedServerSpec extends SparkSpec {
     }
   }
 
+  test("production wiring: private feed over ES256K with a directory-resolved key " +
+      "(server.ts:39-43 + auth.ts)") {
+    // the reference's full auth stack: DidResolver(plcUrl) + MemoryCache +
+    // verifyJwt(ES256K) — here a local directory stub, the TTL-cached
+    // resolver, the built-in secp256k1 verify, and the real feed server
+    val priv = BigInt("1B1D89A8C6FA8EB4A9E6F0D1B0313F6D0E3AD38C6ED93D1E2CFFEF21A9FB6F0C", 16)
+    val requester = "did:plc:alice"
+    val multibase = DidResolver.encodeMultibaseKey(
+      Secp256k1.compress(Secp256k1.mul(Secp256k1.G, priv).get))
+    val directory = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    directory.createContext("/" + requester, ex => {
+      val body =
+        s"""{"id":"$requester","verificationMethod":[{"id":"$requester#atproto",
+           |"type":"Multikey","publicKeyMultibase":"$multibase"}]}""".stripMargin
+          .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    directory.start()
+    try {
+      val plcUrl = s"http://127.0.0.1:${directory.getAddress.getPort}"
+      val wired = cfg.copy(
+        keyResolver = new DidResolver(new DidResolver.HttpFetcher, plcUrl = plcUrl),
+        verifier = Auth.DefaultVerifier)
+      val conditions = Seq(Fixtures.cond(key = "p1", privateFeed = Seq(requester)))
+      val s = spark
+      import s.implicits._
+      val store = Ingest.processBatch(spark, Ingest.emptyStore(spark),
+        Fixtures.posts.toDF(), conditions, Some(Fixtures.profiles.toDF())).cache()
+      val server = new FeedServer(spark, () => store, () => conditions, wired)
+      val port = server.start()
+      try {
+        val path = s"/xrpc/app.bsky.feed.getFeedSkeleton?feed=${feedUri("p1")}"
+        val token = Auth.signEs256k(requester, cfg.serviceDid,
+          System.currentTimeMillis() / 1000 + 600, priv)
+        val (st, page) = get(port, path, Some(token))
+        assert(st == 200 && page.get("feed").size() > 0, page.toString)
+        // an unresolvable issuer (not in the directory) still 401s
+        val ghost = Auth.signEs256k("did:plc:ghost", cfg.serviceDid,
+          System.currentTimeMillis() / 1000 + 600, priv)
+        assert(get(port, path, Some(ghost))._1 == 401)
+      } finally server.stop()
+    } finally directory.stop(0)
+  }
+
   test("describeFeedGenerator and /.well-known/did.json match the reference shapes") {
     val conditions = Seq(Fixtures.cond(key = "f1"), Fixtures.cond(key = "f2"))
     withServer(conditions) { port =>
