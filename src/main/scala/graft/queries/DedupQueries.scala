@@ -245,5 +245,67 @@ object DedupQueries extends QueryModule {
          |FROM lab12 ORDER BY doc_id""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41)
+  /** Canonical-representative selection: per near-dup cluster keep the
+    * highest-quality member (longest doc, ties to the lowest id) — the
+    * content-aware upgrade of ns41's keep-lowest-id rule, and the third
+    * consumer of the SharedCache'd component fixpoint. One broadcast-sized
+    * join (components are (id, label) pairs) plus a per-cluster window —
+    * cluster sizes are bounded by the near-dup group size, so the window
+    * partitions stay small at any corpus scale. */
+  private val ns43 = QueryEntry(
+    "ns43_dedup_canonical",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val wc = t.documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text")).as("n_words"))
+      componentsFor(spark, dir).join(wc, "doc_id")
+        .withColumn("is_canonical", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("n_words").desc, col("doc_id"))) === 1)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""$componentsOracleCtes
+         |SELECT l.id AS doc_id, l.lbl AS component,
+         |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_words,
+         |  row_number() OVER (PARTITION BY l.lbl
+         |    ORDER BY CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) DESC, l.id) = 1
+         |    AS is_canonical
+         |FROM lab12 l JOIN documents d ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin),
+  )
+
+  /** Incremental-ingest dedup: new documents (one source partition) flagged
+    * against the signature set of the EXISTING corpus — the batch shape of
+    * what [[graft.streaming.DedupStream]] does per micro-batch. The
+    * history side reduces to DISTINCT 16-bit signatures (≤ 65536 rows at
+    * ANY corpus size — unconditionally broadcastable), so new-batch
+    * flagging is a broadcast probe with no shuffle of either corpus. */
+  private val ns45 = QueryEntry(
+    "ns45_incremental_dedup",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val sh = t.documents.select(col("doc_id"), col("source"),
+        Dedup.simhash16(Dedup.tokenSet(col("text"))).as("simhash"))
+      val history = sh.filter(col("source") =!= "src19")
+        .select(col("simhash")).distinct()
+      sh.filter(col("source") === "src19")
+        .join(broadcast(history.withColumn("__hit", lit(true))), Seq("simhash"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("__hit"), lit(false)).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, CAST($simhashSql AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, source, $WsSql AS w FROM documents)),
+         |hist AS (SELECT DISTINCT simhash FROM sh WHERE source <> 'src19')
+         |SELECT n.doc_id, n.simhash, h.simhash IS NOT NULL AS is_dup
+         |FROM sh n LEFT JOIN hist h ON n.simhash = h.simhash
+         |WHERE n.source = 'src19' ORDER BY doc_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] =
+    Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45)
 }

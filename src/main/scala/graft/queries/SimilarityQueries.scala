@@ -226,6 +226,17 @@ object SimilarityQueries extends QueryModule {
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
   )
 
+  /** DuckDB expression for the 4-plane hyperplane-LSH bucket id over `fe` —
+    * the ±1 weights generated once in Scala and embedded as list literals
+    * on BOTH engines. Shared by ns37 and the ns44 recall evaluation. */
+  private lazy val bktSql: String = {
+    val w = Similarity.hyperplaneWeights(4, 64)
+    (0 until 4).map { j =>
+      val wl = w(j).mkString("[", ", ", "]")
+      s"(CASE WHEN CAST(list_sum(list_transform(list_zip(fe, $wl), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Hyperplane-LSH-bucketed ANN (sign random projections, 4 planes → 16
     * buckets): the training-free bucketed alternative to IVF. The ±1
     * hyperplane weights are generated once in Scala and embedded as list
@@ -241,11 +252,6 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("q_id"), col("rnk"))
     },
     Some {
-      val w = Similarity.hyperplaneWeights(4, 64)
-      val bktSql = (0 until 4).map { j =>
-        val wl = w(j).mkString("[", ", ", "]")
-        s"(CASE WHEN CAST(list_sum(list_transform(list_zip(fe, $wl), p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
       s"""WITH $FpSql,
          |b AS (SELECT vec_id, fe, nsq, $bktSql AS bkt FROM n),
          |scored AS (
@@ -338,5 +344,50 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
-  override def entries: Seq[QueryEntry] = Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42)
+  /** Index-quality evaluation: recall@5 of the LSH-bucketed index (ns37)
+    * against exact brute force — the metric an ANN pipeline ships alongside
+    * its index. Both rankings come from the engine's own operators; the
+    * per-query hit count is a left join of the two bounded top-k lists
+    * (≤ k rows per query on each side), so the evaluation costs no more
+    * than the searches it compares. */
+  private val ns44 = QueryEntry(
+    "ns44_ann_recall",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(queries, t.embeddings,
+        "vec_id", "embedding", k = 5).select(col("q_id"), col("cand_id"))
+      val lsh = Similarity.lshBucketTopK(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, planes = 4, dim = 64)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      brute.join(lsh, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hits"))
+        .withColumn("recall_at_5", col("n_hits").cast("double") / 5)
+        .orderBy(col("q_id"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |b AS (SELECT vec_id, fe, nsq, $bktSql AS bkt FROM n),
+         |lsh5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM b q JOIN b c ON q.vec_id < 5 AND q.bkt = c.bkt AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5),
+         |brute5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5)
+         |SELECT q_id, n_hits, CAST(n_hits AS DOUBLE) / 5 AS recall_at_5 FROM (
+         |  SELECT br.q_id,
+         |    CAST(sum(CASE WHEN ls.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM brute5 br LEFT JOIN lsh5 ls
+         |    ON br.q_id = ls.q_id AND br.cand_id = ls.cand_id
+         |  GROUP BY br.q_id)
+         |ORDER BY q_id""".stripMargin),
+  )
+
+  override def entries: Seq[QueryEntry] =
+    Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44)
 }
