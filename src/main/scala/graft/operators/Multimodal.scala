@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * as per-partition batch functions (the Scala analog of mapInPandas — one
   * iterator per partition, vectorizable by batching inside the iterator).
   *
-  * The actual image/audio DECODE IS A STUB (the codec libraries are not in
-  * this environment): `decodeStub` derives deterministic fake metadata from
-  * the bytes. The Spark-side plumbing — schema, partitioning, batch
-  * iterator shape, binary slicing — is real and tested; swapping the stub
-  * for a JNI/FFmpeg decoder changes only the function body.
+  * IMAGE decode/resize/featurize are REAL, using the JDK's bundled
+  * ImageIO codecs (PNG/JPEG/GIF/BMP) — [[decodeImages]],
+  * [[resizeImages]], [[imageFeatures]]. AUDIO/VIDEO decode remains a
+  * declared stub (`decodeStub` — the JDK bundles no codecs for them):
+  * deterministic fake metadata from the bytes, with the real
+  * per-partition iterator contract, so swapping in a JNI/FFmpeg decoder
+  * changes only the function body.
   */
 object Multimodal {
 
@@ -50,6 +52,91 @@ object Multimodal {
           width = (n % 640).toInt, height = (n % 480).toInt)
       }
     }
+  }
+
+  /** REAL image decode via the JDK's bundled ImageIO codecs (PNG / JPEG /
+    * GIF / BMP — public `javax.imageio` API, zero external libraries):
+    * actual pixels, actual dimensions. Payloads no installed reader
+    * understands are DROPPED (flatMap) — the usual curation-pipeline
+    * stance toward undecodable media; audio/video stay behind
+    * [[decodeStub]] because the JDK bundles no codecs for them. Same
+    * per-partition iterator contract as the stub — this is exactly the
+    * "swap the function body for a codec" upgrade the stub documents,
+    * done for the formats the JDK can parse. */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      readImage(r.media).map(im => MediaMeta(r.doc_id, r.kind,
+        r.media.length.toLong, md5hex(r.media), im.getWidth, im.getHeight))
+    })
+  }
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** REAL image resize (JDK-only): decode, scale the longest side down to
+    * `maxSide` preserving aspect (never upscales), re-encode as PNG.
+    * Undecodable payloads are dropped, like [[decodeImages]]. */
+  def resizeImages(ds: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      readImage(r.media).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val scale = maxSide.toDouble / math.max(w, h)
+        if (scale >= 1.0) r
+        else {
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(im, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(media = bos.toByteArray)
+        }
+      }
+    })
+  }
+
+  /** REAL image featurizer (JDK-only): mean luminance over a grid × grid
+    * cell decomposition of the decoded pixels, scaled to [-0.5, 0.5) —
+    * grid² dimensions of actual image content, so identical images embed
+    * identically and the embedding-cosine dedup/ANN operators
+    * ([[Similarity]]) run unchanged over media columns. Cells outside a
+    * smaller-than-grid image contribute 0. */
+  def imageFeatures(ds: Dataset[MediaRow], grid: Int = 4): Dataset[MediaFeature] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      readImage(r.media).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val vec = (0 until grid * grid).map { c =>
+          val (cx, cy) = (c % grid, c / grid)
+          val (x0, x1) = (cx * w / grid, (cx + 1) * w / grid)
+          val (y0, y1) = (cy * h / grid, (cy + 1) * h / grid)
+          var sum = 0L
+          var n = 0L
+          var x = x0
+          while (x < x1) {
+            var y = y0
+            while (y < y1) {
+              val rgb = im.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              n += 3
+              y += 1
+            }
+            x += 1
+          }
+          if (n == 0) 0f else (sum.toFloat / n / 256f) - 0.5f
+        }
+        MediaFeature(r.doc_id, r.kind, vec)
+      }
+    })
   }
 
   /** One extracted feature vector per media row. */

@@ -91,6 +91,60 @@ class DedupSimilaritySpec extends SparkSpec {
     sizes.foreach(r => assert(r.getLong(1) == orig(r.getLong(0)).toLong))
   }
 
+  test("real JDK image decode: exact dims, aspect-preserving resize, undecodable dropped") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) im.setRGB(x, y, (x * 7 + y * 13) % 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png(20, 10)),
+      Multimodal.MediaRow(2L, "image", png(5, 15)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"))).toDS()
+    // decode parses ACTUAL pixel dimensions; the junk payload drops
+    val meta = Multimodal.decodeImages(ds).collect().sortBy(_.doc_id)
+    assert(meta.map(m => (m.doc_id, m.width, m.height)).toSeq ==
+      Seq((1L, 20, 10), (2L, 5, 15)))
+    // resize scales the longest side to 10, aspect preserved, round-half-up
+    val resized = Multimodal.decodeImages(Multimodal.resizeImages(ds, maxSide = 10))
+      .collect().sortBy(_.doc_id)
+    assert(resized.map(m => (m.doc_id, m.width, m.height)).toSeq ==
+      Seq((1L, 10, 5), (2L, 3, 10)))
+    // a payload already inside the bound passes through byte-identical
+    val small = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(9L, "image", png(4, 4))).toDS(), maxSide = 10).collect()
+    assert(small.head.media.sameElements(png(4, 4)))
+  }
+
+  test("real image featurizer: pixel-content embeddings feed cosine near-dup unchanged") {
+    val s = spark
+    import s.implicits._
+    def png(seed: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16)
+        im.setRGB(x, y, (x * seed * 31 + y * 17) % 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png(3)),
+      Multimodal.MediaRow(2L, "image", png(3)), // same pixels → same embedding
+      Multimodal.MediaRow(3L, "image", png(200))).toDS()
+    val feats = Multimodal.imageFeatures(ds, grid = 4).toDF()
+    assert(feats.head().getSeq[Float](2).length == 16)
+    val pairs = Similarity.cosineNearDupPairs(feats, "doc_id", "embedding",
+        bucket = Seq("kind"), threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"identical images must pair: ${pairs.toSeq}")
+  }
+
   test("multimodal featurizer feeds embedding near-dup: identical payloads pair at sim 1.0") {
     val s = spark
     import s.implicits._

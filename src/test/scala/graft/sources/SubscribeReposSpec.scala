@@ -50,8 +50,11 @@ class SubscribeReposSpec extends SparkSpec {
     header ++ body
   }
 
+  // generous: the suite runs in parallel with Spark jobs saturating all
+  // cores, and a starved callback thread once pushed a 10-frame session
+  // past 20s — the wait only binds on failure or a heavily-loaded box
   private def runClient(stub: SubscribeReposStub, cursorEvery: Int,
-      maxWaitMs: Long = 20000): (Seq[Array[Byte]], AtomicLong, SubscribeReposClient) = {
+      maxWaitMs: Long = 120000): (Seq[Array[Byte]], AtomicLong, SubscribeReposClient) = {
     val received = new ConcurrentLinkedQueue[Array[Byte]]()
     val cursor = new AtomicLong(-1L)
     val client = new SubscribeReposClient(
@@ -61,7 +64,9 @@ class SubscribeReposSpec extends SparkSpec {
       onFrame = received.add(_),
       cursorEvery = cursorEvery)
     client.start(reconnectDelayMs = 100, maxRestarts = 3)
-    assert(client.awaitStopped(maxWaitMs), "client did not finish in time")
+    assert(client.awaitStopped(maxWaitMs),
+      s"client did not finish in time: restarts=${client.restarts} " +
+        s"error=${client.error} frames=${received.size} connections=${stub.connections}")
     (received.toArray(Array.empty[Array[Byte]]).toSeq, cursor, client)
   }
 
