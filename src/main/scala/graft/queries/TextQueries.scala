@@ -117,6 +117,46 @@ object TextQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
+  /** REAL image decode in the oracle gate: each document gets a PNG whose
+    * dimensions are an arithmetic function of its id, encoded and decoded
+    * through the JDK's actual ImageIO codecs per partition
+    * ([[Multimodal.decodeImages]]); the oracle states the dimensions
+    * directly, so a hash match proves the real encode→decode round-trip
+    * recovered every image's exact geometry. Scan-parallel: images are
+    * generated, parsed, and dropped inside one mapPartitions pass — only
+    * (id, width, height) rows survive. */
+  private val ns46 = QueryEntry(
+    "ns46_image_roundtrip",
+    (spark, dir) => {
+      val s = spark
+      import s.implicits._
+      val t = Tables(spark, dir)
+      val media = t.documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + (id % 8).toInt
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) { im.setRGB(x, y, ((x * 31 + y * 17 + id) % 0xffffff).toInt); y += 1 }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        Multimodal.MediaRow(id, "image", bos.toByteArray)
+      })
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
   /** Scrub + deterministic hash sample — the reproducible cleaning step of
     * a curation pipeline. */
   private val ns22 = QueryEntry(
@@ -380,5 +420,6 @@ object TextQueries extends QueryModule {
   )
 
   override def entries: Seq[QueryEntry] =
-    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32, ns33, ns34, ns38)
+    Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
+      ns33, ns34, ns38, ns46)
 }
