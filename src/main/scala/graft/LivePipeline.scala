@@ -1,0 +1,98 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Condition
+import graft.serving.FeedServer
+import graft.sources.{Firehose, SubscribeReposClient}
+import graft.streaming.Ingest
+
+/** The reference APPLICATION assembled from the engine's parts
+  * (/root/reference/src/index.ts + server.ts: subscribe → ingest → serve,
+  * one process): a [[sources.SubscribeReposClient]] fills a bounded frame
+  * buffer from the wire and keeps the resume cursor; [[drainBatch]] turns
+  * the buffered frames into one micro-batch — real CBOR/CAR decode
+  * ([[sources.Firehose.decodeCborFrames]]), PostView routing, the
+  * standing-condition cascade + dedup upsert
+  * ([[streaming.Ingest.processBatch]]) — and swaps the served store
+  * atomically; [[serving.FeedServer]] pages the store over XRPC HTTP the
+  * whole time.
+  *
+  * Batching is CALLER-driven (a scheduler loop, or a spec's deterministic
+  * flush): micro-batch semantics without coupling this class to a clock.
+  * The store here is in-memory (localCheckpoint per batch, previous batch
+  * released) — the durable deployment shape is [[streaming.Ingest.start]]
+  * over a parquet/Delta store dir with a streaming checkpoint; serving and
+  * subscription wiring are identical either way.
+  */
+final class LivePipeline(
+    spark: SparkSession,
+    conditions: Seq[Condition],
+    cfg: FeedServer.Config,
+    service: String,
+    profiles: Option[DataFrame] = None,
+    cursorEvery: Int = 20,
+    maxBufferedFrames: Int = 100000) {
+
+  private val frames = new ConcurrentLinkedQueue[Array[Byte]]()
+  private val buffered = new AtomicLong(0)
+  private val cursor = new AtomicLong(-1L)
+  @volatile private var store: DataFrame = Ingest.emptyStore(spark)
+  @volatile private var storeRows: Long = 0L
+
+  /** Frames past the buffer bound are DROPPED — safe, not lossy: the
+    * cursor only advances on drained commits, so a reconnect replays
+    * everything the buffer shed (at-least-once, dedup downstream). */
+  val client: SubscribeReposClient = new SubscribeReposClient(
+    service = service,
+    getCursor = () => Option(cursor.get()).filter(_ >= 0),
+    updateCursor = cursor.set,
+    onFrame = f => offer(f),
+    cursorEvery = cursorEvery)
+
+  val server: FeedServer = new FeedServer(spark, () => store, () => conditions, cfg)
+
+  /** Start subscription + HTTP serving; returns the bound HTTP port. */
+  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue): Int = {
+    client.start(reconnectDelayMs, maxRestarts)
+    server.start()
+  }
+
+  /** Enqueue a frame as if it arrived on the wire — backfill from a frame
+    * dump, or redelivery injection in tests. Same bound as the socket
+    * path. */
+  def offer(frame: Array[Byte]): Unit =
+    if (buffered.get() < maxBufferedFrames) { frames.add(frame); buffered.incrementAndGet() }
+
+  /** Drain the buffer into one micro-batch; returns rows newly stored.
+    * Replayed frames fall out of the dedup anti-join (effectively-once,
+    * T8), so at-least-once delivery upstream is fine. */
+  def drainBatch(): Long = synchronized {
+    val buf = Iterator.continually(frames.poll()).takeWhile(_ != null).toVector
+    buffered.addAndGet(-buf.size.toLong)
+    if (buf.isEmpty) return 0L
+    import spark.implicits._
+    val posts = Firehose.postViews(Firehose.decodeCborFrames(buf.toDF("frame")))
+    val fresh = Ingest.processBatch(spark, store, posts, conditions, profiles)
+    val prev = store
+    val next = store.unionByName(fresh).localCheckpoint() // eager: serving sees a stable snapshot
+    val n = next.count()
+    store = next
+    prev.unpersist(blocking = false) // release the previous batch's checkpoint
+    val added = n - storeRows
+    storeRows = n
+    added
+  }
+
+  def storedCursor: Long = cursor.get()
+  def storedRows: Long = storeRows
+
+  def stop(): Unit = {
+    client.stop()
+    server.stop()
+    store.unpersist(blocking = false)
+  }
+}

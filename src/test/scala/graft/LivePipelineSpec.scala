@@ -1,0 +1,90 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.domain.Fixtures
+import graft.serving.{Auth, FeedServer}
+import graft.sources.{SubscribeReposStub, WireFixtures}
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The whole application in one spec: wire-format CBOR frames served by a
+  * real WebSocket stub → [[LivePipeline]] (subscribe, decode, cascade,
+  * dedup upsert) → a feed page fetched over real XRPC HTTP. The reference
+  * process (index.ts) does exactly this loop; every hop here is the real
+  * implementation, no shortcuts between the socket and the HTTP response.
+  */
+class LivePipelineSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  test("wire → websocket → micro-batch ingest → served XRPC feed page") {
+    // 10 commits; texts 1-6 say "spark", 7-10 do not → cascade keeps 6
+    val frames = (1L to 10L).map { i =>
+      val text = if (i <= 6) s"spark post number $i" else s"plain post number $i"
+      i -> WireFixtures.commitFrame(i, text)
+    }
+    val stub = new SubscribeReposStub(frames)
+    val conditions = Seq(Fixtures.cond(key = "live1", inputRegex = "spark"))
+    val cfg = FeedServer.Config(
+      serviceDid = "did:web:feeds.example.com",
+      hostname = "feeds.example.com",
+      publisherDid = "did:plc:publisher",
+      keyResolver = Auth.StaticKeyResolver(Map.empty))
+    val live = new LivePipeline(spark, conditions, cfg,
+      service = s"ws://127.0.0.1:${stub.port}", cursorEvery = 2)
+    try {
+      val port = live.start(reconnectDelayMs = 100, maxRestarts = 3)
+      assert(live.client.awaitStopped(120000), "subscription did not finish")
+      assert(live.storedCursor == 10L)
+
+      // before the first drain the served store is empty
+      val feedUri = java.net.URLEncoder.encode(
+        s"at://${cfg.publisherDid}/app.bsky.feed.generator/live1", "UTF-8")
+      def page(limit: Int) = {
+        val resp = http.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/xrpc/app.bsky.feed.getFeedSkeleton?feed=$feedUri&limit=$limit"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), mapper.readTree(resp.body()))
+      }
+      val (st0, p0) = page(50)
+      assert(st0 == 200 && p0.get("feed").size() == 0, p0.toString)
+
+      // one micro-batch drains the buffer: 6 of 10 posts pass the cascade
+      assert(live.drainBatch() == 6L)
+      assert(live.storedRows == 6L)
+      val (st1, p1) = page(50)
+      assert(st1 == 200 && p1.get("feed").size() == 6, p1.toString)
+      val uris = (0 until 6).map(p1.get("feed").get(_).get("post").asText())
+      assert(uris.forall(_.startsWith("at://did:plc:u")))
+
+      // an empty drain is a no-op, and the store count is stable
+      assert(live.drainBatch() == 0L)
+      assert(live.storedRows == 6L)
+    } finally {
+      live.stop()
+      stub.stop()
+    }
+  }
+
+  test("replayed frames fall out of the dedup anti-join across batches") {
+    val f = (1L to 4L).map(i => i -> WireFixtures.commitFrame(i, s"spark echo $i"))
+    val stub = new SubscribeReposStub(f)
+    val conditions = Seq(Fixtures.cond(key = "live2", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:f.example.com", "f.example.com", "did:plc:pub")
+    val live = new LivePipeline(spark, conditions, cfg,
+      service = s"ws://127.0.0.1:${stub.port}", cursorEvery = 2)
+    try {
+      live.start(reconnectDelayMs = 100, maxRestarts = 3)
+      assert(live.client.awaitStopped(120000))
+      assert(live.drainBatch() == 4L)
+      // redeliver the identical frames (the backfill seam = the same
+      // buffer the socket fills): at-least-once upstream, zero new rows
+      f.foreach { case (_, bytes) => live.offer(bytes) }
+      assert(live.drainBatch() == 0L, "replayed commits must dedup to zero new rows")
+      assert(live.storedRows == 4L)
+    } finally { live.stop(); stub.stop() }
+  }
+}

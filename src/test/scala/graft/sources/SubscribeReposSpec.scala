@@ -1,7 +1,6 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.Cbor._
 
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
@@ -15,40 +14,7 @@ import java.util.concurrent.atomic.AtomicLong
   */
 class SubscribeReposSpec extends SparkSpec {
 
-  // -- the same wire builders FirehoseSpec uses (CIDv1 dag-cbor sha2-256) --
-  private def cidBytes(data: Array[Byte]): Array[Byte] = {
-    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(data)
-    Array[Byte](0x01, 0x71.toByte, 0x12, 32) ++ digest
-  }
-  private def cidLink(cid: Array[Byte]): Value = CTag(42, CBytes(0x00.toByte +: cid))
-  private def car(blocks: Seq[Array[Byte]]): Array[Byte] = {
-    val header = Writer.encode(CMap(Vector(
-      "version" -> CInt(1), "roots" -> CArr(Vector.empty))))
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(VarInt.write(header.length)); out.write(header)
-    blocks.foreach { data =>
-      val cid = cidBytes(data)
-      out.write(VarInt.write(cid.length + data.length)); out.write(cid); out.write(data)
-    }
-    out.toByteArray
-  }
-  private def postRecord(i: Long) = Writer.encode(CMap(Vector(
-    "$type" -> CText("app.bsky.feed.post"),
-    "text" -> CText(s"post number $i"),
-    "createdAt" -> CText("2024-03-01 10:00:00"),
-    "langs" -> CArr(Vector(CText("en"))))))
-  private def commitFrame(seq: Long): Array[Byte] = {
-    val rec = postRecord(seq)
-    val header = Writer.encode(CMap(Vector("op" -> CInt(1), "t" -> CText("#commit"))))
-    val body = Writer.encode(CMap(Vector(
-      "seq" -> CInt(seq), "repo" -> CText(s"did:plc:u$seq"),
-      "ops" -> CArr(Vector(CMap(Vector(
-        "action" -> CText("create"),
-        "path" -> CText(s"app.bsky.feed.post/3k$seq"),
-        "cid" -> cidLink(cidBytes(rec)))))),
-      "blocks" -> CBytes(car(Seq(rec))))))
-    header ++ body
-  }
+  import WireFixtures.commitFrame
 
   // generous: the suite runs in parallel with Spark jobs saturating all
   // cores, and a starved callback thread once pushed a 10-frame session
