@@ -154,6 +154,31 @@ object TextAnalysis {
       .agg(count_distinct(col("g")).as("n_hits"))
   }
 
+  /** Per-document benchmark-containment ratio — the decontamination metric
+    * (|doc shingles ∩ benchmark shingles| / |doc shingles|, distinct
+    * n-grams, exact integer counts, ONE final double division). Where
+    * [[contaminationScreen]] only lists contaminated docs, this scores
+    * EVERY doc so a pipeline can threshold. Shape: explode → broadcast
+    * left join against the (small) benchmark shingle set → one
+    * map-side-combined aggregation; docs shorter than n words have no
+    * shingles and drop, like the screen. */
+  def containmentScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val probeHashes = probes
+      .select(words(col(probeTextCol)).as("__pw"))
+      .select(explode(ngramsOf(col("__pw"), n)).as("pg"))
+      .select(md5(col("pg")).as("h")).distinct()
+    docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
+      .join(broadcast(probeHashes), md5(col("g")) === col("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("g")).as("n_shingles"),
+        count_distinct(when(col("h").isNotNull, col("g"))).as("n_hits"))
+      .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
+  }
+
   /** Position-sensitive polynomial rolling hash (Rabin-Karp): h = Σᵢ
     * wv(wᵢ)·Bⁱ mod M with wv = the word's first 6 md5 hex digits as an
     * integer, B = 131, M = 1e9+7. Unlike [[fingerprint]] (md5 of the

@@ -312,6 +312,40 @@ object TextQueries extends QueryModule {
     },
   )
 
+  /** Per-doc benchmark-containment ratio (decontamination scoring): the
+    * graded companion of ns29's screen — every doc scored, threshold
+    * downstream. */
+  private val ns47 = QueryEntry(
+    "ns47_containment_score",
+    (spark, dir) => {
+      val s = spark
+      import s.implicits._
+      val t = Tables(spark, dir)
+      val probes = ProbeTexts.toDF("ptext")
+      TextAnalysis.containmentScore(t.documents, "doc_id", "text", probes, "ptext", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val values = ProbeTexts.map(p => s"('$p')").mkString(", ")
+      s"""WITH probes(ptext) AS (VALUES $values),
+         |pw AS (SELECT string_split(lower(ptext), ' ') AS pw FROM probes),
+         |psh AS (SELECT DISTINCT md5(g) AS h FROM (
+         |  SELECT unnest(list_transform(range(1, len(pw) - 1),
+         |    i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])) AS g FROM pw)),
+         |dsh AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+         |j AS (SELECT d.doc_id, d.g, p.h FROM dsh d LEFT JOIN psh p ON md5(d.g) = p.h)
+         |SELECT doc_id,
+         |  count(DISTINCT g) AS n_shingles,
+         |  count(DISTINCT CASE WHEN h IS NOT NULL THEN g END) AS n_hits,
+         |  CAST(count(DISTINCT CASE WHEN h IS NOT NULL THEN g END) AS DOUBLE)
+         |    / count(DISTINCT g) AS containment
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+  )
+
   /** Deterministic per-language quota sample (data mixing): first 50 docs
     * per lang in md5-of-id order. */
   private val ns31 = QueryEntry(
@@ -421,5 +455,5 @@ object TextQueries extends QueryModule {
 
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46)
+      ns33, ns34, ns38, ns46, ns47)
 }
