@@ -131,7 +131,11 @@ object TextQueries extends QueryModule {
       val s = spark
       import s.implicits._
       val t = Tables(spark, dir)
-      val media = t.documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      // bounded probe: 500 round-trips prove the codec at every SF — the
+      // oracle side is pure arithmetic, so scaling the image count with
+      // the corpus would only benchmark ImageIO against a constant
+      val media = t.documents.select(col("doc_id")).filter(col("doc_id") < 500)
+        .as[Long].mapPartitions(_.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + (id % 8).toInt
         val im = new java.awt.image.BufferedImage(w, h,
@@ -154,7 +158,7 @@ object TextQueries extends QueryModule {
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
         |  CAST(8 + doc_id % 8 AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin),
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
   )
 
   /** Scrub + deterministic hash sample — the reproducible cleaning step of
