@@ -77,11 +77,15 @@ final class LivePipeline(
     import spark.implicits._
     val posts = Firehose.postViews(Firehose.decodeCborFrames(buf.toDF("frame")))
     val fresh = Ingest.processBatch(spark, store, posts, conditions, profiles)
-    val prev = store
     val next = store.unionByName(fresh).localCheckpoint() // eager: serving sees a stable snapshot
     val n = next.count()
     store = next
-    prev.unpersist(blocking = false) // release the previous batch's checkpoint
+    // the PREVIOUS snapshot is NOT unpersisted here: a concurrent HTTP
+    // request may still be paging it, and a localCheckpoint whose blocks
+    // are dropped cannot recompute (truncated lineage). Once unreachable
+    // it is reclaimed by Spark's ContextCleaner after GC — bounded by one
+    // superseded snapshot between collections, leak-free without racing
+    // the serving path.
     val added = n - storeRows
     storeRows = n
     added
