@@ -347,7 +347,15 @@ object Dedup {
     // connected component of the same bucket graph.
     val localThreshold = df.sparkSession.conf
       .get("spark.graft.components.localThreshold", "100000").toLong
-    if (nNodes <= localThreshold)
+    // integral ids only: the driver path round-trips ids through Long, and
+    // a fractional numeric id would truncate-collide where the distributed
+    // loop (which never casts) would not
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && nNodes <= localThreshold)
       return localBucketComponents(df, idCol, memberRows)
 
     val members = memberRows.localCheckpoint()
