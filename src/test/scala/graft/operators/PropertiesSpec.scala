@@ -75,6 +75,55 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: driver Lloyd == distributed fit on random corpora (ties, n<k, dups)") {
+    val s = spark
+    import s.implicits._
+    // tiny value domain on purpose: duplicate vectors, distance ties, and
+    // k > n corpora all occur, the exact edges where the two paths could
+    // diverge (first-min tie-break, empty clusters, short seed lists)
+    val corpusGen: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.choose(1, 40)
+      dim <- Gen.oneOf(2, 4)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-3, 3).map(_ * 0.1f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    forAll(corpusGen, Gen.choose(1, 6), n = 6) { (rows, k) =>
+      val df = rows.toDF("vec_id", "embedding")
+      val (aL, cL) = KMeansIvf.fit(df, "vec_id", "embedding", k, iters = 2)
+      val localAssign = aL.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      spark.conf.set("spark.graft.kmeans.localThreshold", "0")
+      try {
+        val (aD, cD) = KMeansIvf.fit(df, "vec_id", "embedding", k, iters = 2)
+        assert(cL.map(_.toSeq).toSeq == cD.map(_.toSeq).toSeq,
+          s"centroids diverged for n=${rows.size} k=$k")
+        assert(localAssign == aD.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap,
+          s"assignments diverged for n=${rows.size} k=$k")
+      } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
+    }
+  }
+
+  test("property: driver union-find == distributed propagation on random corpora") {
+    val s = spark
+    import s.implicits._
+    // tiny vocabulary → heavy shingle overlap → dense, chainy bucket
+    // graphs, the hard case for label propagation round counts
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 25)
+      texts <- Gen.listOfN(n, Gen.listOfN(6, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(docsGen, Gen.const(()), n = 4) { (docs, _) =>
+      val df = docs.toDF("doc_id", "text")
+      val local = Dedup.minhashLshComponents(df, "doc_id", "text", 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.components.localThreshold", "0")
+      try {
+        val dist = Dedup.minhashLshComponents(df, "doc_id", "text", 8, 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(local == dist, s"components diverged for ${docs.size} docs")
+      } finally spark.conf.unset("spark.graft.components.localThreshold")
+    }
+  }
+
   test("property: upsert idempotence under arbitrary replays") {
     val s = spark
     import s.implicits._
