@@ -56,8 +56,9 @@ final class LivePipeline(
   val server: FeedServer = new FeedServer(spark, () => store, () => conditions, cfg)
 
   /** Start subscription + HTTP serving; returns the bound HTTP port. */
-  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue): Int = {
-    client.start(reconnectDelayMs, maxRestarts)
+  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue,
+      idleTimeoutMs: Long = 60000): Int = {
+    client.start(reconnectDelayMs, maxRestarts, idleTimeoutMs)
     server.start()
   }
 

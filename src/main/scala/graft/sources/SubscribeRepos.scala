@@ -42,6 +42,8 @@ final class SubscribeReposClient(
   @volatile private var socket: WebSocket = _
   @volatile private var restartCount = 0
   @volatile private var lastErr: Option[Throwable] = None
+  @volatile private var lastActivityMs = System.currentTimeMillis()
+  @volatile private var currentDial: CompletableFuture[Void] = _
   private var monitor: Thread = _
   private val http = HttpClient.newHttpClient()
 
@@ -79,8 +81,9 @@ final class SubscribeReposClient(
     val listener = new WebSocket.Listener {
       // JDK WebSocket may deliver one wire message in several parts
       private val pending = new java.io.ByteArrayOutputStream()
-      override def onOpen(w: WebSocket): Unit = w.request(1)
+      override def onOpen(w: WebSocket): Unit = { lastActivityMs = System.currentTimeMillis(); w.request(1) }
       override def onBinary(w: WebSocket, data: ByteBuffer, last: Boolean): CompletionStage[_] = {
+        lastActivityMs = System.currentTimeMillis()
         val part = new Array[Byte](data.remaining())
         data.get(part)
         pending.write(part)
@@ -105,17 +108,29 @@ final class SubscribeReposClient(
     http.newWebSocketBuilder().buildAsync(uri, listener).whenComplete { (w, e) =>
       if (e != null) done.completeExceptionally(e) else socket = w
     }
+    currentDial = done
     done
   }
 
   /** Dial and keep the subscription alive on a daemon thread: reconnect
     * after `reconnectDelayMs` on failure (up to `maxRestarts`), stop on
-    * normal close or [[stop]]. */
-  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue): Unit = {
+    * normal close or [[stop]].
+    *
+    * `idleTimeoutMs` arms an idle WATCHDOG: if no frame arrives for that
+    * long, the socket is aborted, which surfaces as a transport error and
+    * goes through the normal reconnect-with-cursor path. This covers the
+    * failure the listener callbacks cannot: an abrupt peer death the JDK
+    * WebSocket never reports (observed — EOF without a Close frame can
+    * leave the receive loop silently parked), and the real wire's stalled
+    * upstreams. The firehose emits events continuously, so a minute of
+    * silence IS a fault; pick a smaller value in tests. */
+  def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue,
+      idleTimeoutMs: Long = 60000): Unit = {
     monitor = new Thread(() => {
       var alive = true
       while (alive && !stopping) {
         try {
+          lastActivityMs = System.currentTimeMillis() // arm the watchdog per dial
           connectOnce().join()
           alive = false // server closed normally
         } catch {
@@ -131,6 +146,22 @@ final class SubscribeReposClient(
     }, "graft-subscribe-repos")
     monitor.setDaemon(true)
     monitor.start()
+
+    val watchdog = new Thread(() => {
+      while (monitor.isAlive && !stopping) {
+        Thread.sleep(math.max(10L, idleTimeoutMs / 4))
+        val idle = System.currentTimeMillis() - lastActivityMs
+        val dial = currentDial
+        if (idle > idleTimeoutMs && dial != null && !dial.isDone) {
+          lastActivityMs = System.currentTimeMillis() // one strike per quiet period
+          Option(socket).foreach(_.abort()) // abort() invokes NO listener methods —
+          dial.completeExceptionally( // — so the dial future is failed directly
+            new java.io.IOException(s"no frames for ${idleTimeoutMs}ms: idle timeout"))
+        }
+      }
+    }, "graft-subscribe-repos-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
   }
 
   def restarts: Int = restartCount

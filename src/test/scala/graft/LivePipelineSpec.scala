@@ -36,7 +36,7 @@ class LivePipelineSpec extends SparkSpec {
     val live = new LivePipeline(spark, conditions, cfg,
       service = s"ws://127.0.0.1:${stub.port}", cursorEvery = 2)
     try {
-      val port = live.start(reconnectDelayMs = 100, maxRestarts = 3)
+      val port = live.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
       assert(live.client.awaitStopped(120000), "subscription did not finish")
       assert(live.storedCursor == 10L)
 
@@ -77,7 +77,7 @@ class LivePipelineSpec extends SparkSpec {
     val live = new LivePipeline(spark, conditions, cfg,
       service = s"ws://127.0.0.1:${stub.port}", cursorEvery = 2)
     try {
-      live.start(reconnectDelayMs = 100, maxRestarts = 3)
+      live.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
       assert(live.client.awaitStopped(120000))
       assert(live.drainBatch() == 4L)
       // redeliver the identical frames (the backfill seam = the same

@@ -29,7 +29,10 @@ class SubscribeReposSpec extends SparkSpec {
       updateCursor = cursor.set,
       onFrame = received.add(_),
       cursorEvery = cursorEvery)
-    client.start(reconnectDelayMs = 100, maxRestarts = 3)
+    // short idle watchdog: the JDK WebSocket has been observed to swallow
+    // an abrupt EOF entirely (no onError, no onClose) — the watchdog turns
+    // that into a normal reconnect instead of a parked receive loop
+    client.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
     assert(client.awaitStopped(maxWaitMs),
       s"client did not finish in time: restarts=${client.restarts} " +
         s"error=${client.error} frames=${received.size} connections=${stub.connections}")
