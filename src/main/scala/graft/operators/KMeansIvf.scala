@@ -46,14 +46,8 @@ object KMeansIvf {
       : (DataFrame, Array[Array[Long]]) = {
     val localThreshold = df.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
-    val idType = df.schema(idCol).dataType
-    val probe =
-      if (!LocalLloyd.supportsId(idType)) Array.empty[org.apache.spark.sql.Row]
-      else df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
-        .limit(localThreshold + 1).collect()
-    if (LocalLloyd.supportsId(idType) && probe.length <= localThreshold) {
-      val vecs = probe.map(r => (r.get(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)(LocalLloyd.idOrdering(df.schema(idCol).dataType))
+    LocalLloyd.probeSorted(df, idCol, Similarity.fixedPoint(col(vecCol)),
+        localThreshold).foreach { vecs =>
       val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(vecs.indices.map(i =>

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Driver-side Lloyd iterations over already-collected fixed-point
@@ -40,6 +42,22 @@ private[operators] object LocalLloyd {
     }
     case other =>
       throw new IllegalArgumentException(s"unsupported id type for local Lloyd: $other")
+  }
+
+  /** The adaptive gate shared by [[KMeansIvf.fit]] and
+    * [[ProductQuantizer]] training: None when the corpus exceeds
+    * `threshold` rows or the id type is unsupported — decided by an
+    * id-only count probe (column-pruned, no bulk vector transfer on the
+    * big path) — otherwise ALL (id, fixed-point vector) rows, id-sorted,
+    * ready for [[fit]]. */
+  def probeSorted(df: DataFrame, idCol: String, fe: Column,
+      threshold: Int): Option[Array[(Any, Array[Long])]] = {
+    val idType = df.schema(idCol).dataType
+    if (!supportsId(idType)) return None
+    if (df.select(col(idCol)).limit(threshold + 1).count() > threshold) return None
+    val rows = df.select(col(idCol), fe.as("__fe")).collect()
+    Some(rows.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)(idOrdering(idType)))
   }
 
   private def nearest(v: Array[Long], centroids: Array[Array[Long]]): Int = {

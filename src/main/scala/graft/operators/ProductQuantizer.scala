@@ -74,18 +74,11 @@ object ProductQuantizer {
     // either way (spec-asserted).
     val threshold = candidates.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
-    val idType = candidates.schema(idCol).dataType
-    if (LocalLloyd.supportsId(idType)) {
-      val probe = candidates
-        .select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
-        .limit(threshold + 1).collect()
-      if (probe.length <= threshold) {
-        val sub = dim / m
-        val sorted = probe.map(r => (r.get(0), r.getSeq[Long](1).toArray))
-          .sortBy(_._1)(LocalLloyd.idOrdering(idType))
-        return Array.tabulate(m) { j =>
-          LocalLloyd.fit(sorted.map(_._2.slice(j * sub, j * sub + sub)), ks, iters)._2
-        }
+    LocalLloyd.probeSorted(candidates, idCol, Similarity.fixedPoint(col(vecCol)),
+        threshold).foreach { sorted =>
+      val sub = dim / m
+      return Array.tabulate(m) { j =>
+        LocalLloyd.fit(sorted.map(_._2.slice(j * sub, j * sub + sub)), ks, iters)._2
       }
     }
     val members = memberRows(candidates, idCol, vecCol, dim, m)
@@ -132,10 +125,26 @@ object ProductQuantizer {
       .orderBy(col("__pqid"), col("ss")).limit(m * ks).collect()
     require(init.length == m * ks, s"need at least $ks vectors to seed $ks codes")
     val seedIds = init.map(_.get(0)).distinct // ascending: rows arrive id-sorted
-    require(seedIds.length == ks, s"expected $ks seed vectors, got ${seedIds.length}")
-    var books = Array.fill(m, ks)(Array.empty[Long])
-    init.foreach(r =>
-      books(r.getInt(1))(seedIds.indexOf(r.get(0))) = r.getSeq[Long](2).toArray)
+    var books =
+      if (seedIds.length == ks) {
+        val b = Array.fill(m, ks)(Array.empty[Long])
+        init.foreach(r =>
+          b(r.getInt(1))(seedIds.indexOf(r.get(0))) = r.getSeq[Long](2).toArray)
+        b
+      } else {
+        // duplicate id values: the globally-lowest m*ks rows span fewer
+        // than ks distinct ids, so seed with the per-subspace window rank
+        // instead (the pre-TakeOrdered init — one extra shuffle, only on
+        // this degenerate input)
+        val winit = members.withColumn("__rn",
+            row_number().over(Window.partitionBy(col("ss")).orderBy(col("__pqid"))))
+          .filter(col("__rn") <= ks)
+          .select(col("ss"), (col("__rn") - 1).cast("int").as("cl"), col("fe")).collect()
+        require(winit.length == m * ks, s"need at least $ks vectors to seed $ks codes")
+        val b = Array.fill(m, ks)(Array.empty[Long])
+        winit.foreach(r => b(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+        b
+      }
 
     val sums = (0 until sub).map(i =>
       sum(element_at(col("fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")

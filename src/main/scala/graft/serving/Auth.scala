@@ -54,10 +54,19 @@ object Auth {
     case _ => false
   }
 
-  /** Per-alg dispatch: HS256 for shared-secret deployments, ES256K for
-    * the atproto wire — a sensible production default. */
+  /** Production default: dispatch on the KEY's shape, never on the
+    * attacker-controlled `alg` header. A resolved key that parses as a
+    * secp256k1 point (the shape DID documents publish — PUBLIC bytes)
+    * accepts ONLY ES256K; anything else is a shared secret and accepts
+    * ONLY HS256. Trying both verifiers in disjunction would be the
+    * classic JWT alg-confusion forgery: anyone can read a victim's
+    * public point from the directory and HMAC a token with those bytes
+    * as the "secret". (A genuine HMAC secret that happens to decode as
+    * a curve point — 33/65 bytes starting 0x02/03/04, on-curve — would
+    * be misrouted, but that fails closed: the token is rejected.) */
   val DefaultVerifier: Verifier = (alg, input, sig, key) =>
-    Hs256Verifier(alg, input, sig, key) || Es256kVerifier(alg, input, sig, key)
+    if (Secp256k1.decodePoint(key).isDefined) Es256kVerifier(alg, input, sig, key)
+    else Hs256Verifier(alg, input, sig, key)
 
   private val mapper = new ObjectMapper()
 
@@ -124,8 +133,10 @@ object Auth {
 
     if (!aud.contains(serviceDid))
       throw AuthError(401, "AuthRequired", "jwt audience is not this service")
-    if (exp.exists(_ < nowEpochSec))
-      throw AuthError(401, "AuthRequired", "jwt expired")
+    // exp is REQUIRED: a token without one would never expire, so a single
+    // leak would grant permanent access (atproto service JWTs always set it)
+    if (!exp.exists(_ >= nowEpochSec))
+      throw AuthError(401, "AuthRequired", "jwt expired or missing exp")
     val key = resolver.resolveKey(iss)
       .getOrElse(throw AuthError(401, "AuthRequired", s"cannot resolve key for $iss"))
     val input = s"$h64.$p64".getBytes("US-ASCII")

@@ -31,10 +31,29 @@ final class DidResolver(
     fetcher: DidResolver.Fetcher,
     plcUrl: String = "https://plc.directory",
     ttlMillis: Long = 3600L * 1000,
-    nowMillis: () => Long = () => System.currentTimeMillis()) extends Auth.KeyResolver {
+    nowMillis: () => Long = () => System.currentTimeMillis(),
+    maxEntries: Int = 10000) extends Auth.KeyResolver {
 
   private val mapper = new ObjectMapper()
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+
+  /** Bound the cache: a public endpoint resolves every requester's DID,
+    * so an unbounded map is a memory-exhaustion vector (millions of valid
+    * DIDs exist). Expired entries go first; if still over the cap after
+    * that, oldest entries go — O(n) on the rare compaction, zero cost on
+    * the hit path. */
+  private def compact(now: Long): Unit =
+    if (cache.size() > maxEntries) cache.synchronized {
+      if (cache.size() > maxEntries) {
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) if (now - it.next().getValue._2 >= ttlMillis) it.remove()
+        if (cache.size() > maxEntries) {
+          import scala.jdk.CollectionConverters._
+          cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
+            .take(cache.size() - maxEntries).foreach(e => cache.remove(e.getKey))
+        }
+      }
+    }
 
   /** did → document URL; None for unsupported methods. */
   def documentUrl(did: String): Option[String] = did.split(':').toList match {
@@ -58,7 +77,7 @@ final class DidResolver(
           body <- fetcher.fetch(url)
           key <- DidResolver.atprotoKey(mapper, body, did)
         } yield key
-        fresh.foreach(k => cache.put(did, (k, now)))
+        fresh.foreach { k => cache.put(did, (k, now)); compact(now) }
         fresh
     }
   }

@@ -176,7 +176,10 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
     a.passkey match {
       case Some(expected)
         if Option(exchange.getRequestHeaders.getFirst("x-starrtsky-webpasskey"))
-          .forall(_ != expected) =>
+          // constant-time compare: String.equals short-circuits at the
+          // first mismatch, a byte-position timing oracle on the secret
+          .forall(got => !java.security.MessageDigest.isEqual(
+            got.getBytes(StandardCharsets.UTF_8), expected.getBytes(StandardCharsets.UTF_8))) =>
         error(401, "Unauthorized", "invalid web passkey")
       case _ =>
         f(mapper.readTree(new String(
@@ -245,7 +248,9 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
       query = text(body, "query").getOrElse(""),
       inputRegex = inputRegex,
       invertRegex = Some(invertRegex),
-      refresh = Some(refresh.toInt),
+      // saturating parse: the regex admits any digit count, and the
+      // reference's Number() accepts magnitudes toInt would throw on
+      refresh = Some(BigInt(refresh).min(Int.MaxValue).max(Int.MinValue).toInt),
       lang = text(body, "lang"),
       labelDisable = text(body, "labelDisable"),
       replyDisable = text(body, "replyDisable"),

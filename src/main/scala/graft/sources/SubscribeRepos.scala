@@ -106,7 +106,9 @@ final class SubscribeReposClient(
         done.completeExceptionally(err)
     }
     http.newWebSocketBuilder().buildAsync(uri, listener).whenComplete { (w, e) =>
-      if (e != null) done.completeExceptionally(e) else socket = w
+      if (e != null) done.completeExceptionally(e)
+      else if (done.isDone) w.abort() // watchdog gave up on this dial mid-handshake:
+      else socket = w                 // kill the late socket, don't let it go zombie
     }
     currentDial = done
     done

@@ -60,7 +60,7 @@ class Secp256k1Spec extends AnyFunSuite {
     val who = Auth.validateAuth(Some(s"Bearer $token"), "did:web:feeds.example.com",
       resolver, Auth.Es256kVerifier)
     assert(who == "did:plc:alice")
-    // the combined production default dispatches by alg
+    // the combined production default dispatches by key shape
     assert(Auth.validateAuth(Some(s"Bearer $token"), "did:web:feeds.example.com",
       resolver, Auth.DefaultVerifier) == "did:plc:alice")
 
@@ -84,5 +84,39 @@ class Secp256k1Spec extends AnyFunSuite {
       "did:plc:alice" -> (0x04.toByte +: (fixed32(pub.x) ++ fixed32(pub.y)))))
     assert(Auth.validateAuth(Some(s"Bearer $token"), "did:web:feeds.example.com",
       unc, Auth.Es256kVerifier) == "did:plc:alice")
+  }
+
+  test("DefaultVerifier rejects the alg-confusion forgery (HS256 keyed by the public point)") {
+    // the classic downgrade: the attacker reads alice's PUBLIC point from
+    // the directory and HMACs an HS256 token with those bytes as the
+    // "secret" — key-shape dispatch must refuse to run HMAC with a point
+    val resolver = Auth.StaticKeyResolver(Map("did:plc:alice" -> compress(pub)))
+    val exp = System.currentTimeMillis() / 1000 + 600
+    val forged = Auth.signHs256("did:plc:alice", "did:web:feeds.example.com", exp, compress(pub))
+    val e = intercept[Auth.AuthError](Auth.validateAuth(Some(s"Bearer $forged"),
+      "did:web:feeds.example.com", resolver, Auth.DefaultVerifier))
+    assert(e.status == 401)
+    // a genuine shared-secret deployment still verifies HS256 through the default
+    val secret = "not-a-curve-point-secret".getBytes("UTF-8")
+    val hsResolver = Auth.StaticKeyResolver(Map("did:plc:bob" -> secret))
+    val legit = Auth.signHs256("did:plc:bob", "did:web:feeds.example.com", exp, secret)
+    assert(Auth.validateAuth(Some(s"Bearer $legit"), "did:web:feeds.example.com",
+      hsResolver, Auth.DefaultVerifier) == "did:plc:bob")
+  }
+
+  test("a token without exp is rejected (nothing lives forever)") {
+    val secret = "shared".getBytes("UTF-8")
+    val resolver = Auth.StaticKeyResolver(Map("did:plc:alice" -> secret))
+    // hand-build an exp-less payload with a valid HS256 signature
+    val header = Auth.b64urlEncode("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val payload = Auth.b64urlEncode(
+      """{"iss":"did:plc:alice","aud":"did:web:feeds.example.com"}""".getBytes("UTF-8"))
+    val input = s"$header.$payload"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+    val token = s"$input.${Auth.b64urlEncode(mac.doFinal(input.getBytes("US-ASCII")))}"
+    val e = intercept[Auth.AuthError](Auth.validateAuth(Some(s"Bearer $token"),
+      "did:web:feeds.example.com", resolver, Auth.Hs256Verifier))
+    assert(e.status == 401 && e.message.contains("exp"))
   }
 }
