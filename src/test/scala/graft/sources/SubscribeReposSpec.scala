@@ -81,6 +81,30 @@ class SubscribeReposSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("idle watchdog recovers a hung upstream that sends nothing at all") {
+    // the failure the listener callbacks cannot see: handshake completes,
+    // then total silence — no frames, no close, no error. The watchdog
+    // must abort the dial and reconnect; the second connection serves.
+    val frames = (1L to 6L).map(i => i -> commitFrame(i))
+    val stub = new SubscribeReposStub(frames, stallFirstConnection = true)
+    try {
+      val received = new ConcurrentLinkedQueue[Array[Byte]]()
+      val cursor = new AtomicLong(-1L)
+      val client = new SubscribeReposClient(
+        service = s"ws://127.0.0.1:${stub.port}",
+        getCursor = () => Option(cursor.get()).filter(_ >= 0),
+        updateCursor = cursor.set,
+        onFrame = received.add(_),
+        cursorEvery = 2)
+      client.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 1000)
+      assert(client.awaitStopped(120000),
+        s"client stuck on the hung upstream: restarts=${client.restarts} error=${client.error}")
+      assert(client.restarts == 1, s"expected one watchdog-driven redial, got ${client.restarts}")
+      assert(client.error.exists(_.getMessage.contains("idle timeout")), client.error.toString)
+      assert(received.size == 6 && cursor.get() == 6L)
+    } finally stub.stop()
+  }
+
   test("cursor cadence replays the uncommitted tail after a drop; dedup absorbs it") {
     val frames = (1L to 10L).map(i => i -> commitFrame(i))
     // drop after 5 frames with cursor cadence 2 → cursor stuck at 4, frame 5 replays

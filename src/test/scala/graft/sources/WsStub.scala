@@ -17,7 +17,8 @@ import java.util.Base64
   * end sends close (0x8, status 1000).
   */
 final class SubscribeReposStub(frames: Seq[(Long, Array[Byte])],
-    dropFirstConnectionAfter: Option[Int] = None) {
+    dropFirstConnectionAfter: Option[Int] = None,
+    stallFirstConnection: Boolean = false) {
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   @volatile private var running = true
@@ -65,6 +66,13 @@ final class SubscribeReposStub(frames: Seq[(Long, Array[Byte])],
         "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
         s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
       out.flush()
+
+      if (isFirst && stallFirstConnection) {
+        // a hung upstream: handshake completes, then silence — no frames,
+        // no close frame, the socket just sits there until torn down
+        while (running && !s.isClosed) Thread.sleep(50)
+        return
+      }
 
       val toServe = frames.filter { case (seq, _) => cursor.forall(seq > _) }
       val limit = if (isFirst) dropFirstConnectionAfter.getOrElse(toServe.size) else toServe.size
