@@ -62,6 +62,20 @@ class DidResolverSpec extends AnyFunSuite {
     assert(r.resolveKey(did).isDefined && fetches == 2) // expired → refetch
   }
 
+  test("cache is bounded: expired entries go first, then oldest") {
+    var now = 1000L
+    var fetches = 0
+    val r = new DidResolver(
+      url => { fetches += 1; Some(didDoc("did:plc:" + url.split(':').last)) },
+      ttlMillis = 60000L, nowMillis = () => now, maxEntries = 2)
+    (1 to 5).foreach { i => assert(r.resolveKey(s"did:plc:d$i").isDefined); now += 10 }
+    assert(fetches == 5)
+    // within TTL the two NEWEST survive eviction — d5 resolves from cache
+    assert(r.resolveKey("did:plc:d5").isDefined && fetches == 5)
+    // an evicted did refetches
+    assert(r.resolveKey("did:plc:d1").isDefined && fetches == 6)
+  }
+
   test("resolution misses are not negatively cached") {
     var fetches = 0
     var available = false

@@ -300,6 +300,10 @@ class FeedServerSpec extends SparkSpec {
       assert(control.conditions.isEmpty) // nothing persisted on any failure
       // negative refresh is allowed by the reference's /^-?\d+$/
       assert(code(setQueryBody("k", "k", refresh = "-1")) == (200, "OK"))
+      // out-of-Int-range digits: Number() accepts them on the reference —
+      // a saturating parse stores them instead of crashing past validation
+      assert(code(setQueryBody("k2", "k2", refresh = "99999999999")) == (200, "OK"))
+      assert(control.conditions.find(_.key == "k2").get.refresh == Int.MaxValue)
     }
   }
 }
