@@ -61,6 +61,43 @@ object AnalyticsQueries extends QueryModule {
     headline = true,
   )
 
+  /** Top suppliers by discounted revenue in a date window — the classic
+    * warehouse ranking: a date-pruned fact-fact join (lineitem ⋈ orders,
+    * AQE-planned like q03) with two broadcast dimension hops
+    * (supplier, nation), decimal-exact revenue, and a bounded top-10
+    * (TakeOrderedAndProject, never a global sort). */
+  private val q08 = QueryEntry(
+    "q08_top_suppliers",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = (c: String) => col(c).cast("decimal(12,2)")
+      t.lineitem
+        .join(t.orders.filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+        .agg(
+          sum(d("l_extendedprice") * (lit(1).cast("decimal(12,2)") - d("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    Some(
+      """SELECT s_suppkey, s_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY s_suppkey, s_name, n_name
+        |ORDER BY revenue DESC, s_suppkey LIMIT 10""".stripMargin),
+  )
+
   /** Per-source MinHash sketch via the typed Aggregator — the sketch of a
     * group equals the elementwise min of member signatures, which the
     * oracle states directly. */
@@ -212,5 +249,6 @@ object AnalyticsQueries extends QueryModule {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
   )
 
-  override def entries: Seq[QueryEntry] = Seq(q02, q03, q04, q05, q06, q07, ns16, ns25, ns39)
+  override def entries: Seq[QueryEntry] =
+    Seq(q02, q03, q04, q05, q06, q07, q08, ns16, ns25, ns39)
 }
