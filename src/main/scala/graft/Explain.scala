@@ -14,10 +14,25 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
+    // count jobs + per-job wall time per run, so "which job is the floor"
+    // is measurable rather than guessed
+    val jobTimes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.put(js.jobId, (js.time, 0L))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobTimes.computeIfPresent(je.jobId, (_, v) => (v._1, je.time))
+    })
     (1 to repeats).foreach { i =>
+      jobTimes.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[explain] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100) // let listener events drain
+      import scala.jdk.CollectionConverters._
+      val jobs = jobTimes.asScala.toSeq.sortBy(_._1)
+        .map { case (id, (s, e)) => f"j$id=${(e - s) / 1e3}%.2fs" }.mkString(" ")
+      println(f"[explain] run $i: $n rows in $dt%.2f s  [${jobTimes.size} jobs: $jobs]")
     }
     spark.stop()
   }

@@ -94,24 +94,33 @@ object Similarity {
     * same in-plan bounds). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int): DataFrame = {
-    val fp = candidates.select(col(idCol), fixedPoint(col(vecCol)).as("__fe"))
-    val bounds = fp.agg(
-      array((0 until dim).map(i => min(element_at(col("__fe"), i + 1))): _*).as("__mn"),
-      array((0 until dim).map(i => max(element_at(col("__fe"), i + 1))): _*).as("__mx"))
+    // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over the
+    // RAW floats (floor(·×10⁶) is monotone, so fixed-point min/max = the
+    // float min/max converted on the driver — no per-element lambda in the
+    // pass) collapsed to a single 2×dim row, collected (bounded by
+    // construction — the AQE-style one-row exchange, not a data collect)
+    // and re-embedded as literals, so the quantize pass below is a pure
+    // codegen map over the scan: no crossJoin, no broadcast exchange, and
+    // the (tiny) corpus re-scan per consumer costs less than materializing.
+    val boundsRow = candidates
+      .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
+      .select(col("__b._1").as("__mnf"), col("__b._2").as("__mxf"))
+      .head()
+    def toFp(xs: Seq[Float]): Seq[Long] =
+      xs.map(x => math.floor(x.toDouble * 1000000d).toLong)
+    val mn = typedlit(toFp(boundsRow.getSeq[Float](0)))
+    val mx = typedlit(toFp(boundsRow.getSeq[Float](1)))
 
-    // per-element affine map as a SQL lambda over the pre-projected arrays
-    // (__fe/__mn/__mx are plain columns — nothing re-derives per element);
-    // `div` = integer quotient, and fe−mn ≥ 0 makes trunc ≡ DuckDB's floor
-    val quantize: Column = expr(
-      s"""transform(sequence(1, $dim), i ->
-         |  CASE WHEN element_at(__mx, i) = element_at(__mn, i) THEN 0L
-         |       ELSE ((element_at(__fe, i) - element_at(__mn, i)) * 255L)
-         |            div (element_at(__mx, i) - element_at(__mn, i)) END)""".stripMargin)
-
-    val qc = fp.crossJoin(broadcast(bounds))
-      .select(col(idCol).as("__id"), quantize.as("__q")).localCheckpoint()
-    val qq = broadcast(qc.join(
-      queries.select(col(idCol).as("__id")), Seq("__id")))
+    // fused fixed-point + affine map as one native codegen loop (the
+    // interpreted transform/element_at lambdas this replaces were the
+    // query's entire CPU cost); trunc ≡ DuckDB's div since fe−mn ≥ 0
+    val qc = candidates.select(col(idCol).as("__id"),
+      org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q"))
+    // queries carry their own vectors; quantizing them directly with the
+    // same literal bounds is bit-identical to probing qc by id, and drops
+    // a join (and its AQE stage) from the broadcast build
+    val qq = broadcast(queries.select(col(idCol).as("__id"),
+      org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         dotFp(col("q.__q"), col("c.__q")).as("qsim"))
