@@ -66,7 +66,10 @@ final class LivePipeline(
     * dump, or redelivery injection in tests. Same bound as the socket
     * path. */
   def offer(frame: Array[Byte]): Unit =
-    if (buffered.get() < maxBufferedFrames) { frames.add(frame); buffered.incrementAndGet() }
+    // reserve the slot atomically — a check-then-add would let concurrent
+    // producers (socket thread + backfill) overshoot the advertised bound
+    if (buffered.incrementAndGet() <= maxBufferedFrames) frames.add(frame)
+    else buffered.decrementAndGet()
 
   /** Drain the buffer into one micro-batch; returns rows newly stored.
     * Replayed frames fall out of the dedup anti-join (effectively-once,

@@ -125,8 +125,15 @@ object ProductQuantizer {
       .orderBy(col("__pqid"), col("ss")).limit(m * ks).collect()
     require(init.length == m * ks, s"need at least $ks vectors to seed $ks codes")
     val seedIds = init.map(_.get(0)).distinct // ascending: rows arrive id-sorted
+    // The fast path is valid only when the m×ks rows are a bijection onto
+    // ks distinct ids × m subspaces. A duplicated id straddling the limit
+    // boundary can pass both length checks alone while leaving some (id,
+    // ss) cells doubly-written and others empty — empty centroids would
+    // then flow silently into the distance join.
+    val exactCross =
+      init.map(r => (r.get(0), r.getInt(1))).distinct.length == m * ks
     var books =
-      if (seedIds.length == ks) {
+      if (seedIds.length == ks && exactCross) {
         val b = Array.fill(m, ks)(Array.empty[Long])
         init.foreach(r =>
           b(r.getInt(1))(seedIds.indexOf(r.get(0))) = r.getSeq[Long](2).toArray)

@@ -60,9 +60,16 @@ final class DidResolver(
     case "did" :: "plc" :: id :: Nil if id.nonEmpty =>
       Some(s"${plcUrl.stripSuffix("/")}/did:plc:$id")
     case "did" :: "web" :: host :: rest if host.nonEmpty =>
-      // did:web percent-encodes a port's colon; path segments join with /
+      // did:web percent-encodes a port's colon; path segments join with /.
+      // iss is attacker-supplied at the auth edge, so the decoded host must
+      // be a bare authority (no '/', '@', '?', '#' — a %2F in the DID would
+      // otherwise bind a trusted domain's identity to an attacker path) and
+      // each path segment must stay inside the did:web segment charset.
       val h = java.net.URLDecoder.decode(host, "UTF-8")
-      if (rest.isEmpty) Some(s"https://$h/.well-known/did.json")
+      val hostOk = h.matches("[A-Za-z0-9.-]+(:[0-9]+)?")
+      val restOk = rest.forall(_.matches("[A-Za-z0-9._%-]+"))
+      if (!hostOk || !restOk) None
+      else if (rest.isEmpty) Some(s"https://$h/.well-known/did.json")
       else Some(s"https://$h/${rest.mkString("/")}/did.json")
     case _ => None
   }

@@ -182,8 +182,15 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
             got.getBytes(StandardCharsets.UTF_8), expected.getBytes(StandardCharsets.UTF_8))) =>
         error(401, "Unauthorized", "invalid web passkey")
       case _ =>
-        f(mapper.readTree(new String(
-          exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+        // malformed JSON is a client error, not a 500 — the reference's
+        // express.json layer rejects it before the handler runs
+        val parsed =
+          try mapper.readTree(new String(
+            exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          catch { case e: com.fasterxml.jackson.core.JsonProcessingException =>
+            return error(400, "InvalidRequest", s"malformed JSON body: ${e.getOriginalMessage}")
+          }
+        f(parsed)
     }
 
   private def text(body: JsonNode, field: String): Option[String] =

@@ -144,6 +144,27 @@ class KMeansIvfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
   }
 
+  test("PQ seeding: a duplicate id straddling the m·ks limit falls back to window init") {
+    val s = spark
+    import s.implicits._
+    // ids (1, 2, 2): the globally-lowest m·ks = 4 (id, ss) rows are
+    // (1,0),(1,1),(2,0),(2,0) — init.length == m·ks AND distinct-id count
+    // == ks both hold, yet the rows are NOT a bijection onto ks ids × m
+    // subspaces. The fast path would double-write cell (0,1) and leave
+    // (1,1) empty; the guard must route to window init and every codebook
+    // cell must come out non-empty.
+    def v(base: Float): Seq[Float] = (0 until 4).map(i => base + i * 0.01f)
+    val df = Seq((1L, v(0.1f)), (2L, v(0.2f)), (2L, v(0.3f)), (3L, v(0.4f)),
+      (4L, v(-0.2f))).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.kmeans.localThreshold", "0") // distributed path
+    try {
+      val books = graft.operators.ProductQuantizer.fitCodebooks(
+        df, "vec_id", "embedding", dim = 4, m = 2, ks = 2, iters = 1)
+      assert(books.length == 2 && books.forall(_.length == 2))
+      assert(books.forall(_.forall(_.nonEmpty)), "empty codebook cell leaked out of seeding")
+    } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
+  }
+
   test("PQ: well-separated clusters retrieve their own members first") {
     val s = spark
     import s.implicits._

@@ -29,6 +29,23 @@ class DidResolverSpec extends AnyFunSuite {
     assert(r.documentUrl("did:key:zQ3sh").isEmpty && r.documentUrl("bogus").isEmpty)
   }
 
+  test("did:web rejects hosts/segments escaping the authority (percent-decode injection)") {
+    val r = new DidResolver(_ => None, plcUrl = "https://plc.directory")
+    // %2F in the host would bind a trusted domain's identity to an
+    // attacker-chosen PATH on it; '@'/'?'/'#' would re-scope the authority
+    assert(r.documentUrl("did:web:example.com%2Fuser%2Fmallory").isEmpty)
+    assert(r.documentUrl("did:web:example.com%40evil.com").isEmpty)
+    assert(r.documentUrl("did:web:example.com%3Fx").isEmpty)
+    assert(r.documentUrl("did:web:example.com%23frag").isEmpty)
+    // path segments stay inside the did:web segment charset — no raw
+    // slashes, userinfo, or query metacharacters
+    assert(r.documentUrl("did:web:example.com:u@x:alice").isEmpty)
+    assert(r.documentUrl("did:web:example.com:u?q").isEmpty)
+    // the legitimate port form still resolves
+    assert(r.documentUrl("did:web:example.com%3A8443")
+      .contains("https://example.com:8443/.well-known/did.json"))
+  }
+
   test("base58 round-trips including leading zeros; bad alphabet rejects") {
     val cases = Seq(Array[Byte](0, 0, 1, 2, 3), Array[Byte](-1, -2), Array.empty[Byte])
     cases.foreach { b =>

@@ -280,6 +280,19 @@ class FeedServerSpec extends SparkSpec {
     }
   }
 
+  test("malformed JSON on admin endpoints is a 400 InvalidRequest, not a 500") {
+    val control = new graft.model.ControlPlane(Nil)
+    withAdminServer(control) { (port, _) =>
+      val pk = Some("hunter2")
+      Seq("/setQuery", "/getQuery", "/deleteCondition").foreach { path =>
+        val (st, r) = post(port, path, """{"key": oops""", pk)
+        assert(st == 400, s"$path returned $st for malformed JSON")
+        assert(r.get("error").asText() == "InvalidRequest", r.toString)
+      }
+      assert(control.conditions.isEmpty) // nothing mutated
+    }
+  }
+
   test("setQuery validation: reference result codes in reference order (databaseUtil.ts:17-75)") {
     val control = new graft.model.ControlPlane(Nil)
     withAdminServer(control) { (port, _) =>
