@@ -31,7 +31,11 @@ object Explain {
       Thread.sleep(100) // let listener events drain
       import scala.jdk.CollectionConverters._
       val jobs = jobTimes.asScala.toSeq.sortBy(_._1)
-        .map { case (id, (s, e)) => f"j$id=${(e - s) / 1e3}%.2fs" }.mkString(" ")
+        .map { case (id, (s, e)) =>
+          // end==0 means the job outlived the drain sleep — mark it
+          // running instead of printing a bogus negative duration
+          if (e == 0L) s"j$id=running" else f"j$id=${(e - s) / 1e3}%.2fs"
+        }.mkString(" ")
       println(f"[explain] run $i: $n rows in $dt%.2f s  [${jobTimes.size} jobs: $jobs]")
     }
     spark.stop()

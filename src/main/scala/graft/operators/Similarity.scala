@@ -108,8 +108,22 @@ object Similarity {
       .head()
     def toFp(xs: Seq[Float]): Seq[Long] =
       xs.map(x => math.floor(x.toDouble * 1000000d).toLong)
-    val mn = typedlit(toFp(boundsRow.getSeq[Float](0)))
-    val mx = typedlit(toFp(boundsRow.getSeq[Float](1)))
+    val mnf = Option(boundsRow.getSeq[Float](0)).getOrElse(Nil)
+    val mxf = Option(boundsRow.getSeq[Float](1)).getOrElse(Nil)
+    // An empty candidate corpus (or one with only null vectors) has no
+    // bounds to quantize against — top-k over it is empty, not a crash in
+    // the quantize scan.
+    if (mnf.isEmpty || mxf.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("q_id", queries.schema(idCol).dataType),
+        StructField("cand_id", candidates.schema(idCol).dataType),
+        StructField("qsim", LongType), StructField("rank", LongType)))
+      return queries.sparkSession.createDataFrame(
+        queries.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val mn = typedlit(toFp(mnf))
+    val mx = typedlit(toFp(mxf))
 
     // fused fixed-point + affine map as one native codegen loop (the
     // interpreted transform/element_at lambdas this replaces were the
@@ -118,7 +132,9 @@ object Similarity {
       org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q"))
     // queries carry their own vectors; quantizing them directly with the
     // same literal bounds is bit-identical to probing qc by id, and drops
-    // a join (and its AQE stage) from the broadcast build
+    // a join (and its AQE stage) from the broadcast build. A query vector
+    // from OUTSIDE the corpus saturates at the code-range edges (the
+    // SQ8EncodeEval clamp), the standard SQ behavior for out-of-range input
     val qq = broadcast(queries.select(col(idCol).as("__id"),
       org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))

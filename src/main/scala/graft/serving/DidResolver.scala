@@ -67,7 +67,17 @@ final class DidResolver(
       // each path segment must stay inside the did:web segment charset.
       val h = java.net.URLDecoder.decode(host, "UTF-8")
       val hostOk = h.matches("[A-Za-z0-9.-]+(:[0-9]+)?")
-      val restOk = rest.forall(_.matches("[A-Za-z0-9._%-]+"))
+      // Segment grammar: did:web idchars with '%' valid ONLY as a
+      // well-formed pct-triplet (a bare '%' would reach URI.create), and
+      // no '.'/'..' segments — literal or pct-encoded — so distinct DIDs
+      // cannot alias to the same normalized document URL on a host that
+      // resolves dot-segments (did:web:example.com:x:.. ≡ did:web:example.com).
+      val restOk = rest.forall { s =>
+        s.matches("(?:[A-Za-z0-9._-]|%[0-9A-Fa-f]{2})+") && {
+          val dec = java.net.URLDecoder.decode(s, "UTF-8")
+          dec != "." && dec != ".." && !dec.exists(c => c == '/' || c == '\\')
+        }
+      }
       if (!hostOk || !restOk) None
       else if (rest.isEmpty) Some(s"https://$h/.well-known/did.json")
       else Some(s"https://$h/${rest.mkString("/")}/did.json")

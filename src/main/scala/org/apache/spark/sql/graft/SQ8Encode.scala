@@ -91,14 +91,26 @@ object SQ8Encode {
 }
 
 object SQ8EncodeEval {
+  // Clamp to the SQ8 code range: a vector inside the bounds maps to
+  // [0,255] already (no-op), but a QUERY vector outside the corpus bounds
+  // must saturate at the range edge — that is what an affine scalar
+  // quantizer does to out-of-range inputs, and unclamped codes would break
+  // every downstream assumption (byte layout, dot-product magnitude).
+  private def clamp(v: Long): Long = if (v < 0L) 0L else if (v > 255L) 255L else v
+
   def eval(fe: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
     val n = fe.numElements()
+    // Bounds shorter than the vector (an empty corpus, or ragged input
+    // vectors truncated by the bounds aggregate) quantize the covered
+    // prefix; uncovered dimensions behave like degenerate ones (code 0)
+    // rather than throwing out of a codegen'd scan.
+    val m = math.min(n, math.min(mn.numElements(), mx.numElements()))
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) {
+    while (i < m) {
       val lo = mn.getLong(i)
       val hi = mx.getLong(i)
-      if (hi != lo) out(i) = (fe.getLong(i) - lo) * 255L / (hi - lo)
+      if (hi != lo) out(i) = clamp((fe.getLong(i) - lo) * 255L / (hi - lo))
       i += 1
     }
     ArrayData.toArrayData(out)
@@ -108,13 +120,14 @@ object SQ8EncodeEval {
     * |fe| < 2⁵³) computed inline, then the same affine map as [[eval]]. */
   def evalRaw(vec: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
     val n = vec.numElements()
+    val m = math.min(n, math.min(mn.numElements(), mx.numElements()))
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) {
+    while (i < m) {
       val fe = java.lang.Math.floor(vec.getFloat(i).toDouble * 1000000d).toLong
       val lo = mn.getLong(i)
       val hi = mx.getLong(i)
-      if (hi != lo) out(i) = (fe - lo) * 255L / (hi - lo)
+      if (hi != lo) out(i) = clamp((fe - lo) * 255L / (hi - lo))
       i += 1
     }
     ArrayData.toArrayData(out)

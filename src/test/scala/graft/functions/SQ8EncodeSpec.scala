@@ -60,6 +60,45 @@ class SQ8EncodeSpec extends SparkSpec {
     assert(viaRaw.values.flatten.forall(v => v >= 0L && v <= 255L))
   }
 
+  test("out-of-bounds input saturates at the code-range edges") {
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(_: Array[Long])
+    val mn = arr(Array(0L, 0L))
+    val mx = arr(Array(1000L, 1000L))
+    // below the corpus min → 0; above the corpus max → 255 (never negative
+    // or >255 — a query vector outside the corpus bounds must stay a valid
+    // SQ8 code)
+    val out = org.apache.spark.sql.graft.SQ8EncodeEval.eval(
+      arr(Array(-500L, 2000L)), mn, mx)
+    assert(out.toLongArray().toSeq == Seq(0L, 255L))
+    val outRaw = org.apache.spark.sql.graft.SQ8EncodeEval.evalRaw(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(-0.0005f, 0.002f)), mn, mx)
+    assert(outRaw.toLongArray().toSeq == Seq(0L, 255L))
+  }
+
+  test("bounds shorter than the vector quantize the covered prefix, never throw") {
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(_: Array[Long])
+    // empty bounds (the empty-corpus MinMaxVecAgg shape) → all-zero codes
+    val out0 = org.apache.spark.sql.graft.SQ8EncodeEval.eval(
+      arr(Array(5L, 7L)), arr(Array.empty[Long]), arr(Array.empty[Long]))
+    assert(out0.toLongArray().toSeq == Seq(0L, 0L))
+    // one-dim bounds against a two-dim vector → dim 2 degenerates to 0
+    val out1 = org.apache.spark.sql.graft.SQ8EncodeEval.eval(
+      arr(Array(500L, 7L)), arr(Array(0L)), arr(Array(1000L)))
+    assert(out1.toLongArray().toSeq == Seq(127L, 0L))
+  }
+
+  test("sq8TopK over an empty or all-null corpus returns empty, not a crash") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq((1L, Seq(0.1f, 0.2f))).toDF("id", "vec")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val r = graft.operators.Similarity.sq8TopK(queries, empty, "id", "vec", 5, 2)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("q_id", "cand_id", "qsim", "rank"))
+    val allNull = Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec")
+    assert(graft.operators.Similarity.sq8TopK(queries, allNull, "id", "vec", 5, 2).count() == 0)
+  }
+
   test("codegen and eval helper agree") {
     val fe = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array(0L, 100L, 999L))

@@ -46,6 +46,26 @@ class DidResolverSpec extends AnyFunSuite {
       .contains("https://example.com:8443/.well-known/did.json"))
   }
 
+  test("did:web rejects dot-segments and malformed percent-encoding in path segments") {
+    val r = new DidResolver(_ => None, plcUrl = "https://plc.directory")
+    // '.'/'..' segments would alias distinct DIDs to the same normalized
+    // URL on the trusted host (did:web:example.com:x:.. ≡ did:web:example.com)
+    assert(r.documentUrl("did:web:example.com:x:..").isEmpty)
+    assert(r.documentUrl("did:web:example.com:.").isEmpty)
+    assert(r.documentUrl("did:web:example.com:%2E%2E").isEmpty) // encoded ..
+    assert(r.documentUrl("did:web:example.com:a%2Fb").isEmpty)  // encoded /
+    // '%' only as a well-formed pct-triplet — a bare '%' must not reach
+    // URI.create
+    assert(r.documentUrl("did:web:example.com:a%b").isEmpty)
+    assert(r.documentUrl("did:web:example.com:abc%").isEmpty)
+    assert(r.documentUrl("did:web:example.com:%GG").isEmpty)
+    // dots INSIDE a segment are legitimate (versioned paths)
+    assert(r.documentUrl("did:web:example.com:v1.2:alice")
+      .contains("https://example.com/v1.2/alice/did.json"))
+    assert(r.documentUrl("did:web:example.com:a%20b")
+      .contains("https://example.com/a%20b/did.json"))
+  }
+
   test("base58 round-trips including leading zeros; bad alphabet rejects") {
     val cases = Seq(Array[Byte](0, 0, 1, 2, 3), Array[Byte](-1, -2), Array.empty[Byte])
     cases.foreach { b =>
