@@ -9,10 +9,10 @@ import graft.serving.{Auth, DidResolver, FeedServer}
   *
   * {{{
   * sbt "runMain graft.Serve wss://bsky.network did:web:feeds.example.com \
-  *        feeds.example.com did:plc:publisher [conditions.json] [batchSec]"
+  *        feeds.example.com did:plc:publisher [conditions.json] [batchSec] [dataDir]"
   * }}}
   *
-  * Wires [[LivePipeline]] with the production pieces: standing conditions
+  * Wires the pipeline with the production pieces: standing conditions
   * restored through [[model.ConditionStore]] (file-backed control plane),
   * requester keys resolved from the real DID directory with the TTL cache,
   * signature verification via the key-shape dispatching
@@ -20,14 +20,21 @@ import graft.serving.{Auth, DidResolver, FeedServer}
   * standing in for a scheduler. Runs until killed; the WebSocket client
   * reconnects from its stored cursor and the idle watchdog covers silent
   * upstream death.
+  *
+  * With a `dataDir` argument the process runs the DURABLE shape
+  * ([[DurablePipeline]]): cursor file + frame spool + streaming checkpoint
+  * + key-partitioned parquet store, so a kill-and-restart resumes with no
+  * lost or duplicated posts. Without it, the in-memory [[LivePipeline]]
+  * (cursor and store rebuilt by wire replay on restart).
   */
 object Serve {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: Serve <subscriptionEndpoint> <serviceDid> <hostname> <publisherDid> " +
-        "[conditionsJsonPath] [drainIntervalSec]")
+        "[conditionsJsonPath] [drainIntervalSec] [dataDir]")
     val Array(endpoint, serviceDid, hostname, publisherDid) = args.take(4)
     val drainSec = if (args.length > 5) args(5).toInt else 10
+    val dataDir = if (args.length > 6) Some(args(6)) else None
 
     val spark = GraftSession.local()
     val conditions: Seq[Condition] =
@@ -38,17 +45,31 @@ object Serve {
       publisherDid = publisherDid,
       keyResolver = new DidResolver(new DidResolver.HttpFetcher),
       verifier = Auth.DefaultVerifier)
-    val live = new LivePipeline(spark, conditions, cfg, endpoint)
-    val port = live.start()
     // scalastyle:off println
-    println(s"graft serving on :$port (${conditions.size} conditions), " +
-      s"subscribed to $endpoint, draining every ${drainSec}s")
-    // scalastyle:on println
-    sys.addShutdownHook { live.stop(); spark.stop() }
-    while (true) {
-      Thread.sleep(drainSec * 1000L)
-      val n = live.drainBatch()
-      if (n > 0) println(s"ingested $n rows (store=${live.storedRows}, cursor=${live.storedCursor})")
+    dataDir match {
+      case Some(dir) =>
+        val durable = new DurablePipeline(spark, conditions, cfg, endpoint, dir)
+        val port = durable.start()
+        println(s"graft serving DURABLE on :$port (${conditions.size} conditions), " +
+          s"subscribed to $endpoint, data in $dir, spool flushed every ${drainSec}s")
+        sys.addShutdownHook { durable.stop(); spark.stop() }
+        while (true) {
+          Thread.sleep(drainSec * 1000L)
+          val n = durable.flushSpool()
+          if (n > 0) println(s"spooled $n frames (cursor=${durable.storedCursor})")
+        }
+      case None =>
+        val live = new LivePipeline(spark, conditions, cfg, endpoint)
+        val port = live.start()
+        println(s"graft serving on :$port (${conditions.size} conditions), " +
+          s"subscribed to $endpoint, draining every ${drainSec}s")
+        sys.addShutdownHook { live.stop(); spark.stop() }
+        while (true) {
+          Thread.sleep(drainSec * 1000L)
+          val n = live.drainBatch()
+          if (n > 0) println(s"ingested $n rows (store=${live.storedRows}, cursor=${live.storedCursor})")
+        }
     }
+    // scalastyle:on println
   }
 }

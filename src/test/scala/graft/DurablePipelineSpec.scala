@@ -1,0 +1,110 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.domain.Fixtures
+import graft.serving.FeedServer
+import graft.sources.{SubscribeReposStub, WireFixtures}
+import graft.streaming.Ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** The durable deployment contract (T4 + T8) end-to-end: a process is
+  * KILLED between two phases and a fresh process over the same data dir
+  * must resume the wire cursor AND the post store with no lost and no
+  * duplicated posts — the at-least-once wire + idempotent upsert story,
+  * the reference's SQLite persistence re-expressed as cursor file +
+  * FileStreamSource checkpoint + key-partitioned parquet store.
+  */
+class DurablePipelineSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  test("kill and restart resumes cursor and store; no lost or duplicated posts") {
+    val dir = Files.createTempDirectory("graft-durable").toString
+    val all = (1L to 10L).map(i => i -> WireFixtures.commitFrame(i, s"spark durable $i"))
+    val conditions = Seq(Fixtures.cond(key = "dur1", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:d.example.com", "d.example.com", "did:plc:pub")
+
+    // ---- phase 1: only events 1..6 exist upstream. cursorEvery=4 means
+    // the persisted cursor trails at 4, so events 5,6 WILL be replayed
+    // after the restart — the dedup path must eat them.
+    val stub1 = new SubscribeReposStub(all.take(6))
+    val p1 = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub1.port}", dir, cursorEvery = 4)
+    try {
+      p1.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p1.client.awaitStopped(120000), "phase-1 subscription did not finish")
+      assert(p1.flushSpool() == 6)
+      p1.query.processAllAvailable()
+      assert(p1.storedRows == 6L)
+      assert(p1.storedCursor == 4L) // seq 4 is the last %4 commit seen
+    } finally { p1.stop(); stub1.stop() } // the kill
+
+    // ---- phase 2: upstream now has all 10 events; a NEW pipeline over
+    // the SAME data dir must dial with the persisted cursor (server
+    // replays seq > 4) and end with exactly the 10 unique posts.
+    val stub2 = new SubscribeReposStub(all)
+    val p2 = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub2.port}", dir, cursorEvery = 4)
+    try {
+      val port = p2.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p2.storedRows == 6L, "restart must see the phase-1 store immediately")
+      assert(p2.client.awaitStopped(120000), "phase-2 subscription did not finish")
+      assert(stub2.connections.head.contains(4L), "redial must carry the persisted cursor")
+      p2.flushSpool()
+      p2.query.processAllAvailable()
+
+      // replayed 5,6 fall out of the anti-join; 7..10 are new
+      assert(p2.storedRows == 10L)
+      val store = Ingest.readStore(spark, s"$dir/store")
+      assert(store.select("uri").distinct().count() == 10L, "no duplicated posts")
+
+      // the streaming checkpoint skipped the phase-1 spool file: this
+      // incarnation read only the 6 replayed/new frames off its spool
+      val inputRows = p2.query.recentProgress.map(_.numInputRows).sum
+      assert(inputRows == 6L, s"checkpoint resume must not re-read old spool files (read $inputRows)")
+
+      // and the feed serves all 10 over real XRPC from the durable store
+      val feedUri = java.net.URLEncoder.encode(
+        s"at://${cfg.publisherDid}/app.bsky.feed.generator/dur1", "UTF-8")
+      val resp = http.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/xrpc/app.bsky.feed.getFeedSkeleton?feed=$feedUri&limit=50"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(mapper.readTree(resp.body()).get("feed").size() == 10, resp.body())
+    } finally { p2.stop(); stub2.stop() }
+  }
+
+  test("cursor file survives a torn write; spool files publish atomically") {
+    val dir = Files.createTempDirectory("graft-durable2").toString
+    val conditions = Seq(Fixtures.cond(key = "dur2", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:d2.example.com", "d2.example.com", "did:plc:pub")
+    val stub = new SubscribeReposStub((1L to 3L).map(i =>
+      i -> WireFixtures.commitFrame(i, s"spark atomic $i")))
+    val p = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub.port}", dir, cursorEvery = 1)
+    try {
+      p.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p.client.awaitStopped(120000))
+      assert(p.storedCursor == 3L)
+      // a leftover temp file (a kill mid-write) never shadows the cursor,
+      // and the spool dir only ever contains complete .txt files
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "cursor.tmp"),
+        "999".getBytes)
+      assert(p.storedCursor == 3L)
+      p.flushSpool()
+      val spooled = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "spool"))
+      try {
+        import scala.jdk.CollectionConverters._
+        val names = spooled.iterator().asScala.map(_.getFileName.toString).toList
+        assert(names.nonEmpty && names.forall(n => n.startsWith("frames-") && n.endsWith(".txt")))
+      } finally spooled.close()
+      p.query.processAllAvailable()
+      assert(p.storedRows == 3L)
+    } finally { p.stop(); stub.stop() }
+  }
+}
