@@ -39,11 +39,13 @@ import graft.streaming.Ingest
   *     partition, and replayed frames fall out of the anti-join dedup
   *     (at-least-once wire + idempotent upsert = effectively-once, T8).
   *
-  * So a kill loses at most the un-flushed spool tail, and the cursor
-  * file trails the spool by construction (frames are buffered BEFORE the
-  * cursor advances past them only within `spoolFlushEvery`, and replay
-  * from an older cursor is harmless): nothing is lost, nothing double-
-  * counted. Proven end-to-end by DurablePipelineSpec's kill-and-restart.
+  * So a kill loses at most the un-flushed spool tail BEHIND the cursor,
+  * which the server replays on redial: the cursor is only ever written
+  * immediately after a spool flush (`flushThenWriteCursor`), so every
+  * frame at or below the persisted cursor is durable, and replay from an
+  * older cursor is harmless (idempotent upsert): nothing is lost, nothing
+  * double-counted. Proven end-to-end by DurablePipelineSpec's
+  * kill-and-restart, including the no-manual-flush crash window.
   */
 final class DurablePipeline(
     spark: SparkSession,
@@ -111,10 +113,23 @@ final class DurablePipeline(
     if (flush) flushSpool()
   }
 
+  /** Cursor writes must never outrun the spool: every frame at or below
+    * `seq` has already been offered, so flushing the buffer first makes
+    * them durable BEFORE the cursor advances past them. Without this a
+    * hard kill after a cursor write but before the next size-triggered
+    * flush would lose up to `spoolFlushEvery` frames permanently (the
+    * restart redials `?cursor=seq`, and the server only replays > seq).
+    * The reference has the same invariant the other way round: it
+    * persists the event row before sub_state advances. */
+  private def flushThenWriteCursor(seq: Long): Unit = {
+    flushSpool()
+    writeCursor(seq)
+  }
+
   val client: SubscribeReposClient = new SubscribeReposClient(
     service = service,
     getCursor = () => readCursor(),
-    updateCursor = writeCursor,
+    updateCursor = flushThenWriteCursor,
     onFrame = offer,
     cursorEvery = cursorEvery)
 
@@ -132,7 +147,11 @@ final class DurablePipeline(
     * redials from the cursor file. */
   def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue,
       idleTimeoutMs: Long = 60000): Int = {
-    val frames = spark.readStream.text(spoolDir.toString)
+    val frames = spark.readStream
+      // processed spool files are deleted once the checkpoint has
+      // committed them, so the spool dir stays bounded over a long run
+      .option("cleanSource", "delete")
+      .text(spoolDir.toString)
       .select(unbase64(col("value")).as("frame"))
     val posts = Firehose.postViews(Firehose.decodeCborFrames(frames))
     queryOpt = Some(Ingest.start(spark, posts, conditions, profiles,
@@ -147,6 +166,18 @@ final class DurablePipeline(
   def stop(): Unit = {
     client.stop()
     flushSpool()
+    queryOpt.foreach(_.stop())
+    server.stop()
+  }
+
+  /** Test hook simulating a HARD KILL: stop everything and DISCARD any
+    * frames still buffered in memory — exactly what a real kill loses.
+    * The durability claim under test is that a restart over the same
+    * dataDir still converges with zero loss, because the persisted
+    * cursor never outruns the flushed spool. */
+  def crash(): Unit = {
+    client.stop()
+    pendingFrames.synchronized(pendingFrames.clear())
     queryOpt.foreach(_.stop())
     server.stop()
   }

@@ -66,7 +66,11 @@ final class DidResolver(
       // otherwise bind a trusted domain's identity to an attacker path) and
       // each path segment must stay inside the did:web segment charset.
       val h = java.net.URLDecoder.decode(host, "UTF-8")
-      val hostOk = h.matches("[A-Za-z0-9.-]+(:[0-9]+)?")
+      // Every dot-separated host label must be non-empty: a host that IS
+      // a dot-segment (did:web:.. → https://../did.json) or contains an
+      // empty label would re-open the normalization aliasing the segment
+      // grammar below closes off.
+      val hostOk = h.matches("[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*(:[0-9]+)?")
       // Segment grammar: did:web idchars with '%' valid ONLY as a
       // well-formed pct-triplet (a bare '%' would reach URI.create), and
       // no '.'/'..' segments — literal or pct-encoded — so distinct DIDs

@@ -38,7 +38,9 @@ class DurablePipelineSpec extends SparkSpec {
     try {
       p1.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
       assert(p1.client.awaitStopped(120000), "phase-1 subscription did not finish")
-      assert(p1.flushSpool() == 6)
+      // the cursor write at seq 4 already flushed frames 1..4 (cursor
+      // never outruns the spool); only 5,6 are still buffered here
+      assert(p1.flushSpool() == 2)
       p1.query.processAllAvailable()
       assert(p1.storedRows == 6L)
       assert(p1.storedCursor == 4L) // seq 4 is the last %4 commit seen
@@ -76,6 +78,42 @@ class DurablePipelineSpec extends SparkSpec {
         .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 200)
       assert(mapper.readTree(resp.body()).get("feed").size() == 10, resp.body())
+    } finally { p2.stop(); stub2.stop() }
+  }
+
+  test("hard kill with frames buffered past a cursor write loses nothing") {
+    // THE crash window: cursorEvery=2 < spoolFlushEvery(default 100), so
+    // after 5 frames the cursor sits at 4 with frame 5 only in memory. A
+    // hard kill (crash() discards the buffer — no manual flush anywhere)
+    // must not lose frame 5: the restart redials ?cursor=4 and the server
+    // replays it. Before the flush-before-cursor fix, frames 1..4 were
+    // ALSO memory-only at kill time and were gone for good.
+    val dir = Files.createTempDirectory("graft-durable3").toString
+    val all = (1L to 5L).map(i => i -> WireFixtures.commitFrame(i, s"spark crash $i"))
+    val conditions = Seq(Fixtures.cond(key = "dur3", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:d3.example.com", "d3.example.com", "did:plc:pub")
+
+    val stub1 = new SubscribeReposStub(all)
+    val p1 = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub1.port}", dir, cursorEvery = 2)
+    try {
+      p1.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p1.client.awaitStopped(120000), "phase-1 subscription did not finish")
+      assert(p1.storedCursor == 4L)
+    } finally { p1.crash(); stub1.stop() } // the kill — frame 5 evaporates
+
+    val stub2 = new SubscribeReposStub(all)
+    val p2 = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub2.port}", dir, cursorEvery = 2)
+    try {
+      p2.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p2.client.awaitStopped(120000), "phase-2 subscription did not finish")
+      assert(stub2.connections.head.contains(4L), "redial must carry the persisted cursor")
+      p2.flushSpool()
+      p2.query.processAllAvailable()
+      assert(p2.storedRows == 5L, "every frame must survive the hard kill")
+      val store = Ingest.readStore(spark, s"$dir/store")
+      assert(store.select("uri").distinct().count() == 5L, "no duplicated posts")
     } finally { p2.stop(); stub2.stop() }
   }
 

@@ -66,6 +66,24 @@ class DidResolverSpec extends AnyFunSuite {
       .contains("https://example.com/a%20b/did.json"))
   }
 
+  test("did:web rejects hosts that are or contain dot-segments") {
+    val r = new DidResolver(_ => None, plcUrl = "https://plc.directory")
+    // the same normalization aliasing via the HOST portion: every
+    // dot-separated label must be non-empty
+    assert(r.documentUrl("did:web:..").isEmpty)
+    assert(r.documentUrl("did:web:.").isEmpty)
+    assert(r.documentUrl("did:web:%2E%2E").isEmpty)
+    assert(r.documentUrl("did:web:..%3A8443").isEmpty)
+    assert(r.documentUrl("did:web:.example.com").isEmpty)  // leading empty label
+    assert(r.documentUrl("did:web:example..com").isEmpty)  // interior empty label
+    assert(r.documentUrl("did:web:example.com.").isEmpty)  // trailing empty label
+    // legitimate hosts still resolve
+    assert(r.documentUrl("did:web:example.com")
+      .contains("https://example.com/.well-known/did.json"))
+    assert(r.documentUrl("did:web:localhost%3A8080")
+      .contains("https://localhost:8080/.well-known/did.json"))
+  }
+
   test("base58 round-trips including leading zeros; bad alphabet rejects") {
     val cases = Seq(Array[Byte](0, 0, 1, 2, 3), Array[Byte](-1, -2), Array.empty[Byte])
     cases.foreach { b =>
