@@ -133,6 +133,11 @@ final class DurablePipeline(
     onFrame = offer,
     cursorEvery = cursorEvery)
 
+  /** Per-feed cycle metrics (S12/F9): each micro-batch records its wall
+    * time and captured counts — the reference's lastExecTime/recordCount
+    * columns on the conditions row. */
+  val metrics = new graft.model.ConditionMetrics
+
   val server: FeedServer =
     new FeedServer(spark, () => Ingest.readStore(spark, storeDir.toString),
       () => conditions, cfg)
@@ -155,7 +160,8 @@ final class DurablePipeline(
       .select(unbase64(col("value")).as("frame"))
     val posts = Firehose.postViews(Firehose.decodeCborFrames(frames))
     queryOpt = Some(Ingest.start(spark, posts, conditions, profiles,
-      storeDir.toString, checkpointDir.toString, retentionEvery))
+      storeDir.toString, checkpointDir.toString, retentionEvery,
+      metrics = Some(metrics)))
     client.start(reconnectDelayMs, maxRestarts, idleTimeoutMs)
     server.start()
   }

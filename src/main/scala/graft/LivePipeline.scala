@@ -74,15 +74,25 @@ final class LivePipeline(
   /** Drain the buffer into one micro-batch; returns rows newly stored.
     * Replayed frames fall out of the dedup anti-join (effectively-once,
     * T8), so at-least-once delivery upstream is fine. */
+  /** Per-feed cycle metrics (S12/F9): every drain records its wall time
+    * and captured counts, the reference's lastExecTime/recordCount row. */
+  val metrics = new graft.model.ConditionMetrics
+
   def drainBatch(): Long = synchronized {
+    val t0 = System.nanoTime()
     val buf = Iterator.continually(frames.poll()).takeWhile(_ != null).toVector
     buffered.addAndGet(-buf.size.toLong)
     if (buf.isEmpty) return 0L
     import spark.implicits._
     val posts = Firehose.postViews(Firehose.decodeCborFrames(buf.toDF("frame")))
-    val fresh = Ingest.processBatch(spark, store, posts, conditions, profiles)
+    val fresh = Ingest.processBatch(spark, store, posts, conditions, profiles).persist()
+    val perKey = fresh.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val next = store.unionByName(fresh).localCheckpoint() // eager: serving sees a stable snapshot
     val n = next.count()
+    fresh.unpersist(blocking = false)
+    metrics.record(conditions, perKey,
+      math.max(1L, (System.nanoTime() - t0) / 1000000L))
     store = next
     // the PREVIOUS snapshot is NOT unpersisted here: a concurrent HTTP
     // request may still be paging it, and a localCheckpoint whose blocks

@@ -29,16 +29,33 @@ import graft.serving.{Auth, DidResolver, FeedServer}
   */
 object Serve {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
+    // --restore-url=<console> pulls standing conditions from a remote
+    // Admin Console at startup (subscription.ts:58-112); local file rows
+    // win on key conflict, matching the reference's on-conflict-ignore.
+    val restoreUrl = args.collectFirst {
+      case a if a.startsWith("--restore-url=") => a.stripPrefix("--restore-url=")
+    }
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 4,
       "usage: Serve <subscriptionEndpoint> <serviceDid> <hostname> <publisherDid> " +
-        "[conditionsJsonPath] [drainIntervalSec] [dataDir]")
-    val Array(endpoint, serviceDid, hostname, publisherDid) = args.take(4)
-    val drainSec = if (args.length > 5) args(5).toInt else 10
-    val dataDir = if (args.length > 6) Some(args(6)) else None
+        "[conditionsJsonPath] [drainIntervalSec] [dataDir] [--restore-url=<console>]")
+    val Array(endpoint, serviceDid, hostname, publisherDid) = pos.take(4)
+    val drainSec = if (pos.length > 5) pos(5).toInt else 10
+    val dataDir = if (pos.length > 6) Some(pos(6)) else None
 
     val spark = GraftSession.local()
-    val conditions: Seq[Condition] =
-      if (args.length > 4) ConditionStore.load(spark, args(4)) else Nil
+    val local: Seq[Condition] =
+      if (pos.length > 4) ConditionStore.load(spark, pos(4)) else Nil
+    val conditions: Seq[Condition] = restoreUrl match {
+      case Some(url) =>
+        val restored = ConditionStore.restoreRemote(url, s"https://$hostname")
+        // scalastyle:off println
+        if (restored.isEmpty) println(s"no conditions restored from $url (unreachable or empty)")
+        else println(s"restored ${restored.size} conditions from $url")
+        // scalastyle:on println
+        ConditionStore.mergeRestore(local, restored)
+      case None => local
+    }
     val cfg = FeedServer.Config(
       serviceDid = serviceDid,
       hostname = hostname,

@@ -1,0 +1,49 @@
+package graft.model
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-feed cycle bookkeeping (S12/F9 — the reference's `lastExecTime` /
+  * `recordCount` columns on the conditions row,
+  * /root/reference/src/subscription.ts:210,370-378, db/schema.ts:35-36):
+  * after every ingest cycle the reference persists how long the cycle
+  * took (as a `"<ms>ms"` varchar, wire shape kept here) and the feed's
+  * accumulated row count clamped to its cap.
+  *
+  * The reference runs one fetch job per feed and times each; our cascade
+  * fans all feeds out in one dataflow, so every condition processed in a
+  * cycle records that cycle's wall time. Driver-side state only — a
+  * handful of feeds, never a data path.
+  */
+final class ConditionMetrics {
+
+  final case class FeedMetrics(lastExecTime: String, recordCount: Long)
+
+  private val m = TrieMap.empty[String, FeedMetrics]
+
+  /** Record one completed cycle: every condition gets the cycle wall time
+    * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
+    * accumulate by the new rows captured for that feed and clamp to the
+    * feed's cap the way the reference's post-cycle delete leaves them
+    * (subscription.ts:378-393). */
+  def record(conditions: Seq[Condition], newRowsByKey: Map[String, Long],
+      execMs: Long): Unit =
+    conditions.foreach { c =>
+      val prev = m.get(c.key).map(_.recordCount).getOrElse(0L)
+      val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
+      m.put(c.key, FeedMetrics(s"${execMs}ms", total))
+    }
+
+  def lastExecTime(key: String): Option[String] = m.get(key).map(_.lastExecTime)
+  def recordCount(key: String): Option[Long] = m.get(key).map(_.recordCount)
+  def snapshot: Map[String, FeedMetrics] = m.toMap
+
+  /** The conditions-metrics frame — the reference's conditions row
+    * projected to its metric columns (schema.ts:35-36). */
+  def toDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    m.toSeq.map { case (k, fm) => (k, fm.lastExecTime, fm.recordCount) }
+      .toDF("key", "lastExecTime", "recordCount")
+  }
+}

@@ -1,11 +1,22 @@
 package graft.model
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** Conditions control-plane I/O (S6/S12 — /root/reference/src/
   * subscription.ts:58-112, databaseUtil.ts:9-113): restore standing
-  * queries from a JSON config, validate at the boundary, default missing
-  * fields, and merge insert-on-conflict-ignore against the running set.
+  * queries from a JSON config OR a remote Admin Console, validate at the
+  * boundary, default missing fields, and merge insert-on-conflict-ignore
+  * against the running set.
   */
 object ConditionStore {
 
@@ -19,6 +30,77 @@ object ConditionStore {
       .as[ConditionRaw].collect().toSeq // control plane: few rows by design
       .flatMap(r => Condition.validate(r).toOption)
       .map(Condition.normalize)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Remote Admin-Console restore — the transport half of S6
+    * (/root/reference/src/subscription.ts:58-112): POST
+    * `{"serverUrl": <serverUrl>}` to `{consoleUrl}/api/getD1Query`, and
+    * if the body answers `{"result":"OK","resultRecord":[…]}` run every
+    * record through the SAME validate/normalize gate as the file path
+    * (invalid rows dropped, defaults applied). An unreachable console, a
+    * non-2xx status, a non-OK result, or malformed JSON restores nothing
+    * — the reference logs the error and continues with local state, and
+    * so do we (the caller merges `Nil`).
+    */
+  def restoreRemote(consoleUrl: String, serverUrl: String,
+      timeoutMs: Long = 10000): Seq[Condition] =
+    Try {
+      val client = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+      val req = HttpRequest.newBuilder(
+          URI.create(consoleUrl.stripSuffix("/") + "/api/getD1Query"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(
+            mapper.createObjectNode().put("serverUrl", serverUrl)),
+          StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2) Nil
+      else {
+        val root = mapper.readTree(resp.body())
+        if (root == null || !root.path("result").asText("").equals("OK")) Nil
+        else root.path("resultRecord").elements().asScala.toSeq
+          .map(rawFromNode)
+          .flatMap(r => Condition.validate(r).toOption)
+          .map(Condition.normalize)
+      }
+    }.getOrElse(Nil)
+
+  /** One console record → the wire form, with the reference's `|| ''` /
+    * `|| 0` coalescing (subscription.ts:73-92). D1 may hand numbers back
+    * as strings, so ints parse from either shape. */
+  private[model] def rawFromNode(n: JsonNode): ConditionRaw = {
+    def str(f: String): Option[String] = {
+      val v = n.path(f)
+      if (v.isMissingNode || v.isNull) None else Some(v.asText())
+    }
+    def int(f: String): Option[Int] = {
+      val v = n.path(f)
+      if (v.isMissingNode || v.isNull) None
+      else if (v.isNumber) Some(v.asInt())
+      else v.asText().toIntOption
+    }
+    ConditionRaw(
+      key = str("key").getOrElse(""),
+      recordName = str("recordName").getOrElse(""),
+      query = str("query").getOrElse(""),
+      inputRegex = str("inputRegex").getOrElse(""),
+      invertRegex = str("invertRegex"),
+      refresh = int("refresh"),
+      lang = str("lang"),
+      labelDisable = str("labelDisable"),
+      replyDisable = str("replyDisable"),
+      imageOnly = str("imageOnly"),
+      includeAltText = str("includeAltText"),
+      initPost = int("initPost"),
+      pinnedPost = str("pinnedPost"),
+      limitCount = int("limitCount"),
+      privateFeed = str("privateFeed"),
+      profileMatch = str("profileMatch"))
   }
 
   /** Insert-on-conflict-ignore by key: existing rows win (subscription.ts:

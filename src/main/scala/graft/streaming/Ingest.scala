@@ -55,16 +55,30 @@ object Ingest {
   /** Start the streaming ingest: every micro-batch appends its surviving
     * new rows to the keyed store; with `retentionEvery` > 0 the count-based
     * cap (S11) runs after every Nth batch — the reference applies it every
-    * cycle (subscription.ts:379-393). */
+    * cycle (subscription.ts:379-393). With `metrics` set, each cycle's
+    * wall time and captured-row counts land on the per-feed
+    * [[graft.model.ConditionMetrics]] row (S12/F9, subscription.ts:374). */
   def start(spark: SparkSession, stream: DataFrame, conditions: Seq[Condition],
       profiles: Option[DataFrame], storeDir: String, checkpointDir: String,
-      retentionEvery: Int = 0): StreamingQuery = {
+      retentionEvery: Int = 0,
+      metrics: Option[graft.model.ConditionMetrics] = None): StreamingQuery = {
     val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val t0 = System.nanoTime()
       val stored = readStore(spark, storeDir)
       val fresh = processBatch(spark, stored, batch, conditions, profiles)
+      val perKey = metrics.map { _ =>
+        // one extra tiny agg job, only when metrics are wanted; cached so
+        // the append below reuses the same computed rows
+        fresh.persist()
+        fresh.groupBy("key").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       fresh.write.mode("append").partitionBy("key").parquet(storeDir)
+      if (perKey.isDefined) fresh.unpersist()
       if (retentionEvery > 0 && batchId % retentionEvery == 0)
         retentionCompact(spark, storeDir, conditions)
+      metrics.foreach(_.record(conditions, perKey.getOrElse(Map.empty),
+        math.max(1L, (System.nanoTime() - t0) / 1000000L)))
     }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

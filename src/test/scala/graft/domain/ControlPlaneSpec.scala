@@ -28,6 +28,63 @@ class ControlPlaneSpec extends SparkSpec {
     assert(k2.labelDisable && k2.limitCount == 50 && k2.privateFeed == Seq("did:a", "did:b"))
   }
 
+  test("remote Admin-Console restore: POST contract, validation gate, defaults, fallbacks (S6)") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    var seenPath: String = null
+    var seenBody: String = null
+    var status = 200
+    var body =
+      """{"result":"OK","resultRecord":[
+        |{"key":"r1","recordName":"remote-one","query":"spark","inputRegex":"spark|vector"},
+        |{"key":"r2","recordName":"remote-two","query":"q","inputRegex":"x",
+        | "labelDisable":"true","limitCount":"50","initPost":"0","privateFeed":"did:a,did:b"},
+        |{"key":"r3","recordName":"BAD NAME","query":"q","inputRegex":"x"},
+        |{"key":"r4","recordName":"remote-four","query":"q","inputRegex":"(unclosed"}
+        |]}""".stripMargin
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      seenPath = exchange.getRequestURI.getPath
+      seenBody = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val out = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(status, out.length)
+      exchange.getResponseBody.write(out)
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val restored = ConditionStore.restoreRemote(url, "https://feeds.example.com")
+      // wire contract: POST {"serverUrl":…} to /api/getD1Query
+      assert(seenPath == "/api/getD1Query")
+      assert(seenBody.contains("\"serverUrl\":\"https://feeds.example.com\""))
+      // r3 (recordName) and r4 (regex) fall to the same validation gate
+      // as the file path; string-typed D1 ints parse; initPost "0" → 100
+      assert(restored.map(_.key).sorted == Seq("r1", "r2"))
+      val r1 = restored.find(_.key == "r1").get
+      assert(r1.initPost == 100 && r1.limitCount == 2000 && !r1.labelDisable)
+      val r2 = restored.find(_.key == "r2").get
+      assert(r2.labelDisable && r2.limitCount == 50 && r2.initPost == 100)
+      assert(r2.privateFeed == Seq("did:a", "did:b"))
+
+      // local rows win on key conflict (insert-on-conflict-ignore)
+      val local = Seq(Fixtures.cond(key = "r1", limitCount = 7))
+      val merged = ConditionStore.mergeRestore(local, restored)
+      assert(merged.map(_.key).sorted == Seq("r1", "r2"))
+      assert(merged.find(_.key == "r1").get.limitCount == 7)
+
+      // non-OK result, malformed JSON, non-2xx: each restores nothing
+      body = """{"result":"NG"}"""
+      assert(ConditionStore.restoreRemote(url, "https://x").isEmpty)
+      body = "not json at all"
+      assert(ConditionStore.restoreRemote(url, "https://x").isEmpty)
+      body = "{}"; status = 500
+      assert(ConditionStore.restoreRemote(url, "https://x").isEmpty)
+    } finally server.stop(0)
+    // unreachable console: clean fallback to nothing (caller keeps local)
+    assert(ConditionStore.restoreRemote(url, "https://x", timeoutMs = 500).isEmpty)
+  }
+
   test("merge restore is insert-on-conflict-ignore; setQuery is full replace") {
     val existing = Seq(Fixtures.cond(key = "k1", limitCount = 7))
     val restored = Seq(Fixtures.cond(key = "k1", limitCount = 999), Fixtures.cond(key = "k2"))

@@ -25,13 +25,22 @@ class IngestServeSpec extends SparkSpec {
     val conditions = Seq(cond(key = "f1"), cond(key = "f2", replyDisable = true))
 
     val stream = MemoryStream[PostView]
+    val metrics = new ConditionMetrics
     val q = Ingest.start(spark, stream.toDF(), conditions,
-      Some(profiles.toDF()), store, ckpt)
+      Some(profiles.toDF()), store, ckpt, metrics = Some(metrics))
 
     stream.addData(posts.take(7))
     q.processAllAvailable()
     val afterB1 = Ingest.readStore(spark, store).count()
     assert(afterB1 > 0)
+
+    // S12/F9: the cycle recorded a positive lastExecTime ("<ms>ms" wire
+    // shape) and the captured counts for every standing condition
+    assert(metrics.lastExecTime("f1").exists(_.matches("[1-9][0-9]*ms")))
+    assert(metrics.recordCount("f1").exists(_ > 0L))
+    val exec1 = metrics.lastExecTime("f1").get
+    assert(metrics.toDf(spark).columns.toSeq ==
+      Seq("key", "lastExecTime", "recordCount"))
 
     // redeliver batch 1 + the rest (overlap) → no duplicates
     stream.addData(posts)
@@ -45,6 +54,15 @@ class IngestServeSpec extends SparkSpec {
     q.processAllAvailable()
     assert(Ingest.readStore(spark, store).count() == n)
     q.stop()
+
+    // metrics kept pace across cycles: recordCount converged on the
+    // feed's actual stored rows (dedup'd redelivery added nothing) and
+    // stayed under the cap; lastExecTime still has the wire shape
+    val f1Rows = Ingest.readStore(spark, store).filter(col("key") === "f1").count()
+    assert(metrics.recordCount("f1").contains(f1Rows))
+    assert(metrics.recordCount("f1").exists(_ <= conditions.head.limitCount.toLong))
+    assert(metrics.lastExecTime("f1").exists(_.matches("[1-9][0-9]*ms")))
+    assert(exec1.nonEmpty)
 
     // late event (2024-02-29) is present and sorts by event time at serve
     val (page, _) = FeedPage.pageWithCursor(spark, Ingest.readStore(spark, store),
