@@ -42,12 +42,12 @@ object KMeansIvf {
     * iterations it runs. Identical centroids and assignments by
     * construction — exact integer math, lowest-id init, first-min
     * tie-break on both paths (spec-asserted). */
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
-      : (DataFrame, Array[Array[Long]]) = {
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3,
+      corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) = {
     val localThreshold = df.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
     LocalLloyd.probeSorted(df, idCol, Similarity.fixedPoint(col(vecCol)),
-        localThreshold).foreach { vecs =>
+        localThreshold, corpusKey).foreach { vecs =>
       val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(vecs.indices.map(i =>
@@ -104,13 +104,14 @@ object KMeansIvf {
     * The 100 TB analog: a fitted index is written once and every search
     * job loads it, it is not retrained per query. */
   def fitCached(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, cacheKey: Option[String]): (DataFrame, Array[Array[Long]]) =
+      iters: Int, cacheKey: Option[String],
+      corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) =
     cacheKey match {
-      case None => fit(df, idCol, vecCol, k, iters)
+      case None => fit(df, idCol, vecCol, k, iters, corpusKey)
       case Some(key) =>
         val spark = df.sparkSession
         val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
-          val (a, c) = fit(df, idCol, vecCol, k, iters)
+          val (a, c) = fit(df, idCol, vecCol, k, iters, corpusKey)
           graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
           a
         }
@@ -123,8 +124,10 @@ object KMeansIvf {
     * nearest centroid, search only that cell. */
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int = 3,
-      cacheKey: Option[String] = None): DataFrame = {
-    val (assignments, _) = fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey)
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (assignments, _) =
+      fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
     val cands = candidates.join(assignments, idCol)
     val qs = queries.join(assignments, idCol) // queries drawn from the corpus
     Similarity.ivfTopK(qs, cands, idCol, vecCol, "cluster", k)
@@ -138,8 +141,10 @@ object KMeansIvf {
     * stays an ordinary hash join over the candidate table. */
   def searchMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3,
-      cacheKey: Option[String] = None): DataFrame = {
-    val (assignments, centroids) = fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey)
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (assignments, centroids) =
+      fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
     val cands = candidates.join(assignments, idCol)
     val qfp = queries.select(col(idCol), col(vecCol),
         Similarity.fixedPoint(col(vecCol)).as("__fe"))

@@ -49,15 +49,30 @@ private[operators] object LocalLloyd {
     * `threshold` rows or the id type is unsupported — decided by an
     * id-only count probe (column-pruned, no bulk vector transfer on the
     * big path) — otherwise ALL (id, fixed-point vector) rows, id-sorted,
-    * ready for [[fit]]. */
+    * ready for [[fit]].
+    *
+    * `cacheKey` (identify corpus + vector column + threshold, include the
+    * data dir) memoizes the probe AND the collected rows in
+    * [[graft.SharedCache]], so DIFFERENT fits over the same corpus — the
+    * IVF k-means and the PQ codebooks both train on `embeddings` — share
+    * one probe job and one collect per pass instead of each paying their
+    * own. Bounded by `threshold` rows by construction; at 100 TB scale
+    * the probe answers None and nothing is held. */
   def probeSorted(df: DataFrame, idCol: String, fe: Column,
-      threshold: Int): Option[Array[(Any, Array[Long])]] = {
-    val idType = df.schema(idCol).dataType
-    if (!supportsId(idType)) return None
-    if (df.select(col(idCol)).limit(threshold + 1).count() > threshold) return None
-    val rows = df.select(col(idCol), fe.as("__fe")).collect()
-    Some(rows.map(r => (r.get(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)(idOrdering(idType)))
+      threshold: Int, cacheKey: Option[String] = None)
+      : Option[Array[(Any, Array[Long])]] = {
+    def compute: Option[Array[(Any, Array[Long])]] = {
+      val idType = df.schema(idCol).dataType
+      if (!supportsId(idType)) return None
+      if (df.select(col(idCol)).limit(threshold + 1).count() > threshold) return None
+      val rows = df.select(col(idCol), fe.as("__fe")).collect()
+      Some(rows.map(r => (r.get(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)(idOrdering(idType)))
+    }
+    cacheKey match {
+      case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:probe")(compute)
+      case None => compute
+    }
   }
 
   private def nearest(v: Array[Long], centroids: Array[Array[Long]]): Int = {

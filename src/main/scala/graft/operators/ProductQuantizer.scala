@@ -66,16 +66,18 @@ object ProductQuantizer {
     * soon as the last (eager) training collect has consumed it — callers
     * never inherit a persistent RDD from training. */
   private def trainBooks(candidates: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Long]]] = {
+      dim: Int, m: Int, ks: Int, iters: Int,
+      corpusKey: Option[String] = None): Array[Array[Array[Long]]] = {
     // Adaptive like KMeansIvf.fit: below the shared threshold the vectors
     // collect once and all m subspaces train on the driver (fixedPoint
     // commutes with subvector slicing, so the Longs are identical);
     // above it, the joint distributed Lloyd below — bit-equal codebooks
-    // either way (spec-asserted).
+    // either way (spec-asserted). With `corpusKey` the collected corpus is
+    // shared with the IVF k-means fit over the same vectors.
     val threshold = candidates.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
     LocalLloyd.probeSorted(candidates, idCol, Similarity.fixedPoint(col(vecCol)),
-        threshold).foreach { sorted =>
+        threshold, corpusKey).foreach { sorted =>
       val sub = dim / m
       return Array.tabulate(m) { j =>
         LocalLloyd.fit(sorted.map(_._2.slice(j * sub, j * sub + sub)), ks, iters)._2
@@ -194,12 +196,13 @@ object ProductQuantizer {
     * scans are lazy single passes over the corpus. */
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 4, ks: Int = 16,
-      iters: Int = 2, cacheKey: Option[String] = None): DataFrame = {
+      iters: Int = 2, cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val books = cacheKey match {
       case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
-        trainBooks(candidates, idCol, vecCol, dim, m, ks, iters))
-      case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters)
+        trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
+      case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
     }
     val members = memberRows(candidates, idCol, vecCol, dim, m) // lazy: one scan per consumer below
     val cents = centroidFrame(members, books)

@@ -94,49 +94,35 @@ object Similarity {
     * same in-plan bounds). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int): DataFrame = {
-    // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over the
-    // RAW floats (floor(·×10⁶) is monotone, so fixed-point min/max = the
-    // float min/max converted on the driver — no per-element lambda in the
-    // pass) collapsed to a single 2×dim row, collected (bounded by
-    // construction — the AQE-style one-row exchange, not a data collect)
-    // and re-embedded as literals, so the quantize pass below is a pure
-    // codegen map over the scan: no crossJoin, no broadcast exchange, and
-    // the (tiny) corpus re-scan per consumer costs less than materializing.
-    val boundsRow = candidates
+    // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over
+    // the RAW floats (floor(·×10⁶) is monotone, so fixed-point min/max =
+    // the float min/max, converted by a one-row transform) collapsed to a
+    // single 2×dim row that stays IN-PLAN as a broadcast: both quantize
+    // scans cross-join the same one-row exchange (reused, not rebuilt), so
+    // the whole query is ONE action — no driver head() barrier splitting
+    // the bounds pass from the ranking pass.
+    val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
+    val bounds = broadcast(candidates
       .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
-      .select(col("__b._1").as("__mnf"), col("__b._2").as("__mxf"))
-      .head()
-    def toFp(xs: Seq[Float]): Seq[Long] =
-      xs.map(x => math.floor(x.toDouble * 1000000d).toLong)
-    val mnf = Option(boundsRow.getSeq[Float](0)).getOrElse(Nil)
-    val mxf = Option(boundsRow.getSeq[Float](1)).getOrElse(Nil)
-    // An empty candidate corpus (or one with only null vectors) has no
-    // bounds to quantize against — top-k over it is empty, not a crash in
-    // the quantize scan.
-    if (mnf.isEmpty || mxf.isEmpty) {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("q_id", queries.schema(idCol).dataType),
-        StructField("cand_id", candidates.schema(idCol).dataType),
-        StructField("qsim", LongType), StructField("rank", LongType)))
-      return queries.sparkSession.createDataFrame(
-        queries.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    val mn = typedlit(toFp(mnf))
-    val mx = typedlit(toFp(mxf))
+      .select(transform(col("__b._1"), fpOne).as("__mn"),
+        transform(col("__b._2"), fpOne).as("__mx")))
 
     // fused fixed-point + affine map as one native codegen loop (the
     // interpreted transform/element_at lambdas this replaces were the
-    // query's entire CPU cost); trunc ≡ DuckDB's div since fe−mn ≥ 0
-    val qc = candidates.select(col(idCol).as("__id"),
-      org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q"))
+    // query's entire CPU cost); trunc ≡ DuckDB's div since fe−mn ≥ 0.
+    // Null/missing vectors carry no codes and rank nowhere, so an empty or
+    // all-null corpus yields an empty top-k, not a null-keyed ranking.
+    val qc = candidates.filter(col(vecCol).isNotNull).crossJoin(bounds)
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
     // queries carry their own vectors; quantizing them directly with the
-    // same literal bounds is bit-identical to probing qc by id, and drops
+    // same in-plan bounds is bit-identical to probing qc by id, and drops
     // a join (and its AQE stage) from the broadcast build. A query vector
     // from OUTSIDE the corpus saturates at the code-range edges (the
     // SQ8EncodeEval clamp), the standard SQ behavior for out-of-range input
-    val qq = broadcast(queries.select(col(idCol).as("__id"),
-      org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), mn, mx).as("__q")))
+    val qq = broadcast(queries.filter(col(vecCol).isNotNull).crossJoin(bounds)
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         dotFp(col("q.__q"), col("c.__q")).as("qsim"))

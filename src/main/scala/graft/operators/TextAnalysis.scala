@@ -265,16 +265,17 @@ object TextAnalysis {
     * (tf × N / docfreq — no logarithm, so every score is one exact integer
     * product and one IEEE division, bit-identical across engines).
     *
-    * One token explode feeds both aggregations: term frequencies
-    * (group by doc, term) and document frequencies (re-aggregate the tf
-    * frame — its (doc, term) rows ARE the distinct doc-term incidences).
-    * The docfreq side is vocabulary-sized; whether it broadcasts is left
-    * to AQE's runtime size check (the planner sees an aggregate of a
-    * checkpointed input, AQE sees its actual bytes), so no driver-side
-    * count gate or second checkpoint is needed. The corpus size N likewise
-    * stays in-plan: a one-row count aggregate broadcast onto the scored
-    * rows instead of an eager `df.count()` job. The final per-document
-    * top-k is a partitioned window, never a global sort.
+    * ONE dataflow, no materialization barrier: term frequencies are a
+    * (doc, term) hash aggregate of the token explode, and document
+    * frequencies fall out of the SAME frame as a count window partitioned
+    * by term — the tf rows ARE the distinct doc-term incidences, so
+    * `count(*) over (partition by term)` is the docfreq, replacing the
+    * former checkpoint + self-join (the window's term shuffle moves
+    * exactly the bytes the join's term-side shuffle moved, minus a whole
+    * job and a cached copy). The corpus size N stays in-plan: a one-row
+    * count aggregate broadcast onto the scored rows instead of an eager
+    * `df.count()` job. The final per-document top-k is a partitioned
+    * window, never a global sort.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -284,9 +285,9 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds docfreq AND the join below; computed once
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
     val rn = row_number().over(

@@ -120,7 +120,8 @@ object SimilarityQueries extends QueryModule {
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.KMeansIvf.search(queries, t.embeddings,
           "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
-          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"))
+          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
         .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
@@ -159,7 +160,8 @@ object SimilarityQueries extends QueryModule {
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.KMeansIvf.searchMultiProbe(queries, t.embeddings,
           "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2,
-          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"))
+          cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
         .select(col("q_id"), col("cand_id"), col("sim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
@@ -319,7 +321,8 @@ object SimilarityQueries extends QueryModule {
       val queries = t.embeddings.filter(col("vec_id") < 5)
       graft.operators.ProductQuantizer.pqTopK(queries, t.embeddings,
           "vec_id", "embedding", k = 5, dim = 64, m = 4, ks = 16, iters = 2,
-          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"))
+          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
         .select(col("q_id"), col("cand_id"), col("pq_dist"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },

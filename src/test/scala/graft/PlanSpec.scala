@@ -72,10 +72,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("ns27: tfidf docfreq side broadcasts; per-doc top-k is a partitioned window") {
+  test("ns27: tfidf is one dataflow — docfreq window, no self-join, top-k group-limited") {
     val p = planOf("ns27_tfidf_topterms")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // docfreq comes from a count window over the tf frame (no second
+    // aggregate + join of the same explode), the corpus size N is a
+    // one-row broadcast (nested-loop on 1 row, not a CartesianProduct
+    // over data), and the per-doc top-k prunes map-side via
+    // WindowGroupLimit before the window shuffle
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
