@@ -72,6 +72,12 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries_median":${fmt(median)},"queries_max":${fmt(_.max)},""" +
       s""""sf":"$sfDir","queries":${fmt(_.min)}}""")
+    // compact summary AFTER the big line: the driver archives only the
+    // tail of the output, and a truncated big line loses the headline
+    // totals at its head — this line always survives whole
+    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
+      s""""median_total_sec":${names.map(n => median(samples.map(_(n)))).sum},""" +
+      s""""passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

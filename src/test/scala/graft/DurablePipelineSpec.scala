@@ -117,6 +117,54 @@ class DurablePipelineSpec extends SparkSpec {
     } finally { p2.stop(); stub2.stop() }
   }
 
+  test("kill-point fuzz: every crash window converges with zero loss, zero double-count") {
+    // Deterministic sweep over the enumerable kill windows instead of one
+    // blessed phase boundary: for each (frames, cursorEvery, window) the
+    // pipeline is killed hard at that window and a fresh process over the
+    // same dataDir must end with exactly `total` unique posts.
+    //   window 0 — frames buffered past a cursor write, buffer DISCARDED
+    //              (the cursor-vs-spool race; nothing manually flushed)
+    //   window 1 — spool flushed but the streaming query never ran (files
+    //              on disk, checkpoint knows nothing of them)
+    //   window 2 — everything processed into the store, kill after commit
+    val cases = Seq((7, 3, 0), (5, 2, 1), (6, 4, 2), (8, 1, 0))
+    cases.foreach { case (total, cursorEvery, window) =>
+      val dir = Files.createTempDirectory(s"graft-fuzz-$total-$cursorEvery-$window").toString
+      val all = (1L to total.toLong).map(i =>
+        i -> WireFixtures.commitFrame(i, s"spark fuzz $i"))
+      val conditions = Seq(Fixtures.cond(key = "fz", inputRegex = "spark"))
+      val cfg = FeedServer.Config("did:web:fz.example.com", "fz.example.com", "did:plc:pub")
+
+      val stub1 = new SubscribeReposStub(all)
+      val p1 = new DurablePipeline(spark, conditions, cfg,
+        s"ws://127.0.0.1:${stub1.port}", dir, cursorEvery = cursorEvery)
+      try {
+        p1.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+        assert(p1.client.awaitStopped(120000), s"case ($total,$cursorEvery,$window): phase 1 hung")
+        window match {
+          case 0 => // buffer dies with the process
+          case 1 => p1.flushSpool()
+          case _ => p1.flushSpool(); p1.query.processAllAvailable()
+        }
+      } finally { p1.crash(); stub1.stop() }
+
+      val stub2 = new SubscribeReposStub(all)
+      val p2 = new DurablePipeline(spark, conditions, cfg,
+        s"ws://127.0.0.1:${stub2.port}", dir, cursorEvery = cursorEvery)
+      try {
+        p2.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+        assert(p2.client.awaitStopped(120000), s"case ($total,$cursorEvery,$window): phase 2 hung")
+        p2.flushSpool()
+        p2.query.processAllAvailable()
+        val store = Ingest.readStore(spark, s"$dir/store")
+        assert(store.count() == total.toLong,
+          s"case ($total,$cursorEvery,$window): lost rows")
+        assert(store.select("uri").distinct().count() == total.toLong,
+          s"case ($total,$cursorEvery,$window): duplicated rows")
+      } finally { p2.stop(); stub2.stop() }
+    }
+  }
+
   test("cursor file survives a torn write; spool files publish atomically") {
     val dir = Files.createTempDirectory("graft-durable2").toString
     val conditions = Seq(Fixtures.cond(key = "dur2", inputRegex = "spark"))
