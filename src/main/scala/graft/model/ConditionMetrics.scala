@@ -39,6 +39,14 @@ final class ConditionMetrics {
   def recordCount(key: String): Option[Long] = m.get(key).map(_.recordCount)
   def snapshot: Map[String, FeedMetrics] = m.toMap
 
+  /** Push the current metrics onto a serving-tier [[ControlPlane]] so its
+    * getQuery reports them — the reference's ingest-loop UPDATE of the
+    * conditions row (subscription.ts:370-378). */
+  def publishTo(cp: ControlPlane): Unit = m.foreach { case (k, fm) =>
+    cp.setLastExecTime(k, fm.lastExecTime)
+    cp.setRecordCount(k, fm.recordCount)
+  }
+
   /** The conditions-metrics frame — the reference's conditions row
     * projected to its metric columns (schema.ts:35-36). */
   def toDf(spark: SparkSession): DataFrame = {

@@ -23,6 +23,7 @@ final class ControlPlane(initial: Seq[Condition] = Nil) {
 
   private var conds: Vector[Condition] = initial.toVector
   private val counts = scala.collection.mutable.Map[String, Long]()
+  private val execTimes = scala.collection.mutable.Map[String, String]()
   // display-only passthrough fields (feedName/feedAvatar/feedDescription):
   // stored verbatim for getQuery, never consulted by the engine
   private val metas = scala.collection.mutable.Map[String, Map[String, String]]()
@@ -37,6 +38,14 @@ final class ControlPlane(initial: Seq[Condition] = Nil) {
   /** Ingest-side counter advance (subscription loop's UPDATE). */
   def setRecordCount(key: String, n: Long): Unit = synchronized { counts(key) = n }
 
+  /** The reference's `lastExecTime` varchar on the conditions row
+    * (db/schema.ts:36): None until the first ingest cycle writes it
+    * (subscription.ts:374) — getQuery reports null then, like a fresh
+    * SQLite row. */
+  def lastExecTime(key: String): Option[String] = synchronized(execTimes.get(key))
+
+  def setLastExecTime(key: String, t: String): Unit = synchronized { execTimes(key) = t }
+
   def meta(key: String): Map[String, String] = synchronized(metas.getOrElse(key, Map.empty))
 
   def setMeta(key: String, m: Map[String, String]): Unit = synchronized { metas(key) = m }
@@ -47,6 +56,7 @@ final class ControlPlane(initial: Seq[Condition] = Nil) {
   def setQuery(c: Condition): Unit = synchronized {
     conds = conds.filterNot(_.key == c.key) :+ c
     counts(c.key) = 0L
+    execTimes.remove(c.key) // fresh row: no cycle has timed it yet
   }
 
   /** Remove the condition row; the caller deletes the key's posts
@@ -54,6 +64,7 @@ final class ControlPlane(initial: Seq[Condition] = Nil) {
   def delete(key: String): Unit = synchronized {
     conds = conds.filterNot(_.key == key)
     counts.remove(key)
+    execTimes.remove(key)
     metas.remove(key)
   }
 }

@@ -305,6 +305,10 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
         n.put("includeAltText", c.includeAltText.toString)
         n.put("initPost", c.initPost)
         n.put("pinnedPost", c.pinnedPost.mkString(","))
+        a.control.lastExecTime(key) match { // null until a cycle timed it
+          case Some(t) => n.put("lastExecTime", t)
+          case None => n.putNull("lastExecTime")
+        }
         n.put("feedAvatar", meta.getOrElse("feedAvatar", ""))
         n.put("feedName", meta.getOrElse("feedName", ""))
         n.put("feedDescription", meta.getOrElse("feedDescription", ""))

@@ -238,7 +238,18 @@ class FeedServerSpec extends SparkSpec {
       assert(r2.get("labelDisable").asText() == "false") // string-bool
       assert(r2.get("feedName").asText() == "Feed Two")
       assert(r2.get("recordCount").asLong() == 0L)
+      assert(r2.get("lastExecTime").isNull, "no cycle has timed a fresh row")
       assert(r2.get("queryEngineVersion").asText() == FeedServer.EngineVersion)
+
+      // an ingest cycle publishes its metrics onto the conditions row and
+      // getQuery reports them (schema.ts:36, subscription.ts:370-378)
+      val metrics = new graft.model.ConditionMetrics
+      metrics.record(control.conditions.filter(_.key == "f2"),
+        Map("f2" -> 3L), execMs = 17L)
+      metrics.publishTo(control)
+      val (st2b, r2b) = post(port, "/getQuery", """{"key":"f2"}""", pk)
+      assert(st2b == 200 && r2b.get("lastExecTime").asText() == "17ms")
+      assert(r2b.get("recordCount").asLong() == 3L)
 
       // full-replace quirk: setQuery on f1 resets recordCount to 0 while
       // the key's POSTS stay in the store (databaseUtil.ts:77-108)
