@@ -56,7 +56,8 @@ final class DurablePipeline(
     profiles: Option[DataFrame] = None,
     cursorEvery: Int = 20,
     spoolFlushEvery: Int = 100,
-    retentionEvery: Int = 0) {
+    retentionEvery: Int = 0,
+    adminPasskey: Option[String] = None) {
 
   private val root = Paths.get(dataDir)
   private val storeDir = root.resolve("store")
@@ -138,9 +139,18 @@ final class DurablePipeline(
     * columns on the conditions row. */
   val metrics = new graft.model.ConditionMetrics
 
+  /** LIVE control plane: the serving tier's admin CRUD mutates it and the
+    * NEXT micro-batch picks the change up, the reference's
+    * reload-per-cycle semantics (subscription.ts:133-137, 409-412). */
+  val control = new graft.model.ControlPlane(conditions)
+  metrics.attach(control) // getQuery reports each cycle's metrics
+
   val server: FeedServer =
     new FeedServer(spark, () => Ingest.readStore(spark, storeDir.toString),
-      () => conditions, cfg)
+      () => control.conditions, cfg,
+      admin = Some(FeedServer.Admin(control,
+        deletePosts = key => Ingest.deleteKey(spark, storeDir.toString, key),
+        passkey = adminPasskey)))
 
   @volatile private var queryOpt: Option[StreamingQuery] = None
   def query: StreamingQuery = queryOpt.getOrElse(
@@ -159,8 +169,8 @@ final class DurablePipeline(
       .text(spoolDir.toString)
       .select(unbase64(col("value")).as("frame"))
     val posts = Firehose.postViews(Firehose.decodeCborFrames(frames))
-    queryOpt = Some(Ingest.start(spark, posts, conditions, profiles,
-      storeDir.toString, checkpointDir.toString, retentionEvery,
+    queryOpt = Some(Ingest.startDynamic(spark, posts, () => control.conditions,
+      profiles, storeDir.toString, checkpointDir.toString, retentionEvery,
       metrics = Some(metrics)))
     client.start(reconnectDelayMs, maxRestarts, idleTimeoutMs)
     server.start()

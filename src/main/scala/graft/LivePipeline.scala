@@ -35,7 +35,8 @@ final class LivePipeline(
     service: String,
     profiles: Option[DataFrame] = None,
     cursorEvery: Int = 20,
-    maxBufferedFrames: Int = 100000) {
+    maxBufferedFrames: Int = 100000,
+    adminPasskey: Option[String] = None) {
 
   private val frames = new ConcurrentLinkedQueue[Array[Byte]]()
   private val buffered = new AtomicLong(0)
@@ -53,7 +54,20 @@ final class LivePipeline(
     onFrame = f => offer(f),
     cursorEvery = cursorEvery)
 
-  val server: FeedServer = new FeedServer(spark, () => store, () => conditions, cfg)
+  /** LIVE control plane: admin CRUD over HTTP mutates it and the next
+    * [[drainBatch]] cascades with the updated set — the reference's
+    * reload-per-cycle semantics (subscription.ts:133-137, 409-412). */
+  val control = new graft.model.ControlPlane(conditions)
+
+  val server: FeedServer = new FeedServer(spark, () => store,
+    () => control.conditions, cfg,
+    admin = Some(FeedServer.Admin(control,
+      deletePosts = key => synchronized {
+        store = store.filter(org.apache.spark.sql.functions.col("key") =!= key)
+          .localCheckpoint()
+        storeRows = store.count()
+      },
+      passkey = adminPasskey)))
 
   /** Start subscription + HTTP serving; returns the bound HTTP port. */
   def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue,
@@ -77,6 +91,7 @@ final class LivePipeline(
   /** Per-feed cycle metrics (S12/F9): every drain records its wall time
     * and captured counts, the reference's lastExecTime/recordCount row. */
   val metrics = new graft.model.ConditionMetrics
+  metrics.attach(control) // getQuery reports each cycle's metrics
 
   def drainBatch(): Long = synchronized {
     val t0 = System.nanoTime()
@@ -84,6 +99,7 @@ final class LivePipeline(
     buffered.addAndGet(-buf.size.toLong)
     if (buf.isEmpty) return 0L
     import spark.implicits._
+    val conditions = control.conditions // live: admin edits land next drain
     val posts = Firehose.postViews(Firehose.decodeCborFrames(buf.toDF("frame")))
     val fresh = Ingest.processBatch(spark, store, posts, conditions, profiles).persist()
     val perKey = fresh.groupBy("key").count().collect()

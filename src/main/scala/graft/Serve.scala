@@ -32,13 +32,18 @@ object Serve {
     // --restore-url=<console> pulls standing conditions from a remote
     // Admin Console at startup (subscription.ts:58-112); local file rows
     // win on key conflict, matching the reference's on-conflict-ignore.
+    // --passkey=<secret> gates the admin CRUD endpoints (EDIT_WEB_PASSKEY).
     val restoreUrl = args.collectFirst {
       case a if a.startsWith("--restore-url=") => a.stripPrefix("--restore-url=")
+    }
+    val passkey = args.collectFirst {
+      case a if a.startsWith("--passkey=") => a.stripPrefix("--passkey=")
     }
     val pos = args.filterNot(_.startsWith("--"))
     require(pos.length >= 4,
       "usage: Serve <subscriptionEndpoint> <serviceDid> <hostname> <publisherDid> " +
-        "[conditionsJsonPath] [drainIntervalSec] [dataDir] [--restore-url=<console>]")
+        "[conditionsJsonPath] [drainIntervalSec] [dataDir] " +
+        "[--restore-url=<console>] [--passkey=<secret>]")
     val Array(endpoint, serviceDid, hostname, publisherDid) = pos.take(4)
     val drainSec = if (pos.length > 5) pos(5).toInt else 10
     val dataDir = if (pos.length > 6) Some(pos(6)) else None
@@ -46,16 +51,20 @@ object Serve {
     val spark = GraftSession.local()
     val local: Seq[Condition] =
       if (pos.length > 4) ConditionStore.load(spark, pos(4)) else Nil
-    val conditions: Seq[Condition] = restoreUrl match {
-      case Some(url) =>
-        val restored = ConditionStore.restoreRemote(url, s"https://$hostname")
-        // scalastyle:off println
-        if (restored.isEmpty) println(s"no conditions restored from $url (unreachable or empty)")
-        else println(s"restored ${restored.size} conditions from $url")
-        // scalastyle:on println
-        ConditionStore.mergeRestore(local, restored)
-      case None => local
-    }
+    val (conditions, restoredMeta): (Seq[Condition], Map[String, Map[String, String]]) =
+      restoreUrl match {
+        case Some(url) =>
+          val (restored, metas) =
+            ConditionStore.restoreRemoteWithMeta(url, s"https://$hostname")
+          // scalastyle:off println
+          if (restored.isEmpty) println(s"no conditions restored from $url (unreachable or empty)")
+          else println(s"restored ${restored.size} conditions from $url")
+          // scalastyle:on println
+          val have = local.map(_.key).toSet
+          (ConditionStore.mergeRestore(local, restored),
+            metas.filterNot { case (k, _) => have.contains(k) })
+        case None => (local, Map.empty)
+      }
     val cfg = FeedServer.Config(
       serviceDid = serviceDid,
       hostname = hostname,
@@ -65,7 +74,9 @@ object Serve {
     // scalastyle:off println
     dataDir match {
       case Some(dir) =>
-        val durable = new DurablePipeline(spark, conditions, cfg, endpoint, dir)
+        val durable = new DurablePipeline(spark, conditions, cfg, endpoint, dir,
+          adminPasskey = passkey)
+        restoredMeta.foreach { case (k, m) => durable.control.setMeta(k, m) }
         val port = durable.start()
         println(s"graft serving DURABLE on :$port (${conditions.size} conditions), " +
           s"subscribed to $endpoint, data in $dir, spool flushed every ${drainSec}s")
@@ -76,7 +87,9 @@ object Serve {
           if (n > 0) println(s"spooled $n frames (cursor=${durable.storedCursor})")
         }
       case None =>
-        val live = new LivePipeline(spark, conditions, cfg, endpoint)
+        val live = new LivePipeline(spark, conditions, cfg, endpoint,
+          adminPasskey = passkey)
+        restoredMeta.foreach { case (k, m) => live.control.setMeta(k, m) }
         val port = live.start()
         println(s"graft serving on :$port (${conditions.size} conditions), " +
           s"subscribed to $endpoint, draining every ${drainSec}s")

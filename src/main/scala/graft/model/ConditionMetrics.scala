@@ -28,12 +28,14 @@ final class ConditionMetrics {
     * feed's cap the way the reference's post-cycle delete leaves them
     * (subscription.ts:378-393). */
   def record(conditions: Seq[Condition], newRowsByKey: Map[String, Long],
-      execMs: Long): Unit =
+      execMs: Long): Unit = {
     conditions.foreach { c =>
       val prev = m.get(c.key).map(_.recordCount).getOrElse(0L)
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
       m.put(c.key, FeedMetrics(s"${execMs}ms", total))
     }
+    attached.foreach(publishTo)
+  }
 
   def lastExecTime(key: String): Option[String] = m.get(key).map(_.lastExecTime)
   def recordCount(key: String): Option[Long] = m.get(key).map(_.recordCount)
@@ -46,6 +48,13 @@ final class ConditionMetrics {
     cp.setLastExecTime(k, fm.lastExecTime)
     cp.setRecordCount(k, fm.recordCount)
   }
+
+  /** Attach a control plane: every subsequent [[record]] publishes to it
+    * automatically — the deployment wiring, so getQuery always reports
+    * the latest cycle without a manual publish step. */
+  def attach(cp: ControlPlane): Unit = { attached = Some(cp); publishTo(cp) }
+
+  @volatile private var attached: Option[ControlPlane] = None
 
   /** The conditions-metrics frame — the reference's conditions row
     * projected to its metric columns (schema.ts:35-36). */

@@ -46,6 +46,15 @@ object ConditionStore {
     */
   def restoreRemote(consoleUrl: String, serverUrl: String,
       timeoutMs: Long = 10000): Seq[Condition] =
+    restoreRemoteWithMeta(consoleUrl, serverUrl, timeoutMs)._1
+
+  /** [[restoreRemote]] plus each restored row's display passthrough
+    * fields (feedName/feedAvatar/feedDescription — the reference's insert
+    * carries them, subscription.ts:86-88, and getQuery reports them), so
+    * a deployment can seed its control plane's meta alongside the
+    * conditions. */
+  def restoreRemoteWithMeta(consoleUrl: String, serverUrl: String,
+      timeoutMs: Long = 10000): (Seq[Condition], Map[String, Map[String, String]]) =
     Try {
       val client = HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(timeoutMs)).build()
@@ -59,16 +68,31 @@ object ConditionStore {
           StandardCharsets.UTF_8))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2) Nil
+      if (resp.statusCode() / 100 != 2) (Nil, Map.empty[String, Map[String, String]])
       else {
         val root = mapper.readTree(resp.body())
-        if (root == null || !root.path("result").asText("").equals("OK")) Nil
-        else root.path("resultRecord").elements().asScala.toSeq
-          .map(rawFromNode)
-          .flatMap(r => Condition.validate(r).toOption)
-          .map(Condition.normalize)
+        if (root == null || !root.path("result").asText("").equals("OK"))
+          (Nil, Map.empty[String, Map[String, String]])
+        else {
+          val nodes = root.path("resultRecord").elements().asScala.toSeq
+          val conds = nodes.map(rawFromNode)
+            .flatMap(r => Condition.validate(r).toOption)
+            .map(Condition.normalize)
+          val keys = conds.map(_.key).toSet
+          val metas = nodes.flatMap { n =>
+            val key = Option(n.path("key")).filterNot(_.isMissingNode).map(_.asText(""))
+            key.filter(keys.contains).map { k =>
+              k -> Seq("feedName", "feedAvatar", "feedDescription").flatMap { f =>
+                val v = n.path(f)
+                if (v.isMissingNode || v.isNull || v.asText("").isEmpty) None
+                else Some(f -> v.asText())
+              }.toMap
+            }
+          }.filter(_._2.nonEmpty).toMap
+          (conds, metas)
+        }
       }
-    }.getOrElse(Nil)
+    }.getOrElse((Nil, Map.empty[String, Map[String, String]]))
 
   /** One console record → the wire form, with the reference's `|| ''` /
     * `|| 0` coalescing (subscription.ts:73-92). D1 may hand numbers back

@@ -136,9 +136,10 @@ object ProductQuantizer {
       init.map(r => (r.get(0), r.getInt(1))).distinct.length == m * ks
     var books =
       if (seedIds.length == ks && exactCross) {
+        val seedIdx = seedIds.zipWithIndex.toMap
         val b = Array.fill(m, ks)(Array.empty[Long])
         init.foreach(r =>
-          b(r.getInt(1))(seedIds.indexOf(r.get(0))) = r.getSeq[Long](2).toArray)
+          b(r.getInt(1))(seedIdx(r.get(0))) = r.getSeq[Long](2).toArray)
         b
       } else {
         // duplicate id values: the globally-lowest m*ks rows span fewer

@@ -61,9 +61,22 @@ object Ingest {
   def start(spark: SparkSession, stream: DataFrame, conditions: Seq[Condition],
       profiles: Option[DataFrame], storeDir: String, checkpointDir: String,
       retentionEvery: Int = 0,
+      metrics: Option[graft.model.ConditionMetrics] = None): StreamingQuery =
+    startDynamic(spark, stream, () => conditions, profiles, storeDir,
+      checkpointDir, retentionEvery, metrics)
+
+  /** [[start]] with a LIVE condition supplier, re-read at every
+    * micro-batch — the reference's reload loop re-selects the whole
+    * conditions table each cycle (subscription.ts:133-137), so an admin
+    * CRUD takes effect on the NEXT cycle without a restart. */
+  def startDynamic(spark: SparkSession, stream: DataFrame,
+      conditionsFn: () => Seq[Condition],
+      profiles: Option[DataFrame], storeDir: String, checkpointDir: String,
+      retentionEvery: Int = 0,
       metrics: Option[graft.model.ConditionMetrics] = None): StreamingQuery = {
     val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()
+      val conditions = conditionsFn()
       val stored = readStore(spark, storeDir)
       val fresh = processBatch(spark, stored, batch, conditions, profiles)
       val perKey = metrics.map { _ =>
@@ -103,6 +116,19 @@ object Ingest {
       .select(store.columns.map(col): _*)
 
     val tmp = storeDir + ".compact-tmp"
+    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
+    deleteRecursively(Paths.get(storeDir))
+    Files.move(Paths.get(tmp), Paths.get(storeDir))
+  }
+
+  /** Delete every stored post of one feed key — the engine side of the
+    * admin deleteCondition (databaseUtil.ts:169-192 deletes from both
+    * tables). Same rewrite-and-swap as [[applyRefresh]]'s full delete. */
+  def deleteKey(spark: SparkSession, storeDir: String, key: String): Unit = {
+    val store = readStore(spark, storeDir)
+    if (store.isEmpty) return
+    val kept = store.filter(col("key") =!= key)
+    val tmp = storeDir + ".delete-tmp"
     kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
     deleteRecursively(Paths.get(storeDir))
     Files.move(Paths.get(tmp), Paths.get(storeDir))

@@ -165,6 +165,39 @@ class DurablePipelineSpec extends SparkSpec {
     }
   }
 
+  test("durable ingest re-reads the control plane every micro-batch (live CRUD)") {
+    val dir = Files.createTempDirectory("graft-livecrud").toString
+    val first = (1L to 3L).map(i => i -> WireFixtures.commitFrame(i, s"spark crud $i"))
+    val conditions = Seq(Fixtures.cond(key = "base", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:lc.example.com", "lc.example.com", "did:plc:pub")
+    val stub = new SubscribeReposStub(first)
+    val p = new DurablePipeline(spark, conditions, cfg,
+      s"ws://127.0.0.1:${stub.port}", dir, cursorEvery = 1)
+    try {
+      p.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(p.client.awaitStopped(120000))
+      p.flushSpool()
+      p.query.processAllAvailable()
+      assert(p.storedRows == 3L)
+
+      // console edit at runtime: the NEXT micro-batch must cascade with
+      // the new feed. Late frames land via the spool seam (what a still-
+      // connected socket would have flushed).
+      p.control.setQuery(Fixtures.cond(key = "vec", inputRegex = "vector"))
+      val late = (4L to 6L).map(i => WireFixtures.commitFrame(i, s"vector crud $i"))
+      val lines = late.map(java.util.Base64.getEncoder.encodeToString).mkString("\n")
+      val tmp = java.nio.file.Paths.get(dir, "late.tmp")
+      Files.write(tmp, lines.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "spool", "frames-late-0.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      p.query.processAllAvailable()
+      assert(p.storedRows == 6L, "the new condition must capture the late frames")
+      val store = Ingest.readStore(spark, s"$dir/store")
+      assert(store.filter(org.apache.spark.sql.functions.col("key") === "vec")
+        .count() == 3L)
+    } finally { p.stop(); stub.stop() }
+  }
+
   test("cursor file survives a torn write; spool files publish atomically") {
     val dir = Files.createTempDirectory("graft-durable2").toString
     val conditions = Seq(Fixtures.cond(key = "dur2", inputRegex = "spark"))

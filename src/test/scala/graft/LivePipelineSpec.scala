@@ -69,6 +69,55 @@ class LivePipelineSpec extends SparkSpec {
     }
   }
 
+  test("admin CRUD is live: a setQuery lands on the next drain, deleteCondition drops the feed") {
+    // The reference re-reads the conditions table every cycle
+    // (subscription.ts:133-137), so a console edit needs no restart. Same
+    // here: the pipeline's control plane is mutated over real HTTP and the
+    // NEXT drainBatch cascades with the updated set.
+    val f = (1L to 6L).map { i =>
+      val text = if (i <= 3) s"spark live $i" else s"vector live $i"
+      i -> WireFixtures.commitFrame(i, text)
+    }
+    val stub = new SubscribeReposStub(f)
+    val conditions = Seq(Fixtures.cond(key = "base", inputRegex = "spark"))
+    val cfg = FeedServer.Config("did:web:c.example.com", "c.example.com", "did:plc:pub")
+    val live = new LivePipeline(spark, conditions, cfg,
+      service = s"ws://127.0.0.1:${stub.port}", cursorEvery = 2,
+      adminPasskey = Some("pk"))
+    try {
+      val port = live.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
+      assert(live.client.awaitStopped(120000))
+      assert(live.drainBatch() == 3L) // only "spark" matches the base feed
+
+      def post(path: String, body: String) =
+        http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/json")
+          .header("x-starrtsky-webpasskey", "pk")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // add a feed over the wire; replay the frames (at-least-once seam):
+      // the new feed captures the vector posts, base dedups to zero
+      val r1 = post("/setQuery",
+        """{"key":"vec","recordName":"vec","query":"vector","inputRegex":"vector",
+          |"invertRegex":"","refresh":"0","initPost":"100","limitCount":"2000"}""".stripMargin)
+      assert(r1.statusCode() == 200, r1.body())
+      f.foreach { case (_, bytes) => live.offer(bytes) }
+      assert(live.drainBatch() == 3L, "the next drain must cascade with the new condition")
+      assert(live.storedRows == 6L)
+
+      // metrics flowed through to getQuery (lastExecTime + recordCount)
+      val r2 = mapper.readTree(post("/getQuery", """{"key":"vec"}""").body())
+      assert(r2.get("lastExecTime").asText().matches("[1-9][0-9]*ms"), r2.toString)
+      assert(r2.get("recordCount").asLong() == 3L, r2.toString)
+
+      // deleteCondition drops the row AND the feed's served posts
+      assert(post("/deleteCondition", """{"key":"vec"}""").statusCode() == 200)
+      assert(live.control.get("vec").isEmpty)
+      assert(live.storedRows == 3L, "the deleted feed's posts must leave the store")
+    } finally { live.stop(); stub.stop() }
+  }
+
   test("replayed frames fall out of the dedup anti-join across batches") {
     val f = (1L to 4L).map(i => i -> WireFixtures.commitFrame(i, s"spark echo $i"))
     val stub = new SubscribeReposStub(f)
