@@ -176,6 +176,23 @@ final class DurablePipeline(
     server.start()
   }
 
+  /** Initial backfill for feeds with no stored rows yet (T2): cascade a
+    * searchPosts read, cap each new feed at its `initPost` newest matches,
+    * dedup against the parquet store, append. Idempotent — a second call
+    * appends nothing. */
+  def backfillFromSearch(searchHits: DataFrame): Long = {
+    val posts = Firehose.searchHitsAsPostViews(searchHits)
+    val stored = Ingest.readStore(spark, storeDir.toString)
+    val fresh = Ingest.backfill(spark, stored, posts, control.conditions, profiles)
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode("append").partitionBy("key").parquet(storeDir.toString)
+      n
+    } finally fresh.unpersist(blocking = false)
+  }
+
   def storedCursor: Long = readCursor().getOrElse(-1L)
   def storedRows: Long = Ingest.readStore(spark, storeDir.toString).count()
 

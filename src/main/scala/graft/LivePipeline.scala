@@ -121,6 +121,22 @@ final class LivePipeline(
     added
   }
 
+  /** Initial backfill for feeds with no stored rows yet (T2): cascade a
+    * searchPosts read, cap each new feed at its `initPost` newest
+    * matches, dedup-upsert, swap the served snapshot. Run it after a
+    * setQuery (or at startup) with a batch read of the `graft-search`
+    * source; feeds that already hold rows are untouched. */
+  def backfillFromSearch(searchHits: DataFrame): Long = synchronized {
+    val posts = Firehose.searchHitsAsPostViews(searchHits)
+    val fresh = Ingest.backfill(spark, store, posts, control.conditions, profiles)
+    val next = store.unionByName(fresh).localCheckpoint()
+    val n = next.count()
+    store = next
+    val added = n - storeRows
+    storeRows = n
+    added
+  }
+
   def storedCursor: Long = cursor.get()
   def storedRows: Long = storeRows
 

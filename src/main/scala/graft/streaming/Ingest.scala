@@ -121,6 +121,38 @@ object Ingest {
     Files.move(Paths.get(tmp), Paths.get(storeDir))
   }
 
+  /** Initial-mode backfill (T2 — the reference's `recordCount == 0` run,
+    * subscription.ts:200-239: page searchPosts newest-first until
+    * `initPost` matches are captured): for feeds with NO stored rows yet,
+    * keep the newest `initPost` cascade matches from a searchPosts read
+    * and dedup them against the store. Feeds that already hold rows are
+    * untouched — the stream's delta mode covers them, exactly like the
+    * reference skipping the initial run once recordCount moves. Returns
+    * the fresh rows to append (idempotent: a second call returns none).
+    *
+    * The per-key cap is a window over only the NEW feeds' candidates —
+    * at scale that is one shuffle keyed by feed over one search page
+    * budget of posts, not a store scan. */
+  def backfill(spark: SparkSession, stored: DataFrame, searchPosts: DataFrame,
+      conditions: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    // which feeds already have rows: bounded by the number of feeds
+    val have = stored.select("key").distinct().collect().map(_.getString(0)).toSet
+    val fresh = conditions.filterNot(c => have.contains(c.key))
+    if (fresh.isEmpty) return emptyStore(spark)
+    val candidates = FilterCascade.fanOut(
+      searchPosts, FilterCascade.conditionsDf(spark, fresh), profiles)
+    val limits = fresh.map(c => (c.key, c.initPost)).toDF("key", "__limit")
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        .orderBy(col("indexedAt").desc, col("cid").desc))
+    val capped = candidates.join(broadcast(limits), Seq("key"))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") <= col("__limit"))
+      .select(candidates.columns.map(col): _*)
+    Upsert.newRows(stored, capped, Seq("uri", "key"))
+  }
+
   /** Delete every stored post of one feed key — the engine side of the
     * admin deleteCondition (databaseUtil.ts:169-192 deletes from both
     * tables). Same rewrite-and-swap as [[applyRefresh]]'s full delete. */

@@ -118,6 +118,17 @@ class LivePipelineSpec extends SparkSpec {
     } finally { live.stop(); stub.stop() }
   }
 
+  test("backfillFromSearch fills a fresh feed to initPost, then stays idempotent (T2)") {
+    val cfg = FeedServer.Config("did:web:bf.example.com", "bf.example.com", "did:plc:pub")
+    val live = new LivePipeline(spark,
+      Seq(Fixtures.cond(key = "bf", inputRegex = "vector", initPost = 4)),
+      cfg, service = "ws://127.0.0.1:1") // never started: backfill is batch-side
+    val search = spark.read.format("graft-search").option("totalPosts", 200).load()
+    assert(live.backfillFromSearch(search) == 4L)
+    assert(live.storedRows == 4L)
+    assert(live.backfillFromSearch(search) == 0L, "a filled feed must not re-backfill")
+  }
+
   test("replayed frames fall out of the dedup anti-join across batches") {
     val f = (1L to 4L).map(i => i -> WireFixtures.commitFrame(i, s"spark echo $i"))
     val stub = new SubscribeReposStub(f)

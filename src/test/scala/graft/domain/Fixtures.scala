@@ -71,8 +71,9 @@ object Fixtures {
       pinnedPost: Seq[String] = Nil,
       privateFeed: Seq[String] = Nil,
       limitCount: Int = 2000,
-      refresh: Int = 0): Condition =
+      refresh: Int = 0,
+      initPost: Int = 100): Condition =
     Condition(key, key, "spark", inputRegex, invertRegex, refresh, lang,
-      labelDisable, replyDisable, imageOnly, includeAltText, 100, limitCount,
+      labelDisable, replyDisable, imageOnly, includeAltText, initPost, limitCount,
       pinnedPost, privateFeed, profileMatch)
 }

@@ -72,6 +72,39 @@ class IngestServeSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("initial backfill honors initPost, skips non-empty feeds, idempotent (T2)") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Firehose
+    import graft.operators.FilterCascade
+    // a real batch read of the searchPosts DSv2 source, bridged to the
+    // PostView wire shape the cascade consumes
+    val search = Firehose.searchHitsAsPostViews(
+      spark.read.format("graft-search").option("totalPosts", 300).load())
+    val old = cond(key = "old")
+    val neu = cond(key = "neu", initPost = 3)
+    // "old" already holds rows (seeded through the real ingest path)
+    val store0 = Ingest.processBatch(spark, Ingest.emptyStore(spark),
+      posts.toDF(), Seq(old), Some(profiles.toDF()))
+    assert(store0.filter(col("key") === "old").count() > 0)
+
+    val fresh = Ingest.backfill(spark, store0, search, Seq(old, neu), None)
+    assert(fresh.filter(col("key") === "old").count() == 0,
+      "a feed with stored rows must not backfill")
+    val neuRows = fresh.filter(col("key") === "neu")
+    val n = neuRows.count()
+    assert(n == 3, s"initPost must cap the backfill (got $n)")
+    // the capped rows are the NEWEST matches, not an arbitrary subset
+    val all = FilterCascade.fanOut(search,
+      FilterCascade.conditionsDf(spark, Seq(neu)), None)
+    val cut = neuRows.agg(min(col("indexedAt"))).head().getTimestamp(0)
+    assert(all.filter(col("indexedAt") > cut).count() <= 3)
+
+    // idempotent: with the backfill applied, a second run adds nothing
+    val store1 = store0.unionByName(fresh)
+    assert(Ingest.backfill(spark, store1, search, Seq(old, neu), None).count() == 0)
+  }
+
   test("streaming ingest with in-loop retention never exceeds the cap") {
     val s = spark
     import s.implicits._
