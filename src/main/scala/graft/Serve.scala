@@ -39,11 +39,19 @@ object Serve {
     val passkey = args.collectFirst {
       case a if a.startsWith("--passkey=") => a.stripPrefix("--passkey=")
     }
+    // --search-endpoint=<url> enables the searchPosts initial backfill
+    // (T2): at startup and after every drain interval, feeds with no
+    // stored rows fill to initPost from the search API — the reference's
+    // recordCount==0 run. Delta feeds are untouched, so the periodic call
+    // is a cheap no-op once every feed holds rows.
+    val searchEndpoint = args.collectFirst {
+      case a if a.startsWith("--search-endpoint=") => a.stripPrefix("--search-endpoint=")
+    }
     val pos = args.filterNot(_.startsWith("--"))
     require(pos.length >= 4,
       "usage: Serve <subscriptionEndpoint> <serviceDid> <hostname> <publisherDid> " +
         "[conditionsJsonPath] [drainIntervalSec] [dataDir] " +
-        "[--restore-url=<console>] [--passkey=<secret>]")
+        "[--restore-url=<console>] [--passkey=<secret>] [--search-endpoint=<url>]")
     val Array(endpoint, serviceDid, hostname, publisherDid) = pos.take(4)
     val drainSec = if (pos.length > 5) pos(5).toInt else 10
     val dataDir = if (pos.length > 6) Some(pos(6)) else None
@@ -72,6 +80,9 @@ object Serve {
       keyResolver = new DidResolver(new DidResolver.HttpFetcher),
       verifier = Auth.DefaultVerifier)
     // scalastyle:off println
+    def searchHits(): Option[org.apache.spark.sql.DataFrame] =
+      searchEndpoint.map(url =>
+        spark.read.format("graft-search").option("endpoint", url).load())
     dataDir match {
       case Some(dir) =>
         val durable = new DurablePipeline(spark, conditions, cfg, endpoint, dir,
@@ -81,10 +92,18 @@ object Serve {
         println(s"graft serving DURABLE on :$port (${conditions.size} conditions), " +
           s"subscribed to $endpoint, data in $dir, spool flushed every ${drainSec}s")
         sys.addShutdownHook { durable.stop(); spark.stop() }
+        searchHits().foreach { h =>
+          val b = durable.backfillFromSearch(h)
+          if (b > 0) println(s"backfilled $b rows from ${searchEndpoint.get}")
+        }
         while (true) {
           Thread.sleep(drainSec * 1000L)
           val n = durable.flushSpool()
           if (n > 0) println(s"spooled $n frames (cursor=${durable.storedCursor})")
+          searchHits().foreach { h =>
+            val b = durable.backfillFromSearch(h)
+            if (b > 0) println(s"backfilled $b rows from ${searchEndpoint.get}")
+          }
         }
       case None =>
         val live = new LivePipeline(spark, conditions, cfg, endpoint,
@@ -94,10 +113,18 @@ object Serve {
         println(s"graft serving on :$port (${conditions.size} conditions), " +
           s"subscribed to $endpoint, draining every ${drainSec}s")
         sys.addShutdownHook { live.stop(); spark.stop() }
+        searchHits().foreach { h =>
+          val b = live.backfillFromSearch(h)
+          if (b > 0) println(s"backfilled $b rows from ${searchEndpoint.get}")
+        }
         while (true) {
           Thread.sleep(drainSec * 1000L)
           val n = live.drainBatch()
           if (n > 0) println(s"ingested $n rows (store=${live.storedRows}, cursor=${live.storedCursor})")
+          searchHits().foreach { h =>
+            val b = live.backfillFromSearch(h)
+            if (b > 0) println(s"backfilled $b rows from ${searchEndpoint.get}")
+          }
         }
     }
     // scalastyle:on println
