@@ -30,7 +30,10 @@ object Ingest {
   val postSchema = Encoders.product[Post].schema
 
   def emptyStore(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], postSchema)
+    // an empty LOCAL relation, not an empty RDD: Catalyst can prove it
+    // empty, so PropagateEmptyRelation deletes the dedup anti-join (and
+    // its whole shuffle) from first-batch/bootstrap plans
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), postSchema)
 
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
     val p = Paths.get(storeDir)
