@@ -179,6 +179,32 @@ object TextAnalysis {
       .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** Corpus-internal duplicate-span statistics — the Gopher/CCNet
+    * dup-ngram-fraction quality signal (and the span-level dedup decision
+    * input): for every document, how many of its DISTINCT n-word spans
+    * occur in at least one OTHER document, and the fraction. Differs from
+    * [[containmentScore]] (which compares against a small external probe
+    * set) in that the "probe set" here is the corpus itself, so nothing
+    * broadcasts: distinct (doc, span) incidences feed a count window
+    * partitioned by span — the per-span document frequency, same shuffle
+    * a groupBy-join would take minus the join — then one
+    * map-side-combined per-doc aggregation. Exact integer counts, one
+    * final double division. Docs shorter than n words have no spans and
+    * drop, like the containment scorer. */
+  def duplicateSpanStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
+      .distinct()
+    spans
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__docs") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
   /** Position-sensitive polynomial rolling hash (Rabin-Karp): h = Σᵢ
     * wv(wᵢ)·Bⁱ mod M with wv = the word's first 6 md5 hex digits as an
     * integer, B = 131, M = 1e9+7. Unlike [[fingerprint]] (md5 of the

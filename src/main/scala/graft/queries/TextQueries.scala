@@ -350,6 +350,32 @@ object TextQueries extends QueryModule {
     },
   )
 
+  /** Corpus-internal duplicate-span fraction (Gopher/CCNet dup-ngram
+    * quality signal): for every doc, the share of its distinct trigram
+    * spans that some OTHER document also contains — the span-level dedup
+    * decision input, with the corpus itself as the probe set (nothing
+    * broadcasts; see TextAnalysis.duplicateSpanStats). */
+  private val ns48 = QueryEntry(
+    "ns48_dup_spans",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.duplicateSpanStats(t.documents, "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH dsh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        |cnt AS (SELECT g, count(*) AS docs FROM dsh GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM dsh JOIN cnt USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+  )
+
   /** Deterministic per-language quota sample (data mixing): first 50 docs
     * per lang in md5-of-id order. */
   private val ns31 = QueryEntry(
@@ -459,5 +485,5 @@ object TextQueries extends QueryModule {
 
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46, ns47)
+      ns33, ns34, ns38, ns46, ns47, ns48)
 }

@@ -356,6 +356,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("duplicate-span stats count only cross-document spans, exactly once per doc") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "a b c d"),            // spans: "a b c", "b c d"
+      (2L, "x a b c y"),          // spans: "x a b", "a b c", "b c y"
+      (3L, "p q r"),              // span: "p q r" — unique to doc 3
+      (4L, "a b c a b c d"),      // repeats "a b c" internally: distinct once
+      (5L, "zz"),                 // shorter than n: no spans, drops
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.duplicateSpanStats(docsDf, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "a b c" is shared by docs 1, 2, 4; "b c d" by docs 1 and 4
+    assert(stats(1L) == ((2L, 2L)))
+    assert(stats(2L) == ((3L, 1L)))
+    assert(stats(3L) == ((1L, 0L)))
+    // doc 4 spans: "a b c"(×2→1), "b c a", "c a b", "b c d"... "b c d" is
+    // ALSO in doc 1 → 2 dup spans of 4 distinct
+    assert(stats(4L) == ((4L, 2L)))
+    assert(!stats.contains(5L))
+  }
+
   test("dedup operators survive null and empty text without crashing") {
     val s = spark
     import s.implicits._
