@@ -179,6 +179,28 @@ object TextAnalysis {
       .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** PII redaction (the Dolma/RedPajama-style scrub): email, IPv4, and
+    * international-phone patterns masked with TYPED placeholders, plus
+    * per-document match counts — the audit trail a redaction pass ships
+    * alongside the cleaned text. One codegen scan (regexp_replace /
+    * regexp_extract_all), no shuffle; the patterns avoid backtracking-only
+    * constructs so the oracle can state them verbatim in RE2. Replacement
+    * order (email → ip → phone) is part of the contract: counts are
+    * measured on the ORIGINAL text, so they are order-independent. */
+  def piiRedact(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val phone = "\\+\\d{7,}"
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        email, "<email>"), ip, "<ip>"), phone, "<phone>").as("redacted"),
+      size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(ip), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phones"))
+  }
+
   /** Corpus-internal duplicate-span statistics — the Gopher/CCNet
     * dup-ngram-fraction quality signal (and the span-level dedup decision
     * input): for every document, how many of its DISTINCT n-word spans

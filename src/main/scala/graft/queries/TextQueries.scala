@@ -376,6 +376,36 @@ object TextQueries extends QueryModule {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
+  /** PII redaction with audit counts: synthetic PII (derived from doc_id,
+    * both engines state the same concat) injected into each document,
+    * masked with typed placeholders, match counts reported. */
+  private val ns49 = QueryEntry(
+    "ns49_pii_redact",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val did = col("doc_id").cast("string")
+      val withPii = t.documents.select(col("doc_id"),
+        concat(col("text"), lit(" call +8190123"), did,
+          lit(" mail u"), did, lit("@example.com ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")).as("tx"))
+      TextAnalysis.piiRedact(withPii, "doc_id", "tx").orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id,
+        |  text || ' call +8190123' || CAST(doc_id AS VARCHAR) || ' mail u' ||
+        |  CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.7' AS tx FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(tx,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<ip>', 'g'),
+        |    '\+\d{7,}', '<phone>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(tx, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(tx, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(tx, '\+\d{7,}')) AS BIGINT) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin),
+  )
+
   /** Deterministic per-language quota sample (data mixing): first 50 docs
     * per lang in md5-of-id order. */
   private val ns31 = QueryEntry(
@@ -485,5 +515,5 @@ object TextQueries extends QueryModule {
 
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46, ns47, ns48)
+      ns33, ns34, ns38, ns46, ns47, ns48, ns49)
 }

@@ -378,6 +378,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!stats.contains(5L))
   }
 
+  test("pii redaction masks typed patterns and reports exact counts") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "mail alice@example.com and bob@test.org call +12025550147"),
+      (2L, "server at 192.168.0.1 backup 10.0.0.254"),
+      (3L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <email> and <email> call <phone>", 2L, 0L, 1L)))
+    assert(out(2L) == (("server at <ip> backup <ip>", 0L, 2L, 0L)))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("dedup operators survive null and empty text without crashing") {
     val s = spark
     import s.implicits._
