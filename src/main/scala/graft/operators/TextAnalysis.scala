@@ -291,6 +291,35 @@ object TextAnalysis {
       .withColumnRenamed("__rn", "draw_order")
   }
 
+  /** Deterministic source-mix downsampling — the Pile/Dolma data-mixing
+    * step: given target corpus shares per source, find the LARGEST
+    * feasible corpus honoring the mix exactly (water-filling: the binding
+    * source is the one whose rows run out first at its share) and draw
+    * each source's quota in md5-of-id order, the same any-engine
+    * reproducibility story as [[stratifiedSample]]. Sources absent from
+    * `targets` are dropped (share 0). The source-count aggregate collects
+    * one row per source — bounded config-sized state, like a broadcast
+    * dimension — and the draw itself is one window shuffle on source.
+    * All share arithmetic is plain IEEE double (count / share, floor), so
+    * the oracle restates it bit-for-bit. */
+  def sampleToMix(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      idCol: String, targets: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = targets.map { case (s, t) => math.floor(counts.getOrElse(s, 0L) / t) }.min
+    val quotas = targets.map { case (s, t) => (s, math.floor(nMax * t).toLong) }
+    val quotaDf = quotas.toDF(sourceCol, "__quota")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotaDf), Seq(sourceCol))
+      .filter(col("__rn") <= col("__quota"))
+      .select(col(sourceCol), col(idCol), col("__rn").as("pick_order"))
+  }
+
   /** Concatenate-and-chunk sequence packing: within each group (ordered by
     * id), documents are laid end-to-end and cut into fixed token-budget
     * bins — GPT-style pretraining batch prep. Emits each document's bin

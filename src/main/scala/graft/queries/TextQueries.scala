@@ -406,6 +406,40 @@ object TextQueries extends QueryModule {
         |FROM t ORDER BY doc_id""".stripMargin),
   )
 
+  /** Deterministic source-mix downsample: a non-uniform target mix over a
+    * uniform corpus — the binding source (highest share) caps the
+    * feasible corpus, every quota follows from it, and the draw order is
+    * md5-of-id on both engines. */
+  private val ns50 = QueryEntry(
+    "ns50_source_mix",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.sampleToMix(t.documents, "source", "doc_id", MixTargets)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val values = MixTargets.map { case (s, t) => s"('$s', $t)" }.mkString(", ")
+      s"""WITH tgt(source, share) AS (VALUES $values),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |nmax AS (SELECT min(floor(n / share)) AS m FROM c JOIN tgt USING (source)),
+         |q AS (SELECT source, CAST(floor(m * share) AS BIGINT) AS quota
+         |      FROM tgt CROSS JOIN nmax),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+         |  FROM documents)
+         |SELECT source, doc_id, rn AS pick_order
+         |FROM r JOIN q USING (source) WHERE rn <= quota
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  /** The ns50 mix (sums to 1): 30/20/15/15/10/10 over six sources; the
+    * other fourteen drop. */
+  private val MixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.15, "src3" -> 0.15,
+    "src4" -> 0.1, "src5" -> 0.1)
+
   /** Deterministic per-language quota sample (data mixing): first 50 docs
     * per lang in md5-of-id order. */
   private val ns31 = QueryEntry(
@@ -515,5 +549,5 @@ object TextQueries extends QueryModule {
 
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46, ns47, ns48, ns49)
+      ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50)
 }

@@ -378,6 +378,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!stats.contains(5L))
   }
 
+  test("source-mix sample water-fills on the binding source and draws deterministically") {
+    val s = spark
+    import s.implicits._
+    // a: 10 rows, b: 40, c: 100; targets 50/25/25 → binding source is a
+    // (10/0.5 = 20), so the feasible corpus is 20: quotas 10/5/5
+    val docsDf = (0 until 10).map(i => (s"a$i", "a")) ++
+      (0 until 40).map(i => (s"b$i", "b")) ++
+      (0 until 100).map(i => (s"c$i", "c"))
+    val df = docsDf.toDF("id", "src")
+    val mixed = TextAnalysis.sampleToMix(df, "src", "id",
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 10L, "b" -> 5L, "c" -> 5L))
+    // deterministic: the draw is a function of the ids, not partitioning
+    val again = TextAnalysis.sampleToMix(df.repartition(7), "src", "id",
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(mixed.orderBy("src", "id").collect().toSeq ==
+      again.orderBy("src", "id").collect().toSeq)
+  }
+
   test("pii redaction masks typed patterns and reports exact counts") {
     val s = spark
     import s.implicits._
