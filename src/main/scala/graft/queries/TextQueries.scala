@@ -406,6 +406,13 @@ object TextQueries extends QueryModule {
         |FROM t ORDER BY doc_id""".stripMargin),
   )
 
+  /** The ns50 mix (sums to 1): 30/20/15/15/10/10 over six sources; the
+    * other fourteen drop. Declared ABOVE ns50: object vals initialize in
+    * declaration order, and ns50's oracle block reads this eagerly. */
+  private val MixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.15, "src3" -> 0.15,
+    "src4" -> 0.1, "src5" -> 0.1)
+
   /** Deterministic source-mix downsample: a non-uniform target mix over a
     * uniform corpus — the binding source (highest share) caps the
     * feasible corpus, every quota follows from it, and the draw order is
@@ -433,12 +440,6 @@ object TextQueries extends QueryModule {
          |ORDER BY doc_id""".stripMargin
     },
   )
-
-  /** The ns50 mix (sums to 1): 30/20/15/15/10/10 over six sources; the
-    * other fourteen drop. */
-  private val MixTargets: Seq[(String, Double)] = Seq(
-    "src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.15, "src3" -> 0.15,
-    "src4" -> 0.1, "src5" -> 0.1)
 
   /** Deterministic per-language quota sample (data mixing): first 50 docs
     * per lang in md5-of-id order. */
