@@ -182,15 +182,22 @@ final class DurablePipeline(
     * appends nothing. */
   def backfillFromSearch(searchHits: DataFrame): Long = {
     val posts = Firehose.searchHitsAsPostViews(searchHits)
-    val stored = Ingest.readStore(spark, storeDir.toString)
-    val fresh = Ingest.backfill(spark, stored, posts, control.conditions, profiles)
-      .persist()
-    try {
-      val n = fresh.count()
-      if (n > 0)
-        fresh.write.mode("append").partitionBy("key").parquet(storeDir.toString)
-      n
-    } finally fresh.unpersist(blocking = false)
+    // The store lock makes the snapshot-read → dedup → append sequence
+    // atomic with respect to in-flight streaming micro-batches: without
+    // it a post arriving via both the firehose and this backfill in the
+    // same window would pass both point-in-time anti-joins and be
+    // inserted twice, breaking the effectively-once invariant.
+    Ingest.lockFor(storeDir.toString).synchronized {
+      val stored = Ingest.readStore(spark, storeDir.toString)
+      val fresh = Ingest.backfill(spark, stored, posts, control.conditions, profiles)
+        .persist()
+      try {
+        val n = fresh.count()
+        if (n > 0)
+          fresh.write.mode("append").partitionBy("key").parquet(storeDir.toString)
+        n
+      } finally fresh.unpersist(blocking = false)
+    }
   }
 
   def storedCursor: Long = readCursor().getOrElse(-1L)

@@ -29,6 +29,23 @@ object Ingest {
 
   val postSchema = Encoders.product[Post].schema
 
+  /** One lock per store directory (normalized), JVM-wide. Every
+    * read-modify-write of a store — the streaming sink's dedup+append, the
+    * rewrite-and-swap compactions/deletes, and the backfill's dedup+append
+    * — takes this lock, because each one reads a point-in-time snapshot and
+    * then mutates the same files: an unsynchronized append between a
+    * `kept` read and `deleteRecursively` would be silently destroyed, and
+    * two concurrent dedups against the same snapshot would double-insert.
+    * The reference gets this for free from SQLite's single writer; a
+    * Delta/Iceberg store at scale gets it from optimistic commit — this is
+    * the parquet-harness equivalent. Spark task threads never take the
+    * lock, so holding it across a job is deadlock-free. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def lockFor(storeDir: String): Object =
+    storeLocks.computeIfAbsent(
+      Paths.get(storeDir).toAbsolutePath.normalize.toString, _ => new Object)
+
   def emptyStore(spark: SparkSession): DataFrame =
     // an empty LOCAL relation, not an empty RDD: Catalyst can prove it
     // empty, so PropagateEmptyRelation deletes the dedup anti-join (and
@@ -80,21 +97,24 @@ object Ingest {
     val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()
       val conditions = conditionsFn()
-      val stored = readStore(spark, storeDir)
-      val fresh = processBatch(spark, stored, batch, conditions, profiles)
-      val perKey = metrics.map { _ =>
-        // one extra tiny agg job, only when metrics are wanted; cached so
-        // the append below reuses the same computed rows
-        fresh.persist()
-        fresh.groupBy("key").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      lockFor(storeDir).synchronized {
+        val stored = readStore(spark, storeDir)
+        val fresh = processBatch(spark, stored, batch, conditions, profiles)
+        val perKey = metrics.map { _ =>
+          // one extra tiny agg job, only when metrics are wanted; cached so
+          // the append below reuses the same computed rows
+          fresh.persist()
+          fresh.groupBy("key").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        try {
+          fresh.write.mode("append").partitionBy("key").parquet(storeDir)
+          if (retentionEvery > 0 && batchId % retentionEvery == 0)
+            retentionCompactLocked(spark, storeDir, conditions)
+        } finally if (perKey.isDefined) fresh.unpersist()
+        metrics.foreach(_.record(conditions, perKey.getOrElse(Map.empty),
+          math.max(1L, (System.nanoTime() - t0) / 1000000L)))
       }
-      fresh.write.mode("append").partitionBy("key").parquet(storeDir)
-      if (perKey.isDefined) fresh.unpersist()
-      if (retentionEvery > 0 && batchId % retentionEvery == 0)
-        retentionCompact(spark, storeDir, conditions)
-      metrics.foreach(_.record(conditions, perKey.getOrElse(Map.empty),
-        math.max(1L, (System.nanoTime() - t0) / 1000000L)))
     }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -105,7 +125,13 @@ object Ingest {
   /** Count-based retention (S11): keep each feed's newest `limitCount`
     * rows. Parquet-harness compaction = rewrite-and-swap; on Delta this is
     * a DELETE over the same window rank. */
-  def retentionCompact(spark: SparkSession, storeDir: String, conditions: Seq[Condition]): Unit = {
+  def retentionCompact(spark: SparkSession, storeDir: String, conditions: Seq[Condition]): Unit =
+    lockFor(storeDir).synchronized {
+      retentionCompactLocked(spark, storeDir, conditions)
+    }
+
+  private def retentionCompactLocked(spark: SparkSession, storeDir: String,
+      conditions: Seq[Condition]): Unit = {
     import spark.implicits._
     val store = readStore(spark, storeDir)
     if (store.isEmpty) return
@@ -159,19 +185,23 @@ object Ingest {
   /** Delete every stored post of one feed key — the engine side of the
     * admin deleteCondition (databaseUtil.ts:169-192 deletes from both
     * tables). Same rewrite-and-swap as [[applyRefresh]]'s full delete. */
-  def deleteKey(spark: SparkSession, storeDir: String, key: String): Unit = {
-    val store = readStore(spark, storeDir)
-    if (store.isEmpty) return
-    val kept = store.filter(col("key") =!= key)
-    val tmp = storeDir + ".delete-tmp"
-    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
-    deleteRecursively(Paths.get(storeDir))
-    Files.move(Paths.get(tmp), Paths.get(storeDir))
-  }
+  def deleteKey(spark: SparkSession, storeDir: String, key: String): Unit =
+    lockFor(storeDir).synchronized {
+      val store = readStore(spark, storeDir)
+      if (store.isEmpty) return
+      val kept = store.filter(col("key") =!= key)
+      val tmp = storeDir + ".delete-tmp"
+      kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
+      deleteRecursively(Paths.get(storeDir))
+      Files.move(Paths.get(tmp), Paths.get(storeDir))
+    }
 
   /** Refresh handling (S10): refresh == -1 deletes the feed's rows;
     * refresh > 0 deletes its N newest (subscription.ts:143-169). */
-  def applyRefresh(spark: SparkSession, storeDir: String, c: Condition): Unit = {
+  def applyRefresh(spark: SparkSession, storeDir: String, c: Condition): Unit =
+    lockFor(storeDir).synchronized { applyRefreshLocked(spark, storeDir, c) }
+
+  private def applyRefreshLocked(spark: SparkSession, storeDir: String, c: Condition): Unit = {
     if (c.refresh == 0) return
     val store = readStore(spark, storeDir)
     val kept =
