@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup-upsert primitives — the reference's INSERT … ON CONFLICT DO
@@ -64,13 +63,35 @@ object Upsert {
 
   /** Fixed-size batching of a distinct key set (A3 — the reference's
     * 25-DID profile-fetch flush, subscription.ts:253-268): assign each
-    * distinct key a batch id. The global row_number is the sequential-flush
-    * semantics; for pure scale-out batching, prefer hashing keys to
-    * buckets instead (no total order needed).
-    */
-  def batchIds(df: DataFrame, keyCol: String, batchSize: Int): DataFrame =
-    df.select(col(keyCol)).distinct()
+    * distinct key a batch id, `floor(global_rank / batchSize)` in key
+    * order — the sequential-flush semantics.
+    *
+    * The global rank is computed WITHOUT a single-partition window (which
+    * would funnel every key through one task): range-partition the
+    * distinct keys (partition i's keys all sort before partition i+1's),
+    * rank locally via `monotonically_increasing_id` (= pid << 33 +
+    * in-partition row count after the local sort), then rebase each
+    * partition by the summed counts of the partitions before it. The
+    * per-partition counts collapse to ONE broadcast row (the same
+    * one-row-bound pattern as the SQ8 quantizer), so nothing but
+    * dimension-sized shuffles touch the data. Batch ids are invariant to
+    * where the range boundaries land — only the total order matters. */
+  def batchIds(df: DataFrame, keyCol: String, batchSize: Int): DataFrame = {
+    val k = col(keyCol)
+    val ranked = df.select(k).distinct()
+      .repartitionByRange(k)
+      .sortWithinPartitions(k)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__rn",
+        monotonically_increasing_id() - shiftleft(col("__pid"), 33) + 1)
+    val offsets = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .agg(sort_array(collect_list(struct(col("__pid").as("p"), col("__n").as("n"))))
+        .as("__cum"))
+    ranked.crossJoin(broadcast(offsets))
+      .withColumn("__off",
+        expr("aggregate(filter(__cum, e -> e.p < __pid), 0L, (a, e) -> a + e.n)"))
       .withColumn("batch_id",
-        floor((row_number().over(Window.orderBy(col(keyCol))) - lit(1)) / lit(batchSize))
-          .cast("long"))
+        floor((col("__off") + col("__rn") - lit(1)) / lit(batchSize)).cast("long"))
+      .select(k, col("batch_id"))
+  }
 }

@@ -72,5 +72,17 @@ class RetentionUpsertSpec extends SparkSpec {
     val sizes = batches.groupBy("batch_id").count()
       .orderBy("batch_id").collect().map(_.getLong(1)).toSeq
     assert(sizes == Seq(25L, 25L, 3L))
+
+    // sequential-flush semantics: batch_id is floor(rank/size) in key order
+    val got = batches.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 53L).sorted.zipWithIndex
+      .map { case (k, i) => k -> (i / 25).toLong }.toMap
+    assert(got == expected)
+
+    // and the plan funnels nothing through a single-partition window: the
+    // global rank comes from range partitions + local ids + a one-row
+    // broadcast rebase, so there must be NO WindowExec at all
+    val plan = batches.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"batchIds plan regressed to a window:\n$plan")
   }
 }
