@@ -93,34 +93,51 @@ object Similarity {
     * catalog convention — external query vectors would quantize with the
     * same in-plan bounds). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int): DataFrame = {
+      vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
     // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over
     // the RAW floats (floor(·×10⁶) is monotone, so fixed-point min/max =
     // the float min/max, converted by a one-row transform) collapsed to a
-    // single 2×dim row that stays IN-PLAN as a broadcast: both quantize
-    // scans cross-join the same one-row exchange (reused, not rebuilt), so
-    // the whole query is ONE action — no driver head() barrier splitting
-    // the bounds pass from the ranking pass.
+    // single 2×dim row. Two shapes, same values either way:
+    //   - uncached: the row stays IN-PLAN as a broadcast both quantize
+    //     scans cross-join (one reused exchange; the whole query is ONE
+    //     action with no driver barrier);
+    //   - boundsCacheKey set: the row is collected ONCE per key via
+    //     SharedCache (a 2×dim driver value, the same centroids-only state
+    //     discipline as IVF/PQ) and embedded as LITERAL arrays — repeat
+    //     queries over the same corpus skip the bounds pass entirely and
+    //     the quantize scans carry no join at all.
     val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
-    val bounds = broadcast(candidates
+    def boundsRow() = candidates
       .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
       .select(transform(col("__b._1"), fpOne).as("__mn"),
-        transform(col("__b._2"), fpOne).as("__mx")))
+        transform(col("__b._2"), fpOne).as("__mx"))
+    val withBounds: DataFrame => DataFrame = boundsCacheKey match {
+      case Some(key) =>
+        val (mn, mx) = graft.SharedCache.getOrComputeValue(key) {
+          val r = boundsRow().head()
+          (Option(r.getSeq[Long](0)).map(_.toArray).orNull,
+            Option(r.getSeq[Long](1)).map(_.toArray).orNull)
+        }
+        df => df.withColumn("__mn", typedLit(mn)).withColumn("__mx", typedLit(mx))
+      case None =>
+        val bounds = broadcast(boundsRow())
+        df => df.crossJoin(bounds)
+    }
 
     // fused fixed-point + affine map as one native codegen loop (the
     // interpreted transform/element_at lambdas this replaces were the
     // query's entire CPU cost); trunc ≡ DuckDB's div since fe−mn ≥ 0.
     // Null/missing vectors carry no codes and rank nowhere, so an empty or
     // all-null corpus yields an empty top-k, not a null-keyed ranking.
-    val qc = candidates.filter(col(vecCol).isNotNull).crossJoin(bounds)
+    val qc = withBounds(candidates.filter(col(vecCol).isNotNull))
       .select(col(idCol).as("__id"),
         org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
     // queries carry their own vectors; quantizing them directly with the
-    // same in-plan bounds is bit-identical to probing qc by id, and drops
-    // a join (and its AQE stage) from the broadcast build. A query vector
-    // from OUTSIDE the corpus saturates at the code-range edges (the
+    // same bounds is bit-identical to probing qc by id, and drops a join
+    // (and its AQE stage) from the broadcast build. A query vector from
+    // OUTSIDE the corpus saturates at the code-range edges (the
     // SQ8EncodeEval clamp), the standard SQ behavior for out-of-range input
-    val qq = broadcast(queries.filter(col(vecCol).isNotNull).crossJoin(bounds)
+    val qq = broadcast(withBounds(queries.filter(col(vecCol).isNotNull))
       .select(col(idCol).as("__id"),
         org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))

@@ -203,7 +203,8 @@ object SimilarityQueries extends QueryModule {
     (spark, dir) => {
       val t = Tables(spark, dir)
       val queries = t.embeddings.filter(col("vec_id") < 5)
-      Similarity.sq8TopK(queries, t.embeddings, "vec_id", "embedding", k = 10, dim = 64)
+      Similarity.sq8TopK(queries, t.embeddings, "vec_id", "embedding", k = 10, dim = 64,
+        boundsCacheKey = Some(s"sq8bounds:$dir:embedding:64"))
         .select(col("q_id"), col("cand_id"), col("qsim"), col("rank").as("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     },
