@@ -36,9 +36,13 @@ object Serve {
     val restoreUrl = args.collectFirst {
       case a if a.startsWith("--restore-url=") => a.stripPrefix("--restore-url=")
     }
+    // Admin passkey: prefer the GRAFT_WEB_PASSKEY environment variable
+    // (the reference reads EDIT_WEB_PASSKEY from env, index.ts) — a CLI
+    // flag is visible to every local user via ps/proc and shell history,
+    // so --passkey remains only as an explicit documented override.
     val passkey = args.collectFirst {
       case a if a.startsWith("--passkey=") => a.stripPrefix("--passkey=")
-    }
+    }.orElse(sys.env.get("GRAFT_WEB_PASSKEY"))
     // --search-endpoint=<url> enables the searchPosts initial backfill
     // (T2): at startup and after every drain interval, feeds with no
     // stored rows fill to initPost from the search API — the reference's
