@@ -24,35 +24,48 @@ object FeedPage {
     Seq.empty[(Long, String)].toDF("ord", "post")
   }
 
-  /** Serve one page; also returns the next cursor (None at end). */
+  /** Serve one page; also returns the next cursor (None at end). The
+    * cursor encode is a separate driver-side single-row action, so callers
+    * that don't need a cursor must use [[page]] — going through here would
+    * compute the page pipeline twice. */
   def pageWithCursor(spark: SparkSession, store: DataFrame, c: Condition,
       limit: Int, cursor: Option[String], requesterDid: Option[String] = None)
       : (DataFrame, Option[String]) = {
     if (!allowed(c, requesterDid)) return (emptyPage(spark), None)
+    val pg = pageRows(store, c, limit, cursor)
+    (assemble(spark, pg, c, firstPage = cursor.isEmpty),
+      Paging.encodeCursor(pg, col("__ts_us"), col("cid")))
+  }
 
-    val base = store.filter(col("key") === c.key)
-      .withColumn("__ts_us", unix_micros(col("indexedAt")))
-    val pg = Paging.page(base, col("__ts_us"), col("cid"), limit, cursor)
-    val nextCursor = Paging.encodeCursor(pg, col("__ts_us"), col("cid"))
+  /** One page, no cursor: a single lazy dataflow with NO eager encode
+    * action hidden inside. */
+  def page(spark: SparkSession, store: DataFrame, c: Condition, limit: Int,
+      cursor: Option[String], requesterDid: Option[String] = None): DataFrame =
+    if (!allowed(c, requesterDid)) emptyPage(spark)
+    else assemble(spark, pageRows(store, c, limit, cursor), c,
+      firstPage = cursor.isEmpty)
 
-    val firstPage = cursor.isEmpty
+  private def pageRows(store: DataFrame, c: Condition, limit: Int,
+      cursor: Option[String]): DataFrame =
+    Paging.page(
+      store.filter(col("key") === c.key)
+        .withColumn("__ts_us", unix_micros(col("indexedAt"))),
+      col("__ts_us"), col("cid"), limit, cursor)
+
+  private def assemble(spark: SparkSession, pg: DataFrame, c: Condition,
+      firstPage: Boolean): DataFrame = {
     val startAt = if (firstPage) c.pinnedPost.size.toLong else 0L
-    val pageRows = Paging.withOrdinal(pg, col("__ts_us"), col("cid"), startAt)
+    val rows = Paging.withOrdinal(pg, col("__ts_us"), col("cid"), startAt)
       .select(col("ord"), col("uri").as("post"))
-
     val out =
       if (firstPage && c.pinnedPost.nonEmpty) {
         import spark.implicits._
         val pinned = c.pinnedPost.zipWithIndex
           .map { case (uri, i) => (i.toLong, uri) }.toDF("ord", "post")
-        pinned.unionByName(pageRows)
-      } else pageRows
-    (out.orderBy(col("ord")), nextCursor)
+        pinned.unionByName(rows)
+      } else rows
+    out.orderBy(col("ord"))
   }
-
-  def page(spark: SparkSession, store: DataFrame, c: Condition, limit: Int,
-      cursor: Option[String], requesterDid: Option[String] = None): DataFrame =
-    pageWithCursor(spark, store, c, limit, cursor, requesterDid)._1
 
   /** describeFeedGenerator (describe-generator.ts:5-27): all feed at-uris. */
   def describe(spark: SparkSession, conditions: Seq[Condition], publisherDid: String): DataFrame = {

@@ -297,25 +297,33 @@ object TextAnalysis {
     * source is the one whose rows run out first at its share) and draw
     * each source's quota in md5-of-id order, the same any-engine
     * reproducibility story as [[stratifiedSample]]. Sources absent from
-    * `targets` are dropped (share 0). The source-count aggregate collects
-    * one row per source — bounded config-sized state, like a broadcast
-    * dimension — and the draw itself is one window shuffle on source.
-    * All share arithmetic is plain IEEE double (count / share, floor), so
-    * the oracle restates it bit-for-bit. */
+    * `targets` are dropped (share 0). The feasible-corpus bound and the
+    * per-source quotas are computed IN-PLAN (a one-row aggregate over the
+    * config-sized source counts, broadcast back), so the whole draw is a
+    * single lazy dataflow — no driver-side counts action — and the only
+    * data-sized shuffle is the draw window on source. All share arithmetic
+    * is plain IEEE double (count / share, floor), so the oracle restates
+    * it bit-for-bit. */
   def sampleToMix(df: org.apache.spark.sql.DataFrame, sourceCol: String,
       idCol: String, targets: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nMax = targets.map { case (s, t) => math.floor(counts.getOrElse(s, 0L) / t) }.min
-    val quotas = targets.map { case (s, t) => (s, math.floor(nMax * t).toLong) }
-    val quotaDf = quotas.toDF(sourceCol, "__quota")
+    val tgt = targets.toDF(sourceCol, "__share")
+    // water-filling bound: the binding source is the one whose rows run
+    // out first at its share; a target source absent from the data binds
+    // the whole corpus to zero (left join + coalesce keeps that semantics)
+    val nMax = broadcast(
+      tgt.join(df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n")),
+          Seq(sourceCol), "left")
+        .agg(min(floor(coalesce(col("__n"), lit(0L)) / col("__share"))).as("__m")))
+    val quotas = broadcast(tgt.crossJoin(nMax)
+      .select(col(sourceCol),
+        floor(col("__m") * col("__share")).cast("long").as("__quota")))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rn", row_number().over(w).cast("long"))
-      .join(broadcast(quotaDf), Seq(sourceCol))
+      .join(quotas, Seq(sourceCol))
       .filter(col("__rn") <= col("__quota"))
       .select(col(sourceCol), col(idCol), col("__rn").as("pick_order"))
   }

@@ -397,6 +397,12 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
     assert(mixed.orderBy("src", "id").collect().toSeq ==
       again.orderBy("src", "id").collect().toSeq)
+    // a target source absent from the data binds the corpus to zero (its
+    // rows "run out" immediately), and the plan carries no driver-side
+    // counts action — the quota bound is an in-plan one-row broadcast
+    val none = TextAnalysis.sampleToMix(df, "src", "id",
+      Seq("a" -> 0.5, "zz" -> 0.5))
+    assert(none.count() == 0L)
   }
 
   test("pii redaction masks typed patterns and reports exact counts") {
