@@ -380,4 +380,99 @@ object TextAnalysis {
     scored.withColumn("rn", rn).filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Corpus-overlap audit: for every pair of sources, the Jaccard overlap
+    * of their DISTINCT word n-gram sets — "how much does dataset A
+    * duplicate dataset B", the curation question asked before mixing two
+    * crawls (C4 vs CC, Pile components, …).
+    *
+    * Scale shape: the (source, gram) incidence frame is one explode +
+    * distinct (a gram-keyed shuffle); each gram then aggregates to its
+    * SOURCE SET — bounded by the number of sources, a config-sized
+    * constant — and the pair fan-out is a per-row lambda over that set
+    * (k·(k−1)/2 structs), NOT a self-join: a hot gram present in every
+    * source costs one bounded array, never a join-side blowup. Output is
+    * one row per source pair. */
+  def sourceOverlap(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    // bind the split to a column FIRST: inlining `words(...)` into
+    // ngramsOf would re-evaluate the split for every element_at reference
+    // in the gram lambda — O(words²) per document. No pre-distinct either:
+    // collect_set dedups sources per gram map-side, so the ONLY data-sized
+    // shuffle is the gram aggregation.
+    val toks = df
+      .select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
+      .select(col("__src"), explode(ngramsOf(col("__ws"), n)).as("__gram"))
+    val sets = toks
+      .groupBy(col("__gram"))
+      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+    // per-source distinct-gram counts, derived from the same aggregated
+    // frame (the gram exchange is reused, not recomputed)
+    val sizes = sets.select(explode(col("__ss")).as("__src"))
+      .groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(__ss, (x, i) ->
+          |  transform(slice(__ss, i + 2, size(__ss) - i - 1), y ->
+          |    named_struct('src_a', x, 'src_b', y))))""".stripMargin)).as("__p"))
+    val shared = pairs
+      .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("__src").as("src_a"), col("__sz").as("__sa"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("__src").as("src_b"), col("__sz").as("__sb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("__sa") + col("__sb") - col("shared")).cast("double")).as("jac"))
+  }
+
+  /** BM25 ranked retrieval of documents against a fixed probe-term set —
+    * the classic sparse-retrieval scorer, with the rational idf variant
+    * (N − df + ½)/(df + ½): every score is built from integer counts with
+    * only IEEE +,−,×,÷ (no logarithm), so the oracle restates it
+    * bit-for-bit. Per-document scores fold in SORTED term order (float
+    * addition is order-sensitive; an unordered SUM would flake the hash).
+    *
+    * Scale shape: the token explode semi-joins the broadcast probe set
+    * BEFORE the tf aggregate, so the tf shuffle moves only probe-term
+    * tokens; document lengths are one map-side-combined count per doc;
+    * corpus stats (N, avgdl) are a one-row broadcast; docfreq is
+    * probe-sized. The final top-k is TakeOrderedAndProject — no global
+    * sort. */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k1: Double, b: Double,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df
+      .select(col(idCol).as("__id"), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
+    val stats = broadcast(
+      dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+        .select(col("__n"),
+          (col("__sumdl").cast("double") / col("__n").cast("double")).as("__avgdl")))
+    val probe = broadcast(terms.toDF("term"))
+    val tf = tok.join(probe, Seq("term"))
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("__df")))
+    val scored = tf.join(dl, Seq("__id")).join(dfreq, Seq("term")).crossJoin(stats)
+      .withColumn("__idf",
+        (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5)))
+      .withColumn("__score",
+        col("__idf") * ((col("__tf").cast("double") * lit(k1 + 1)) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("__dl").cast("double") / col("__avgdl"))))))
+    scored.groupBy(col("__id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("__score")))),
+          lit(0.0), (acc, x) => acc + x.getField("__score")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .select(col("__id").as(idCol), col("score"), col("n_terms"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
 }

@@ -548,7 +548,74 @@ object TextQueries extends QueryModule {
     },
   )
 
+  /** ns52's probe-term set (drawn from the synthetic vocab). */
+  private val Bm25Probe: Seq[String] =
+    Seq("spark", "vector", "join", "merge", "window", "filter", "customer", "query")
+
+  /** Corpus-overlap audit: pairwise shared distinct-trigram Jaccard
+    * between sources — the "does dataset A duplicate dataset B" question
+    * asked before mixing corpora. Pair fan-out is bounded by sources²,
+    * never documents². */
+  private val ns51 = QueryEntry(
+    "ns51_source_overlap",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.sourceOverlap(t.documents, "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(
+      """WITH w AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w)),
+        |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared,
+        |  CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jac
+        |FROM sh JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin),
+  )
+
+  /** BM25 retrieval over the corpus for a fixed probe-term set (rational
+    * idf — no logarithm, so both engines compute bit-identical doubles;
+    * the per-doc fold runs in sorted term order on both sides because
+    * float addition is order-sensitive). k1 = 1.2, b = 0.75. */
+  private val ns52 = QueryEntry(
+    "ns52_bm25_search",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.bm25Rank(t.documents, "doc_id", "text", Bm25Probe,
+          k1 = 1.2, b = 0.75, k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    Some {
+      val values = Bm25Probe.map(p => s"('$p')").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |dln AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dln),
+         |probe(term) AS (VALUES $values),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM tok JOIN probe USING (term) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id, term,
+         |  ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |  ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+         |    1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+         |  FROM tf JOIN dln USING (doc_id) JOIN dfreq USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY term)),
+         |    (a, b) -> a + b) AS DOUBLE) AS score,
+         |  count(*) AS n_terms FROM sc GROUP BY doc_id)
+         |SELECT doc_id, score, n_terms FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50)
+      ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52)
 }
