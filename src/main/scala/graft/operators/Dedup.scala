@@ -130,6 +130,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** [[simhashPairs]] at corpus scale: pigeonhole block-banding on a WIDE
+    * simhash. Split the `bits`-bit signature into `maxDist + 1` blocks —
+    * any pair within Hamming distance `maxDist` must agree exactly on at
+    * least one block (pigeonhole), so the join keys on (block index, block
+    * value) instead of comparing all pairs within an external bucket. The
+    * blocking is LOSSLESS: output is identical to the all-pairs form on
+    * the same signature, but candidate volume is Σ_buckets |bucket|² over
+    * ~2^(bits/(d+1))-way blocks rather than over the external key — with
+    * 48-bit signatures and d=3, 4096-value blocks, so a 100 TB corpus
+    * joins in ~(d+1)·n rows of bounded buckets, never n²/bucket. Width
+    * matters: a 16-bit signature only has 2^5-way blocks at d=2 — wide
+    * signatures (ns24) are what make banding effective, which is why this
+    * variant defaults to 48. */
+  def simhashPairsBanded(df: DataFrame, idCol: String, textCol: String,
+      bucket: Seq[String], maxDist: Int, bits: Int = 48): DataFrame = {
+    val blocks = maxDist + 1
+    val w = (bits + blocks - 1) / blocks
+    val mask = (1L << w) - 1
+    val withSig = df.select((bucket :+ idCol).map(col) :+
+        org.apache.spark.sql.graft.SimHashBits(tokenSet(col(textCol)), bits).as("__sh"): _*)
+      .localCheckpoint() // signatures computed once, not per join side
+    val banded = withSig.select(
+      (bucket :+ idCol).map(col) :+ col("__sh") :+
+        posexplode(array((0 until blocks).map(i =>
+          shiftrightunsigned(col("__sh"), i * w).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__blk", "__bv")): _*)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cond = (bucket.map(c => col(s"a.$c") === col(s"b.$c")) ++ Seq(
+      col("a.__blk") === col("b.__blk"), col("a.__bv") === col("b.__bv"),
+      col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _)
+    a.join(b, cond)
+      .filter(bit_count(expr("a.__sh ^ b.__sh")) <= maxDist)
+      // a close pair can agree on several blocks — one row per pair
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(expr("a.__sh ^ b.__sh")).cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair graph by min-label
     * propagation WITH pointer jumping: every node's label converges to the
     * smallest id reachable from it, which is the canonical "keeper" of its

@@ -397,17 +397,22 @@ object TextAnalysis {
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     // bind the split to a column FIRST: inlining `words(...)` into
     // ngramsOf would re-evaluate the split for every element_at reference
-    // in the gram lambda — O(words²) per document. No pre-distinct either:
-    // collect_set dedups sources per gram map-side, so the ONLY data-sized
-    // shuffle is the gram aggregation.
+    // in the gram lambda — O(words²) per document
     val toks = df
       .select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
       .select(col("__src"), explode(ngramsOf(col("__ws"), n)).as("__gram"))
+    // One gram-keyed aggregation builds the source sets (collect_set
+    // dedups map-side — no separate distinct pass), checkpointed because
+    // both the sizes and pairs branches consume it. At 100 TB, where most
+    // grams are corpus-unique, add a codegen count-aggregate prefilter
+    // (grams with one source can never pair) before this set-building
+    // ObjectHashAggregate — measured here, that crossover sits above the
+    // oracle scales, so the simple one-pass shape stays.
     val sets = toks
       .groupBy(col("__gram"))
       .agg(sort_array(collect_set(col("__src"))).as("__ss"))
-    // per-source distinct-gram counts, derived from the same aggregated
-    // frame (the gram exchange is reused, not recomputed)
+      .localCheckpoint()
+    // per-source distinct-gram counts, derived from the aggregated frame
     val sizes = sets.select(explode(col("__ss")).as("__src"))
       .groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
     val pairs = sets

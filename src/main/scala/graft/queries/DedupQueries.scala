@@ -150,16 +150,40 @@ object DedupQueries extends QueryModule {
             Dedup.tokenSet(col("text")), 48).as("simhash48"))
         .orderBy(col("doc_id"))
     },
-    Some {
-      val terms = (0 until 48).map { j =>
-        val nib = j / 4 + 1
-        val shift = 3 - j % 4
-        s"""(CASE WHEN 2 * len(list_filter(w, x -> (((strpos('0123456789abcdef', substr(md5(x), $nib, 1)) - 1) >> $shift) & 1) = 1)) > len(w) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
-      }.mkString(" + ")
-      s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash48
+    Some(
+      s"""SELECT doc_id, CAST($simhash48Sql AS BIGINT) AS simhash48
          |FROM (SELECT doc_id, $WsSql AS w FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin),
+  )
+
+  /** The 48-bit simhash as SQL terms (shared by ns24 and ns53). */
+  private lazy val simhash48Sql: String = (0 until 48).map { j =>
+    val nib = j / 4 + 1
+    val shift = 3 - j % 4
+    s"""(CASE WHEN 2 * len(list_filter(w, x -> (((strpos('0123456789abcdef', substr(md5(x), $nib, 1)) - 1) >> $shift) & 1) = 1)) > len(w) THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
+  }.mkString(" + ")
+
+  /** Wide-simhash near-dup pairs through the LOSSLESS pigeonhole banding
+    * ([[Dedup.simhashPairsBanded]]): the oracle states the equivalent
+    * brute-force form — banding must find exactly the all-pairs answer on
+    * the same signature, which is the operator's correctness claim. */
+  private val ns53 = QueryEntry(
+    "ns53_simhash_banded",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.simhashPairsBanded(t.documents, "doc_id", "text", Seq("lang"),
+          maxDist = 3, bits = 48)
+        .orderBy(col("id_a"), col("id_b"))
     },
+    Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, CAST($simhash48Sql AS BIGINT) AS s
+         |  FROM (SELECT doc_id, lang, $WsSql AS w FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin),
   )
 
   /** Near-dup clusters = connected components over a STRICT LSH pair graph
@@ -307,5 +331,5 @@ object DedupQueries extends QueryModule {
   )
 
   override def entries: Seq[QueryEntry] =
-    Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45)
+    Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45, ns53)
 }

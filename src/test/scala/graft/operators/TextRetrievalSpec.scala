@@ -73,4 +73,31 @@ class TextRetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again == got)
   }
+
+  test("simhashPairsBanded pigeonhole blocking is lossless vs brute force") {
+    val s = spark
+    import s.implicits._
+    // clusters of near-identical docs (1-2 word edits) plus unrelated ones
+    val docs = (0 until 40).map { i =>
+      val base = (0 until 30).map(j => s"w${(i / 4) * 100 + j}").mkString(" ")
+      (i.toLong, "b0", if (i % 4 == 0) base else base + s" extra$i")
+    } :+ ((99L, "b1", "totally different text here"))
+    val df = docs.toDF("id", "bkt", "text")
+
+    val banded = Dedup.simhashPairsBanded(df, "id", "text", Seq("bkt"), maxDist = 3, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force over the SAME 48-bit signatures
+    val sig = df.select(col("bkt"), col("id"),
+      org.apache.spark.sql.graft.SimHashBits(Dedup.tokenSet(col("text")), 48).as("s"))
+    val brute = sig.as("x").join(sig.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(expr("x.s ^ y.s")).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(banded == brute, "blocking must find exactly the all-pairs answer")
+    assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
 }
