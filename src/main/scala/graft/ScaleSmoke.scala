@@ -48,6 +48,8 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    // optional second arg: substring filter over op labels (focused A/B runs)
+    val only = args.lift(1)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -55,9 +57,11 @@ object ScaleSmoke {
     println(s"[scale] corpus: $n docs, ${docs.rdd.getNumPartitions} partitions")
 
     def time(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+      if (only.forall(label.contains)) {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+      }
     }
 
     time("exact_dedup") {

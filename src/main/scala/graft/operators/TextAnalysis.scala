@@ -440,21 +440,27 @@ object TextAnalysis {
     * bit-for-bit. Per-document scores fold in SORTED term order (float
     * addition is order-sensitive; an unordered SUM would flake the hash).
     *
-    * Scale shape: the token explode semi-joins the broadcast probe set
-    * BEFORE the tf aggregate, so the tf shuffle moves only probe-term
-    * tokens; document lengths are one map-side-combined count per doc;
-    * corpus stats (N, avgdl) are a one-row broadcast; docfreq is
-    * probe-sized. The final top-k is TakeOrderedAndProject — no global
-    * sort. */
+    * Scale shape: document length is a PER-ROW expression (count of
+    * non-empty split words) — no token explode or shuffle just to count
+    * lengths; the token explode semi-joins the broadcast probe set
+    * BEFORE the tf aggregate, so the only token-sized shuffle moves
+    * probe-term tokens; corpus stats (N, avgdl) are a one-row broadcast;
+    * docfreq is probe-sized. The final top-k is TakeOrderedAndProject —
+    * no global sort. */
   def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], k1: Double, b: Double,
       k: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tok = df
-      .select(col(idCol).as("__id"), explode(words(col(textCol))).as("term"))
+    val withLen = df
+      .select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+      .withColumn("__dl",
+        size(filter(col("__ws"), w => w =!= lit(""))).cast("long"))
+      .filter(col("__dl") > 0)
+    val dl = withLen.select(col("__id"), col("__dl"))
+    val tok = withLen
+      .select(col("__id"), explode(col("__ws")).as("term"))
       .filter(col("term") =!= "")
-    val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
     val stats = broadcast(
       dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
         .select(col("__n"),

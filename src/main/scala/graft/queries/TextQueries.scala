@@ -594,7 +594,10 @@ object TextQueries extends QueryModule {
       s"""WITH tok AS (SELECT doc_id, t AS term FROM (
          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
          |  WHERE t <> ''),
-         |dln AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |dln AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS dl
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0),
          |st AS (SELECT count(*) AS n,
          |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dln),
          |probe(term) AS (VALUES $values),
