@@ -142,4 +142,69 @@ class PropertiesSpec extends SparkSpec {
       assert(once.select("uri").distinct().count() == once.count())
     }
   }
+
+  test("property: batchIds == floor(rank/size) in key order, any keys/size/partitioning") {
+    val s = spark
+    import s.implicits._
+    val keysGen = for {
+      n <- Gen.choose(0, 300)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 150L)) // duplicates on purpose
+    } yield ks
+    forAll(keysGen, Gen.choose(1, 40)) { (ks, size) =>
+      val parts = 1 + (ks.length % 7)
+      val got = Upsert.batchIds(ks.toDF("k").repartition(parts), "k", size)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = ks.distinct.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i / size).toLong }.toMap
+      assert(got == expected, s"n=${ks.length} size=$size parts=$parts")
+    }
+  }
+
+  test("property: banded simhash == brute-force pairs on random corpora") {
+    val s = spark
+    import s.implicits._
+    // random docs over a small vocab so hamming-close pairs actually occur
+    val docsGen = for {
+      n <- Gen.choose(2, 60)
+      docs <- Gen.listOfN(n, Gen.listOfN(12, Gen.choose(0, 18)))
+    } yield docs.zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.map(w => s"t$w").mkString(" "))
+    }
+    forAll(docsGen, Gen.choose(1, 6)) { (docs, maxDist) =>
+      val df = docs.toDF("id", "text")
+      val banded = Dedup.simhashPairsBanded(df, "id", "text", Nil, maxDist, bits = 48)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sig = df.select(col("id"),
+        org.apache.spark.sql.graft.SimHashBits(Dedup.tokenSet(col("text")), 48).as("sh"))
+      val brute = sig.as("x").join(sig.as("y"), col("x.id") < col("y.id"))
+        .filter(bit_count(expr("x.sh ^ y.sh")) <= maxDist)
+        .select(col("x.id"), col("y.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"maxDist=$maxDist n=${docs.size}")
+    }
+  }
+
+  test("property: source-mix sample honors water-filled quotas for any mix") {
+    val s = spark
+    import s.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 200)
+      srcs <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield srcs.zipWithIndex.map { case (src, i) => (i.toLong, s"s$src") }
+    forAll(corpusGen, Gen.choose(2, 4)) { (rows, nTargets) =>
+      // shares sum to 1 over the targeted sources
+      val targets = (0 until nTargets).map(i => s"s$i" -> 1.0 / nTargets)
+      val counts = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val m = targets.map { case (src, share) =>
+        math.floor(counts.getOrElse(src, 0L) / share)
+      }.min
+      val expected = targets.map { case (src, share) =>
+        src -> math.floor(m * share).toLong
+      }.filter(_._2 > 0).toMap
+      val got = TextAnalysis.sampleToMix(rows.toDF("id", "src"), "src", "id", targets)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"targets=$targets counts=$counts")
+    }
+  }
 }
