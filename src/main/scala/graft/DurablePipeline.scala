@@ -197,7 +197,8 @@ final class DurablePipeline(
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val n = perKey.values.sum
         if (n > 0)
-          fresh.write.mode("append").partitionBy("key").parquet(storeDir.toString)
+          fresh.write.mode("append").partitionBy("key")
+            .parquet(Ingest.versionDir(storeDir.toString))
         // the reference's initial run stamps the conditions row too
         // (subscription.ts:210,370-378): backfilled feeds get this run's
         // wall time and their captured counts, so getQuery reports them

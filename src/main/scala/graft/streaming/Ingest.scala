@@ -52,13 +52,81 @@ object Ingest {
     // its whole shuffle) from first-batch/bootstrap plans
     spark.createDataFrame(java.util.Collections.emptyList[Row](), postSchema)
 
+  // ---- store versioning: the lock serializes WRITERS, but serving
+  // readers materialize pages lazily AFTER readStore returns, so a
+  // rewrite that deleted the directory in place could yank files out from
+  // under an in-flight scan (empty page or FileNotFoundException mid
+  // listing). Rewrites therefore land as a NEW version directory and an
+  // atomically-replaced pointer file — readers keep streaming the version
+  // they resolved (it survives one more swap, the grace window) and the
+  // next resolve sees the new one. SQLite gives the reference this
+  // snapshot isolation transactionally; Delta/Iceberg give it to a real
+  // deployment via manifest snapshots — this is the parquet-harness form.
+  // Legacy layout (parquet directly under the root, the specs' seeding
+  // shape) reads as-is until the first rewrite versions it. Version dirs
+  // are underscore-prefixed so Spark's hidden-path filter EXCLUDES them
+  // from a listing of the root: a reader that resolved the legacy root
+  // just before the first swap must keep seeing only the legacy files,
+  // not legacy + _v1 double-counted (an explicitly-given `_v...` root
+  // still reads fine — only discovered children are filtered).
+  private val CurrentPtr = "_current"
+
+  private def currentVersion(root: Path): Option[String] = {
+    val ptr = root.resolve(CurrentPtr)
+    if (Files.exists(ptr))
+      Some(new String(Files.readAllBytes(ptr),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** The directory holding the store's CURRENT version files; appends and
+    * reads both resolve through here. */
+  private[graft] def versionDir(storeDir: String): String = {
+    val root = Paths.get(storeDir)
+    currentVersion(root).map(v => root.resolve(v).toString).getOrElse(storeDir)
+  }
+
+  private def writePointer(root: Path, version: String): Unit = {
+    val tmp = root.resolve(CurrentPtr + ".tmp")
+    Files.write(tmp, version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(CurrentPtr),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Land `kept` as the store's next version: write beside the live data,
+    * atomically flip the pointer, then garbage-collect everything older
+    * than the version readers may still be streaming. Caller holds the
+    * store lock. */
+  private def swapStore(storeDir: String, kept: DataFrame): Unit = {
+    val root = Paths.get(storeDir)
+    Files.createDirectories(root)
+    val prev = currentVersion(root)
+    val next = f"_v${System.nanoTime()}%019d"
+    val tmp = root.resolve(next + ".tmp")
+    kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
+    Files.move(tmp, root.resolve(next))
+    writePointer(root, next)
+    // grace: keep the previous version (in-flight readers), drop older
+    // ones; the pre-versioning root files go once they are two swaps old
+    val keep = Set(next) ++ prev.toSet
+    val s = Files.list(root)
+    try s.forEach { p =>
+      val name = p.getFileName.toString
+      val isVersion = name.matches("_v\\d+")
+      if (isVersion && !keep(name)) deleteRecursively(p)
+      else if (!isVersion && name != CurrentPtr && prev.isDefined &&
+        !name.endsWith(".tmp")) deleteRecursively(p)
+    } finally s.close()
+  }
+
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
-    val p = Paths.get(storeDir)
+    val p = Paths.get(versionDir(storeDir))
     val nonEmpty = Files.exists(p) && {
       val s = Files.list(p)
       try s.findFirst().isPresent finally s.close()
     }
-    if (nonEmpty) spark.read.schema(postSchema).parquet(storeDir)
+    if (nonEmpty) spark.read.schema(postSchema).parquet(p.toString)
     else emptyStore(spark)
   }
 
@@ -108,7 +176,7 @@ object Ingest {
             .map(r => r.getString(0) -> r.getLong(1)).toMap
         }
         try {
-          fresh.write.mode("append").partitionBy("key").parquet(storeDir)
+          fresh.write.mode("append").partitionBy("key").parquet(versionDir(storeDir))
           if (retentionEvery > 0 && batchId % retentionEvery == 0)
             retentionCompactLocked(spark, storeDir, conditions)
         } finally if (perKey.isDefined) fresh.unpersist()
@@ -144,10 +212,7 @@ object Ingest {
       .filter(col("__limit").isNull || col("__rn") <= col("__limit"))
       .select(store.columns.map(col): _*)
 
-    val tmp = storeDir + ".compact-tmp"
-    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
-    deleteRecursively(Paths.get(storeDir))
-    Files.move(Paths.get(tmp), Paths.get(storeDir))
+    swapStore(storeDir, kept)
   }
 
   /** Initial-mode backfill (T2 — the reference's `recordCount == 0` run,
@@ -184,16 +249,13 @@ object Ingest {
 
   /** Delete every stored post of one feed key — the engine side of the
     * admin deleteCondition (databaseUtil.ts:169-192 deletes from both
-    * tables). Same rewrite-and-swap as [[applyRefresh]]'s full delete. */
+    * tables). Lands as a new store version ([[swapStore]]), so concurrent
+    * serving reads keep streaming the snapshot they resolved. */
   def deleteKey(spark: SparkSession, storeDir: String, key: String): Unit =
     lockFor(storeDir).synchronized {
       val store = readStore(spark, storeDir)
       if (store.isEmpty) return
-      val kept = store.filter(col("key") =!= key)
-      val tmp = storeDir + ".delete-tmp"
-      kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
-      deleteRecursively(Paths.get(storeDir))
-      Files.move(Paths.get(tmp), Paths.get(storeDir))
+      swapStore(storeDir, store.filter(col("key") =!= key))
     }
 
   /** Refresh handling (S10): refresh == -1 deletes the feed's rows;
@@ -212,10 +274,7 @@ object Ingest {
           Seq(col("key")), unix_micros(col("indexedAt")), col("cid"), c.refresh)
         store.filter(col("key") =!= c.key).unionByName(mine)
       }
-    val tmp = storeDir + ".refresh-tmp"
-    kept.write.mode("overwrite").partitionBy("key").parquet(tmp)
-    deleteRecursively(Paths.get(storeDir))
-    Files.move(Paths.get(tmp), Paths.get(storeDir))
+    swapStore(storeDir, kept)
   }
 
   /** Per-feed bookkeeping after a cycle (S12/A4): stored counts clamped to

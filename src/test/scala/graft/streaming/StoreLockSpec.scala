@@ -56,7 +56,11 @@ class StoreLockSpec extends SparkSpec {
           val stored = Ingest.readStore(spark, dir)
           val fresh = graft.operators.Upsert.newRows(
             stored, rows("keep", b * 100, 5).toDF(), Seq("uri", "key"))
-          fresh.write.mode("append").partitionBy("key").parquet(dir)
+          // appends resolve the CURRENT version dir, like the sink does —
+          // a raw-root append after the first swap would write into a
+          // directory readers no longer resolve
+          fresh.write.mode("append").partitionBy("key")
+            .parquet(Ingest.versionDir(dir))
         }
       }
     }
@@ -77,5 +81,52 @@ class StoreLockSpec extends SparkSpec {
     assert(kept == expected,
       s"lost ${(expected -- kept).size} keep-rows, gained ${(kept -- expected).size}")
     assert(store.filter($"key" === "doomed").count() == 0L)
+  }
+
+  test("serving reads stay exact while rewrites swap store versions under them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snapshot").resolve("store").toString
+    val conditions = Seq(Fixtures.cond(key = "keep", limitCount = 2000))
+    rows("keep", 0, 20).toDF().write.partitionBy("key").parquet(dir)
+
+    // writer: a stream of rewrites — deleteKey on an absent feed is a
+    // full rewrite-and-swap of identical content, the worst case for a
+    // concurrent reader (files replaced every iteration)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writing = true
+    pool.execute { () =>
+      start.await()
+      try {
+        for (_ <- 1 to 5) {
+          Ingest.deleteKey(spark, dir, "absent")
+          Ingest.retentionCompact(spark, dir, conditions)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+      finally writing = false
+    }
+    // reader: the serving path — readStore WITHOUT the writer lock, page
+    // materialized lazily while swaps land. Every read must see exactly
+    // the 20 rows (old snapshot or new — never a half-deleted store).
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    pool.execute { () =>
+      start.await()
+      try {
+        while (writing) {
+          val n = Ingest.readStore(spark, dir).filter($"key" === "keep").count()
+          assert(n == 20L, s"reader saw $n of 20 rows mid-swap")
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "threads hung")
+    assert(failures.isEmpty, s"concurrent read/swap failed: ${failures.peek()}")
+    assert(reads.get() >= 3, s"reader only completed ${reads.get()} reads — not concurrent")
+    // the store root is versioned now: a pointer plus at most two versions
+    val root = java.nio.file.Paths.get(dir)
+    assert(Files.exists(root.resolve("_current")))
   }
 }
