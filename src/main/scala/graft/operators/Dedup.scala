@@ -38,6 +38,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
 
+  /** Canonical text-normalization used by [[normalizedExact]]: lowercase,
+    * every non-alphanumeric run → one space, trim. The C4/Dolma "lenient
+    * exact" key — catches re-crawls that differ only in case, punctuation
+    * or whitespace, which raw-byte md5 (ns01) treats as distinct. Pure
+    * codegen expressions (two regexp_replace + lower + trim), stated
+    * identically in the DuckDB oracle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Normalization-exact dedup (ns54): group on md5(normalize(text)).
+    * Reports the keeper (min id), the group size, and how many RAW
+    * variants the normal form collapsed — the audit column curation runs
+    * watch to see what normalization is buying beyond ns01.
+    * Scale shape: identical to [[exact]] — one digest-keyed partial-agg
+    * shuffle; the normal form is computed in the scan projection and only
+    * the 32-byte digest travels. */
+  def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol))).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"),
+        countDistinct(md5(col(textCol))).as("n_raw_variants"))
+
   /** MinHash signature: sig(i) = min over the word set of md5(word + ":" + i).
     * k independent permutations approximated by k salted hashes; computed in
     * one native pass ([[org.apache.spark.sql.graft.MinHashSig]] — the

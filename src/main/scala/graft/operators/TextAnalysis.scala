@@ -486,4 +486,75 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("score"), col("n_terms"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
+
+  /** Token-budget curation (ns55): per source, admit documents in
+    * quality-descending order (id-ascending tiebreak) while the RUNNING
+    * token total — inclusive of the candidate — stays within `budget`.
+    * The greedy fill every mixture recipe (Pile/Dolma token budgets per
+    * component) actually runs; unlike a doc-count cap, the budget is in
+    * tokens, so short high-quality docs pack denser.
+    *
+    * Scale shape: one window shuffle partitioned by source (the natural
+    * parallel unit — sources are independent); tokens and quality are
+    * per-row scan expressions; no explode, no join, no global sort. A
+    * skewed giant source still bounds at its own partition; at 100 TB the
+    * partition column is the source, exactly how the corpus is stored. */
+  def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      idCol: String, textCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("q_score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(sourceCol), col(idCol),
+        wsTokenCount(col(textCol)).as("tokens"),
+        qualityScore(col(textCol)).as("q_score"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Overlapping-window chunking (ns56): split into whitespace tokens,
+    * emit one row per (chunk of `size` tokens, stride `stride`) — the
+    * standard RAG / context-window prep (stride < size ⇒ consecutive
+    * chunks overlap by size − stride tokens). Chunk identity is the md5
+    * of the re-joined token slice so the oracle can verify content, not
+    * just counts.
+    *
+    * Scale shape: per-row `sequence` + explode — fan-out is
+    * ceil(n_tokens/stride) rows per document, no shuffle at all (the
+    * chunk rows stay in their document's partition); the token array is
+    * computed once in the scan projection and sliced per chunk. */
+  def chunkOverlap(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && size >= 1, "chunk size and stride must be >= 1")
+    df.select(col(idCol), words(col(textCol)).as("__toks"))
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("__toks")), lit(1)), lit(stride))))
+      .select(col(idCol),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(size), org.apache.spark.sql.functions.size(col("__toks")) - col("start") + 1)
+          .cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(col("__toks"), col("start"), lit(size)))).as("chunk_h"))
+  }
+
+  /** Per-domain URL stats (ns57): extract every http(s) URL, reduce to its
+    * host, and aggregate documents + total hits per host — the shape of a
+    * domain-blocklist / domain-mix audit (C4's badlist pass, Dolma's
+    * per-domain counts). Like ns49's PII, the corpus is synthetic so both
+    * engines inject the SAME deterministic URLs derived from doc_id; the
+    * extraction regex is RE2-safe and stated verbatim in the oracle.
+    *
+    * Scale shape: extract is a scan expression (regexp_extract_all),
+    * explode fans out only matched URLs, and the per-host aggregate is a
+    * partial-agg shuffle on ~|domains| keys. distinct-doc counting rides
+    * the same shuffle (count(distinct id) per host). */
+  def urlDomains(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val urls = expr(
+      s"regexp_extract_all(`$textCol`, 'https?://[a-z0-9.-]+', 0)")
+    df.select(col(idCol), explode(urls).as("url"))
+      .select(col(idCol), regexp_replace(col("url"), "https?://", "").as("host"))
+      .groupBy(col("host"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_hits"))
+  }
 }

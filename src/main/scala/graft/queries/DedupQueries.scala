@@ -330,6 +330,26 @@ object DedupQueries extends QueryModule {
          |WHERE n.source = 'src19' ORDER BY doc_id""".stripMargin),
   )
 
+  /** Normalization-exact dedup: the C4/Dolma "lenient exact" first pass —
+    * md5 over lowercased, punctuation-stripped, whitespace-collapsed text,
+    * with an audit count of how many RAW byte-variants each normal form
+    * collapsed. Same one-digest-shuffle plan as ns01. */
+  private val ns54 = QueryEntry(
+    "ns54_norm_dedup",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.normalizedExact(t.documents, "doc_id", "text").orderBy(col("h"))
+    },
+    Some(
+      """SELECT
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+        |  min(doc_id) AS keeper, count(*) AS n,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45, ns53)
+    Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45,
+      ns53, ns54)
 }

@@ -618,7 +618,103 @@ object TextQueries extends QueryModule {
     },
   )
 
+  /** Per-source token budget for ns55 — small enough that every source
+    * overflows it (the filter actually bites at every SF). */
+  private val TokenBudget = 500L
+
+  /** Token-budget curation: greedy quality-ordered fill per source until
+    * the running token total hits the budget — the per-component token
+    * cap of a Pile/Dolma-style mixture recipe. One window shuffle on
+    * source; tokens and quality are scan expressions (ns11's formula). */
+  private val ns55 = QueryEntry(
+    "ns55_token_budget",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.tokenBudgetSelect(t.documents, "source", "doc_id", "text",
+          TokenBudget)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
+         |  0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
+         |    + 0.4 * (${markerSql(Seq("the", "a"))} /
+         |        CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS q_score
+         |  FROM documents)
+         |SELECT source, doc_id, tokens, q_score,
+         |  CAST(sum(tokens) OVER (PARTITION BY source
+         |    ORDER BY q_score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM t
+         |QUALIFY cum_tokens <= $TokenBudget
+         |ORDER BY source, doc_id""".stripMargin),
+  )
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Overlapping-window chunking: one row per 32-token window at stride 24
+    * (8-token overlap) — RAG / context-window prep. Chunk content is
+    * verified via md5 of the re-joined slice; fan-out is per-row sequence
+    * + explode, shuffle-free. */
+  private val ns56 = QueryEntry(
+    "ns56_chunk_overlap",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.chunkOverlap(t.documents, "doc_id", "text",
+          ChunkSize, ChunkStride)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least($ChunkSize, len(toks) - start + 1) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(list_slice(toks, start, start + ${ChunkSize - 1}), ' ')) AS chunk_h
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+  )
+
+  /** Per-domain URL audit: synthetic URLs (derived from doc_id — the
+    * corpus has none, so both engines inject the SAME ones, the ns49
+    * pattern) extracted with one RE2-safe regex, reduced to hosts, and
+    * aggregated per host — the domain-blocklist / domain-mix audit shape.
+    * Extract is a scan expression; the per-host aggregate is a
+    * partial-agg shuffle over ~48 keys. */
+  private val ns57 = QueryEntry(
+    "ns57_url_domains",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val did = col("doc_id").cast("string")
+      val withUrls = t.documents.select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://mirror"), (col("doc_id") % 37).cast("string"),
+          lit(".example.com/d/"), did,
+          lit(" and http://cdn"), (col("doc_id") % 11).cast("string"),
+          lit(".example.net/x")).as("tx"))
+      TextAnalysis.urlDomains(withUrls, "doc_id", "tx").orderBy(col("host"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id,
+        |  text || ' see https://mirror' || CAST(doc_id % 37 AS VARCHAR) ||
+        |  '.example.com/d/' || CAST(doc_id AS VARCHAR) ||
+        |  ' and http://cdn' || CAST(doc_id % 11 AS VARCHAR) ||
+        |  '.example.net/x' AS tx FROM documents),
+        |u AS (SELECT doc_id,
+        |  regexp_replace(unnest(regexp_extract_all(tx, 'https?://[a-z0-9.-]+')),
+        |    'https?://', '') AS host
+        |  FROM t)
+        |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_hits
+        |FROM u GROUP BY host ORDER BY host""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
-      ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52)
+      ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52, ns55, ns56,
+      ns57)
 }

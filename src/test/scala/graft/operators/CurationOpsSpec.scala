@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ns54–ns57 curation operators: normalization-exact dedup, token-budget
+  * selection, overlapping chunking, and per-domain URL stats — value-level
+  * checks against hand computations plus partition invariance. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("normalizedExact collapses case/punct/whitespace variants and counts raw forms") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "hello world"),
+      (4L, "unique doc")).toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(df, "doc_id", "text")
+      .orderBy("keeper")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // three raw variants share the normal form "hello world"
+    assert(got.toSeq == Seq((1L, 3L, 3L), (4L, 1L, 1L)))
+    // identical raw bytes are ONE raw variant
+    val df2 = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val g2 = Dedup.normalizedExact(df2, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("tokenBudgetSelect admits quality-ordered docs while cum tokens fit the budget") {
+    val s = spark
+    import s.implicits._
+    // q("the the the the") = .6*4/200 + .4*(4/4) = .412 (4 tokens)
+    // q("the a x")         = .6*3/200 + .4*(2/3) ≈ .2757 (3 tokens)
+    // q("x y")             = .6*2/200 + .4*0     = .006 (2 tokens)
+    // quality order: d1 (cum 4), d3 (cum 7), d2 (cum 9); budget 7 keeps d1, d3
+    val df = Seq(
+      ("s", 1L, "the the the the"),
+      ("s", 2L, "x y"),
+      ("s", 3L, "the a x"),
+      ("t", 4L, "lone doc here")).toDF("source", "doc_id", "text")
+    val got = TextAnalysis.tokenBudgetSelect(df, "source", "doc_id", "text", 7L)
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("s", 1L, 4L, 4L), ("s", 3L, 3L, 7L), ("t", 4L, 3L, 3L)))
+    // sources are independent: a huge budget on one source never leaks rows
+    val all = TextAnalysis.tokenBudgetSelect(df, "source", "doc_id", "text", 1000L)
+    assert(all.count() == 4L)
+  }
+
+  test("chunkOverlap emits strided windows with the documented boundary shapes") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkOverlap(df, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: starts 1,4,7,10 → lengths 4,4,4,1; doc 2 ("" → [""]) one 1-token chunk
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1L, 4L), (1L, 1L, 4L, 4L), (1L, 2L, 7L, 4L), (1L, 3L, 10L, 1L),
+      (2L, 0L, 1L, 1L)))
+    // content hash: chunk 1 of doc 1 is exactly tokens 4..7
+    val h = TextAnalysis.chunkOverlap(df, "doc_id", "text", 4, 3)
+      .filter(col("doc_id") === 1L && col("chunk_id") === 1L)
+      .select("chunk_h").as[String].head()
+    val expect = df.sparkSession.range(1)
+      .select(md5(lit("t4 t5 t6 t7"))).as[String].head()
+    assert(h == expect)
+  }
+
+  test("urlDomains aggregates docs and hits per extracted host") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a https://x.com/b and http://y.net/c"),
+      (2L, "see https://x.com/z then https://x.com/w"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomains(df, "doc_id", "text")
+      .orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x.com", 2L, 3L), ("y.net", 1L, 1L)))
+  }
+
+  test("curation operators are partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i =>
+      (s"src${i % 3}", i, s"the a tok$i " + ("w " * (i % 7).toInt).trim))
+      .toDF("source", "doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) = (
+      Dedup.normalizedExact(d, "doc_id", "text").orderBy("h").collect().toSeq,
+      TextAnalysis.tokenBudgetSelect(d, "source", "doc_id", "text", 30L)
+        .orderBy("source", "doc_id").collect().toSeq,
+      TextAnalysis.chunkOverlap(d, "doc_id", "text", 3, 2)
+        .orderBy("doc_id", "chunk_id").collect().toSeq)
+    assert(run(df) == run(df.repartition(7)))
+  }
+}
