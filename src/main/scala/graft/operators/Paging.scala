@@ -83,5 +83,13 @@ object Paging {
   def withOrdinal(page: DataFrame, tsUs: Column, tiebreak: Column, startAt: Long): DataFrame =
     page.withColumn(
       "ord",
-      (row_number().over(Window.orderBy(tsUs.desc, tiebreak.desc)) - 1).cast("long") + startAt)
+      // deliberately UNPARTITIONED window: assigning a global ordinal
+      // serializes by definition, and the input is ≤ k rows by contract
+      // (page is the output of topK's orderBy+limit), so the single
+      // partition WindowExec warns about is a k-row frame, not a scale
+      // bug. WindowAuditSpec pins that these page sites stay the ONLY
+      // unpartitioned windows in the catalog. (A foldable partition key
+      // would not silence it — the optimizer strips constant keys.)
+      (row_number().over(Window.orderBy(tsUs.desc, tiebreak.desc)) - 1)
+        .cast("long") + startAt)
 }

@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-level audit: list every catalog query whose physical plan contains
+  * an UNPARTITIONED window (empty partitionSpec ⇒ WindowExec moves the
+  * whole input to one partition — a scale bug unless the frame is bounded
+  * by construction). Planning only, nothing executes.
+  * Run: sbt "runMain graft.tools.WindowAudit [sfDir]" */
+object WindowAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.local(threads = 4, shufflePartitions = 8)
+    // AQE wraps plans in AdaptiveSparkPlanExec, whose inner plan is a
+    // field, not a child — collect() would see no WindowExec at all
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var hits = 0
+      SparkEntry.all.foreach { e =>
+        val plan = e.run(spark, dir).queryExecution.executedPlan
+        val bare = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (bare.nonEmpty) {
+          hits += bare.size
+          println(s"[window-audit] ${e.name}: ${bare.size} unpartitioned window(s)")
+          bare.foreach(w => println(s"  ${w.windowExpression.mkString("; ").take(160)}"))
+        }
+      }
+      println(s"[window-audit] total unpartitioned windows: $hits")
+    } finally spark.stop()
+  }
+}
