@@ -91,6 +91,23 @@ object ScaleSmoke {
       TextAnalysis.duplicateSpanStats(docs, "doc_id", "text", n = 3)
         .filter(col("dup_frac") > 0.5).count()
     }
+    time("norm_dedup") {
+      Dedup.normalizedExact(docs, "doc_id", "text").filter(col("n") > 1).count()
+    }
+    time("token_budget") {
+      // budget sized so the filter bites: ~60 words/doc × n/20 docs per
+      // source → keep roughly the best third of each source
+      TextAnalysis.tokenBudgetSelect(docs, "source", "doc_id", "text", n).count()
+    }
+    time("chunk_overlap") {
+      TextAnalysis.chunkOverlap(docs, "doc_id", "text", size = 32, stride = 24).count()
+    }
+    time("url_domains") {
+      val withUrls = docs.select(col("doc_id"), concat(col("text"),
+        lit(" https://m"), pmod(col("doc_id"), lit(37)).cast("string"),
+        lit(".example.com/d")).as("text"))
+      TextAnalysis.urlDomains(withUrls, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }
