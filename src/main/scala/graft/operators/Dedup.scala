@@ -41,12 +41,12 @@ object Dedup {
   /** Canonical text-normalization used by [[normalizedExact]]: lowercase,
     * every non-alphanumeric run → one space, trim. The C4/Dolma "lenient
     * exact" key — catches re-crawls that differ only in case, punctuation
-    * or whitespace, which raw-byte md5 (ns01) treats as distinct. Pure
-    * codegen expressions (two regexp_replace + lower + trim), stated
-    * identically in the DuckDB oracle. */
+    * or whitespace, which raw-byte md5 (ns01) treats as distinct. One
+    * codegen regexp_replace + lower + trim, stated identically in the
+    * DuckDB oracle (the `+` quantifier already collapses runs — adjacent
+    * spaces cannot survive, so no second collapse pass is needed). */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Normalization-exact dedup (ns54): group on md5(normalize(text)).
     * Reports the keeper (min id), the group size, and how many RAW

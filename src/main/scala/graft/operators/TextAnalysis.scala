@@ -515,20 +515,24 @@ object TextAnalysis {
   /** Overlapping-window chunking (ns56): split into whitespace tokens,
     * emit one row per (chunk of `size` tokens, stride `stride`) — the
     * standard RAG / context-window prep (stride < size ⇒ consecutive
-    * chunks overlap by size − stride tokens). Chunk identity is the md5
-    * of the re-joined token slice so the oracle can verify content, not
-    * just counts.
+    * chunks overlap by size − stride tokens). Starts advance by stride
+    * only until a chunk reaches the final token (last start ≤
+    * n − size + stride), so the tail chunk may be short but is NEVER a
+    * sub-slice of its predecessor — no pure-duplicate content rows in
+    * the chunk index. Chunk identity is the md5 of the re-joined token
+    * slice so the oracle can verify content, not just counts.
     *
     * Scale shape: per-row `sequence` + explode — fan-out is
-    * ceil(n_tokens/stride) rows per document, no shuffle at all (the
+    * ~n_tokens/stride rows per document, no shuffle at all (the
     * chunk rows stay in their document's partition); the token array is
     * computed once in the scan projection and sliced per chunk. */
   def chunkOverlap(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(stride >= 1 && size >= 1, "chunk size and stride must be >= 1")
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
     df.select(col(idCol), words(col(textCol)).as("__toks"))
       .withColumn("start",
-        explode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("__toks")), lit(1)), lit(stride))))
+        explode(sequence(lit(1), greatest(n - size + stride, lit(1)), lit(stride))))
       .select(col(idCol),
         ((col("start") - 1) / stride).cast("long").as("chunk_id"),
         col("start").cast("long").as("start_tok"),

@@ -342,8 +342,7 @@ object DedupQueries extends QueryModule {
     },
     Some(
       """SELECT
-        |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
         |  min(doc_id) AS keeper, count(*) AS n,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin),

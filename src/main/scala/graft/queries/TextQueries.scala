@@ -669,7 +669,8 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
          |  FROM documents),
          |s AS (SELECT doc_id, toks,
-         |  unnest(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS start
+         |  unnest(generate_series(1,
+         |    greatest(len(toks) - $ChunkSize + $ChunkStride, 1), $ChunkStride)) AS start
          |  FROM t)
          |SELECT doc_id,
          |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,

@@ -94,29 +94,47 @@ object Ingest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** How many superseded versions survive each swap. A reader must
+    * straddle GraceVersions+1 swaps between resolving the pointer and
+    * finishing its scan before its files can vanish; swaps are retention
+    * cycles or admin ops (seconds-to-minutes apart) while serving scans
+    * are sub-second, so 2 is already far beyond the observable window.
+    * The bounded window is the harness tradeoff for SQLite's transactional
+    * snapshots; a real deployment gets unbounded snapshot isolation from
+    * Delta/Iceberg manifests. */
+  private val GraceVersions = 2
+
   /** Land `kept` as the store's next version: write beside the live data,
     * atomically flip the pointer, then garbage-collect everything older
-    * than the version readers may still be streaming. Caller holds the
-    * store lock. */
+    * than the versions readers may still be streaming. Caller holds the
+    * store lock. Version numbers are derived from the predecessor (not
+    * wall/monotonic clocks — System.nanoTime may be negative and would
+    * produce a name the GC regex treats as garbage). */
   private def swapStore(storeDir: String, kept: DataFrame): Unit = {
     val root = Paths.get(storeDir)
     Files.createDirectories(root)
     val prev = currentVersion(root)
-    val next = f"_v${System.nanoTime()}%019d"
+    val prevNum = prev.map(_.stripPrefix("_v").toLong).getOrElse(0L)
+    val next = f"_v${prevNum + 1}%019d"
     val tmp = root.resolve(next + ".tmp")
     kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
     Files.move(tmp, root.resolve(next))
     writePointer(root, next)
-    // grace: keep the previous version (in-flight readers), drop older
-    // ones; the pre-versioning root files go once they are two swaps old
-    val keep = Set(next) ++ prev.toSet
+    // grace: keep the last GraceVersions superseded versions (in-flight
+    // readers), drop older ones and any stale *.tmp (under the lock the
+    // current swap's tmp is already moved, so every remaining tmp is a
+    // crash leftover); the pre-versioning root files go once legacy
+    // readers have had a full swap to drain
+    val keep = (Set(prevNum + 1) ++ (0 until GraceVersions).map(prevNum - _))
+      .filter(_ > 0).map(v => f"_v$v%019d")
     val s = Files.list(root)
     try s.forEach { p =>
       val name = p.getFileName.toString
       val isVersion = name.matches("_v\\d+")
       if (isVersion && !keep(name)) deleteRecursively(p)
-      else if (!isVersion && name != CurrentPtr && prev.isDefined &&
-        !name.endsWith(".tmp")) deleteRecursively(p)
+      else if (name.endsWith(".tmp")) deleteRecursively(p)
+      else if (!isVersion && name != CurrentPtr && prev.isDefined)
+        deleteRecursively(p)
     } finally s.close()
   }
 

@@ -20,7 +20,11 @@ object WindowAudit {
       var hits = 0
       SparkEntry.all.foreach { e =>
         val plan = e.run(spark, dir).queryExecution.executedPlan
-        val bare = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        // collectWithSubqueries: a window inside a scalar/IN subquery
+        // would evade a plain collect over the main plan tree
+        val bare = plan.collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
         if (bare.nonEmpty) {
           hits += bare.size
           println(s"[window-audit] ${e.name}: ${bare.size} unpartitioned window(s)")

@@ -58,10 +58,16 @@ class CurationOpsSpec extends SparkSpec {
     val got = TextAnalysis.chunkOverlap(df, "doc_id", "text", size = 4, stride = 3)
       .orderBy("doc_id", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // doc 1: starts 1,4,7,10 → lengths 4,4,4,1; doc 2 ("" → [""]) one 1-token chunk
+    // doc 1: starts stop at n−size+stride = 9 → 1,4,7 (the chunk at 7
+    // reaches token 10; a start at 10 would be a pure sub-slice of it);
+    // doc 2 ("" → [""]) one 1-token chunk
     assert(got.toSeq == Seq(
-      (1L, 0L, 1L, 4L), (1L, 1L, 4L, 4L), (1L, 2L, 7L, 4L), (1L, 3L, 10L, 1L),
+      (1L, 0L, 1L, 4L), (1L, 1L, 4L, 4L), (1L, 2L, 7L, 4L),
       (2L, 0L, 1L, 1L)))
+    // every chunk ends strictly later than its predecessor — no chunk is
+    // contained in another
+    val ends = got.toSeq.filter(_._1 == 1L).map(c => c._3 + c._4 - 1)
+    assert(ends == ends.sorted && ends.distinct == ends)
     // content hash: chunk 1 of doc 1 is exactly tokens 4..7
     val h = TextAnalysis.chunkOverlap(df, "doc_id", "text", 4, 3)
       .filter(col("doc_id") === 1L && col("chunk_id") === 1L)

@@ -20,8 +20,11 @@ class WindowAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.all.flatMap { e =>
+        // collectWithSubqueries: plain collect skips plans hanging off
+        // ScalarSubquery/InSubquery expressions — an unpartitioned window
+        // inside a subquery must not evade the pin
         val bare = e.run(spark, sf0001).queryExecution.executedPlan
-          .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          .collectWithSubqueries { case w: WindowExec if w.partitionSpec.isEmpty => w }
         if (bare.nonEmpty) Some(e.name -> bare.size) else None
       }
       val unexpected = offenders.filterNot { case (n, _) => BoundedPageQueries(n) }

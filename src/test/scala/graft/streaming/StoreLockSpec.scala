@@ -125,7 +125,8 @@ class StoreLockSpec extends SparkSpec {
     assert(pool.awaitTermination(300, TimeUnit.SECONDS), "threads hung")
     assert(failures.isEmpty, s"concurrent read/swap failed: ${failures.peek()}")
     assert(reads.get() >= 3, s"reader only completed ${reads.get()} reads — not concurrent")
-    // the store root is versioned now: a pointer plus at most two versions
+    // the store root is versioned now: a pointer plus the current version
+    // and at most GraceVersions superseded ones
     val root = java.nio.file.Paths.get(dir)
     assert(Files.exists(root.resolve("_current")))
   }
