@@ -207,4 +207,81 @@ class PropertiesSpec extends SparkSpec {
       assert(got == expected, s"targets=$targets counts=$counts")
     }
   }
+
+  test("property: chunkOverlap == scalar reference for any n/size/stride") {
+    val s = spark
+    import s.implicits._
+    val docGen = for {
+      n <- Gen.choose(0, 120)
+    } yield (1 to n).map(i => s"t$i").mkString(" ")
+    val shapeGen = for {
+      size <- Gen.choose(1, 24)
+      stride <- Gen.choose(1, 30) // stride > size (gaps) must also hold
+    } yield (size, stride)
+    forAll(docGen, shapeGen) { case (text, (size, stride)) =>
+      val toks = text.toLowerCase.split(" ", -1).toVector // words() semantics: "" → [""]
+      val n = toks.size
+      val upper = math.max(n - size + stride, 1)
+      val expected = (1 to upper by stride).zipWithIndex.map { case (start, ci) =>
+        (ci.toLong, start.toLong,
+          math.min(size, n - start + 1).toLong,
+          toks.slice(start - 1, start - 1 + size).mkString(" "))
+      }
+      val got = TextAnalysis.chunkOverlap(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+      val expectedHashed = expected.map { case (ci, st, nt, chunk) =>
+        (ci, st, nt,
+          java.security.MessageDigest.getInstance("MD5").digest(chunk.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+      assert(got == expectedHashed, s"n=$n size=$size stride=$stride")
+      // ends strictly increase → no chunk is contained in another
+      val ends = expected.map { case (_, st, nt, _) => st + nt - 1 }
+      assert(ends == ends.sorted && ends.distinct == ends)
+      // full coverage whenever windows overlap or tile (stride <= size)
+      if (stride <= size && n > 0) {
+        val covered = expected.flatMap { case (_, st, nt, _) => st until (st + nt) }.toSet
+        assert((1L to n.toLong).forall(covered), s"gap at n=$n size=$size stride=$stride")
+      }
+    }
+  }
+
+  test("property: tokenBudgetSelect == scalar greedy fill per source") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("the", "a", "x", "yy", "zzz")
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, for {
+        src <- Gen.choose(0, 2)
+        ws <- Gen.choose(1, 12).flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)))
+      } yield (s"s$src", ws.mkString(" ")))
+    } yield docs.zipWithIndex.map { case ((src, t), i) => (src, i.toLong, t) }
+    forAll(corpusGen, Gen.choose(3L, 40L)) { (rows, budget) =>
+      // scalar reference: per source, sort by (quality desc, id asc), keep
+      // while the inclusive running token total fits the budget
+      def quality(t: String): Double = {
+        val ws = t.toLowerCase.split(" ", -1)
+        val stop = ws.count(w => w == "the" || w == "a")
+        0.6 * (math.min(ws.length.toDouble, 200.0) / 200.0) +
+          0.4 * (stop.toDouble / ws.length.toDouble)
+      }
+      val expected = rows.groupBy(_._1).flatMap { case (_, docs) =>
+        val ordered = docs.map { case (src, id, t) =>
+          (src, id, t.split(" ", -1).length.toLong, quality(t))
+        }.sortBy { case (_, id, _, q) => (-q, id) }
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget)
+          .map { case ((src, id, nt, _), cum) => (src, id, nt, cum) }
+      }.toSet
+      val got = TextAnalysis.tokenBudgetSelect(
+          rows.toDF("source", "doc_id", "text"), "source", "doc_id", "text", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      assert(got == expected, s"budget=$budget")
+    }
+  }
 }
