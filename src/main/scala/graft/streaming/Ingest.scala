@@ -115,7 +115,20 @@ object Ingest {
     Files.createDirectories(root)
     val prev = currentVersion(root)
     val prevNum = prev.map(_.stripPrefix("_v").toLong).getOrElse(0L)
-    val next = f"_v${prevNum + 1}%019d"
+    // allocate PAST any version dir already on disk, not just past the
+    // pointer: a crash between the version move and the pointer flip
+    // leaves an orphan _v(prev+1), and re-allocating that name would make
+    // this swap's Files.move collide forever after. The orphan itself is
+    // GC'd below (a version name outside the keep window).
+    val maxOnDisk = {
+      val s = Files.list(root)
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(_.matches("_v\\d+")).map(_.stripPrefix("_v").toLong)
+        .foldLeft(0L)(math.max)
+      finally s.close()
+    }
+    val nextNum = math.max(prevNum, maxOnDisk) + 1
+    val next = f"_v$nextNum%019d"
     val tmp = root.resolve(next + ".tmp")
     kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
     Files.move(tmp, root.resolve(next))
@@ -125,7 +138,7 @@ object Ingest {
     // current swap's tmp is already moved, so every remaining tmp is a
     // crash leftover); the pre-versioning root files go once legacy
     // readers have had a full swap to drain
-    val keep = (Set(prevNum + 1) ++ (0 until GraceVersions).map(prevNum - _))
+    val keep = (Set(nextNum) ++ (0 until GraceVersions).map(prevNum - _))
       .filter(_ > 0).map(v => f"_v$v%019d")
     val s = Files.list(root)
     try s.forEach { p =>

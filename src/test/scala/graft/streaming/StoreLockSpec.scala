@@ -130,4 +130,34 @@ class StoreLockSpec extends SparkSpec {
     val root = java.nio.file.Paths.get(dir)
     assert(Files.exists(root.resolve("_current")))
   }
+
+  test("swapStore recovers from crash leftovers: orphan versions and stale tmps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash").resolve("store").toString
+    val conditions = Seq(Fixtures.cond(key = "keep", limitCount = 2000))
+    rows("keep", 0, 12).toDF().write.partitionBy("key").parquet(dir)
+    // first rewrite versions the store as _v1
+    Ingest.deleteKey(spark, dir, "absent")
+    val root = java.nio.file.Paths.get(dir)
+    def v(n: Long) = root.resolve(f"_v$n%019d")
+    assert(Files.exists(v(1)))
+    // crash window A: a version dir moved into place but the pointer never
+    // flipped (orphan _v2) — naive prev+1 allocation would collide with it
+    Files.createDirectory(v(2))
+    Files.write(v(2).resolve("junk"), "not parquet".getBytes)
+    // crash window B: an aborted version write left a stale tmp
+    val staleTmp = root.resolve(f"_v${9L}%019d.tmp")
+    Files.createDirectory(staleTmp)
+    Files.write(staleTmp.resolve("part-junk"), Array[Byte](1, 2, 3))
+    // the next rewrite must allocate PAST the orphan, keep the data exact,
+    // and GC both leftovers
+    Ingest.retentionCompact(spark, dir, conditions)
+    assert(Ingest.readStore(spark, dir).filter($"key" === "keep").count() == 12L)
+    assert(!Files.exists(v(2)), "orphan version not GC'd")
+    assert(!Files.exists(staleTmp), "stale tmp not GC'd")
+    assert(Files.exists(v(3)), "allocation did not skip past the orphan")
+    // and the store keeps working: another full swap on top
+    Ingest.deleteKey(spark, dir, "keep")
+    assert(Ingest.readStore(spark, dir).count() == 0L)
+  }
 }
