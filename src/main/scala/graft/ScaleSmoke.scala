@@ -57,7 +57,8 @@ object ScaleSmoke {
     println(s"[scale] corpus: $n docs, ${docs.rdd.getNumPartitions} partitions")
 
     def time(label: String)(body: => Long): Unit = {
-      if (only.forall(label.contains)) {
+      // filter is a comma-separated list of label substrings
+      if (only.forall(_.split(',').exists(label.contains))) {
         val t0 = System.nanoTime()
         val rows = body
         println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
