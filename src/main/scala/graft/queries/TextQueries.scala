@@ -714,8 +714,63 @@ object TextQueries extends QueryModule {
         |FROM u GROUP BY host ORDER BY host""".stripMargin),
   )
 
+  private val PackBudget = 256
+
+  /** The composed curation tail every training-prep run actually ships:
+    * chunk the corpus (ns56's windows), drop duplicate chunks corpus-wide
+    * (first occurrence by (doc, chunk) wins — chunk-level exact dedup, the
+    * granularity at which boilerplate repeats), then lay the survivors
+    * end-to-end per source and cut fixed token-budget training sequences
+    * (ns32's packing). Demonstrates the operators COMPOSE in one
+    * dataflow: explode → per-hash window → join → per-source running-sum
+    * window, each shuffle on a scalable key (chunk_h, doc_id, source). */
+  private val ns58 = QueryEntry(
+    "ns58_chunk_pack",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val chunks = TextAnalysis.chunkOverlap(t.documents, "doc_id", "text",
+        ChunkSize, ChunkStride)
+      val firstSeen = chunks.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("chunk_h"))
+            .orderBy(col("doc_id"), col("chunk_id"))))
+        .filter(col("__rn") === 1)
+      // one orderable key per surviving chunk; chunk_id is bounded by
+      // n_tokens/stride so the multiplier never collides
+      val keyed = firstSeen
+        .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("ck", col("doc_id") * lit(100000L) + col("chunk_id"))
+      TextAnalysis.packSequences(keyed, "source", "ck", col("n_toks"), PackBudget)
+        .orderBy(col("source"), col("ck"))
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1,
+         |    greatest(len(toks) - $ChunkSize + $ChunkStride, 1), $ChunkStride)) AS start
+         |  FROM t),
+         |c AS (SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(least($ChunkSize, len(toks) - start + 1) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(list_slice(toks, start, start + ${ChunkSize - 1}), ' ')) AS chunk_h
+         |  FROM s),
+         |d AS (SELECT doc_id, chunk_id, n_toks FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY chunk_h
+         |    ORDER BY doc_id, chunk_id) AS rn FROM c) WHERE rn = 1),
+         |j AS (SELECT doc.source, d.doc_id * 100000 + d.chunk_id AS ck,
+         |  d.n_toks FROM d JOIN documents doc USING (doc_id)),
+         |p AS (SELECT source, ck, n_toks AS tokens,
+         |  COALESCE(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY ck
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+         |  FROM j)
+         |SELECT source, ck, tokens,
+         |  cum // $PackBudget AS bin, cum % $PackBudget AS bin_offset
+         |FROM p ORDER BY source, ck""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
       ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52, ns55, ns56,
-      ns57)
+      ns57, ns58)
 }
