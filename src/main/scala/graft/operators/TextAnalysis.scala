@@ -515,12 +515,15 @@ object TextAnalysis {
   /** Overlapping-window chunking (ns56): split into whitespace tokens,
     * emit one row per (chunk of `size` tokens, stride `stride`) — the
     * standard RAG / context-window prep (stride < size ⇒ consecutive
-    * chunks overlap by size − stride tokens). Starts advance by stride
-    * only until a chunk reaches the final token (last start ≤
-    * n − size + stride), so the tail chunk may be short but is NEVER a
-    * sub-slice of its predecessor — no pure-duplicate content rows in
-    * the chunk index. Chunk identity is the md5 of the re-joined token
-    * slice so the oracle can verify content, not just counts.
+    * chunks overlap by size − stride tokens; stride > size ⇒ gapped
+    * sampling windows). Starts advance by stride only until a chunk
+    * reaches the final token (last start ≤ min(n − size + stride, n) —
+    * the inner bound stops duplicate-content tails when windows overlap,
+    * the outer cap keeps gapped sampling from emitting phantom
+    * past-the-end starts with empty content), so the tail chunk may be
+    * short but is NEVER empty and NEVER a sub-slice of its predecessor.
+    * Chunk identity is the md5 of the re-joined token slice so the
+    * oracle can verify content, not just counts.
     *
     * Scale shape: per-row `sequence` + explode — fan-out is
     * ~n_tokens/stride rows per document, no shuffle at all (the
@@ -532,7 +535,7 @@ object TextAnalysis {
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     df.select(col(idCol), words(col(textCol)).as("__toks"))
       .withColumn("start",
-        explode(sequence(lit(1), greatest(n - size + stride, lit(1)), lit(stride))))
+        explode(sequence(lit(1), greatest(least(n - size + stride, n), lit(1)), lit(stride))))
       .select(col(idCol),
         ((col("start") - 1) / stride).cast("long").as("chunk_id"),
         col("start").cast("long").as("start_tok"),

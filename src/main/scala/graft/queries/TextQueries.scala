@@ -670,7 +670,7 @@ object TextQueries extends QueryModule {
          |  FROM documents),
          |s AS (SELECT doc_id, toks,
          |  unnest(generate_series(1,
-         |    greatest(len(toks) - $ChunkSize + $ChunkStride, 1), $ChunkStride)) AS start
+         |    greatest(least(len(toks) - $ChunkSize + $ChunkStride, len(toks)), 1), $ChunkStride)) AS start
          |  FROM t)
          |SELECT doc_id,
          |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
@@ -748,7 +748,7 @@ object TextQueries extends QueryModule {
          |  FROM documents),
          |s AS (SELECT doc_id, toks,
          |  unnest(generate_series(1,
-         |    greatest(len(toks) - $ChunkSize + $ChunkStride, 1), $ChunkStride)) AS start
+         |    greatest(least(len(toks) - $ChunkSize + $ChunkStride, len(toks)), 1), $ChunkStride)) AS start
          |  FROM t),
          |c AS (SELECT doc_id,
          |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,

@@ -120,26 +120,30 @@ object Ingest {
     // leaves an orphan _v(prev+1), and re-allocating that name would make
     // this swap's Files.move collide forever after. The orphan itself is
     // GC'd below (a version name outside the keep window).
-    val maxOnDisk = {
+    val onDisk = {
       val s = Files.list(root)
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-        .filter(_.matches("_v\\d+")).map(_.stripPrefix("_v").toLong)
-        .foldLeft(0L)(math.max)
+        .filter(_.matches("_v\\d+")).map(_.stripPrefix("_v").toLong).toSeq
       finally s.close()
     }
-    val nextNum = math.max(prevNum, maxOnDisk) + 1
+    val nextNum = (prevNum +: onDisk).max + 1
     val next = f"_v$nextNum%019d"
     val tmp = root.resolve(next + ".tmp")
     kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
     Files.move(tmp, root.resolve(next))
     writePointer(root, next)
-    // grace: keep the last GraceVersions superseded versions (in-flight
-    // readers), drop older ones and any stale *.tmp (under the lock the
-    // current swap's tmp is already moved, so every remaining tmp is a
-    // crash leftover); the pre-versioning root files go once legacy
-    // readers have had a full swap to drain
-    val keep = (Set(nextNum) ++ (0 until GraceVersions).map(prevNum - _))
-      .filter(_ > 0).map(v => f"_v$v%019d")
+    // grace: keep the newest GraceVersions superseded versions THAT EXIST
+    // (in-flight readers) — derived from the on-disk list, not arithmetic:
+    // crash-recovery gaps or a numbering-scheme change would otherwise
+    // shrink the window below the documented GraceVersions+1 swaps — and
+    // drop older ones plus any stale *.tmp (under the lock the current
+    // swap's tmp is already moved, so every remaining tmp is a crash
+    // leftover); the pre-versioning root files go once legacy readers
+    // have had a full swap to drain. Orphans (> prevNum) are never a
+    // reader's version: the pointer never named them.
+    val keep = (Set(nextNum) ++
+      onDisk.filter(_ <= prevNum).sorted.takeRight(GraceVersions))
+      .map(v => f"_v$v%019d")
     val s = Files.list(root)
     try s.forEach { p =>
       val name = p.getFileName.toString

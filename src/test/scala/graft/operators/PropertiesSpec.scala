@@ -221,7 +221,7 @@ class PropertiesSpec extends SparkSpec {
     forAll(docGen, shapeGen) { case (text, (size, stride)) =>
       val toks = text.toLowerCase.split(" ", -1).toVector // words() semantics: "" → [""]
       val n = toks.size
-      val upper = math.max(n - size + stride, 1)
+      val upper = math.max(math.min(n - size + stride, n), 1)
       val expected = (1 to upper by stride).zipWithIndex.map { case (start, ci) =>
         (ci.toLong, start.toLong,
           math.min(size, n - start + 1).toLong,
@@ -238,6 +238,13 @@ class PropertiesSpec extends SparkSpec {
             .map("%02x".format(_)).mkString)
       }
       assert(got == expectedHashed, s"n=$n size=$size stride=$stride")
+      // formula-independent invariants (the reference above restates the
+      // implementation, so these guard the boundary on their own): every
+      // chunk starts inside the doc and carries at least one token
+      got.foreach { case (_, st, nt, _) =>
+        assert(st >= 1 && st <= n && nt >= 1 && nt <= size,
+          s"phantom/degenerate chunk (start=$st n_toks=$nt) n=$n size=$size stride=$stride")
+      }
       // ends strictly increase → no chunk is contained in another
       val ends = expected.map { case (_, st, nt, _) => st + nt - 1 }
       assert(ends == ends.sorted && ends.distinct == ends)
