@@ -544,6 +544,23 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("__toks"), col("start"), lit(size)))).as("chunk_h"))
   }
 
+  /** Per-source quality-decile histogram (ns59): bucket every document's
+    * quality score into tenths and count per (source, decile) — the
+    * mixture-drift audit a curation run watches across crawls (a source
+    * whose mass slides down-decile gets re-weighted or dropped). Scores
+    * land exactly on [0,1] (qualityScore's construction), and the 1.0
+    * edge folds into the top decile so the histogram has exactly 10 bins.
+    *
+    * Scale shape: the decile is a per-row scan expression; the aggregate
+    * is a partial-agg shuffle over ≤ 10·|sources| keys. */
+  def qualityHistogram(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(sourceCol),
+        least(floor(qualityScore(col(textCol)) * 10).cast("long"), lit(9L))
+          .as("decile"))
+      .groupBy(col(sourceCol), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Per-domain URL stats (ns57): extract every http(s) URL, reduce to its
     * host, and aggregate documents + total hits per host — the shape of a
     * domain-blocklist / domain-mix audit (C4's badlist pass, Dolma's

@@ -769,8 +769,30 @@ object TextQueries extends QueryModule {
          |FROM p ORDER BY source, ck""".stripMargin),
   )
 
+  /** Quality-decile mixture audit: 10 bins per source, the drift view a
+    * curation run compares across crawls. Quality is ns11's exact formula
+    * on both engines, so the decile boundary arithmetic hash-matches. */
+  private val ns59 = QueryEntry(
+    "ns59_quality_histogram",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.qualityHistogram(t.documents, "source", "text")
+        .orderBy(col("source"), col("decile"))
+    },
+    Some(
+      s"""WITH q AS (SELECT source,
+         |  0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
+         |    + 0.4 * (${markerSql(Seq("the", "a"))} /
+         |        CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS q_score
+         |  FROM documents)
+         |SELECT source,
+         |  least(CAST(floor(q_score * 10) AS BIGINT), 9) AS decile,
+         |  count(*) AS n_docs
+         |FROM q GROUP BY source, decile ORDER BY source, decile""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
       ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52, ns55, ns56,
-      ns57, ns58)
+      ns57, ns58, ns59)
 }

@@ -90,6 +90,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("x.com", 2L, 3L), ("y.net", 1L, 1L)))
   }
 
+  test("qualityHistogram buckets by tenth and folds the 1.0 edge into decile 9") {
+    val s = spark
+    import s.implicits._
+    // q("x y") = .006 → decile 0; q("the a") = .406 → decile 4;
+    // 200×"the" → q = 0.6·1 + 0.4·1 = 1.0 exactly → decile 9, not 10
+    val df = Seq(
+      ("s", "x y"), ("s", "the a"), ("s", ("the " * 200).trim),
+      ("t", "x y")).toDF("source", "text")
+    val got = TextAnalysis.qualityHistogram(df, "source", "text")
+      .orderBy("source", "decile")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("s", 0L, 1L), ("s", 4L, 1L), ("s", 9L, 1L), ("t", 0L, 1L)))
+  }
+
   test("curation operators are partition-invariant") {
     val s = spark
     import s.implicits._
