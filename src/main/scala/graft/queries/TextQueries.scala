@@ -15,6 +15,15 @@ object TextQueries extends QueryModule {
     s"CAST(len(list_filter(string_split(lower(text), ' '), x -> $cond)) AS BIGINT)"
   }
 
+  /** ns11's quality formula inline over a `text` column — the SQL twin of
+    * [[TextAnalysis.qualityScore]]. ONE definition shared by every oracle
+    * that scores quality (ns23, ns55, ns59); a weight/cap tweak edits this
+    * and `qualityScore` only. */
+  private def qualitySql: String =
+    "0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)" +
+      s" + 0.4 * (CAST(${markerSql(Seq("the", "a"))} AS DOUBLE)" +
+      " / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))"
+
   private val ns10 = QueryEntry(
     "ns10_langid",
     (spark, dir) => {
@@ -207,10 +216,7 @@ object TextQueries extends QueryModule {
     },
     Some(
       s"""WITH q AS (
-         |  SELECT doc_id, lang, text,
-         |    0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
-         |      + 0.4 * (CAST(${markerSql(Seq("the", "a"))} AS DOUBLE)
-         |               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS qs
+         |  SELECT doc_id, lang, text, $qualitySql AS qs
          |  FROM documents),
          |gated AS (SELECT * FROM q WHERE qs >= 0.3),
          |keepers AS (
@@ -637,9 +643,7 @@ object TextQueries extends QueryModule {
     Some(
       s"""WITH t AS (SELECT source, doc_id,
          |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
-         |  0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
-         |    + 0.4 * (${markerSql(Seq("the", "a"))} /
-         |        CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS q_score
+         |  $qualitySql AS q_score
          |  FROM documents)
          |SELECT source, doc_id, tokens, q_score,
          |  CAST(sum(tokens) OVER (PARTITION BY source
@@ -781,9 +785,7 @@ object TextQueries extends QueryModule {
     },
     Some(
       s"""WITH q AS (SELECT source,
-         |  0.6 * (least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 200.0) / 200.0)
-         |    + 0.4 * (${markerSql(Seq("the", "a"))} /
-         |        CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS q_score
+         |  $qualitySql AS q_score
          |  FROM documents)
          |SELECT source,
          |  least(CAST(floor(q_score * 10) AS BIGINT), 9) AS decile,

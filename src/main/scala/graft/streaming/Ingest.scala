@@ -120,13 +120,17 @@ object Ingest {
     // leaves an orphan _v(prev+1), and re-allocating that name would make
     // this swap's Files.move collide forever after. The orphan itself is
     // GC'd below (a version name outside the keep window).
+    // (name, number) pairs straight off the listing: keep-set membership
+    // is by the LITERAL directory name, never a re-format of the parsed
+    // number — a version dir written under a different digit-width must
+    // still be protected by the grace window
     val onDisk = {
       val s = Files.list(root)
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-        .filter(_.matches("_v\\d+")).map(_.stripPrefix("_v").toLong).toSeq
+        .filter(_.matches("_v\\d+")).map(n => n -> n.stripPrefix("_v").toLong).toSeq
       finally s.close()
     }
-    val nextNum = (prevNum +: onDisk).max + 1
+    val nextNum = (prevNum +: onDisk.map(_._2)).max + 1
     val next = f"_v$nextNum%019d"
     val tmp = root.resolve(next + ".tmp")
     kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
@@ -141,9 +145,9 @@ object Ingest {
     // leftover); the pre-versioning root files go once legacy readers
     // have had a full swap to drain. Orphans (> prevNum) are never a
     // reader's version: the pointer never named them.
-    val keep = (Set(nextNum) ++
-      onDisk.filter(_ <= prevNum).sorted.takeRight(GraceVersions))
-      .map(v => f"_v$v%019d")
+    val keep = Set(next) ++
+      onDisk.filter(_._2 <= prevNum).sortBy(_._2).takeRight(GraceVersions)
+        .map(_._1)
     val s = Files.list(root)
     try s.forEach { p =>
       val name = p.getFileName.toString
