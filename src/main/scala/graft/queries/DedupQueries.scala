@@ -348,7 +348,28 @@ object DedupQueries extends QueryModule {
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin),
   )
 
+  /** Cluster-size histogram: how many near-dup clusters exist at each
+    * size — the dedup-QA view (a fat head of large clusters means
+    * boilerplate or a broken blocking key; mass at size 1 means the
+    * corpus is mostly unique). Fourth consumer of the SharedCache'd
+    * component fixpoint; two bounded aggregates on top (component keys,
+    * then ≤ |distinct sizes| keys). */
+  private val ns60 = QueryEntry(
+    "ns60_cluster_size_hist",
+    (spark, dir) => {
+      componentsFor(spark, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    },
+    Some(
+      s"""$componentsOracleCtes
+         |SELECT sz, count(*) AS n_clusters FROM (
+         |  SELECT lbl, count(*) AS sz FROM lab12 GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45,
-      ns53, ns54)
+      ns53, ns54, ns60)
 }
