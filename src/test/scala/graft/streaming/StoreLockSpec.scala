@@ -131,6 +131,30 @@ class StoreLockSpec extends SparkSpec {
     assert(Files.exists(root.resolve("_current")))
   }
 
+  test("grace window protects versions by literal name across numbering schemes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-scheme").resolve("store").toString
+    val root = java.nio.file.Paths.get(dir)
+    // a store whose current version was named under a different scheme
+    // (e.g. the old nanoTime numbering): huge number, same _v prefix
+    val huge = f"_v${987654321012345678L}%019d"
+    Files.createDirectories(root)
+    rows("keep", 0, 8).toDF().write.partitionBy("key")
+      .parquet(root.resolve(huge).toString)
+    Files.write(root.resolve("_current"), huge.getBytes)
+    assert(Ingest.readStore(spark, dir).count() == 8L)
+    // one swap: the superseded old-scheme version must survive the grace
+    // window (keep-set is by literal directory name, not re-formatted)
+    Ingest.deleteKey(spark, dir, "absent")
+    assert(Files.exists(root.resolve(huge)), "old-scheme version GC'd inside grace")
+    assert(Ingest.readStore(spark, dir).count() == 8L)
+    // two more swaps push it past GraceVersions — then it may go
+    Ingest.deleteKey(spark, dir, "absent")
+    Ingest.deleteKey(spark, dir, "absent")
+    assert(!Files.exists(root.resolve(huge)), "old-scheme version never GC'd")
+    assert(Ingest.readStore(spark, dir).count() == 8L)
+  }
+
   test("swapStore recovers from crash leftovers: orphan versions and stale tmps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-crash").resolve("store").toString
