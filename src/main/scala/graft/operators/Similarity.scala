@@ -91,7 +91,16 @@ object Similarity {
     * exact integer dot product, so ranking is engine-independent by
     * construction. Queries are drawn from the candidate corpus by id (the
     * catalog convention — external query vectors would quantize with the
-    * same in-plan bounds). */
+    * same in-plan bounds).
+    *
+    * `boundsCacheKey` asserts an IMMUTABLE corpus at that key (the same
+    * contract as [[KMeansIvf]] centroids): the 2×dim bounds row is cached
+    * in [[graft.SharedCache]] for the JVM lifetime keyed only by the
+    * string, so regenerating the data behind a live key silently ranks
+    * against stale bounds. If the corpus at a path can change
+    * mid-session, fold a version/fingerprint into the key (or pass None
+    * and pay the in-plan bounds pass); `SharedCache.clear` is the only
+    * other invalidation path. */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
     // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over

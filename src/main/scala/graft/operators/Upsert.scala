@@ -78,12 +78,20 @@ object Upsert {
     * where the range boundaries land — only the total order matters. */
   def batchIds(df: DataFrame, keyCol: String, batchSize: Int): DataFrame = {
     val k = col(keyCol)
+    // materialized ONCE (localCheckpoint — the codebase's multi-consumer
+    // convention, see JoinHints/simhashPairsBanded): both the offsets
+    // aggregate and the crossJoin below consume this frame, and without a
+    // shared materialization their correctness would hinge on Spark
+    // reusing the canonical range exchange — two independent executions
+    // re-sample range boundaries (RangePartitioner seeds off the RDD id)
+    // and __pid/__rn could disagree between the consumers
     val ranked = df.select(k).distinct()
       .repartitionByRange(k)
       .sortWithinPartitions(k)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .withColumn("__rn",
         monotonically_increasing_id() - shiftleft(col("__pid"), 33) + 1)
+      .localCheckpoint()
     val offsets = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .agg(sort_array(collect_list(struct(col("__pid").as("p"), col("__n").as("n"))))
         .as("__cum"))

@@ -148,13 +148,21 @@ object Ingest {
     val keep = Set(next) ++
       onDisk.filter(_._2 <= prevNum).sortBy(_._2).takeRight(GraceVersions)
         .map(_._1)
+    // legacy cleanup matches ONLY the pre-versioning parquet layout this
+    // store itself wrote (key=* partition dirs, _SUCCESS + its crc, bare
+    // part files) — a foreign file someone parks under the store root is
+    // not ours to delete, even though the directory is documented as
+    // store-owned
+    val isLegacy = (n: String) => n.startsWith("key=") || n == "_SUCCESS" ||
+      n == "._SUCCESS.crc" || n.startsWith("part-") || n.startsWith(".part-")
     val s = Files.list(root)
     try s.forEach { p =>
       val name = p.getFileName.toString
       val isVersion = name.matches("_v\\d+")
       if (isVersion && !keep(name)) deleteRecursively(p)
       else if (name.endsWith(".tmp")) deleteRecursively(p)
-      else if (!isVersion && name != CurrentPtr && prev.isDefined)
+      else if (!isVersion && name != CurrentPtr && prev.isDefined &&
+          isLegacy(name))
         deleteRecursively(p)
     } finally s.close()
   }

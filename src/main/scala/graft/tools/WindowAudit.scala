@@ -7,7 +7,11 @@ import org.apache.spark.sql.execution.window.WindowExec
 /** Plan-level audit: list every catalog query whose physical plan contains
   * an UNPARTITIONED window (empty partitionSpec ⇒ WindowExec moves the
   * whole input to one partition — a scale bug unless the frame is bounded
-  * by construction). Planning only, nothing executes.
+  * by construction). No query ACTION runs, but building a handful of
+  * entries does execute real Spark jobs: operators with an eager
+  * localCheckpoint in their construction path (ns53's banded simhash,
+  * batchIds' rank frame) materialize that frame while the DataFrame is
+  * being assembled, so the audit is cheap-but-not-free at large sfDir.
   * Run: sbt "runMain graft.tools.WindowAudit [sfDir]" */
 object WindowAudit {
   def main(args: Array[String]): Unit = {
