@@ -54,61 +54,76 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = corpus(spark, n).localCheckpoint() // generate once, time ops only
+    // JIT/codegen warmup (r9 methodology): each selected op first runs
+    // once over a 100×-smaller corpus, untimed — the first heavy query in
+    // a fresh JVM otherwise pays ~2 minutes of C2-compilation that has
+    // nothing to do with the op's scaling (Bench applies the same
+    // discipline). SCALE.md rows from r9 on are warm-JIT numbers.
+    val warm = corpus(spark, math.max(n / 100, 10000L)).localCheckpoint()
     println(s"[scale] corpus: $n docs, ${docs.rdd.getNumPartitions} partitions")
 
-    def time(label: String)(body: => Long): Unit = {
+    var warming = true
+    def time(label: String)(body: org.apache.spark.sql.DataFrame => Long): Unit = {
       // filter is a comma-separated list of label substrings
       if (only.forall(_.split(',').exists(label.contains))) {
-        val t0 = System.nanoTime()
-        val rows = body
-        println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+        if (warming) body(warm)
+        else {
+          val t0 = System.nanoTime()
+          val rows = body(docs)
+          println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+        }
       }
     }
 
-    time("exact_dedup") {
-      Dedup.exact(docs, "doc_id", "text").filter(col("n") > 1).count()
+    def ops(): Unit = {
+      time("exact_dedup") { d =>
+        Dedup.exact(d, "doc_id", "text").filter(col("n") > 1).count()
+      }
+      time("minhash_lsh_pairs") { d =>
+        Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()
+      }
+      time("simhash_pairs_banded48") { d =>
+        Dedup.simhashPairsBanded(d, "doc_id", "text", bucket = Nil, maxDist = 3).count()
+      }
+      time("batch_ids_distributed_rank") { d =>
+        Upsert.batchIds(d, "doc_id", 25).groupBy(col("batch_id")).count().count()
+      }
+      time("source_mix_sample") { d =>
+        TextAnalysis.sampleToMix(d, "source", "doc_id",
+          Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.2, "src3" -> 0.3)).count()
+      }
+      time("bm25_rank") { d =>
+        TextAnalysis.bm25Rank(d, "doc_id", "text",
+          Seq("w17", "w230", "w1200", "w4200", "w9000", "w15000"), 1.2, 0.75, 20).count()
+      }
+      time("source_overlap_trigrams") { d =>
+        TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()
+      }
+      time("dup_span_stats") { d =>
+        TextAnalysis.duplicateSpanStats(d, "doc_id", "text", n = 3)
+          .filter(col("dup_frac") > 0.5).count()
+      }
+      time("norm_dedup") { d =>
+        Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()
+      }
+      time("token_budget") { d =>
+        // budget sized so the filter bites: ~60 words/doc × n/20 docs per
+        // source → keep roughly the best third of each source
+        TextAnalysis.tokenBudgetSelect(d, "source", "doc_id", "text", n).count()
+      }
+      time("chunk_overlap") { d =>
+        TextAnalysis.chunkOverlap(d, "doc_id", "text", size = 32, stride = 24).count()
+      }
+      time("url_domains") { d =>
+        val withUrls = d.select(col("doc_id"), concat(col("text"),
+          lit(" https://m"), pmod(col("doc_id"), lit(37)).cast("string"),
+          lit(".example.com/d")).as("text"))
+        TextAnalysis.urlDomains(withUrls, "doc_id", "text").count()
+      }
     }
-    time("minhash_lsh_pairs") {
-      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 4).count()
-    }
-    time("simhash_pairs_banded48") {
-      Dedup.simhashPairsBanded(docs, "doc_id", "text", bucket = Nil, maxDist = 3).count()
-    }
-    time("batch_ids_distributed_rank") {
-      Upsert.batchIds(docs, "doc_id", 25).groupBy(col("batch_id")).count().count()
-    }
-    time("source_mix_sample") {
-      TextAnalysis.sampleToMix(docs, "source", "doc_id",
-        Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.2, "src3" -> 0.3)).count()
-    }
-    time("bm25_rank") {
-      TextAnalysis.bm25Rank(docs, "doc_id", "text",
-        Seq("w17", "w230", "w1200", "w4200", "w9000", "w15000"), 1.2, 0.75, 20).count()
-    }
-    time("source_overlap_trigrams") {
-      TextAnalysis.sourceOverlap(docs, "source", "text", n = 3).count()
-    }
-    time("dup_span_stats") {
-      TextAnalysis.duplicateSpanStats(docs, "doc_id", "text", n = 3)
-        .filter(col("dup_frac") > 0.5).count()
-    }
-    time("norm_dedup") {
-      Dedup.normalizedExact(docs, "doc_id", "text").filter(col("n") > 1).count()
-    }
-    time("token_budget") {
-      // budget sized so the filter bites: ~60 words/doc × n/20 docs per
-      // source → keep roughly the best third of each source
-      TextAnalysis.tokenBudgetSelect(docs, "source", "doc_id", "text", n).count()
-    }
-    time("chunk_overlap") {
-      TextAnalysis.chunkOverlap(docs, "doc_id", "text", size = 32, stride = 24).count()
-    }
-    time("url_domains") {
-      val withUrls = docs.select(col("doc_id"), concat(col("text"),
-        lit(" https://m"), pmod(col("doc_id"), lit(37)).cast("string"),
-        lit(".example.com/d")).as("text"))
-      TextAnalysis.urlDomains(withUrls, "doc_id", "text").count()
-    }
+    ops()            // warm pass at n/100 (untimed, JIT/codegen)
+    warming = false
+    ops()            // measured pass at n
     spark.stop()
   }
 }

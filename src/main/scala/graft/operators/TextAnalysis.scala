@@ -381,41 +381,111 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** The fixed-width gram key both engines hash n-grams down to before
+    * any shuffle: the first 15 hex digits of the gram's md5 as a 60-bit
+    * long. 8 bytes move per gram instead of the (unbounded) gram string,
+    * and because the SAME key is declared in the DuckDB oracle, even a
+    * hash collision (two grams → one key) yields identical answers on
+    * both engines rather than a flaky mismatch. */
+  def gramKey(gram: Column): Column =
+    conv(substr(md5(gram), lit(1), lit(15)), 16, 10).cast("long")
+
   /** Corpus-overlap audit: for every pair of sources, the Jaccard overlap
     * of their DISTINCT word n-gram sets — "how much does dataset A
     * duplicate dataset B", the curation question asked before mixing two
     * crawls (C4 vs CC, Pile components, …).
     *
-    * Scale shape: the (source, gram) incidence frame is one explode +
-    * distinct (a gram-keyed shuffle); each gram then aggregates to its
-    * SOURCE SET — bounded by the number of sources, a config-sized
-    * constant — and the pair fan-out is a per-row lambda over that set
-    * (k·(k−1)/2 structs), NOT a self-join: a hot gram present in every
-    * source costs one bounded array, never a join-side blowup. Output is
-    * one row per source pair. */
+    * Scale shape: sources are a config-sized dimension, so each source is
+    * assigned one BIT (sorted-name order, collected once — the same
+    * control-plane collect as ns50's mixture quotas) and every gram hashes
+    * to a fixed 60-bit [[gramKey]] at the scan. The only data-sized
+    * shuffle then moves (gramKey: long, sourceBit: long) pairs into ONE
+    * codegen hash aggregate — `bit_or` of the masks per gram — which is
+    * simultaneously the distinct pass (bit_or is idempotent, so duplicate
+    * (gram, source) rows collapse map-side for free) and the set-builder
+    * (the mask IS the source set). No gram string, no collect_set, no
+    * ObjectHashAggregate anywhere. Per-source sizes and the pair fan-out
+    * both read set bits off the mask frame: grams in a single source are
+    * dropped by a `bit_count ≥ 2` codegen prefilter before the pair
+    * lambda, and a hot gram present in every source costs one bounded
+    * array (k·(k−1)/2 bit pairs), never a join-side blowup. Output is one
+    * row per source pair. Corpora with more than 63 sources fall back to
+    * the sorted-set shape (still over hashed gram keys). */
   def sourceOverlap(df: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     // bind the split to a column FIRST: inlining `words(...)` into
     // ngramsOf would re-evaluate the split for every element_at reference
     // in the gram lambda — O(words²) per document
+    // Md5GramKeys emits gramKey(gram) for every n-gram in ONE native pass
+    // (no per-gram string/hex/parse allocations) and drops WITHIN-document
+    // repeats before the explode — set semantics downstream make that a
+    // free shuffle-row reduction
     val toks = df
       .select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
-      .select(col("__src"), explode(ngramsOf(col("__ws"), n)).as("__gram"))
-    // One gram-keyed aggregation builds the source sets (collect_set
-    // dedups map-side — no separate distinct pass), checkpointed because
-    // both the sizes and pairs branches consume it. At 100 TB, where most
-    // grams are corpus-unique, add a codegen count-aggregate prefilter
-    // (grams with one source can never pair) before this set-building
-    // ObjectHashAggregate — measured here, that crossover sits above the
-    // oracle scales, so the simple one-pass shape stays.
+      .select(col("__src"),
+        explode(org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
+          distinct = true)).as("__gk"))
+    val srcNames = df.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (srcNames.length > 63) return sourceOverlapSets(toks)
+    // bit index = rank in sorted name order, so ascending bit pairs below
+    // are already ascending (src_a, src_b) name pairs — the oracle's
+    // a.source < b.source orientation falls out of the encoding
+    val srcBit = typedLit(srcNames.zipWithIndex.toMap)
+    val bitName = typedLit(srcNames.zipWithIndex.map(_.swap).toMap)
+    val masks = toks
+      .select(col("__gk"), element_at(srcBit, col("__src")).as("__bi"))
+      .select(col("__gk"), expr("shiftleft(1L, __bi)").as("__m"))
+      .groupBy(col("__gk")).agg(bit_or(col("__m")).as("__mask"))
+    // ONE fan-out pass serves both downstream aggregates: each mask
+    // explodes into its set bits (b = −1 rows → per-source sizes) AND its
+    // ascending bit pairs (→ shared counts) together, so the 100M+-row
+    // mask frame is read exactly once and never checkpointed. The second
+    // aggregate has ≤ sources + sources²/2 distinct keys — map-side
+    // partial aggregation collapses it to a config-sized shuffle — and
+    // the ≤-sources²-row result is what gets checkpointed for the two
+    // consumers below.
+    val fan = masks
+      .withColumn("__bits", expr(
+        s"""filter(transform(sequence(0, ${srcNames.length - 1}),
+           |  b -> IF(((__mask >> b) & 1) = 1, b, -1)), x -> x >= 0)""".stripMargin))
+      .select(explode(expr(
+        """concat(
+          |  transform(__bits, x -> named_struct('a', x, 'b', -1)),
+          |  flatten(transform(__bits, (x, i) ->
+          |    transform(slice(__bits, i + 2, size(__bits) - i - 1), y ->
+          |      named_struct('a', x, 'b', y)))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.a").as("__ba"), col("__p.b").as("__bb"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val sizes = fan.filter(col("__bb") === -1)
+      .select(col("__ba").as("__b"), col("__cnt").as("__sz"))
+    val shared = fan.filter(col("__bb") =!= -1)
+      .select(col("__ba"), col("__bb"), col("__cnt").as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("__b").as("__ba"), col("__sz").as("__sa"))),
+        Seq("__ba"))
+      .join(broadcast(sizes.select(col("__b").as("__bb"), col("__sz").as("__sb"))),
+        Seq("__bb"))
+      .select(element_at(bitName, col("__ba")).as("src_a"),
+        element_at(bitName, col("__bb")).as("src_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("__sa") + col("__sb") - col("shared")).cast("double")).as("jac"))
+  }
+
+  /** Fallback pair shape for > 63 sources: per-gram sorted source SETS
+    * (ObjectHashAggregate) instead of a bitmask — same semantics, same
+    * hashed gram keys, heavier per gram. */
+  private def sourceOverlapSets(
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sets = toks
-      .groupBy(col("__gram"))
+      .groupBy(col("__gk"))
       .agg(sort_array(collect_set(col("__src"))).as("__ss"))
       .localCheckpoint()
-    // per-source distinct-gram counts, derived from the aggregated frame
     val sizes = sets.select(explode(col("__ss")).as("__src"))
       .groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
     val pairs = sets
+      .filter(size(col("__ss")) >= 2)
       .select(explode(expr(
         """flatten(transform(__ss, (x, i) ->
           |  transform(slice(__ss, i + 2, size(__ss) - i - 1), y ->

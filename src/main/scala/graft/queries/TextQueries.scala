@@ -561,7 +561,10 @@ object TextQueries extends QueryModule {
   /** Corpus-overlap audit: pairwise shared distinct-trigram Jaccard
     * between sources — the "does dataset A duplicate dataset B" question
     * asked before mixing corpora. Pair fan-out is bounded by sources²,
-    * never documents². */
+    * never documents². Both engines hash every gram down to the SAME
+    * fixed 60-bit key (first 15 hex digits of its md5 —
+    * [[graft.operators.TextAnalysis.gramKey]]) before aggregating, so the
+    * comparison is collision-identical, not merely collision-unlikely. */
   private val ns51 = QueryEntry(
     "ns51_source_overlap",
     (spark, dir) => {
@@ -569,18 +572,25 @@ object TextQueries extends QueryModule {
       TextAnalysis.sourceOverlap(t.documents, "source", "text", n = 3)
         .orderBy(col("src_a"), col("src_b"))
     },
-    Some(
-      """WITH w AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
-        |g AS (SELECT DISTINCT source, g FROM (
-        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w)),
-        |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
-        |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
-        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
-        |SELECT src_a, src_b, shared,
-        |  CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jac
-        |FROM sh JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin),
+    Some {
+      // first 15 md5 hex digits as a base-16 BIGINT — digit-by-digit
+      // (strpos over the hex alphabet), DuckDB 1.0 has no conv()
+      val gk = (1 to 15).map { k =>
+        val mult = 1L << (4 * (15 - k))
+        s"(strpos('0123456789abcdef', substr(md5(g0), $k, 1)) - 1) * CAST($mult AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+         |g AS (SELECT DISTINCT source, $gk AS g FROM (
+         |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g0 FROM w)),
+         |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+         |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared,
+         |  CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jac
+         |FROM sh JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
   )
 
   /** BM25 retrieval over the corpus for a fixed probe-term set (rational
