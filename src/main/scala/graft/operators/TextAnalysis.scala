@@ -335,15 +335,24 @@ object TextAnalysis {
     * (one running-sum window per group; a document straddling a boundary
     * belongs to the bin its first token lands in). */
   def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      idCol: String, tokensCol: Column, budget: Int): org.apache.spark.sql.DataFrame = {
+      idCol: String, tokensCol: Column, budget: Int): org.apache.spark.sql.DataFrame =
+    packSequences(df, groupCol, Seq(idCol), tokensCol, budget)
+
+  /** Multi-column order variant: the lay-out order is the TUPLE of
+    * `idCols` — callers with a composite identity (ns58's (doc_id,
+    * chunk_id) chunks) order by the real columns instead of packing them
+    * into one arithmetic key, which would overflow or collide somewhere
+    * at 100 TB no matter the multiplier. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCols: Seq[String], tokensCol: Column, budget: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(idCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("tokens", tokensCol)
       .withColumn("__cum", coalesce(sum(col("tokens")).over(w), lit(0L)))
-      .select(col(groupCol), col(idCol), col("tokens"),
+      .select((col(groupCol) +: idCols.map(col)) ++ Seq(col("tokens"),
         expr(s"__cum div $budget").as("bin"), // integer quotient ('/' on longs is double division)
-        (col("__cum") % budget).as("bin_offset"))
+        (col("__cum") % budget).as("bin_offset")): _*)
   }
 
   /** Top-k characteristic terms per document by raw TF-IDF

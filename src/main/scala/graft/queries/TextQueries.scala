@@ -749,13 +749,14 @@ object TextQueries extends QueryModule {
           Window.partitionBy(col("chunk_h"))
             .orderBy(col("doc_id"), col("chunk_id"))))
         .filter(col("__rn") === 1)
-      // one orderable key per surviving chunk; chunk_id is bounded by
-      // n_tokens/stride so the multiplier never collides
+      // surviving chunks keep their REAL composite identity — pack order
+      // is the (doc_id, chunk_id) tuple, not an arithmetic key with a
+      // token-count cliff
       val keyed = firstSeen
         .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
-        .withColumn("ck", col("doc_id") * lit(100000L) + col("chunk_id"))
-      TextAnalysis.packSequences(keyed, "source", "ck", col("n_toks"), PackBudget)
-        .orderBy(col("source"), col("ck"))
+      TextAnalysis.packSequences(keyed, "source", Seq("doc_id", "chunk_id"),
+          col("n_toks"), PackBudget)
+        .orderBy(col("source"), col("doc_id"), col("chunk_id"))
     },
     Some(
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -772,15 +773,15 @@ object TextQueries extends QueryModule {
          |d AS (SELECT doc_id, chunk_id, n_toks FROM (
          |  SELECT c.*, row_number() OVER (PARTITION BY chunk_h
          |    ORDER BY doc_id, chunk_id) AS rn FROM c) WHERE rn = 1),
-         |j AS (SELECT doc.source, d.doc_id * 100000 + d.chunk_id AS ck,
+         |j AS (SELECT doc.source, d.doc_id, d.chunk_id,
          |  d.n_toks FROM d JOIN documents doc USING (doc_id)),
-         |p AS (SELECT source, ck, n_toks AS tokens,
-         |  COALESCE(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY ck
+         |p AS (SELECT source, doc_id, chunk_id, n_toks AS tokens,
+         |  COALESCE(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
          |  FROM j)
-         |SELECT source, ck, tokens,
+         |SELECT source, doc_id, chunk_id, tokens,
          |  cum // $PackBudget AS bin, cum % $PackBudget AS bin_offset
-         |FROM p ORDER BY source, ck""".stripMargin),
+         |FROM p ORDER BY source, doc_id, chunk_id""".stripMargin),
   )
 
   /** Quality-decile mixture audit: 10 bins per source, the drift view a

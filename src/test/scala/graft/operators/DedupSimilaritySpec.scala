@@ -522,6 +522,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(packed == Map(1L -> (0L, 0L), 2L -> (0L, 3L), 3L -> (0L, 7L), 4L -> (1L, 2L)))
   }
 
+  test("sequence packing: composite (doc_id, chunk_id) order survives chunk counts " +
+      "past any arithmetic-key cliff") {
+    val s = spark
+    import s.implicits._
+    // chunk ids far beyond the 100 000 multiplier the old single-long key
+    // used (doc_id*100000+chunk_id would interleave doc 1's high chunks
+    // after doc 2's early ones); every chunk is 1 token so the running
+    // offset equals the 0-based position in the correct tuple order
+    val chunks = Seq(
+      (1L, 0L), (1L, 99999L), (1L, 100000L), (1L, 250000L),
+      (2L, 0L), (2L, 1L),
+    ).map { case (d, c) => (d, c, "s", 1L) }
+      .toDF("doc_id", "chunk_id", "src", "n_toks")
+    val packed = TextAnalysis.packSequences(chunks, "src",
+        Seq("doc_id", "chunk_id"), col("n_toks"), budget = 1000)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "bin_offset").collect()
+    val expected = Seq(
+      (1L, 0L, 0L), (1L, 99999L, 1L), (1L, 100000L, 2L), (1L, 250000L, 3L),
+      (2L, 0L, 4L), (2L, 1L, 5L))
+    assert(packed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expected)
+  }
+
   test("tfidf top terms: a term unique to one doc outscores corpus-wide terms") {
     val s = spark
     import s.implicits._
