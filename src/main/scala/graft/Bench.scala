@@ -69,15 +69,31 @@ object Bench {
     // "queries" (best-of-N) is emitted LAST: the driver archives only the
     // tail of this line, and a tail that lands on queries_max reads as a
     // fleet-wide regression when compared against an earlier best-of-N map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+    val bigLine = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries_median":${fmt(median)},"queries_max":${fmt(_.max)},""" +
-      s""""sf":"$sfDir","queries":${fmt(_.min)}}""")
+      s""""sf":"$sfDir","queries":${fmt(_.min)}}"""
+    println(bigLine)
+    // the full per-pass record also lands in a FILE: the driver's
+    // fixed-size tail capture truncated 35 of 90 per-query times in r8,
+    // so the archived artifact must not be the only copy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_perquery.json"),
+      bigLine + "\n")
     // compact summary AFTER the big line: the driver archives only the
     // tail of the output, and a truncated big line loses the headline
-    // totals at its head — this line always survives whole
+    // totals at its head — this line always survives whole. It carries
+    // the slowest-10 best-of-N times (the plan-audit shortlist) and the
+    // machine load (/proc/loadavg 1/5/15-min) so cross-round comparisons
+    // can tell environment shifts from real regressions.
+    val slowest = names.sortBy(n => -best(n)).take(10)
+      .map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val load = try {
+      val parts = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
       s""""median_total_sec":${names.map(n => median(samples.map(_(n)))).sum},""" +
-      s""""passes":$passes,"sf":"$sfDir"}""")
+      s""""passes":$passes,"sf":"$sfDir","load":$load,"slowest10":$slowest}""")
     spark.stop()
   }
 }
