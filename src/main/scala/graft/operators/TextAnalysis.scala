@@ -421,7 +421,12 @@ object TextAnalysis {
     * row per source pair. Corpora with more than 63 sources fall back to
     * the sorted-set shape (still over hashed gram keys). */
   def sourceOverlap(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, n: Int,
+      // plan-audit hook: the fan-out result is eagerly materialized for
+      // its two consumers; PlanShapeSpec passes identity so the WHOLE
+      // dataflow stays in one inspectable (and pinnable) plan
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
     // bind the split to a column FIRST: inlining `words(...)` into
     // ngramsOf would re-evaluate the split for every element_at reference
     // in the gram lambda — O(words²) per document
@@ -466,10 +471,10 @@ object TextAnalysis {
           |      named_struct('a', x, 'b', y)))))""".stripMargin)).as("__p"))
       .groupBy(col("__p.a").as("__ba"), col("__p.b").as("__bb"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint()
-    val sizes = fan.filter(col("__bb") === -1)
+    val fanM = materialize(fan)
+    val sizes = fanM.filter(col("__bb") === -1)
       .select(col("__ba").as("__b"), col("__cnt").as("__sz"))
-    val shared = fan.filter(col("__bb") =!= -1)
+    val shared = fanM.filter(col("__bb") =!= -1)
       .select(col("__ba"), col("__bb"), col("__cnt").as("shared"))
     shared
       .join(broadcast(sizes.select(col("__b").as("__ba"), col("__sz").as("__sa"))),

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.operators.TextAnalysis
+
+/** Structural pins for the most expensive catalog plans (the VERDICT-r8
+  * plan-audit shortlist): shuffle-exchange counts, broadcast-join counts,
+  * and the presence of the operators that make each plan scale-right
+  * (TakeOrderedAndProject, WindowGroupLimit). PLANS.md records these
+  * shapes as prose; this makes a silently added exchange or a
+  * broadcast-to-sort-merge demotion a test failure instead of a perf
+  * regression discovered a round later.
+  *
+  * Conventions shared with [[WindowAuditSpec]]: AQE off while building
+  * (AdaptiveSparkPlanExec hides its inner plan from collect) and
+  * collectWithSubqueries (plans hanging off scalar/IN subqueries must not
+  * evade the count). Counts are of PLAN NODES at sf0.001 — a frame
+  * consumed by two branches is counted once per appearance (its runtime
+  * cost is shared via ReusedExchange/materialization), so the pins are
+  * plan-shape equality, not job-count claims. */
+class PlanShapeSpec extends SparkSpec {
+
+  private case class Shape(shuffles: Int, broadcastJoins: Int,
+      sortMergeJoins: Int, objectHashAggs: Int, windows: Int,
+      windowGroupLimits: Int, takeOrdered: Int)
+
+  private def shapeOf(plan: SparkPlan): Shape = {
+    def n(pf: PartialFunction[SparkPlan, Unit]): Int =
+      plan.collectWithSubqueries(pf).size
+    Shape(
+      shuffles = n { case _: ShuffleExchangeExec => },
+      broadcastJoins = n { case _: BroadcastHashJoinExec => },
+      sortMergeJoins = n { case _: SortMergeJoinExec => },
+      objectHashAggs = n { case _: ObjectHashAggregateExec => },
+      windows = n { case _: WindowExec => },
+      windowGroupLimits = n { case _: WindowGroupLimitExec => },
+      takeOrdered = n { case _: TakeOrderedAndProjectExec => })
+  }
+
+  private def pinned(build: => DataFrame): Shape = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try shapeOf(build.queryExecution.executedPlan)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def catalog(name: String): Shape =
+    pinned(SparkEntry.queries(name)(spark, sf0001))
+
+  test("ns27 tf-idf top-terms: docfreq rides count windows, final top-k is group-limit pruned") {
+    assert(catalog("ns27_tfidf_topterms") == Shape(
+      shuffles = 5, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 2, windowGroupLimits = 2, takeOrdered = 0))
+  }
+
+  test("ns52 bm25: probe semi-join broadcasts, stats broadcast, top-k is TakeOrdered") {
+    assert(catalog("ns52_bm25_search") == Shape(
+      shuffles = 5, broadcastJoins = 4, sortMergeJoins = 0,
+      objectHashAggs = 2, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
+  }
+
+  test("q08 top suppliers: one fact-fact shuffle, dims broadcast, top-k is TakeOrdered") {
+    assert(catalog("q08_top_suppliers") == Shape(
+      shuffles = 1, broadcastJoins = 3, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
+  }
+
+  test("ns42 ann pq: codebook joins broadcast, per-query rank is group-limit pruned") {
+    assert(catalog("ns42_ann_pq") == Shape(
+      shuffles = 4, broadcastJoins = 3, sortMergeJoins = 0,
+      objectHashAggs = 2, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
+  }
+
+  test("ns51 source overlap: two codegen aggregates, no set aggregate, no window, " +
+      "sizes join broadcast") {
+    // materialize = identity keeps the whole dataflow in ONE inspectable
+    // plan; the two fan consumers then each embed the upstream (4 shuffle
+    // nodes = 2 distinct exchanges × 2 appearances, reuse-deduped at
+    // runtime). The load-bearing pins: no ObjectHashAggregate (the r8
+    // collect_set shape), no sort-merge join, no window anywhere.
+    val t = Tables(spark, sf0001)
+    val shape = pinned(TextAnalysis.sourceOverlap(
+      t.documents, "source", "text", 3, materialize = identity))
+    assert(shape == Shape(
+      shuffles = 4, broadcastJoins = 2, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+  }
+}
