@@ -614,18 +614,23 @@ object TextAnalysis {
     * chunk rows stay in their document's partition); the token array is
     * computed once in the scan projection and sliced per chunk. */
   def chunkOverlap(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, size: Int, stride: Int,
+      // extra columns replicated onto every chunk row — the streaming
+      // face needs the event-time column to survive the fan-out so a
+      // watermark can still be declared downstream
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(stride >= 1 && size >= 1, "chunk size and stride must be >= 1")
     val n = org.apache.spark.sql.functions.size(col("__toks"))
-    df.select(col(idCol), words(col(textCol)).as("__toks"))
+    df.select(col(idCol) +: words(col(textCol)).as("__toks") +: carry.map(col): _*)
       .withColumn("start",
         explode(sequence(lit(1), greatest(least(n - size + stride, n), lit(1)), lit(stride))))
-      .select(col(idCol),
+      .select(Seq(col(idCol),
         ((col("start") - 1) / stride).cast("long").as("chunk_id"),
         col("start").cast("long").as("start_tok"),
         least(lit(size), org.apache.spark.sql.functions.size(col("__toks")) - col("start") + 1)
           .cast("long").as("n_toks"),
-        md5(concat_ws(" ", slice(col("__toks"), col("start"), lit(size)))).as("chunk_h"))
+        md5(concat_ws(" ", slice(col("__toks"), col("start"), lit(size)))).as("chunk_h")) ++
+        carry.map(col): _*)
   }
 
   /** Per-source quality-decile histogram (ns59): bucket every document's

@@ -47,4 +47,27 @@ object DedupStream {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Chunk-level first-occurrence dedup — the stateful step of the ns58
+    * curation tail as a STREAM: documents fan out into overlapping token
+    * chunks as they arrive ([[TextAnalysis.chunkOverlap]], stateless) and
+    * each chunk hash's FIRST occurrence within the watermark horizon
+    * survives; later repeats (boilerplate, mirrored pages, re-crawls) are
+    * dropped at the chunk granularity, before they ever cost storage.
+    *
+    * Divergence from the batch semantic, by design: ns58 keeps the first
+    * occurrence in (doc_id, chunk_id) order over the whole corpus; a
+    * stream keeps the first ARRIVAL, and a repeat arriving after its
+    * original's state was evicted re-emits — the same bounded-state
+    * trade-off as [[exact]]/[[byFingerprint]], with the store-side
+    * anti-join as the cross-horizon backstop. State is keyed by chunk_h
+    * in the state store (hash-partitioned across executors, no driver
+    * state); the watermark delay bounds it to the event-time window times
+    * the chunk fan-out, NOT stream history. */
+  def chunksFirstSeen(stream: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, delay: String, size: Int, stride: Int): DataFrame =
+    TextAnalysis.chunkOverlap(stream, idCol, textCol, size, stride,
+        carry = Seq(eventTimeCol))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("chunk_h")
 }
