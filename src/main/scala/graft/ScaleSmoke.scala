@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis, Upsert}
+import graft.operators.{Dedup, KMeansIvf, ProductQuantizer, Similarity, TextAnalysis, Upsert}
 
 /** Scale smoke harness: the correctness suite runs at sf0.01–0.1 (5 k
   * documents); this main runs the same operators over a MILLIONS-of-rows
@@ -13,11 +13,14 @@ import graft.operators.{Dedup, TextAnalysis, Upsert}
   * of data, without single-partition funnels, and in time roughly linear
   * in the input.
   *
-  * {{{ sbt "runMain graft.ScaleSmoke 2000000" }}}
+  * {{{ sbt "runMain graft.ScaleSmoke 2000000 [opFilter]" }}}
   *
   * Results from this harness are recorded in SCALE.md. This is the
   * 40–400× companion to Bench: Bench measures the per-query floor at
-  * oracle scale; this measures the slope.
+  * oracle scale; this measures the slope. Each selected op first runs
+  * once over a 100×-smaller corpus, untimed (r9 methodology — Bench's
+  * warmup discipline): a fresh JVM's first heavy query otherwise pays
+  * minutes of C2 compilation that says nothing about the op's scaling.
   */
 object ScaleSmoke {
 
@@ -46,6 +49,20 @@ object ScaleSmoke {
       .select("doc_id", "source", "text")
   }
 
+  /** Deterministic embedding corpus for the ANN families: dim-wide
+    * uniform [-1, 1) float vectors plus a 64-way label (the coarse
+    * blocking column ns09 uses). Uniform — not clustered — on purpose:
+    * the smoke measures plan feasibility and slope, and uniform vectors
+    * are the worst case for bucketing ops (no lucky small cells); recall
+    * quality is ns44's job at oracle scale. */
+  def vectors(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("vec_id") * lit(1000003L) + i), lit(2000000L))
+          .cast("double") / lit(1000000.0) - lit(1.0)).cast("float")))
+      .withColumn("label", pmod(xxhash64(col("vec_id") + lit(13)), lit(64)).cast("int"))
+      .select("vec_id", "label", "embedding")
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional second arg: substring filter over op labels (focused A/B runs)
@@ -53,77 +70,119 @@ object ScaleSmoke {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = corpus(spark, n).localCheckpoint() // generate once, time ops only
-    // JIT/codegen warmup (r9 methodology): each selected op first runs
-    // once over a 100×-smaller corpus, untimed — the first heavy query in
-    // a fresh JVM otherwise pays ~2 minutes of C2-compilation that has
-    // nothing to do with the op's scaling (Bench applies the same
-    // discipline). SCALE.md rows from r9 on are warm-JIT numbers.
-    val warm = corpus(spark, math.max(n / 100, 10000L)).localCheckpoint()
-    println(s"[scale] corpus: $n docs, ${docs.rdd.getNumPartitions} partitions")
+    def selected(label: String): Boolean =
+      only.forall(_.split(',').exists(label.contains))
 
-    var warming = true
-    def time(label: String)(body: org.apache.spark.sql.DataFrame => Long): Unit = {
-      // filter is a comma-separated list of label substrings
-      if (only.forall(_.split(',').exists(label.contains))) {
-        if (warming) body(warm)
-        else {
-          val t0 = System.nanoTime()
-          val rows = body(docs)
-          println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
-        }
+    /** Run a section: JIT-warm every selected op at n/100, then time at n.
+      * The corpus is generated + checkpointed OUTSIDE the timings; between
+      * ops every OTHER persistent RDD (the ops' internal localCheckpoint
+      * scratch) is released so one op's materializations don't GC-pressure
+      * the next. No op here uses a SharedCache key, so the corpus ids are
+      * the only blocks worth keeping. */
+    def runSection(name: String, mkCorpus: Long => DataFrame,
+        ops: Seq[(String, DataFrame => Long)]): Unit = {
+      val sel = ops.filter(o => selected(o._1))
+      if (sel.isEmpty) return
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val warm = mkCorpus(math.max(n / 100, 10000L)).localCheckpoint()
+      val full = mkCorpus(n).localCheckpoint()
+      val corpusIds = sc.getPersistentRDDs.keySet -- before
+      def sweepScratch(): Unit = sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!corpusIds.contains(id)) rdd.unpersist(blocking = false)
       }
+      sel.foreach { o => o._2(warm); sweepScratch() }
+      println(s"[scale] $name corpus: $n rows, ${full.rdd.getNumPartitions} partitions")
+      sel.foreach { case (label, body) =>
+        val t0 = System.nanoTime()
+        val rows = body(full)
+        println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+        sweepScratch()
+      }
+      warm.unpersist(blocking = false)
+      full.unpersist(blocking = false)
     }
 
-    def ops(): Unit = {
-      time("exact_dedup") { d =>
-        Dedup.exact(d, "doc_id", "text").filter(col("n") > 1).count()
-      }
-      time("minhash_lsh_pairs") { d =>
-        Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()
-      }
-      time("simhash_pairs_banded48") { d =>
-        Dedup.simhashPairsBanded(d, "doc_id", "text", bucket = Nil, maxDist = 3).count()
-      }
-      time("batch_ids_distributed_rank") { d =>
-        Upsert.batchIds(d, "doc_id", 25).groupBy(col("batch_id")).count().count()
-      }
-      time("source_mix_sample") { d =>
+    val textOps: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (d =>
+        Dedup.exact(d, "doc_id", "text").filter(col("n") > 1).count()),
+      "minhash_lsh_pairs" -> (d =>
+        Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
+      "simhash_pairs_banded48" -> (d =>
+        Dedup.simhashPairsBanded(d, "doc_id", "text", bucket = Nil, maxDist = 3).count()),
+      "batch_ids_distributed_rank" -> (d =>
+        Upsert.batchIds(d, "doc_id", 25).groupBy(col("batch_id")).count().count()),
+      "source_mix_sample" -> (d =>
         TextAnalysis.sampleToMix(d, "source", "doc_id",
-          Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.2, "src3" -> 0.3)).count()
-      }
-      time("bm25_rank") { d =>
+          Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.2, "src3" -> 0.3)).count()),
+      "bm25_rank" -> (d =>
         TextAnalysis.bm25Rank(d, "doc_id", "text",
-          Seq("w17", "w230", "w1200", "w4200", "w9000", "w15000"), 1.2, 0.75, 20).count()
-      }
-      time("source_overlap_trigrams") { d =>
-        TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()
-      }
-      time("dup_span_stats") { d =>
+          Seq("w17", "w230", "w1200", "w4200", "w9000", "w15000"), 1.2, 0.75, 20).count()),
+      "source_overlap_trigrams" -> (d =>
+        TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()),
+      "dup_span_stats" -> (d =>
         TextAnalysis.duplicateSpanStats(d, "doc_id", "text", n = 3)
-          .filter(col("dup_frac") > 0.5).count()
-      }
-      time("norm_dedup") { d =>
-        Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()
-      }
-      time("token_budget") { d =>
+          .filter(col("dup_frac") > 0.5).count()),
+      "norm_dedup" -> (d =>
+        Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()),
+      "token_budget" -> (d =>
         // budget sized so the filter bites: ~60 words/doc × n/20 docs per
         // source → keep roughly the best third of each source
-        TextAnalysis.tokenBudgetSelect(d, "source", "doc_id", "text", n).count()
-      }
-      time("chunk_overlap") { d =>
-        TextAnalysis.chunkOverlap(d, "doc_id", "text", size = 32, stride = 24).count()
-      }
-      time("url_domains") { d =>
+        TextAnalysis.tokenBudgetSelect(d, "source", "doc_id", "text", n).count()),
+      "chunk_overlap" -> (d =>
+        TextAnalysis.chunkOverlap(d, "doc_id", "text", size = 32, stride = 24).count()),
+      "url_domains" -> { d =>
         val withUrls = d.select(col("doc_id"), concat(col("text"),
           lit(" https://m"), pmod(col("doc_id"), lit(37)).cast("string"),
           lit(".example.com/d")).as("text"))
         TextAnalysis.urlDomains(withUrls, "doc_id", "text").count()
-      }
-    }
-    ops()            // warm pass at n/100 (untimed, JIT/codegen)
-    warming = false
-    ops()            // measured pass at n
+      },
+    )
+
+    // ANN/embedding families (ns07/08/09/20/30/36/37/42 shapes). Queries
+    // are 5 corpus vectors, like the catalog entries; k-means/PQ training
+    // runs the DISTRIBUTED Lloyd path (the corpus is far above
+    // spark.graft.kmeans.localThreshold), so these measure the
+    // centroids-only-driver-state claim directly.
+    val dim = 64
+    val vecOps: Seq[(String, DataFrame => Long)] = Seq(
+      "ann_brute_top10" -> (v =>
+        Similarity.bruteForceTopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 10, dim = Some(dim)).count()),
+      "ann_ivf_label" -> (v =>
+        Similarity.ivfTopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", "label", k = 5, dim = Some(dim)).count()),
+      "ann_kmeans_ivf" -> (v =>
+        KMeansIvf.search(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 5, nCells = 16, iters = 2).count()),
+      "ann_ivf_multiprobe" -> (v =>
+        KMeansIvf.searchMultiProbe(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2, iters = 2).count()),
+      "ann_sq8" -> (v =>
+        Similarity.sq8TopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 10, dim = dim).count()),
+      "ann_lsh_bucket" -> (v =>
+        Similarity.lshBucketTopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 10, planes = 16, dim = dim).count()),
+      "ann_pq_adc" -> (v =>
+        ProductQuantizer.pqTopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 10, dim = dim).count()),
+      "embed_neardup_lsh" -> { v =>
+        // ns07's pair emitter with LSH blocking instead of the oracle's
+        // coarse label: 20 planes ≈ 1 M buckets, so within-bucket pair
+        // fan-out stays bounded at millions of rows — the scale path for
+        // embedding near-dup
+        val w = Similarity.hyperplaneWeights(20, dim)
+        val withBkt = v.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneBucket(
+            Similarity.fixedPoint(col("embedding")), w).as("bkt"))
+        Similarity.cosineNearDupPairs(withBkt, "vec_id", "embedding",
+          bucket = Seq("bkt"), threshold = 0.2, dim = Some(dim)).count()
+      },
+    )
+
+    runSection("text", corpus(spark, _), textOps)
+    runSection("vector", vectors(spark, _), vecOps)
     spark.stop()
   }
 }
