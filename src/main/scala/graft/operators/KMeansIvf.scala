@@ -18,16 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object KMeansIvf {
 
-  /** Squared L2 distance between a fixed-point vector column and a literal
-    * centroid, via the native dot expression: |x|² - 2x·c + |c|².
-    * Package-visible: [[ProductQuantizer]] reuses it for per-subspace
-    * codebook assignment and ADC distance tables. */
-  private[operators] def distSq(fe: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column,
-      c: Array[Long]): org.apache.spark.sql.Column = {
-    val cLit = typedlit(c.toSeq)
-    val cNsq = c.map(v => v * v).sum
-    nsq - lit(2L) * Similarity.dotFp(fe, cLit) + lit(cNsq)
-  }
+  // Centroid ranking runs through the native NearestCells expression: the
+  // earlier form unrolled every centroid into a distSq literal column
+  // (k × dim literals, duplicated per consumer), which made the generated
+  // code grow with k·dim — janino compile time dominated 2 M-row runs at
+  // k = 16 already, and a production coarse quantizer (k ≈ √n) could
+  // never plan. NearestCells ships the matrix once as a reference object.
 
   /** Fit k centroids, return (assignments, centroids). Assignments:
     * (idCol, cluster int).
@@ -60,18 +56,15 @@ object KMeansIvf {
     }
 
     val fp = df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
-      .withColumn("__nsq", Similarity.dotFp(col("__fe"), col("__fe")))
       .localCheckpoint()
 
     var centroids: Array[Array[Long]] = fp.orderBy(col(idCol)).limit(k)
       .select("__fe").collect()
       .map(_.getSeq[Long](0).toArray)
 
-    def assign(frame: DataFrame): DataFrame = {
-      val dists = array(centroids.map(c => distSq(col("__fe"), col("__nsq"), c)): _*)
+    def assign(frame: DataFrame): DataFrame =
       frame.withColumn("cluster",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-    }
+        org.apache.spark.sql.graft.NearestCells.nearest(col("__fe"), centroids))
 
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
@@ -146,15 +139,14 @@ object KMeansIvf {
     val (assignments, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
     val cands = candidates.join(assignments, idCol)
-    val qfp = queries.select(col(idCol), col(vecCol),
-        Similarity.fixedPoint(col(vecCol)).as("__fe"))
-      .withColumn("__nsq", Similarity.dotFp(col("__fe"), col("__fe")))
-    // (distance, cell) per centroid; ascending struct sort = ORDER BY d, cell
-    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(distSq(col("__fe"), col("__nsq"), c).as("d"), lit(i).as("c")) }: _*)
-    val probed = qfp
-      .withColumn("__probe", explode(slice(sort_array(cells), 1, nProbe)))
-      .select(col(idCol), col(vecCol), col("__probe.c").as("cluster"))
+    // the nProbe nearest cells per query, ascending by (distance, cell) —
+    // NearestCells reproduces the former sort_array(struct(d, c)) order,
+    // tie-break included
+    val probed = queries
+      .select(col(idCol), col(vecCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
+      .withColumn("cluster", explode(
+        org.apache.spark.sql.graft.NearestCells(col("__fe"), centroids, nProbe)))
+      .select(col(idCol), col(vecCol), col("cluster"))
     Similarity.ivfTopK(probed, cands, idCol, vecCol, "cluster", k)
   }
 }

@@ -14,17 +14,16 @@ import org.apache.spark.sql.functions._
   *
   * Codebooks use the same deterministic fixed-point Lloyd recipe as
   * [[KMeansIvf]] (integer micro-units, lowest-id init, lowest-code argmin
-  * ties, integer-division means — no RNG), but all `m` subspaces train
-  * JOINTLY and the codebooks live in a broadcast (subspace, code,
-  * centroid) TABLE rather than unrolled expression literals: every row of
-  * the exploded (id, subspace, subvector) membership table joins its
-  * subspace's codes, takes min(struct(distance, code)), and one
-  * map-side-combined aggregation on (subspace, code) yields all m×ks new
-  * centroids in a single shuffle. Two wins over per-subspace literal
-  * unrolling: m training scans collapse to one, and the generated code
-  * stays SMALL and shape-stable — m×ks×(dim/m) unrolled distance terms
-  * made every Lloyd step a fresh multi-hundred-ms whole-stage compile
-  * (measured ~3× the whole query's steady-state time at small SF).
+  * ties, integer-division means — no RNG), and all `m` subspaces train
+  * JOINTLY: each row of the exploded (id, subspace, subvector) membership
+  * table picks its nearest code via the reference-object
+  * [[org.apache.spark.sql.graft.NearestCells]] expression (a projection —
+  * no literal unrolling, no join), and one map-side-combined aggregation
+  * on (subspace, code) yields all m×ks new centroids in a single
+  * config-sized shuffle per iteration. Literal-unrolled distance columns
+  * were measured making every Lloyd step a fresh multi-hundred-ms
+  * whole-stage compile; an earlier broadcast-join + min(struct) form
+  * re-aggregated |corpus|·m joined rows per pass — both are gone.
   *
   * Search is asymmetric distance computation (ADC): each query precomputes
   * an EXACT integer table of squared L2 distances from its subvectors to
@@ -34,14 +33,15 @@ import org.apache.spark.sql.functions._
   * distance is an exact Long, and the DuckDB oracle replays the training
   * bit-for-bit.
   *
-  * Scale notes: codebooks are m×ks-row broadcasts (the driver holds
-  * m×ks×(dim/m) longs, like the IVF centroids); candidate encoding is the
-  * same broadcast join + per-vector aggregation — the corpus is never
-  * shuffled full-width, only the m×ks partially-aggregated centroid rows
-  * and the per-vector (id, m codes) rows move; the query side (id +
-  * m×ks-long table) broadcasts; ranking shuffles only (q_id, dist) pairs
-  * through the per-query window. At 100 TB the candidate table stores
-  * ONLY the m byte-codes — the corpus scan that PQ exists to shrink.
+  * Scale notes: codebooks are m×ks×(dim/m) longs on the driver (like the
+  * IVF centroids) and ride to executors as NearestCells reference
+  * objects; candidate encoding is a pure projection (m nearest-code
+  * columns straight off the vector), so the corpus is never exploded,
+  * joined, or shuffled full-width — only the m×ks partially-aggregated
+  * centroid rows move during training; the query side (id + m×ks-long
+  * table) broadcasts; ranking shuffles only (q_id, dist) pairs through
+  * the per-query window. At 100 TB the candidate table stores ONLY the m
+  * byte-codes — the corpus scan that PQ exists to shrink.
   */
 object ProductQuantizer {
 
@@ -50,8 +50,8 @@ object ProductQuantizer {
     * subspace. Pure expression — TRAINING persists it (the init collect
     * materializes the cache as part of its own job, every Lloyd pass after
     * that reads cached blocks) and releases it when the last Lloyd collect
-    * returns; the encode/query passes after training re-derive it lazily
-    * in their own single scan, so `pqTopK` leaves nothing cached behind. */
+    * returns; the only other consumer is the |Q|-row query-table slice, so
+    * `pqTopK` leaves nothing cached behind. */
   private def memberRows(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int): DataFrame = {
     val sub = dim / m
@@ -105,17 +105,23 @@ object ProductQuantizer {
   private val distExpr: Column =
     col("nsq") - lit(2L) * Similarity.dotFp(col("fe"), col("cfe")) + col("cnsq")
 
-  /** Per-(id, subspace) nearest code with its subvector carried along:
-    * min(struct(d, cl, fe)) — codes are unique per group, so ties on d go
-    * to the lowest code, the same first-match rule as [[KMeansIvf.fit]]. */
-  private def assign(members: DataFrame, cents: DataFrame): DataFrame =
-    members.join(broadcast(cents), "ss")
-      .groupBy(col("__pqid"), col("ss"))
-      .agg(min(struct(distExpr.as("d"), col("cl").as("cl"), col("fe").as("fe"))).as("__m"))
-      .select(col("__pqid"), col("ss"),
-        col("__m.cl").as("cl"), col("__m.fe").as("fe"))
+  /** Per-row nearest code for an (ss, fe) member row: a lazily-branched
+    * when-chain of [[org.apache.spark.sql.graft.NearestCells]] over the m
+    * codebooks — a PROJECTION (k·(dim/m) multiply-adds per row through one
+    * reference-object matrix each), where the former shape broadcast-joined
+    * every member row against all ks codes and re-grouped the m·ks-times
+    * larger frame back down with a min(struct) ObjectHashAggregate on
+    * |corpus|·m keys. Identical codes: NearestCells' strict-< first-min is
+    * the same lowest-code tie rule. */
+  private def nearestCode(books: Array[Array[Array[Long]]]): Column =
+    books.indices.tail.foldLeft(
+      when(col("ss") === 0, org.apache.spark.sql.graft.NearestCells.nearest(
+        col("fe"), books(0)))) { (acc, j) =>
+      acc.when(col("ss") === j, org.apache.spark.sql.graft.NearestCells.nearest(
+        col("fe"), books(j)))
+    }
 
-  /** Joint Lloyd over all subspaces: one broadcast assignment join + one
+  /** Joint Lloyd over all subspaces: one assignment projection + one
     * (ss, cl) mean aggregation per iteration. */
   private def fitOnMembers(members: DataFrame, sub: Int, m: Int, ks: Int,
       iters: Int): Array[Array[Array[Long]]] = {
@@ -159,7 +165,7 @@ object ProductQuantizer {
     val sums = (0 until sub).map(i =>
       sum(element_at(col("fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
     for (_ <- 1 to iters) {
-      val means = assign(members, centroidFrame(members, books))
+      val means = members.withColumn("cl", nearestCode(books))
         .groupBy(col("ss"), col("cl")).agg(sums.head, sums.tail: _*).collect()
       // empty codes keep their previous centroid, like KMeansIvf.fit
       val next = Array.tabulate(m, ks)((j, c) => books(j)(c).clone())
@@ -205,27 +211,31 @@ object ProductQuantizer {
         trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
       case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
     }
-    val members = memberRows(candidates, idCol, vecCol, dim, m) // lazy: one scan per consumer below
-    val cents = centroidFrame(members, books)
+    val sub = dim / m
 
-    // candidate codes: nearest code per subspace, pivoted to one row of m
-    // code columns in a SINGLE aggregation — min(when(ss=j, struct(d, cl)))
-    // skips the other subspaces' rows (nulls), so no intermediate
-    // per-(id, subspace) grouping pass is needed
-    val codeAggs = (0 until m).map(j =>
-      min(when(col("ss") === j, struct(distExpr.as("d"), col("cl").as("cl"))))
-        .getField("cl").as(s"__c$j"))
-    val coded = members.join(broadcast(cents), "ss")
-      .groupBy(col("__pqid")).agg(codeAggs.head, codeAggs.tail: _*)
+    // candidate codes: nearest code per subspace as m PROJECTION columns
+    // straight off the vector column — no member explode, no broadcast
+    // join, no per-corpus-key aggregation; encoding is a pure scan, which
+    // is the whole point of PQ at 100 TB (the former min(when(ss=j,
+    // struct(d, cl))) pivot re-aggregated |corpus|·m joined rows)
+    val codeCols = (0 until m).map(j =>
+      org.apache.spark.sql.graft.NearestCells.nearest(
+        Similarity.fixedPoint(slice(col(vecCol), j * sub + 1, sub)), books(j))
+        .as(s"__c$j"))
+    val coded = candidates.select(col(idCol).as("__pqid") +: codeCols: _*)
 
-    // query ADC tables: all m×ks distances per query, assembled into
-    // code-indexed arrays per subspace, one aggregation for the same reason
+    // query ADC tables: all m×ks EXACT distances per query (these are the
+    // output pq_dist values, so they keep the full |x|²−2x·c+|c|² form via
+    // the codebook-frame join), assembled into code-indexed arrays per
+    // subspace in one aggregation. Members are derived from the |Q|-row
+    // semi-joined corpus slice, not the full corpus.
+    val qcand = candidates.join(broadcast(queries.select(col(idCol))), idCol)
+    val cents = centroidFrame(candidates, books)
     val tabAggs = (0 until m).map(j =>
       transform(array_sort(collect_list(
           when(col("ss") === j, struct(col("cl"), col("d"))))),
         x => x.getField("d")).as(s"__dt$j"))
-    val qtabs = members
-      .join(queries.select(col(idCol).as("__pqid")), "__pqid")
+    val qtabs = memberRows(qcand, idCol, vecCol, dim, m)
       .join(broadcast(cents), "ss")
       .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))
       .groupBy(col("__pqid")).agg(tabAggs.head, tabAggs.tail: _*)

@@ -73,9 +73,13 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
   }
 
-  test("ns42 ann pq: codebook joins broadcast, per-query rank is group-limit pruned") {
+  test("ns42 ann pq: encode is a projection, query tables broadcast, rank is group-limit pruned") {
+    // r9 NearestCells rewrite: candidate encoding lost its broadcast
+    // codebook join AND its per-corpus-key pivot shuffle (now a pure
+    // projection); the two remaining broadcasts are the query-id semi-join
+    // and the m×ks ADC-table join, both |Q|-sized
     assert(catalog("ns42_ann_pq") == Shape(
-      shuffles = 4, broadcastJoins = 3, sortMergeJoins = 0,
+      shuffles = 3, broadcastJoins = 2, sortMergeJoins = 0,
       objectHashAggs = 2, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
   }
 
