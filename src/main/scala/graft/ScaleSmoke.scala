@@ -99,8 +99,11 @@ object ScaleSmoke {
         println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
         sweepScratch()
       }
-      warm.unpersist(blocking = false)
-      full.unpersist(blocking = false)
+      // Dataset.unpersist only clears CacheManager entries; localCheckpoint
+      // blocks live in sc.persistentRdds and must be released through the
+      // tracked RDD handles, or each section's corpora (GBs at large n)
+      // would survive into the next section's generation window
+      corpusIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     }
 
     val textOps: Seq[(String, DataFrame => Long)] = Seq(

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * is the k lowest-id vectors — no RNG, same result on every run/cluster.
   *
   * Scale notes: each Lloyd iteration is one scan + one (cluster, dim)
-  * aggregation; centroids (k × dim longs) live on the driver and ship as
-  * literals — nothing about the candidate table is ever collected.
+  * aggregation; centroids (k × dim longs) live on the driver and ship
+  * once per plan as a [[org.apache.spark.sql.graft.NearestCells]] codegen
+  * reference object — nothing about the candidate table is ever
+  * collected.
   */
 object KMeansIvf {
 

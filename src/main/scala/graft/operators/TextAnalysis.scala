@@ -414,12 +414,14 @@ object TextAnalysis {
     * (gram, source) rows collapse map-side for free) and the set-builder
     * (the mask IS the source set). No gram string, no collect_set, no
     * ObjectHashAggregate anywhere. Per-source sizes and the pair fan-out
-    * both read set bits off the mask frame: grams in a single source are
-    * dropped by a `bit_count ≥ 2` codegen prefilter before the pair
-    * lambda, and a hot gram present in every source costs one bounded
-    * array (k·(k−1)/2 bit pairs), never a join-side blowup. Output is one
-    * row per source pair. Corpora with more than 63 sources fall back to
-    * the sorted-set shape (still over hashed gram keys). */
+    * both read set bits off the mask frame in ONE unified pass: every
+    * mask emits one sizes row per set bit, and pair rows only when it has
+    * ≥ 2 bits (a single-source gram's pair transform is empty — do NOT
+    * "optimize" by filtering those masks out, the sizes branch needs
+    * them); a hot gram present in every source costs one bounded array
+    * (k·(k−1)/2 bit pairs), never a join-side blowup. Output is one row
+    * per source pair. Corpora with more than 63 sources fall back to the
+    * sorted-set shape (still over hashed gram keys). */
   def sourceOverlap(df: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String, n: Int,
       // plan-audit hook: the fan-out result is eagerly materialized for
@@ -439,8 +441,11 @@ object TextAnalysis {
       .select(col("__src"),
         explode(org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
           distinct = true)).as("__gk"))
+    // null sources are excluded, matching the former collect_set shape
+    // (which skipped nulls): they get no bit, and their rows' null bit
+    // index yields a null mask contribution that bit_or ignores
     val srcNames = df.select(col(groupCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.getString(0)).filter(_ != null).sorted
     if (srcNames.length > 63) return sourceOverlapSets(toks)
     // bit index = rank in sorted name order, so ascending bit pairs below
     // are already ascending (src_a, src_b) name pairs — the oracle's

@@ -23,6 +23,21 @@ class TextRetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b", 1L, 1.0 / 3.0)))
   }
 
+  test("sourceOverlap excludes null sources instead of crashing on them") {
+    val s = spark
+    import s.implicits._
+    // the collect_set shape silently skipped null group keys; the bitmask
+    // shape must do the same (null gets no bit; its rows' null mask
+    // contribution is ignored by bit_or) — regression: the sorted-name
+    // bit assignment NPE'd on a null in the distinct source list
+    val df = Seq(
+      ("a", "x y z w"), ("b", "x y z q"), (null, "x y z w"))
+      .toDF("src", "text")
+    val got = TextAnalysis.sourceOverlap(df, "src", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 1L, 1.0 / 3.0)))
+  }
+
   test("bm25Rank matches an independent scalar computation and is partition-invariant") {
     val s = spark
     import s.implicits._
