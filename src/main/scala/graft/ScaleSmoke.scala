@@ -13,7 +13,7 @@ import graft.operators.{Dedup, KMeansIvf, ProductQuantizer, Similarity, TextAnal
   * of data, without single-partition funnels, and in time roughly linear
   * in the input.
   *
-  * {{{ sbt "runMain graft.ScaleSmoke 2000000 [opFilter]" }}}
+  * {{{ sbt "runMain graft.ScaleSmoke 2000000 [opFilter] [passes]" }}}
   *
   * Results from this harness are recorded in SCALE.md. This is the
   * 40–400× companion to Bench: Bench measures the per-query floor at
@@ -67,6 +67,9 @@ object ScaleSmoke {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional second arg: substring filter over op labels (focused A/B runs)
     val only = args.lift(1)
+    // optional third arg: timed passes per op (default 2, best recorded —
+    // Bench's best-pass discipline; pass 1 for giant single-pass runs)
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -94,10 +97,20 @@ object ScaleSmoke {
       sel.foreach { o => o._2(warm); sweepScratch() }
       println(s"[scale] $name corpus: $n rows, ${full.rdd.getNumPartitions} partitions")
       sel.foreach { case (label, body) =>
-        val t0 = System.nanoTime()
-        val rows = body(full)
-        println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
-        sweepScratch()
+        // best-of-N: the n/100 warmup JIT-compiles the plan's own codegen,
+        // but the SHARED shuffle/spill/sort machinery only gets hot under
+        // real volume — a single pass was measured up to 4× slower than
+        // the same plan re-run in the same JVM (ns51: 316.9 s one-shot vs
+        // 71.4 s warm, same idle machine)
+        var best = Double.MaxValue
+        var rows = 0L
+        for (_ <- 1 to passes) {
+          val t0 = System.nanoTime()
+          rows = body(full)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          sweepScratch()
+        }
+        println(f"[scale] $label%-28s $best%8.1f s  ($rows rows)")
       }
       // Dataset.unpersist only clears CacheManager entries; localCheckpoint
       // blocks live in sc.persistentRdds and must be released through the

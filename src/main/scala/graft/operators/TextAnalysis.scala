@@ -459,22 +459,19 @@ object TextAnalysis {
     // ONE fan-out pass serves both downstream aggregates: each mask
     // explodes into its set bits (b = −1 rows → per-source sizes) AND its
     // ascending bit pairs (→ shared counts) together, so the 100M+-row
-    // mask frame is read exactly once and never checkpointed. The second
-    // aggregate has ≤ sources + sources²/2 distinct keys — map-side
+    // mask frame is read exactly once and never checkpointed. MaskPairCodes
+    // emits both row kinds as packed ints in one native codegen pass (the
+    // higher-order-function formulation ran interpreted and was ~50 s of
+    // the 2 M-doc wall by itself); decode is two-instruction arithmetic.
+    // The aggregate has ≤ sources + sources²/2 distinct keys — map-side
     // partial aggregation collapses it to a config-sized shuffle — and
     // the ≤-sources²-row result is what gets checkpointed for the two
     // consumers below.
     val fan = masks
-      .withColumn("__bits", expr(
-        s"""filter(transform(sequence(0, ${srcNames.length - 1}),
-           |  b -> IF(((__mask >> b) & 1) = 1, b, -1)), x -> x >= 0)""".stripMargin))
-      .select(explode(expr(
-        """concat(
-          |  transform(__bits, x -> named_struct('a', x, 'b', -1)),
-          |  flatten(transform(__bits, (x, i) ->
-          |    transform(slice(__bits, i + 2, size(__bits) - i - 1), y ->
-          |      named_struct('a', x, 'b', y)))))""".stripMargin)).as("__p"))
-      .groupBy(col("__p.a").as("__ba"), col("__p.b").as("__bb"))
+      .select(explode(org.apache.spark.sql.graft.MaskPairCodes(
+        col("__mask"))).as("__c"))
+      .groupBy(shiftright(col("__c"), 6).as("__ba"),
+        (col("__c").bitwiseAND(lit(63)) - lit(1)).as("__bb"))
       .agg(count(lit(1)).as("__cnt"))
     val fanM = materialize(fan)
     val sizes = fanM.filter(col("__bb") === -1)
