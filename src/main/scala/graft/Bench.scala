@@ -35,21 +35,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table + exercise codegen/shuffle machinery once.
-    val t = Tables(spark, sfDir)
-    Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
-      t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
-    SparkEntry.queries("dq01_filter_scan")(spark, sfDir).count()
+    // The ENTIRE block is guarded — a broken table or warmup query must
+    // cost its own queries their timings, never the whole bench run
+    // (BENCH_r09 was rc=1/no-data because this warmup threw unguarded).
+    try {
+      val t = Tables(spark, sfDir)
+      Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+        t.lineitem, t.events, t.documents, t.embeddings).foreach { df =>
+        try df.count() catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup table failed: ${e.getMessage}") }
+      }
+      SparkEntry.queries("dq01_filter_scan")(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
+    // A failed query returns a NEGATIVE sentinel (and records its message)
+    // so time-to-exception can never masquerade as a valid fast timing.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(e: QueryEntry): Double = {
       val t0 = System.nanoTime()
-      try e.run(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      val ok =
+        try { e.run(spark, sfDir).count(); true }
+        catch { case ex: Throwable =>
+          errors.getOrElseUpdate(e.name, Option(ex.getMessage).getOrElse(ex.getClass.getName).take(300))
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // release intermediate materializations (localCheckpoint RDDs) so one
       // query's scratch state doesn't GC-pressure the next; SharedCache
       // pins survive until the pass ends
       SharedCache.unpersistScratch(spark)
-      dt
+      if (ok) dt else -1.0
     }
 
     val names = SparkEntry.all.map(_.name)
@@ -57,21 +74,35 @@ object Bench {
       SharedCache.clear(spark)
       SparkEntry.all.map(e => e.name -> timeOnce(e)).toMap
     }
+    // Failed passes carry the -1 sentinel; aggregate over VALID samples
+    // only, and a query with zero valid samples stays -1 (explicit failure)
+    // in every emitted map rather than polluting min/median/max.
+    def valid(n: String): Seq[Double] = samples.map(_(n)).filter(_ >= 0)
     def fmt(f: Seq[Double] => Double): String =
-      names.map(n => "\"" + n + "\":" + f(samples.map(_(n))))
-        .mkString("{", ",", "}")
+      names.map { n =>
+        val v = valid(n)
+        "\"" + n + "\":" + (if (v.isEmpty) -1.0 else f(v))
+      }.mkString("{", ",", "}")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val best = names.map(n => n -> samples.map(_(n)).min).toMap
-    val total = names.map(best).sum
+    val best = names.map(n => n -> valid(n).minOption.getOrElse(-1.0)).toMap
+    val total = names.map(best).filter(_ >= 0).sum
     // "queries" (best-of-N) is emitted LAST: the driver archives only the
     // tail of this line, and a tail that lands on queries_max reads as a
     // fleet-wide regression when compared against an earlier best-of-N map.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val bigLine = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""queries_median":${fmt(median)},"queries_max":${fmt(_.max)},""" +
-      s""""sf":"$sfDir","queries":${fmt(_.min)}}"""
+      s""""errors":$errJson,"sf":"$sfDir","queries":${fmt(_.min)}}"""
     println(bigLine)
     // the full per-pass record also lands in a FILE: the driver's
     // fixed-size tail capture truncated 35 of 90 per-query times in r8,
@@ -95,7 +126,8 @@ object Bench {
       s"[${parts(0)},${parts(1)},${parts(2)}]"
     } catch { case _: Throwable => "null" }
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
-      s""""median_total_sec":${names.map(n => median(samples.map(_(n)))).sum},""" +
+      s""""n_failed":${errors.size},"errors":$errJson,""" +
+      s""""median_total_sec":${names.map(n => valid(n) match { case v if v.isEmpty => 0.0; case v => median(v) }).sum},""" +
       s""""passes":$passes,"sf":"$sfDir","load":$load,"slowest10":$slowest}""")
     spark.stop()
   }

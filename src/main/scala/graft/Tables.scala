@@ -10,17 +10,44 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos and truncate to a microsecond
-    * TimestampType — exactly DuckDB's CAST(ts_ns AS TIMESTAMP) semantics,
-    * so event-time ordering agrees with the oracle.
+  /** events.ts has shipped as two physical parquet types over the life of
+    * this testdata — INT64 TIMESTAMP(NANOS) originally, TIMESTAMP_MICROS
+    * after a regeneration — so this loader dispatches on the schema it
+    * actually reads instead of hard-coding either. The contract downstream
+    * is a single shape: `ts` is a session-TZ (UTC) TimestampType at
+    * microsecond precision, matching DuckDB's `CAST(ts AS TIMESTAMP)` /
+    * `epoch_us` oracle semantics, so event-time ordering and `unix_micros`
+    * agree with the oracle regardless of the file's vintage. Schema-on-read
+    * tolerance at the ingest boundary mirrors the reference
+    * (/root/reference/src/util/subscription.ts:24-33).
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try t("events")
+      catch {
+        // TIMESTAMP(NANOS) files are rejected at schema inference unless the
+        // legacy flag is on — enable it only when actually needed, rather
+        // than mutating session conf on every call.
+        case _: org.apache.spark.sql.AnalysisException
+            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t("events")
+      }
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType =>
+        // naive micros; session TZ is UTC everywhere, so this cast is
+        // value-preserving and epoch_us-compatible with DuckDB
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        // nanosAsLong path (or a raw INT64 export): values are epoch-nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — extend Tables.events dispatch")
+    }
   }
 
   def region: DataFrame = t("region")

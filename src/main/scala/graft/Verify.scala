@@ -23,11 +23,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     new java.io.File(outDir).mkdirs()
+    // per-query verdict (name → "ok" | error message), written to
+    // status.json so a failed query surfaces to the driver as an explicit
+    // `err` row instead of silently vanishing from CORRECTNESS
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        status(name) = s"error: $msg"
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // free per-query materializations (localCheckpoint RDDs) so a 50+
       // query run doesn't accumulate storage memory; SharedCache pins
@@ -49,6 +57,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
     spark.stop()
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fail-fast canary for the shared testdata fixture: asserts the loaded
+  * dtypes/shapes the catalog (Tables.scala) and every downstream query
+  * depend on. When the driver regenerates `/root/testdata` with a changed
+  * physical schema — as happened in round 9, when events.ts flipped from
+  * INT64 TIMESTAMP(NANOS) to TIMESTAMP_MICROS and 13 tests + 22 queries
+  * failed at scattered sites — this suite turns that into ONE pointed
+  * message naming the table and column that moved.
+  */
+class TestdataCanarySpec extends SparkSpec {
+  private lazy val t = Tables(spark, sf0001)
+
+  test("canary: events loads with ts as session-TZ TimestampType") {
+    val schema = t.events.schema
+    assert(schema("ts").dataType == TimestampType,
+      s"Tables.events must normalize ts to TimestampType (got ${schema("ts").dataType}); " +
+        "if the parquet physical type changed again, extend Tables.events dispatch")
+    assert(schema("event_id").dataType == LongType)
+    assert(schema("user_id").dataType == LongType)
+    assert(schema("event_type").dataType == StringType)
+    assert(schema("value").dataType == DoubleType)
+    assert(schema("props").dataType == StringType)
+  }
+
+  test("canary: events ts values are sane epoch range (unix_micros works)") {
+    // one bounded action; catches a silent nanos/micros unit mix-up (values
+    // would land thousands of years off) — the failure mode a pure dtype
+    // check can't see
+    val row = t.events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val y2000us = 946684800L * 1000000L
+    val y2100us = 4102444800L * 1000000L
+    assert(lo > y2000us && hi < y2100us,
+      s"events.ts micros out of sane range [$lo, $hi] — unit mix-up in Tables.events?")
+  }
+
+  test("canary: documents has the text-pipeline columns") {
+    val schema = t.documents.schema
+    assert(schema("doc_id").dataType == LongType)
+    assert(schema("text").dataType == StringType)
+    assert(schema("lang").dataType == StringType)
+    assert(schema("source").dataType == StringType)
+    assert(schema("n_chars").dataType == LongType)
+  }
+
+  test("canary: embeddings has float-array embedding with a stable dim") {
+    val schema = t.embeddings.schema
+    assert(schema("vec_id").dataType == LongType)
+    assert(schema("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+      schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embedding must be array<float> (got ${schema("embedding").dataType})")
+    val dims = t.embeddings.select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(dims.size == 1 && dims.head > 0,
+      s"embedding dim must be a single positive value (got $dims)")
+  }
+
+  test("canary: TPC-H-ish tables expose the keyed columns the joins use") {
+    assert(t.lineitem.schema.fieldNames.toSet
+      .intersect(Set("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")).size == 5)
+    assert(t.orders.schema.fieldNames.contains("o_orderkey"))
+    assert(t.customer.schema.fieldNames.contains("c_custkey"))
+    assert(t.supplier.schema.fieldNames.contains("s_suppkey"))
+    assert(t.part.schema.fieldNames.contains("p_partkey"))
+    assert(t.nation.schema.fieldNames.contains("n_nationkey"))
+    assert(t.region.schema.fieldNames.contains("r_regionkey"))
+  }
+}
