@@ -174,6 +174,13 @@ object ScaleSmoke {
       "ann_ivf_multiprobe" -> (v =>
         KMeansIvf.searchMultiProbe(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2, iters = 2).count()),
+      "ann_kmeans_ivf_sq8" -> (v =>
+        // the ns61 scale path: train AND probe over packed 64-byte codes —
+        // the Lloyd working set is ~6-8× smaller than ann_kmeans_ivf's
+        // array<long> checkpoint, which is what keeps the 20 M-vector fit
+        // memory-resident instead of storage-bound
+        KMeansIvf.searchSq8(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 5, nCells = 16, iters = 2).count()),
       "ann_sq8" -> (v =>
         Similarity.sq8TopK(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 10, dim = dim).count()),

@@ -115,6 +115,122 @@ object KMeansIvf {
         (assignments, centroids)
     }
 
+  /** [[fit]] over a PACKED SQ8 code column (binary, unsigned bytes): the
+    * same deterministic Lloyd recipe — lowest-id init, exact Long
+    * distances, first-min tie-break, integer-div means, empty cells keep
+    * their centroid — but the per-iteration working set is the 64-byte
+    * code binary, not a ~530-byte array<long> row. That 6–8× is what takes
+    * the 20 M-vector fit from storage-bound (each iteration re-reading a
+    * spilled 11 GB checkpoint — SCALE.md's ns20/ns30 wall cliff) back to
+    * memory-resident. Centroids are k × dim Longs (means of codes) — the
+    * identical driver-state bound as [[fit]].
+    *
+    * Kept separate from [[fit]] rather than parameterized: the two differ
+    * in exactly what gets checkpointed (packed binary vs array<long>), and
+    * that difference IS this function's reason to exist. */
+  def fitCodes(codes: DataFrame, idCol: String, codeCol: String, k: Int,
+      iters: Int = 3, corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) = {
+    import org.apache.spark.sql.graft.{CodesToLongs, NearestCellsCodes}
+    val localThreshold = codes.sparkSession.conf
+      .get("spark.graft.kmeans.localThreshold", "65536").toInt
+    LocalLloyd.probeSorted(codes, idCol, CodesToLongs(col(codeCol)),
+        localThreshold, corpusKey).foreach { vecs =>
+      val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(vecs.indices.map(i =>
+          org.apache.spark.sql.Row(vecs(i)._1, assignment(i))): _*)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        codes.schema(idCol).copy(name = idCol),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return (codes.sparkSession.createDataFrame(rows, schema), centroids)
+    }
+
+    // the checkpointed working set: (id, dim-byte binary) — nothing else
+    val fp = codes.select(col(idCol), col(codeCol).as("__q")).localCheckpoint()
+
+    var centroids: Array[Array[Long]] = fp.orderBy(col(idCol)).limit(k)
+      .select("__q").collect()
+      .map(_.getAs[Array[Byte]](0).map(b => (b & 0xff).toLong))
+
+    def assign(frame: DataFrame): DataFrame =
+      frame.withColumn("cluster", NearestCellsCodes.nearest(col("__q"), centroids))
+
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      // __fe is derived per scan inside whole-stage codegen (one unpack per
+      // row); only the packed binary is ever stored
+      val assigned = assign(fp).withColumn("__fe", CodesToLongs(col("__q")))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("__fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+      val means = assigned.groupBy(col("cluster")).agg(sums.head, sums.tail: _*).collect()
+      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
+      means.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(dim + 1)
+        var i = 0
+        while (i < dim) { next(cl)(i) = r.getLong(i + 1) / n; i += 1 }
+      }
+      centroids = next
+    }
+
+    (assign(fp).select(col(idCol), col("cluster")), centroids)
+  }
+
+  /** [[fitCodes]] with SharedCache memoization — the [[fitCached]]
+    * discipline for the code-trained model. */
+  def fitCodesCached(codes: DataFrame, idCol: String, codeCol: String, k: Int,
+      iters: Int, cacheKey: Option[String],
+      corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) =
+    cacheKey match {
+      case None => fitCodes(codes, idCol, codeCol, k, iters, corpusKey)
+      case Some(key) =>
+        val spark = codes.sparkSession
+        val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
+          val (a, c) = fitCodes(codes, idCol, codeCol, k, iters, corpusKey)
+          graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
+          a
+        }
+        val centroids = graft.SharedCache.getOrComputeValue[Array[Array[Long]]](
+          s"$key:centroids")(sys.error(s"centroids missing for $key"))
+        (assignments, centroids)
+    }
+
+  /** IVF entirely over PACKED SQ8 codes — the 100 TB scale path for
+    * [[search]]: quantize the corpus once (binary codes, 64 B/vector), fit
+    * the coarse cells ON the codes, rank in-cell by the exact integer dot
+    * product of the codes. Every byte the fit iterations and the candidate
+    * scan touch is quantized — 6–8× less storage/bandwidth than the exact
+    * path, which is the difference between memory-resident and
+    * storage-bound at 20 M+ vectors (SCALE.md). Semantics are
+    * engine-independent by construction (integer quantization, integer
+    * Lloyd, integer dots), so the DuckDB oracle replays them exactly —
+    * this is a DIFFERENT (approximate-by-quantization) ranking than
+    * [[search]], not a drop-in: recall tracks SQ8 quantization quality. */
+  def searchSq8(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, iters: Int = 3,
+      boundsCacheKey: Option[String] = None,
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
+    val (assignments, _) =
+      fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
+    val cands = codes.join(assignments, idCol)
+    // queries drawn from the corpus by id: their codes and cells come from
+    // the same quantize/assign pass — no separate query-side encode
+    val qs = broadcast(cands.join(queries.select(col(idCol)), Seq(idCol))
+      .withColumnRenamed(idCol, "__id")).as("q")
+    val cs = cands.withColumnRenamed(idCol, "__id").as("c")
+    qs.join(cs, col("q.cluster") === col("c.cluster") &&
+        col("q.__id") =!= col("c.__id"))
+      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
+        org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Full IVF search: fit on the candidate set, assign queries to their
     * nearest centroid, search only that cell. */
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,

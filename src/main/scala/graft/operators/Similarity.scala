@@ -101,26 +101,28 @@ object Similarity {
     * mid-session, fold a version/fingerprint into the key (or pass None
     * and pay the in-plan bounds pass); `SharedCache.clear` is the only
     * other invalidation path. */
-  def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
-    // Corpus-wide per-dimension bounds: ONE partial-aggregated pass over
-    // the RAW floats (floor(·×10⁶) is monotone, so fixed-point min/max =
-    // the float min/max, converted by a one-row transform) collapsed to a
-    // single 2×dim row. Two shapes, same values either way:
-    //   - uncached: the row stays IN-PLAN as a broadcast both quantize
-    //     scans cross-join (one reused exchange; the whole query is ONE
-    //     action with no driver barrier);
-    //   - boundsCacheKey set: the row is collected ONCE per key via
-    //     SharedCache (a 2×dim driver value, the same centroids-only state
-    //     discipline as IVF/PQ) and embedded as LITERAL arrays — repeat
-    //     queries over the same corpus skip the bounds pass entirely and
-    //     the quantize scans carry no join at all.
+  /** Corpus-wide per-dimension fixed-point bounds attacher: ONE
+    * partial-aggregated pass over the RAW floats (floor(·×10⁶) is
+    * monotone, so fixed-point min/max = the float min/max, converted by a
+    * one-row transform) collapsed to a single 2×dim row that lands on the
+    * target frame as `__mn`/`__mx` columns. Two shapes, same values:
+    *   - uncached: the row stays IN-PLAN as a broadcast the quantize
+    *     scans cross-join (one reused exchange; the whole query is ONE
+    *     action with no driver barrier);
+    *   - boundsCacheKey set: the row is collected ONCE per key via
+    *     SharedCache (a 2×dim driver value, the same centroids-only state
+    *     discipline as IVF/PQ) and embedded as LITERAL arrays — repeat
+    *     queries over the same corpus skip the bounds pass entirely and
+    *     the quantize scans carry no join at all. The key asserts an
+    *     IMMUTABLE corpus (see [[sq8TopK]]'s contract note). */
+  private[operators] def sq8WithBounds(candidates: DataFrame, vecCol: String,
+      boundsCacheKey: Option[String]): DataFrame => DataFrame = {
     val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
     def boundsRow() = candidates
       .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
       .select(transform(col("__b._1"), fpOne).as("__mn"),
         transform(col("__b._2"), fpOne).as("__mx"))
-    val withBounds: DataFrame => DataFrame = boundsCacheKey match {
+    boundsCacheKey match {
       case Some(key) =>
         val (mn, mx) = graft.SharedCache.getOrComputeValue(key) {
           val r = boundsRow().head()
@@ -132,6 +134,21 @@ object Similarity {
         val bounds = broadcast(boundsRow())
         df => df.crossJoin(bounds)
     }
+  }
+
+  /** PACKED SQ8 codes of a corpus: (idCol, `__q` binary of dim bytes) —
+    * the representation for paths that MATERIALIZE quantized vectors (the
+    * code-trained IVF in [[KMeansIvf.searchSq8]]); values identical to the
+    * array<long> codes [[sq8TopK]] scans with, 6–8× smaller per row. */
+  def sq8PackedCodes(df: DataFrame, idCol: String, vecCol: String,
+      boundsCacheKey: Option[String] = None): DataFrame =
+    sq8WithBounds(df, vecCol, boundsCacheKey)(df.filter(col(vecCol).isNotNull))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
+
+  def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
+    val withBounds = sq8WithBounds(candidates, vecCol, boundsCacheKey)
 
     // fused fixed-point + affine map as one native codegen loop (the
     // interpreted transform/element_at lambdas this replaces were the
