@@ -181,6 +181,9 @@ object ScaleSmoke {
         // memory-resident instead of storage-bound
         KMeansIvf.searchSq8(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 5, nCells = 16, iters = 2).count()),
+      "ann_ivf_sq8_multiprobe" -> (v =>
+        KMeansIvf.searchSq8MultiProbe(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2, iters = 2).count()),
       "ann_sq8" -> (v =>
         Similarity.sq8TopK(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 10, dim = dim).count()),

@@ -231,6 +231,38 @@ object KMeansIvf {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe [[searchSq8]]: each query probes its `nProbe` nearest
+    * cells (ties to the lower cell id) — the recall knob of
+    * [[searchMultiProbe]] on the packed-code scale path. Candidates keep
+    * unique cell assignments, so probing several cells never duplicates a
+    * (query, candidate) pair; the fan-out multiplies only the broadcast
+    * query side. */
+  def searchSq8MultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3,
+      boundsCacheKey: Option[String] = None,
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{DotCodes, NearestCellsCodes}
+    val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
+    val (assignments, centroids) =
+      fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
+    val cands = codes.join(assignments, idCol)
+    // queries probe their nProbe nearest cells, ranked by the same
+    // (distance, cell) order as the assignment pass
+    val qs = broadcast(codes.join(queries.select(col(idCol)), Seq(idCol))
+      .withColumn("cluster", explode(NearestCellsCodes(col("__q"), centroids, nProbe)))
+      .withColumnRenamed(idCol, "__id")).as("q")
+    val cs = cands.withColumnRenamed(idCol, "__id").as("c")
+    qs.join(cs, col("q.cluster") === col("c.cluster") &&
+        col("q.__id") =!= col("c.__id"))
+      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
+        DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Full IVF search: fit on the candidate set, assign queries to their
     * nearest centroid, search only that cell. */
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,

@@ -407,6 +407,65 @@ object SimilarityQueries extends QueryModule {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
+  /** Multi-probe ns61: the recall knob on the packed-code scale path —
+    * queries probe their 2 nearest code-space cells; candidates keep
+    * unique cells so no pair duplicates. Same all-integer chain, so the
+    * oracle adds only the qp (query-probe) CTE to ns61's. */
+  private val ns62 = QueryEntry(
+    "ns62_ann_ivf_sq8_multiprobe",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.KMeansIvf.searchSq8MultiProbe(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2,
+          boundsCacheKey = Some(s"sq8bounds:$dir:embedding:64"),
+          cacheKey = Some(s"kmeanssq8:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings:sq8"))
+        .select(col("q_id"), col("cand_id"), col("qsim"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(
+      s"""WITH fp0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
+         |  FROM embeddings),
+         |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+         |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM fp0) GROUP BY pos),
+         |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
+         |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
+         |    CASE WHEN mxl[i] = mnl[i] THEN 0
+         |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
+         |  FROM fp0 CROSS JOIN bl),
+         |n AS (SELECT vec_id, fe,
+         |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
+         |  FROM qv),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
+         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |ad AS (SELECT n.vec_id, c.cluster,
+         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+         |  FROM n CROSS JOIN c2n c),
+         |af AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |qp AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(list_zip(q.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) AS qsim
+         |  FROM n q
+         |  JOIN qp ON qp.vec_id = q.vec_id AND q.vec_id < 5
+         |  JOIN af ca ON ca.cluster = qp.cluster
+         |  JOIN n c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id)
+         |SELECT q_id, cand_id, qsim, rnk FROM (
+         |  SELECT q_id, cand_id, qsim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+  )
+
   /** Index-quality evaluation: recall@5 of the LSH-bucketed index (ns37)
     * against exact brute force — the metric an ANN pipeline ships alongside
     * its index. Both rankings come from the engine's own operators; the
@@ -452,5 +511,5 @@ object SimilarityQueries extends QueryModule {
   )
 
   override def entries: Seq[QueryEntry] =
-    Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61)
+    Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62)
 }

@@ -85,6 +85,24 @@ class SQ8CodesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
   }
 
+  test("searchSq8MultiProbe with nProbe = nCells ≡ sq8TopK (packed ≡ unpacked, full recall)") {
+    // probing every cell removes the IVF restriction, so the multi-probe
+    // result must equal the flat quantized top-k — which also pins the
+    // packed-code ranking against ns36's array<long> ranking end-to-end
+    val t = graft.Tables(spark, sf0001)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+    val viaIvf = KMeansIvf.searchSq8MultiProbe(queries, t.embeddings,
+        "vec_id", "embedding", k = 5, nCells = 4, nProbe = 4, iters = 2)
+      .select("q_id", "cand_id", "qsim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaFlat = Similarity.sq8TopK(queries, t.embeddings,
+        "vec_id", "embedding", k = 5, dim = 64)
+      .select("q_id", "cand_id", "qsim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaIvf == viaFlat)
+    assert(viaIvf.nonEmpty)
+  }
+
   test("searchSq8 returns a valid in-cell top-k on the fixture embeddings") {
     val t = graft.Tables(spark, sf0001)
     val queries = t.embeddings.filter(col("vec_id") < 5)
