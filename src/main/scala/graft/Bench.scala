@@ -92,16 +92,18 @@ object Bench {
     // "queries" (best-of-N) is emitted LAST: the driver archives only the
     // tail of this line, and a tail that lands on queries_max reads as a
     // fleet-wide regression when compared against an earlier best-of-N map.
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
+    // hard failure = no valid timing in ANY pass (the query contributes
+    // nothing to the totals); a transient failure (failed some passes,
+    // timed in others) keeps its message in "errors" but the totals stay
+    // comparable. "complete":false marks a total that is missing at least
+    // one query — cross-round comparisons of "value" must check it, or a
+    // newly-broken query reads as a fleet-wide speedup.
+    val hardFailed = names.filter(n => valid(n).isEmpty)
+    val complete = hardFailed.isEmpty
     val bigLine = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
-      s""""queries_median":${fmt(median)},"queries_max":${fmt(_.max)},""" +
+      s""""complete":$complete,"queries_median":${fmt(median)},"queries_max":${fmt(_.max)},""" +
       s""""errors":$errJson,"sf":"$sfDir","queries":${fmt(_.min)}}"""
     println(bigLine)
     // the full per-pass record also lands in a FILE: the driver's
@@ -126,7 +128,8 @@ object Bench {
       s"[${parts(0)},${parts(1)},${parts(2)}]"
     } catch { case _: Throwable => "null" }
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
-      s""""n_failed":${errors.size},"errors":$errJson,""" +
+      s""""complete":$complete,"n_failed":${hardFailed.size},""" +
+      s""""n_transient":${errors.size - hardFailed.size},"errors":$errJson,""" +
       s""""median_total_sec":${names.map(n => valid(n) match { case v if v.isEmpty => 0.0; case v => median(v) }).sum},""" +
       s""""passes":$passes,"sf":"$sfDir","load":$load,"slowest10":$slowest}""")
     spark.stop()

@@ -101,19 +101,7 @@ object KMeansIvf {
   def fitCached(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, cacheKey: Option[String],
       corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) =
-    cacheKey match {
-      case None => fit(df, idCol, vecCol, k, iters, corpusKey)
-      case Some(key) =>
-        val spark = df.sparkSession
-        val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
-          val (a, c) = fit(df, idCol, vecCol, k, iters, corpusKey)
-          graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
-          a
-        }
-        val centroids = graft.SharedCache.getOrComputeValue[Array[Array[Long]]](
-          s"$key:centroids")(sys.error(s"centroids missing for $key"))
-        (assignments, centroids)
-    }
+    memoized(df, cacheKey)(fit(df, idCol, vecCol, k, iters, corpusKey))
 
   /** [[fit]] over a PACKED SQ8 code column (binary, unsigned bytes): the
     * same deterministic Lloyd recipe — lowest-id init, exact Long
@@ -182,12 +170,21 @@ object KMeansIvf {
   def fitCodesCached(codes: DataFrame, idCol: String, codeCol: String, k: Int,
       iters: Int, cacheKey: Option[String],
       corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) =
+    memoized(codes, cacheKey)(fitCodes(codes, idCol, codeCol, k, iters, corpusKey))
+
+  /** The SharedCache memoization shared by [[fitCached]] and
+    * [[fitCodesCached]]: only the first caller per key pays `doFit`; the
+    * assignment table is pinned and the centroids memoized on the driver.
+    * The 100 TB analog: a fitted index is written once and every search
+    * job loads it, it is not retrained per query. */
+  private def memoized(df: DataFrame, cacheKey: Option[String])(
+      doFit: => (DataFrame, Array[Array[Long]])): (DataFrame, Array[Array[Long]]) =
     cacheKey match {
-      case None => fitCodes(codes, idCol, codeCol, k, iters, corpusKey)
+      case None => doFit
       case Some(key) =>
-        val spark = codes.sparkSession
+        val spark = df.sparkSession
         val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
-          val (a, c) = fitCodes(codes, idCol, codeCol, k, iters, corpusKey)
+          val (a, c) = doFit
           graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
           a
         }
@@ -212,7 +209,6 @@ object KMeansIvf {
       boundsCacheKey: Option[String] = None,
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
     val (assignments, _) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
@@ -220,9 +216,17 @@ object KMeansIvf {
     // queries drawn from the corpus by id: their codes and cells come from
     // the same quantize/assign pass — no separate query-side encode
     val qs = broadcast(cands.join(queries.select(col(idCol)), Seq(idCol))
-      .withColumnRenamed(idCol, "__id")).as("q")
-    val cs = cands.withColumnRenamed(idCol, "__id").as("c")
-    qs.join(cs, col("q.cluster") === col("c.cluster") &&
+      .withColumnRenamed(idCol, "__id"))
+    rankCodes(qs, cands.withColumnRenamed(idCol, "__id"), k)
+  }
+
+  /** The in-cell quantized ranking tail shared by [[searchSq8]] and
+    * [[searchSq8MultiProbe]]: cell equi-join, DotCodes similarity,
+    * per-query (qsim DESC, cand_id) top-k. Both sides carry
+    * (__id, __q, cluster); the query side is already broadcast-hinted. */
+  private def rankCodes(qs: DataFrame, cs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qs.as("q").join(cs.as("c"), col("q.cluster") === col("c.cluster") &&
         col("q.__id") =!= col("c.__id"))
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
@@ -242,8 +246,7 @@ object KMeansIvf {
       boundsCacheKey: Option[String] = None,
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.{DotCodes, NearestCellsCodes}
+    import org.apache.spark.sql.graft.NearestCellsCodes
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
     val (assignments, centroids) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
@@ -252,15 +255,8 @@ object KMeansIvf {
     // (distance, cell) order as the assignment pass
     val qs = broadcast(codes.join(queries.select(col(idCol)), Seq(idCol))
       .withColumn("cluster", explode(NearestCellsCodes(col("__q"), centroids, nProbe)))
-      .withColumnRenamed(idCol, "__id")).as("q")
-    val cs = cands.withColumnRenamed(idCol, "__id").as("c")
-    qs.join(cs, col("q.cluster") === col("c.cluster") &&
-        col("q.__id") =!= col("c.__id"))
-      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
-        DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
-      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("qsim").desc, col("cand_id"))).cast("long"))
-      .filter(col("rank") <= k)
+      .withColumnRenamed(idCol, "__id"))
+    rankCodes(qs, cands.withColumnRenamed(idCol, "__id"), k)
   }
 
   /** Full IVF search: fit on the candidate set, assign queries to their

@@ -79,28 +79,6 @@ object Similarity {
         col("q.__id") =!= col("c.__id")), k, dim)
   }
 
-  /** SQ8 scalar quantization: per-dimension affine map of the fixed-point
-    * vectors onto 0..255 (the FAISS SQ8 memory layout — 64 bytes instead
-    * of 64 floats per vector, 4× less scan bandwidth at 100 TB). Bounds
-    * are corpus-wide per-dimension min/max, computed in ONE aggregation
-    * (2×dim partial-aggregated columns collapsed to a single bounds-array
-    * row) that stays INSIDE the plan: the one-row result broadcast-joins
-    * back onto the corpus, so the bounds pass and the quantization pass
-    * materialize together in the job that checkpoints the quantized
-    * vectors — no separate driver collect. The quantized similarity is an
-    * exact integer dot product, so ranking is engine-independent by
-    * construction. Queries are drawn from the candidate corpus by id (the
-    * catalog convention — external query vectors would quantize with the
-    * same in-plan bounds).
-    *
-    * `boundsCacheKey` asserts an IMMUTABLE corpus at that key (the same
-    * contract as [[KMeansIvf]] centroids): the 2×dim bounds row is cached
-    * in [[graft.SharedCache]] for the JVM lifetime keyed only by the
-    * string, so regenerating the data behind a live key silently ranks
-    * against stale bounds. If the corpus at a path can change
-    * mid-session, fold a version/fingerprint into the key (or pass None
-    * and pay the in-plan bounds pass); `SharedCache.clear` is the only
-    * other invalidation path. */
   /** Corpus-wide per-dimension fixed-point bounds attacher: ONE
     * partial-aggregated pass over the RAW floats (floor(·×10⁶) is
     * monotone, so fixed-point min/max = the float min/max, converted by a
@@ -114,7 +92,8 @@ object Similarity {
     *     discipline as IVF/PQ) and embedded as LITERAL arrays — repeat
     *     queries over the same corpus skip the bounds pass entirely and
     *     the quantize scans carry no join at all. The key asserts an
-    *     IMMUTABLE corpus (see [[sq8TopK]]'s contract note). */
+    *     IMMUTABLE corpus — [[sq8TopK]]'s scaladoc states the full
+    *     contract. */
   private[operators] def sq8WithBounds(candidates: DataFrame, vecCol: String,
       boundsCacheKey: Option[String]): DataFrame => DataFrame = {
     val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
@@ -146,6 +125,24 @@ object Similarity {
       .select(col(idCol),
         org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
 
+  /** SQ8 scalar quantization: per-dimension affine map of the fixed-point
+    * vectors onto 0..255 (the FAISS SQ8 memory layout — 64 bytes instead
+    * of 64 floats per vector, 4× less scan bandwidth at 100 TB). Bounds
+    * come from [[sq8WithBounds]] (one partial-aggregated pass that stays
+    * in-plan, or SharedCache literals). The quantized similarity is an
+    * exact integer dot product, so ranking is engine-independent by
+    * construction. Queries are drawn from the candidate corpus by id (the
+    * catalog convention — external query vectors would quantize with the
+    * same bounds).
+    *
+    * `boundsCacheKey` asserts an IMMUTABLE corpus at that key (the same
+    * contract as [[KMeansIvf]] centroids): the 2×dim bounds row is cached
+    * in [[graft.SharedCache]] for the JVM lifetime keyed only by the
+    * string, so regenerating the data behind a live key silently ranks
+    * against stale bounds. If the corpus at a path can change
+    * mid-session, fold a version/fingerprint into the key (or pass None
+    * and pay the in-plan bounds pass); `SharedCache.clear` is the only
+    * other invalidation path. */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
     val withBounds = sq8WithBounds(candidates, vecCol, boundsCacheKey)

@@ -194,6 +194,29 @@ object SimilarityQueries extends QueryModule {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
+  /** DuckDB CTE chain for SQ8 quantization, shared by ns36/ns61/ns62.
+    * NULL embeddings are dropped up front — the Spark side (sq8TopK /
+    * sq8PackedCodes) filters them before encoding, and MinMaxVecAgg skips
+    * them in the bounds, so an unfiltered oracle would diverge the moment
+    * the fixture grows a null vector (e.g. a regeneration). Yields
+    * `n(vec_id, fe, nsq)` where `fe` is the 0..255 quantized vector —
+    * the same shape FpSql yields, so [[kmeansIterSql]] composes on top
+    * unchanged. */
+  private val Sq8Sql =
+    """sfp AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+      |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM sfp) GROUP BY pos),
+      |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
+      |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    CASE WHEN mxl[i] = mnl[i] THEN 0
+      |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
+      |  FROM sfp CROSS JOIN bl),
+      |n AS (SELECT vec_id, fe,
+      |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
+      |  FROM qv)""".stripMargin
+
   /** SQ8 scalar-quantized ANN: per-dimension affine 0..255 quantization
     * (corpus min/max bounds), ranking by exact integer dot product of the
     * quantized vectors — zero float ops anywhere, so the two engines agree
@@ -209,24 +232,15 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("q_id"), col("rnk"))
     },
     Some(
-      """WITH fp AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
-        |  FROM embeddings),
-        |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
-        |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM fp) GROUP BY pos),
-        |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
-        |q AS (SELECT vec_id, list_transform(range(1, 65), i ->
-        |    CASE WHEN mxl[i] = mnl[i] THEN 0
-        |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS qv
-        |  FROM fp CROSS JOIN bl),
-        |scored AS (SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
-        |    CAST(list_sum(list_transform(list_zip(a.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS qsim
-        |  FROM q a JOIN q c ON a.vec_id < 5 AND c.vec_id <> a.vec_id)
-        |SELECT q_id, cand_id, qsim, rnk FROM (
-        |  SELECT q_id, cand_id, qsim,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS BIGINT) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
+      s"""WITH $Sq8Sql,
+         |scored AS (SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(list_zip(a.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) AS qsim
+         |  FROM n a JOIN n c ON a.vec_id < 5 AND c.vec_id <> a.vec_id)
+         |SELECT q_id, cand_id, qsim, rnk FROM (
+         |  SELECT q_id, cand_id, qsim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin),
   )
 
   /** DuckDB expression for the 4-plane hyperplane-LSH bucket id over `fe` —
@@ -370,19 +384,7 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("q_id"), col("rnk"))
     },
     Some(
-      s"""WITH fp0 AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
-         |  FROM embeddings),
-         |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
-         |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM fp0) GROUP BY pos),
-         |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
-         |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
-         |    CASE WHEN mxl[i] = mnl[i] THEN 0
-         |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
-         |  FROM fp0 CROSS JOIN bl),
-         |n AS (SELECT vec_id, fe,
-         |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
-         |  FROM qv),
+      s"""WITH $Sq8Sql,
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
          |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
          |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
@@ -425,19 +427,7 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("q_id"), col("rnk"))
     },
     Some(
-      s"""WITH fp0 AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
-         |  FROM embeddings),
-         |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
-         |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM fp0) GROUP BY pos),
-         |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
-         |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
-         |    CASE WHEN mxl[i] = mnl[i] THEN 0
-         |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
-         |  FROM fp0 CROSS JOIN bl),
-         |n AS (SELECT vec_id, fe,
-         |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
-         |  FROM qv),
+      s"""WITH $Sq8Sql,
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
          |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
          |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
