@@ -25,8 +25,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // per-query verdict (name → "ok" | error message), written to
     // status.json so a failed query surfaces to the driver as an explicit
-    // `err` row instead of silently vanishing from CORRECTNESS
+    // `err` row instead of silently vanishing from CORRECTNESS. The file is
+    // REWRITTEN after every query: if the JVM dies mid-run (OOM, kill), the
+    // completed prefix survives instead of the whole record vanishing — the
+    // failure mode that hid round 9's 22 events errors.
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def q(s: String): String = Json.quote(s)
+    def flushStatus(): Unit = Files.writeString(Paths.get(s"$outDir/status.json"),
+      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -37,18 +43,15 @@ object Verify {
         status(name) = s"error: $msg"
         System.err.println(s"[verify] $name failed: $msg")
       }
+      flushStatus()
       // free per-query materializations (localCheckpoint RDDs) so a 50+
       // query run doesn't accumulate storage memory; SharedCache pins
       // survive — later queries derive from them instead of recomputing
       SharedCache.unpersistScratch(spark)
     }
-    def q(s: String): String = Json.quote(s)
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val statusJson = status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
     spark.stop()
   }
 }
