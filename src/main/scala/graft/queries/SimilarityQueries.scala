@@ -92,16 +92,16 @@ object SimilarityQueries extends QueryModule {
     * same first-match rule as Spark's array_position), recompute per-dim
     * integer means (TRUNC toward zero = Spark's `div`), keep the previous
     * centroid for clusters that lost all members. */
-  private def kmeansIterSql(i: Int): String = {
+  private def kmeansIterSql(i: Int, src: String = "n"): String = {
     val prev = s"c${i - 1}n"
     s"""a$i AS (SELECT vec_id, cluster FROM (
        |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-       |  FROM (SELECT n.vec_id, c.cluster,
-       |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-       |    FROM n CROSS JOIN $prev c)) WHERE rn = 1),
+       |  FROM (SELECT $src.vec_id, c.cluster,
+       |    $src.nsq - 2 * CAST(list_sum(list_transform(list_zip($src.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |    FROM $src CROSS JOIN $prev c)) WHERE rn = 1),
        |m$i AS (SELECT cluster, pos, CAST(TRUNC(CAST(sum(v) AS DOUBLE) / count(v)) AS BIGINT) AS m
-       |  FROM (SELECT a.cluster, unnest(n.fe) AS v, unnest(range(len(n.fe))) AS pos
-       |        FROM a$i a JOIN n USING (vec_id))
+       |  FROM (SELECT a.cluster, unnest($src.fe) AS v, unnest(range(len($src.fe))) AS pos
+       |        FROM a$i a JOIN $src USING (vec_id))
        |  GROUP BY cluster, pos),
        |c$i AS (SELECT c.cluster, COALESCE(lm.cfe2, c.cfe) AS cfe
        |  FROM $prev c LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS cfe2 FROM m$i GROUP BY cluster) lm USING (cluster)),
@@ -201,21 +201,23 @@ object SimilarityQueries extends QueryModule {
     * the fixture grows a null vector (e.g. a regeneration). Yields
     * `n(vec_id, fe, nsq)` where `fe` is the 0..255 quantized vector —
     * the same shape FpSql yields, so [[kmeansIterSql]] composes on top
-    * unchanged. */
-  private val Sq8Sql =
-    """sfp AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
-      |  FROM embeddings WHERE embedding IS NOT NULL),
-      |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
-      |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM sfp) GROUP BY pos),
-      |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
-      |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
-      |    CASE WHEN mxl[i] = mnl[i] THEN 0
-      |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
-      |  FROM sfp CROSS JOIN bl),
-      |n AS (SELECT vec_id, fe,
-      |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
-      |  FROM qv)""".stripMargin
+    * unchanged. `name` renames the final CTE for queries that must also
+    * carry FpSql's exact `n` in the same WITH clause (ns63). */
+  private def sq8Sql(name: String = "n"): String =
+    s"""sfp AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fe
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |bp AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+       |  SELECT unnest(fe) AS v, unnest(range(len(fe))) AS pos FROM sfp) GROUP BY pos),
+       |bl AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM bp),
+       |qv AS (SELECT vec_id, list_transform(range(1, 65), i ->
+       |    CASE WHEN mxl[i] = mnl[i] THEN 0
+       |         ELSE ((fe[i] - mnl[i]) * 255) // (mxl[i] - mnl[i]) END) AS fe
+       |  FROM sfp CROSS JOIN bl),
+       |$name AS (SELECT vec_id, fe,
+       |  CAST(list_sum(list_transform(list_zip(fe, fe), p -> p[1] * p[2])) AS BIGINT) AS nsq
+       |  FROM qv)""".stripMargin
+  private val Sq8Sql = sq8Sql()
 
   /** SQ8 scalar-quantized ANN: per-dimension affine 0..255 quantization
     * (corpus min/max bounds), ranking by exact integer dot product of the
@@ -456,6 +458,68 @@ object SimilarityQueries extends QueryModule {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
   )
 
+  /** Index-quality evaluation for the QUANTIZED scale path: recall@5 of
+    * the packed-code IVF (ns61) against exact brute-force truth — the
+    * metric that justifies shipping the 6–8×-cheaper index. Same harness
+    * shape as ns44; both rankings come from the engine's own operators,
+    * and the oracle replays exact cosine AND the quantize+train+search
+    * chain side by side (the quantized CTE renamed `qn` so the exact `n`
+    * coexists in one WITH clause). */
+  private val ns63 = QueryEntry(
+    "ns63_ann_sq8_recall",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(queries, t.embeddings,
+        "vec_id", "embedding", k = 5).select(col("q_id"), col("cand_id"))
+      val ivf = graft.operators.KMeansIvf.searchSq8(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+          boundsCacheKey = Some(s"sq8bounds:$dir:embedding:64"),
+          cacheKey = Some(s"kmeanssq8:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings:sq8"))
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      brute.join(ivf, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hits"))
+        .withColumn("recall_at_5", col("n_hits").cast("double") / 5)
+        .orderBy(col("q_id"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |${sq8Sql("qn")},
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+         |  FROM (SELECT vec_id, fe FROM qn ORDER BY vec_id LIMIT 8)),
+         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
+         |${kmeansIterSql(1, "qn")},
+         |${kmeansIterSql(2, "qn")},
+         |af AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM (SELECT qn.vec_id, c.cluster,
+         |    qn.nsq - 2 * CAST(list_sum(list_transform(list_zip(qn.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+         |    FROM qn CROSS JOIN c2n c)) WHERE rn = 1),
+         |sq85 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      CAST(list_sum(list_transform(list_zip(q.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) AS qsim
+         |    FROM qn q
+         |    JOIN af qa ON qa.vec_id = q.vec_id AND q.vec_id < 5
+         |    JOIN af ca ON ca.cluster = qa.cluster
+         |    JOIN qn c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5),
+         |brute5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5)
+         |SELECT q_id, n_hits, CAST(n_hits AS DOUBLE) / 5 AS recall_at_5 FROM (
+         |  SELECT br.q_id,
+         |    CAST(sum(CASE WHEN sq.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM brute5 br LEFT JOIN sq85 sq
+         |    ON br.q_id = sq.q_id AND br.cand_id = sq.cand_id
+         |  GROUP BY br.q_id)
+         |ORDER BY q_id""".stripMargin),
+  )
+
   /** Index-quality evaluation: recall@5 of the LSH-bucketed index (ns37)
     * against exact brute force — the metric an ANN pipeline ships alongside
     * its index. Both rankings come from the engine's own operators; the
@@ -501,5 +565,5 @@ object SimilarityQueries extends QueryModule {
   )
 
   override def entries: Seq[QueryEntry] =
-    Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62)
+    Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62, ns63)
 }
