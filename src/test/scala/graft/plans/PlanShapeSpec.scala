@@ -83,6 +83,20 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 2, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
   }
 
+  test("ns61 packed-code ivf: every join broadcast, rank is group-limit pruned, " +
+      "no sort-merge anywhere") {
+    // the scale path's load-bearing pins: the candidate side is scanned
+    // once and never sort-merge-joined (assignment + query joins are all
+    // broadcast — the assignment table is |corpus|-keyed but its JOIN here
+    // is id-equi with the small side broadcast at this SF; at 100 TB the
+    // cell equi-join shuffles on cluster, which AQE picks over broadcast
+    // automatically), and the per-query top-k prunes through
+    // WindowGroupLimit rather than a global sort
+    assert(catalog("ns61_ann_ivf_sq8") == Shape(
+      shuffles = 2, broadcastJoins = 4, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
+  }
+
   test("ns51 source overlap: two codegen aggregates, no set aggregate, no window, " +
       "sizes join broadcast") {
     // materialize = identity keeps the whole dataflow in ONE inspectable
