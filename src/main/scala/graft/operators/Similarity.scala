@@ -147,25 +147,29 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, boundsCacheKey: Option[String] = None): DataFrame = {
     val withBounds = sq8WithBounds(candidates, vecCol, boundsCacheKey)
 
-    // fused fixed-point + affine map as one native codegen loop (the
-    // interpreted transform/element_at lambdas this replaces were the
+    // fused fixed-point + affine map + byte pack as one native codegen loop
+    // (the interpreted transform/element_at lambdas this replaced were the
     // query's entire CPU cost); trunc ≡ DuckDB's div since fe−mn ≥ 0.
-    // Null/missing vectors carry no codes and rank nowhere, so an empty or
-    // all-null corpus yields an empty top-k, not a null-keyed ranking.
+    // Codes ride as PACKED binary (SQ8PackRaw/DotCodes — values identical
+    // to the array<long> form, spec-pinned): the |Q|×|C| pair scan reads
+    // 64 bytes per side instead of ~530, which is the dominant cost at
+    // tens of millions of candidates. Null/missing vectors carry no codes
+    // and rank nowhere, so an empty or all-null corpus yields an empty
+    // top-k, not a null-keyed ranking.
     val qc = withBounds(candidates.filter(col(vecCol).isNotNull))
       .select(col(idCol).as("__id"),
-        org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
+        org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")).as("__q"))
     // queries carry their own vectors; quantizing them directly with the
     // same bounds is bit-identical to probing qc by id, and drops a join
     // (and its AQE stage) from the broadcast build. A query vector from
     // OUTSIDE the corpus saturates at the code-range edges (the
-    // SQ8EncodeEval clamp), the standard SQ behavior for out-of-range input
+    // SQ8CodesEval clamp), the standard SQ behavior for out-of-range input
     val qq = broadcast(withBounds(queries.filter(col(vecCol).isNotNull))
       .select(col(idCol).as("__id"),
-        org.apache.spark.sql.graft.SQ8EncodeRaw(col(vecCol), col("__mn"), col("__mx")).as("__q")))
+        org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")).as("__q")))
     qq.as("q").join(qc.as("c"), col("q.__id") =!= col("c.__id"))
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
-        dotFp(col("q.__q"), col("c.__q")).as("qsim"))
+        org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("qsim").desc, col("cand_id"))).cast("long"))
       .filter(col("rank") <= k)
