@@ -31,8 +31,24 @@ object Verify {
     // failure mode that hid round 9's 22 events errors.
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def q(s: String): String = Json.quote(s)
-    def flushStatus(): Unit = Files.writeString(Paths.get(s"$outDir/status.json"),
-      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // atomic replace (tmp + move): a kill mid-write must leave the PREVIOUS
+    // complete file, never a truncated unparseable one — the whole point of
+    // flushing per query is surviving exactly that kind of death
+    def flushStatus(): Unit = {
+      val tmp = Paths.get(s"$outDir/status.json.tmp")
+      Files.writeString(tmp,
+        status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      Files.move(tmp, Paths.get(s"$outDir/status.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // oracle SQL depends only on the catalog, not on query execution — write
+    // it BEFORE the loop so a mid-run death leaves the surviving status
+    // prefix usable (status without oracle SQL can't be DuckDB-compared)
+    val json = SparkEntry.oracleSql.filter(e => selected(e._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    flushStatus() // an empty-selection run still yields a parseable {}
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -49,9 +65,6 @@ object Verify {
       // survive — later queries derive from them instead of recomputing
       SharedCache.unpersistScratch(spark)
     }
-    val json = SparkEntry.oracleSql.filter(e => selected(e._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -108,6 +108,27 @@ object SimilarityQueries extends QueryModule {
        |c${i}n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c$i)""".stripMargin
   }
 
+  /** The full oracle k-means chain every IVF query shares: c0/c0n
+    * lowest-id init, `iters` unrolled Lloyd rounds, then the final
+    * distance table `ad` (every vector × every converged centroid) and
+    * assignment `af` (per-vector nearest, ties to the lowest cluster).
+    * One definition — ns20/ns30/ns61/ns62/ns63 differ only in the source
+    * CTE (`n` exact fixed-point or `qn` quantized) and in whether they
+    * also read `ad` for multi-probe (`qp`). */
+  private def kmeansChainSql(k: Int, iters: Int, src: String = "n"): String = {
+    val rounds = (1 to iters).map(i => kmeansIterSql(i, src)).mkString(",\n")
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
+       |  FROM (SELECT vec_id, fe FROM $src ORDER BY vec_id LIMIT $k)),
+       |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
+       |$rounds,
+       |ad AS (SELECT $src.vec_id, c.cluster,
+       |    $src.nsq - 2 * CAST(list_sum(list_transform(list_zip($src.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
+       |  FROM $src CROSS JOIN c${iters}n c),
+       |af AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM ad) WHERE rn = 1)""".stripMargin
+  }
+
   /** Real IVF: deterministic fixed-point k-means fits the coarse cells,
     * search probes only the query's cell. The fit is exact integer
     * arithmetic end-to-end (lowest-id init, Long distances, integer-div
@@ -127,16 +148,7 @@ object SimilarityQueries extends QueryModule {
     },
     Some(
       s"""WITH $FpSql,
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
-         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
-         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
-         |${kmeansIterSql(1)},
-         |${kmeansIterSql(2)},
-         |af AS (SELECT vec_id, cluster FROM (
-         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-         |  FROM (SELECT n.vec_id, c.cluster,
-         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-         |    FROM n CROSS JOIN c2n c)) WHERE rn = 1),
+         |${kmeansChainSql(8, 2)},
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
          |  FROM n q
@@ -167,17 +179,7 @@ object SimilarityQueries extends QueryModule {
     },
     Some(
       s"""WITH $FpSql,
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
-         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
-         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
-         |${kmeansIterSql(1)},
-         |${kmeansIterSql(2)},
-         |ad AS (SELECT n.vec_id, c.cluster,
-         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-         |  FROM n CROSS JOIN c2n c),
-         |af AS (SELECT vec_id, cluster FROM (
-         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-         |  FROM ad) WHERE rn = 1),
+         |${kmeansChainSql(8, 2)},
          |qp AS (SELECT vec_id, cluster FROM (
          |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
          |  FROM ad) WHERE rn <= 2),
@@ -387,16 +389,7 @@ object SimilarityQueries extends QueryModule {
     },
     Some(
       s"""WITH $Sq8Sql,
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
-         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
-         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
-         |${kmeansIterSql(1)},
-         |${kmeansIterSql(2)},
-         |af AS (SELECT vec_id, cluster FROM (
-         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-         |  FROM (SELECT n.vec_id, c.cluster,
-         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-         |    FROM n CROSS JOIN c2n c)) WHERE rn = 1),
+         |${kmeansChainSql(8, 2)},
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
          |    CAST(list_sum(list_transform(list_zip(q.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) AS qsim
@@ -430,17 +423,7 @@ object SimilarityQueries extends QueryModule {
     },
     Some(
       s"""WITH $Sq8Sql,
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
-         |  FROM (SELECT vec_id, fe FROM n ORDER BY vec_id LIMIT 8)),
-         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
-         |${kmeansIterSql(1)},
-         |${kmeansIterSql(2)},
-         |ad AS (SELECT n.vec_id, c.cluster,
-         |    n.nsq - 2 * CAST(list_sum(list_transform(list_zip(n.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-         |  FROM n CROSS JOIN c2n c),
-         |af AS (SELECT vec_id, cluster FROM (
-         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-         |  FROM ad) WHERE rn = 1),
+         |${kmeansChainSql(8, 2)},
          |qp AS (SELECT vec_id, cluster FROM (
          |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
          |  FROM ad) WHERE rn <= 2),
@@ -487,16 +470,7 @@ object SimilarityQueries extends QueryModule {
     Some(
       s"""WITH $FpSql,
          |${sq8Sql("qn")},
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, fe AS cfe
-         |  FROM (SELECT vec_id, fe FROM qn ORDER BY vec_id LIMIT 8)),
-         |c0n AS (SELECT cluster, cfe, CAST(list_sum(list_transform(list_zip(cfe, cfe), p -> p[1] * p[2])) AS BIGINT) AS cnsq FROM c0),
-         |${kmeansIterSql(1, "qn")},
-         |${kmeansIterSql(2, "qn")},
-         |af AS (SELECT vec_id, cluster FROM (
-         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-         |  FROM (SELECT qn.vec_id, c.cluster,
-         |    qn.nsq - 2 * CAST(list_sum(list_transform(list_zip(qn.fe, c.cfe), p -> p[1] * p[2])) AS BIGINT) + c.cnsq AS d
-         |    FROM qn CROSS JOIN c2n c)) WHERE rn = 1),
+         |${kmeansChainSql(8, 2, "qn")},
          |sq85 AS (SELECT q_id, cand_id FROM (
          |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS rnk
          |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,

@@ -111,15 +111,31 @@ object DidResolver {
     * resolvable key). */
   trait Fetcher { def fetch(url: String): Option[String] }
 
-  final class HttpFetcher extends Fetcher {
+  final class HttpFetcher(retries: Int = 2, backoffMillis: Long = 100) extends Fetcher {
     private val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
-    override def fetch(url: String): Option[String] =
-      try {
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
-      } catch { case _: Exception => None }
+    /** Bounded retry on TRANSIENT failures only (connect reset, timeout —
+      * anything that throws): a directory blip must not surface as a 401
+      * for a valid token. A non-2xx response is authoritative (the DID
+      * genuinely isn't there) and is NOT retried. Misses are uncached
+      * upstream, so the cost of a false None is one extra fetch per
+      * request until the directory recovers. */
+    override def fetch(url: String): Option[String] = {
+      var attempt = 0
+      while (true) {
+        try {
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          return if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+        } catch {
+          case _: Exception if attempt < retries =>
+            attempt += 1
+            Thread.sleep(backoffMillis * attempt)
+          case _: Exception => return None
+        }
+      }
+      None // unreachable
+    }
   }
 
   private val Base58Alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"

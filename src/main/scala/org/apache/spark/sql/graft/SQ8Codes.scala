@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, Data
   * ns20/ns30 20 M-vector rows). Codes are unsigned bytes (0..255 stored as
   * the low 8 bits); every consumer masks with & 0xFF.
   *
-  * The scan-only paths (ns36's sq8TopK) keep the array<long> form: they
-  * never store codes, so packing would only add encode/decode work.
+  * The pair-scan path (ns36's sq8TopK) also rides packed codes: even
+  * without materialization, the |Q|×|C| dot products are memory-bandwidth
+  * bound, and 64 B/side vs ~530 measured 118 s → 47.5 s at 20 M vectors
+  * (SCALE.md). The array<long> form ([[SQ8Encode]]/[[SQ8EncodeRaw]])
+  * remains as the spec-pinning reference implementation the packed loops
+  * are proven equal against.
   */
 case class SQ8PackRaw(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {

@@ -168,17 +168,19 @@ class DidResolverSpec extends AnyFunSuite {
       val resolver = new DidResolver(new DidResolver.HttpFetcher, plcUrl = plcUrl)
       val exp = System.currentTimeMillis() / 1000 + 600
       val token = Auth.signEs256k(requester, service, exp, priv)
-      // Under parallel-suite load the first localhost connect can
-      // transiently fail; HttpFetcher maps any exception to None, which
-      // surfaces as AuthError. Misses are NOT cached (DidResolver caches
-      // hits only), so a bounded retry against the same resolver is exactly
-      // the production recovery path, not a test-only workaround.
-      val got = Iterator.range(0, 5).map { i =>
-        try Right(Auth.validateAuth(Some(s"Bearer $token"), service, resolver,
-          Auth.Es256kVerifier))
-        catch { case e: Auth.AuthError => Thread.sleep(100L * (i + 1)); Left(e) }
-      }.collectFirst { case Right(v) => v }
-      assert(got.contains(requester))
+      // Transient-connect recovery now lives in HttpFetcher itself
+      // (bounded retry on exceptions); one extra request-level retry here
+      // covers the pathological case of ALL fetch attempts landing in the
+      // same load spike under the parallel test suite.
+      val got =
+        try Auth.validateAuth(Some(s"Bearer $token"), service, resolver,
+          Auth.Es256kVerifier)
+        catch { case _: Auth.AuthError =>
+          Thread.sleep(200)
+          Auth.validateAuth(Some(s"Bearer $token"), service, resolver,
+            Auth.Es256kVerifier)
+        }
+      assert(got == requester)
       // tampered token still rejects with the network-resolved key
       val bad = token.dropRight(2) + "AA"
       val err = intercept[Auth.AuthError](
