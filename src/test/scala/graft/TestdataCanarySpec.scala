@@ -40,6 +40,19 @@ class TestdataCanarySpec extends SparkSpec {
       s"events.ts micros out of sane range [$lo, $hi] — unit mix-up in Tables.events?")
   }
 
+  test("canary: events props payload keeps the '{\"k\": N}' shape the queries parse") {
+    // dq06 (regexp_extract on "k") and dq11 (validity rlike) both encode
+    // this exact serialization; a regenerated fixture that reformats the
+    // JSON (no space after the colon, different key) would flip those
+    // queries hash-red with no pointed message — this pins it
+    val n = t.events.filter(col("props").rlike("^\\{\"k\": [0-9]+\\}$")).count()
+    val total = t.events.count()
+    assert(n > 0, "no events.props row matches '{\"k\": N}' — payload format changed")
+    assert(n == total,
+      s"only $n of $total events.props rows match the expected shape — " +
+        "update the dq06/dq11 parsers AND oracles together if the format changed")
+  }
+
   test("canary: documents has the text-pipeline columns") {
     val schema = t.documents.schema
     assert(schema("doc_id").dataType == LongType)
