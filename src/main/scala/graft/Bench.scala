@@ -130,7 +130,11 @@ object Bench {
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
       s""""complete":$complete,"n_failed":${hardFailed.size},""" +
       s""""n_transient":${errors.size - hardFailed.size},"errors":$errJson,""" +
-      s""""median_total_sec":${names.map(n => valid(n) match { case v if v.isEmpty => 0.0; case v => median(v) }).sum},""" +
+      // same inclusion rule as "total": hard-failed queries (zero valid
+      // samples) are EXCLUDED from the sum, so the two totals agree about
+      // what a failed query contributes (nothing) and a newly-broken query
+      // moves n_failed/complete, never the median total
+      s""""median_total_sec":${names.map(n => valid(n)).filter(_.nonEmpty).map(median).sum},""" +
       s""""passes":$passes,"sf":"$sfDir","load":$load,"slowest10":$slowest}""")
     spark.stop()
   }

@@ -28,12 +28,21 @@ final case class Tables(spark: SparkSession, dir: String) {
       try t("events")
       catch {
         // TIMESTAMP(NANOS) files are rejected at schema inference unless the
-        // legacy flag is on — enable it only when actually needed, rather
-        // than mutating session conf on every call.
-        case _: org.apache.spark.sql.AnalysisException
-            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+        // legacy flag is on — enable it only when that SPECIFIC rejection
+        // happened (the message names the NANOS parquet type), never for an
+        // unrelated AnalysisException (missing path, corrupt footer), and
+        // only as long as the retry succeeds: on a second failure the prior
+        // conf value is restored, so a failed load can't leave a
+        // session-wide change to how other nanos columns read.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("NANOS") &&
+              spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          t("events")
+          try t("events")
+          catch { case retryFailure: Throwable =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            throw retryFailure
+          }
       }
     raw.schema("ts").dataType match {
       case TimestampType    => raw

@@ -41,11 +41,37 @@ object KMeansIvf {
     * construction — exact integer math, lowest-id init, first-min
     * tie-break on both paths (spec-asserted). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3,
-      corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) = {
+      corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) =
+    fitImpl(df, idCol, k, iters, corpusKey,
+      probe = Similarity.fixedPoint(col(vecCol)),
+      work = Similarity.fixedPoint(col(vecCol)),
+      readCentroid = _.getSeq[Long](0).toArray,
+      nearest = (c, cents) => org.apache.spark.sql.graft.NearestCells.nearest(c, cents),
+      unpack = identity)
+
+  /** The ONE Lloyd recipe behind [[fit]] and [[fitCodes]] — local probe,
+    * lowest-id init, exact Long distances via the injected nearest-cell
+    * expression, per-cluster integer-div means, empty cells keep their
+    * centroid. The two public entry points differ ONLY in representation,
+    * injected as: `work` (what gets checkpointed — array<long> vs packed
+    * binary), `probe` (the array<long> view LocalLloyd consumes),
+    * `readCentroid` (how an init row decodes), `nearest` (the codegen
+    * nearest-cell expression for that representation), and `unpack` (the
+    * array<long> view of the work column feeding the mean aggregation).
+    * A tie-break or rounding fix lands here exactly once — the packed and
+    * exact paths cannot silently diverge (their equivalence is also
+    * spec-pinned). */
+  private def fitImpl(df: DataFrame, idCol: String, k: Int, iters: Int,
+      corpusKey: Option[String],
+      probe: org.apache.spark.sql.Column,
+      work: org.apache.spark.sql.Column,
+      readCentroid: org.apache.spark.sql.Row => Array[Long],
+      nearest: (org.apache.spark.sql.Column, Array[Array[Long]]) => org.apache.spark.sql.Column,
+      unpack: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, Array[Array[Long]]) = {
     val localThreshold = df.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
-    LocalLloyd.probeSorted(df, idCol, Similarity.fixedPoint(col(vecCol)),
-        localThreshold, corpusKey).foreach { vecs =>
+    LocalLloyd.probeSorted(df, idCol, probe, localThreshold, corpusKey).foreach { vecs =>
       val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(vecs.indices.map(i =>
@@ -57,23 +83,23 @@ object KMeansIvf {
       return (df.sparkSession.createDataFrame(rows, schema), centroids)
     }
 
-    val fp = df.select(col(idCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
-      .localCheckpoint()
+    // the checkpointed working set: (id, representation) — nothing else
+    val fp = df.select(col(idCol), work.as("__w")).localCheckpoint()
 
     var centroids: Array[Array[Long]] = fp.orderBy(col(idCol)).limit(k)
-      .select("__fe").collect()
-      .map(_.getSeq[Long](0).toArray)
+      .select("__w").collect().map(readCentroid)
 
     def assign(frame: DataFrame): DataFrame =
-      frame.withColumn("cluster",
-        org.apache.spark.sql.graft.NearestCells.nearest(col("__fe"), centroids))
+      frame.withColumn("cluster", nearest(col("__w"), centroids))
 
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
-      val assigned = assign(fp)
-      // per-cluster integer means as dim sum-columns in ONE aggregation:
-      // the shuffle moves k partially-aggregated rows, not the k × dim ×
-      // |vectors| stream a posexplode would feed it
+      // __fe is derived per scan inside whole-stage codegen (for the packed
+      // representation, one unpack per row; for the exact one it's the
+      // stored column itself). Per-cluster integer means as dim sum-columns
+      // in ONE aggregation: the shuffle moves k partially-aggregated rows,
+      // not the k × dim × |vectors| stream a posexplode would feed it.
+      val assigned = assign(fp).withColumn("__fe", unpack(col("__w")))
       val sums = (0 until dim).map(i =>
         sum(element_at(col("__fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
       val means = assigned.groupBy(col("cluster")).agg(sums.head, sums.tail: _*).collect()
@@ -111,58 +137,18 @@ object KMeansIvf {
     * the 20 M-vector fit from storage-bound (each iteration re-reading a
     * spilled 11 GB checkpoint — SCALE.md's ns20/ns30 wall cliff) back to
     * memory-resident. Centroids are k × dim Longs (means of codes) — the
-    * identical driver-state bound as [[fit]].
-    *
-    * Kept separate from [[fit]] rather than parameterized: the two differ
-    * in exactly what gets checkpointed (packed binary vs array<long>), and
-    * that difference IS this function's reason to exist. */
+    * identical driver-state bound as [[fit]]. Same [[fitImpl]] skeleton;
+    * only the representation pieces (checkpoint the binary, unpack per
+    * scan, code-aware nearest-cell expression) differ. */
   def fitCodes(codes: DataFrame, idCol: String, codeCol: String, k: Int,
       iters: Int = 3, corpusKey: Option[String] = None): (DataFrame, Array[Array[Long]]) = {
     import org.apache.spark.sql.graft.{CodesToLongs, NearestCellsCodes}
-    val localThreshold = codes.sparkSession.conf
-      .get("spark.graft.kmeans.localThreshold", "65536").toInt
-    LocalLloyd.probeSorted(codes, idCol, CodesToLongs(col(codeCol)),
-        localThreshold, corpusKey).foreach { vecs =>
-      val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(vecs.indices.map(i =>
-          org.apache.spark.sql.Row(vecs(i)._1, assignment(i))): _*)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        codes.schema(idCol).copy(name = idCol),
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.IntegerType, nullable = false)))
-      return (codes.sparkSession.createDataFrame(rows, schema), centroids)
-    }
-
-    // the checkpointed working set: (id, dim-byte binary) — nothing else
-    val fp = codes.select(col(idCol), col(codeCol).as("__q")).localCheckpoint()
-
-    var centroids: Array[Array[Long]] = fp.orderBy(col(idCol)).limit(k)
-      .select("__q").collect()
-      .map(_.getAs[Array[Byte]](0).map(b => (b & 0xff).toLong))
-
-    def assign(frame: DataFrame): DataFrame =
-      frame.withColumn("cluster", NearestCellsCodes.nearest(col("__q"), centroids))
-
-    val dim = centroids.head.length
-    for (_ <- 1 to iters) {
-      // __fe is derived per scan inside whole-stage codegen (one unpack per
-      // row); only the packed binary is ever stored
-      val assigned = assign(fp).withColumn("__fe", CodesToLongs(col("__q")))
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("__fe"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
-      val means = assigned.groupBy(col("cluster")).agg(sums.head, sums.tail: _*).collect()
-      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
-      means.foreach { r =>
-        val cl = r.getInt(0)
-        val n = r.getLong(dim + 1)
-        var i = 0
-        while (i < dim) { next(cl)(i) = r.getLong(i + 1) / n; i += 1 }
-      }
-      centroids = next
-    }
-
-    (assign(fp).select(col(idCol), col("cluster")), centroids)
+    fitImpl(codes, idCol, k, iters, corpusKey,
+      probe = CodesToLongs(col(codeCol)),
+      work = col(codeCol),
+      readCentroid = _.getAs[Array[Byte]](0).map(b => (b & 0xff).toLong),
+      nearest = (c, cents) => NearestCellsCodes.nearest(c, cents),
+      unpack = c => CodesToLongs(c))
   }
 
   /** [[fitCodes]] with SharedCache memoization — the [[fitCached]]

@@ -115,9 +115,14 @@ object DidResolver {
     private val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
     /** Bounded retry on TRANSIENT failures only (connect reset, timeout —
-      * anything that throws): a directory blip must not surface as a 401
-      * for a valid token. A non-2xx response is authoritative (the DID
-      * genuinely isn't there) and is NOT retried. Misses are uncached
+      * i.e. IOException, which HttpTimeoutException extends): a directory
+      * blip must not surface as a 401 for a valid token. Permanent
+      * failures — a malformed URL (IllegalArgumentException from
+      * URI.create), any other non-IO defect — return None immediately:
+      * backing off cannot fix them. A non-2xx response is authoritative
+      * (the DID genuinely isn't there) and is NOT retried. An interrupt
+      * during backoff restores the thread's interrupt status and returns
+      * None, keeping the no-throw Option contract. Misses are uncached
       * upstream, so the cost of a false None is one extra fetch per
       * request until the directory recovers. */
     override def fetch(url: String): Option[String] = {
@@ -128,9 +133,13 @@ object DidResolver {
           val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
           return if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
         } catch {
-          case _: Exception if attempt < retries =>
+          case _: java.io.IOException if attempt < retries =>
             attempt += 1
-            Thread.sleep(backoffMillis * attempt)
+            try Thread.sleep(backoffMillis * attempt)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt(); return None }
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt(); return None
           case _: Exception => return None
         }
       }
