@@ -73,8 +73,14 @@ object ScaleSmoke {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "_ab" entries are plan-race arms (same contract as their production
+    // op, deliberately worse-or-contender plans) — they run only when the
+    // filter names them, never in a default full sweep
     def selected(label: String): Boolean =
-      only.forall(_.split(',').exists(label.contains))
+      only match {
+        case None => !label.endsWith("_ab")
+        case Some(f) => f.split(',').exists(label.contains)
+      }
 
     /** Run a section: JIT-warm every selected op at n/100, then time at n.
       * The corpus is generated + checkpointed OUTSIDE the timings; between
@@ -138,6 +144,16 @@ object ScaleSmoke {
         TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()),
       "dup_span_stats" -> (d =>
         TextAnalysis.duplicateSpanStats(d, "doc_id", "text", n = 3)
+          .filter(col("dup_frac") > 0.5).count()),
+      // A/B arms for the ns48 plan race (SCALE.md): same contract, the
+      // pre-round-11 window sort vs the groupBy+join re-read. Excluded
+      // from default runs by the opFilter (select "dup_span" to race all
+      // three).
+      "dup_span_window_ab" -> (d =>
+        TextAnalysis.duplicateSpanStatsWindow(d, "doc_id", "text", n = 3)
+          .filter(col("dup_frac") > 0.5).count()),
+      "dup_span_join_ab" -> (d =>
+        TextAnalysis.duplicateSpanStatsJoin(d, "doc_id", "text", n = 3)
           .filter(col("dup_frac") > 0.5).count()),
       "norm_dedup" -> (d =>
         Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()),

@@ -138,12 +138,15 @@ object Dedup {
 
   /** SimHash near-dup pairs within a blocking bucket: hamming(simhash) ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bucket: Seq[String], maxDist: Int): DataFrame = {
+      bucket: Seq[String], maxDist: Int,
+      // above the gate the join shuffles on the bucket keys — a hot bucket
+      // is AQE skew-split (spec-forced in SkewSpec, like minhashLshPairs)
+      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
     val withSig = df.select((bucket :+ idCol).map(col) :+
       simhash16(tokenSet(col(textCol))).as("__sh"): _*)
       .localCheckpoint() // signatures computed once, not per join side
     val a = withSig.as("a")
-    val b = JoinHints.maybeBroadcast(withSig).as("b")
+    val b = JoinHints.maybeBroadcast(withSig, broadcastRowLimit).as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     a.join(b, joinCond)
@@ -524,7 +527,10 @@ object Dedup {
     * ([[org.apache.spark.sql.graft.IntersectSizeSorted]]) instead of
     * array_intersect's per-pair hash set. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      bucket: Seq[String], ngram: Int, threshold: Double): DataFrame = {
+      bucket: Seq[String], ngram: Int, threshold: Double,
+      // above the gate the join shuffles on the bucket keys — a hot bucket
+      // is AQE skew-split (spec-forced in SkewSpec, like minhashLshPairs)
+      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
     val sets = df.select((bucket :+ idCol).map(col) :+
         split(lower(col(textCol)), " ").as("__w"): _*)
       .select((bucket :+ idCol).map(col) :+
@@ -532,7 +538,7 @@ object Dedup {
                    else shinglesOf(col("__w"), ngram)).as("__ws"): _*)
       .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
-    val b = JoinHints.maybeBroadcast(sets).as("b")
+    val b = JoinHints.maybeBroadcast(sets, broadcastRowLimit).as("b")
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     val inter = org.apache.spark.sql.graft.IntersectSizeSorted(col("a.__ws"), col("b.__ws"))

@@ -214,16 +214,86 @@ object TextAnalysis {
     * final double division. Docs shorter than n words have no spans and
     * drop, like the containment scorer. */
   def duplicateSpanStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    duplicateSpanStatsSolo(df, idCol, textCol, n)
+
+  /** Per-document DISTINCT span sets, computed scan-locally: the
+    * dataframe-level `.distinct()` the pre-round-11 shape paid a full
+    * (doc, span) exchange for only ever removed WITHIN-document repeats —
+    * a (doc, span) pair cannot recur across documents — so array_distinct
+    * before the explode is the same set at zero shuffle. Shared by all
+    * [[duplicateSpanStats]] plan variants. */
+  private def spanSets(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), array_distinct(ngramsOf(col("__ws"), n)).as("__gs"))
+
+  /** The distinct (doc, span) incidence frame — [[spanSets]] exploded. */
+  private def spanIncidences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    spanSets(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__gs")).as("g"))
+
+  /** "Solo-count" plan (the production choice): a span is duplicated iff
+    * its document frequency > 1, so per-doc dup counts are n_spans minus
+    * the spans UNIQUE to the doc — and a unique span's one incidence row
+    * already names its owner (min(id) of a df=1 group IS the doc).
+    * n_spans is size(per-doc span set) — scan-local, no explode. The
+    * incidence frame therefore crosses exactly ONE wide exchange (the
+    * per-gram aggregation, map-side combined) and is never sorted and
+    * never joined: the window variant sorts all ~55·n_docs incidences by
+    * gram; the join variant probes them through a gram-keyed hash join.
+    * The only join left is doc-level (one row per doc each side). */
+  private[graft] def duplicateSpanStatsSolo(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val sets = spanSets(df, idCol, textCol, n)
+    // per-gram: document frequency + (for df=1 groups) the one owner doc.
+    // min(idCol) on a df>1 group is discarded by the filter — cheap either
+    // way, and it keeps the aggregation a plain partial/final HashAggregate
+    val soloPerDoc = sets
+      .select(col(idCol), explode(col("__gs")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__solo"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__solo").as(idCol))
+      .agg(count(lit(1)).as("__n_solo"))
+    // docs shorter than n words have no spans and DROP, like every variant
+    sets.filter(size(col("__gs")) > 0)
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_spans"))
+      .join(soloPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("__n_solo"), lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** Window-count plan (the pre-round-11 shape, kept for A/B): per-span
+    * document frequency via `count over (partition by g)` — same shuffle
+    * a groupBy-join takes minus the join, but the WindowExec sorts every
+    * incidence by gram (the 2 M-doc wall's single biggest stage; SCALE.md
+    * records the 20 M comparison). */
+  private[graft] def duplicateSpanStatsWindow(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = df.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
-      .distinct()
-    spans
+    spanIncidences(df, idCol, textCol, n)
       .withColumn("__docs", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__docs") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** GroupBy-join plan (the other A/B arm, the verdict's suggested
+    * comparator): per-gram df via hash aggregation, joined back onto a
+    * re-read of the incidence frame — no sort, but the full incidence
+    * frame flows through a gram-keyed join probe. */
+  private[graft] def duplicateSpanStatsJoin(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = spanIncidences(df, idCol, textCol, n)
+    val perGram = spans.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    spans.join(perGram, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__df") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
       .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
@@ -429,50 +499,14 @@ object TextAnalysis {
       // dataflow stays in one inspectable (and pinnable) plan
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
-    // bind the split to a column FIRST: inlining `words(...)` into
-    // ngramsOf would re-evaluate the split for every element_at reference
-    // in the gram lambda — O(words²) per document
-    // Md5GramKeys emits gramKey(gram) for every n-gram in ONE native pass
-    // (no per-gram string/hex/parse allocations) and drops WITHIN-document
-    // repeats before the explode — set semantics downstream make that a
-    // free shuffle-row reduction
-    val toks = df
-      .select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
-      .select(col("__src"),
-        explode(org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
-          distinct = true)).as("__gk"))
+    val toks = overlapToks(df, groupCol, textCol, n)
     // null sources are excluded, matching the former collect_set shape
     // (which skipped nulls): they get no bit, and their rows' null bit
     // index yields a null mask contribution that bit_or ignores
-    val srcNames = df.select(col(groupCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).filter(_ != null).sorted
+    val srcNames = overlapSrcNames(df, groupCol)
     if (srcNames.length > 63) return sourceOverlapSets(toks)
-    // bit index = rank in sorted name order, so ascending bit pairs below
-    // are already ascending (src_a, src_b) name pairs — the oracle's
-    // a.source < b.source orientation falls out of the encoding
-    val srcBit = typedLit(srcNames.zipWithIndex.toMap)
     val bitName = typedLit(srcNames.zipWithIndex.map(_.swap).toMap)
-    val masks = toks
-      .select(col("__gk"), element_at(srcBit, col("__src")).as("__bi"))
-      .select(col("__gk"), expr("shiftleft(1L, __bi)").as("__m"))
-      .groupBy(col("__gk")).agg(bit_or(col("__m")).as("__mask"))
-    // ONE fan-out pass serves both downstream aggregates: each mask
-    // explodes into its set bits (b = −1 rows → per-source sizes) AND its
-    // ascending bit pairs (→ shared counts) together, so the 100M+-row
-    // mask frame is read exactly once and never checkpointed. MaskPairCodes
-    // emits both row kinds as packed ints in one native codegen pass (the
-    // higher-order-function formulation ran interpreted and was ~50 s of
-    // the 2 M-doc wall by itself); decode is two-instruction arithmetic.
-    // The aggregate has ≤ sources + sources²/2 distinct keys — map-side
-    // partial aggregation collapses it to a config-sized shuffle — and
-    // the ≤-sources²-row result is what gets checkpointed for the two
-    // consumers below.
-    val fan = masks
-      .select(explode(org.apache.spark.sql.graft.MaskPairCodes(
-        col("__mask"))).as("__c"))
-      .groupBy(shiftright(col("__c"), 6).as("__ba"),
-        (col("__c").bitwiseAND(lit(63)) - lit(1)).as("__bb"))
-      .agg(count(lit(1)).as("__cnt"))
+    val fan = overlapFan(overlapMasks(overlapBits(toks, srcNames)))
     val fanM = materialize(fan)
     val sizes = fanM.filter(col("__bb") === -1)
       .select(col("__ba").as("__b"), col("__cnt").as("__sz"))
@@ -488,6 +522,69 @@ object TextAnalysis {
         (col("shared").cast("double") /
           (col("__sa") + col("__sb") - col("shared")).cast("double")).as("jac"))
   }
+
+  /** [[sourceOverlap]] stage 1 — (source, hashed-gram-key) incidences.
+    * Package-private so diagnostics (tools.Ns51Probe) time the OPERATOR'S
+    * stages, not a by-eye replica that drifts. The split binds to a column
+    * FIRST: inlining `words(...)` into the gram lambda would re-evaluate
+    * it per element_at reference — O(words²) per document. Md5GramKeys
+    * emits gramKey(gram) for every n-gram in ONE native pass (no per-gram
+    * string/hex/parse allocations) and drops WITHIN-document repeats
+    * before the explode — set semantics downstream make that a free
+    * shuffle-row reduction. */
+  private[graft] def overlapToks(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
+      .select(col("__src"),
+        explode(org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
+          distinct = true)).as("__gk"))
+
+  /** [[sourceOverlap]]'s source→bit universe: distinct non-null source
+    * names, sorted — bit index = rank in sorted name order, so ascending
+    * bit pairs are already ascending (src_a, src_b) name pairs and the
+    * oracle's a.source < b.source orientation falls out of the encoding. */
+  private[graft] def overlapSrcNames(df: org.apache.spark.sql.DataFrame,
+      groupCol: String): Array[String] =
+    df.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).sorted
+
+  /** [[sourceOverlap]] stage 2a — each incidence as (gram key, one-bit
+    * source mask). Split from [[overlapMasks]] so a diagnostic can insert
+    * an exchange/sort between projection and aggregation and still be
+    * timing the operator's own projection. */
+  private[graft] def overlapBits(toks: org.apache.spark.sql.DataFrame,
+      srcNames: Array[String]): org.apache.spark.sql.DataFrame = {
+    val srcBit = typedLit(srcNames.zipWithIndex.toMap)
+    toks.select(col("__gk"), element_at(srcBit, col("__src")).as("__bi"))
+      .select(col("__gk"), expr("shiftleft(1L, __bi)").as("__m"))
+  }
+
+  /** [[sourceOverlap]] stage 2b — per-gram source bitmask via one bit_or
+    * aggregation (the mask IS the source set; no collect_set, no
+    * ObjectHashAggregate). */
+  private[graft] def overlapMasks(
+      bits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bits.groupBy(col("__gk")).agg(bit_or(col("__m")).as("__mask"))
+
+  /** [[sourceOverlap]] stage 3 — ONE fan-out pass serves both downstream
+    * aggregates: each mask explodes into its set bits (b = −1 rows →
+    * per-source sizes) AND its ascending bit pairs (→ shared counts)
+    * together, so the 100M+-row mask frame is read exactly once and never
+    * checkpointed. MaskPairCodes emits both row kinds as packed ints in
+    * one native codegen pass (the higher-order-function formulation ran
+    * interpreted and was ~50 s of the 2 M-doc wall by itself); decode is
+    * two-instruction arithmetic. The aggregate has ≤ sources + sources²/2
+    * distinct keys — map-side partial aggregation collapses it to a
+    * config-sized shuffle — and the ≤-sources²-row result is what gets
+    * checkpointed for the two consumers in [[sourceOverlap]]. */
+  private[graft] def overlapFan(
+      masks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    masks
+      .select(explode(org.apache.spark.sql.graft.MaskPairCodes(
+        col("__mask"))).as("__c"))
+      .groupBy(shiftright(col("__c"), 6).as("__ba"),
+        (col("__c").bitwiseAND(lit(63)) - lit(1)).as("__bb"))
+      .agg(count(lit(1)).as("__cnt"))
 
   /** Fallback pair shape for > 63 sources: per-gram sorted source SETS
     * (ObjectHashAggregate) instead of a bitmask — same semantics, same

@@ -70,8 +70,14 @@ class TestdataCanarySpec extends SparkSpec {
       s"embedding must be array<float> (got ${schema("embedding").dataType})")
     val dims = t.embeddings.select(size(col("embedding")).as("d"))
       .distinct().collect().map(_.getInt(0)).toSet
-    assert(dims.size == 1 && dims.head > 0,
-      s"embedding dim must be a single positive value (got $dims)")
+    // the catalog hardcodes dim = 64 (ns36/ns37/ns42 SQ8/LSH/PQ entries);
+    // a regenerated fixture with another width must update those queries
+    // AND their oracles together, starting from this one message
+    assert(dims == Set(64),
+      s"embedding dim must be exactly 64 — the catalog's hardcoded width (got $dims)")
+    // ns09's IVF blocking column: an int cell label
+    assert(schema("label").dataType == IntegerType,
+      s"embeddings.label must be int (got ${schema("label").dataType})")
   }
 
   test("canary: TPC-H-ish tables expose the keyed columns the joins use") {

@@ -378,6 +378,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!stats.contains(5L))
   }
 
+  test("duplicate-span stats: all plan variants agree (solo ≡ window ≡ join)") {
+    // the production (solo-count) plan and both A/B arms must stay
+    // value-identical — the 20 M-doc race in SCALE.md is a fair race only
+    // if every arm computes the same contract, and a semantics fix to one
+    // arm must break this spec rather than silently fork them.
+    // ScaleSmoke.corpus has no duplicate clusters below ~20 k docs (seed
+    // collapse needs doc_id ≥ 4096 on a %20 grid), so duplicates are
+    // constructed: full copies of docs 0–499 under new ids, plus partial
+    // duplicates (a copied doc's text + a unique doc's text) — all three
+    // regimes (all-dup, no-dup, mixed) present by construction
+    val base = graft.ScaleSmoke.corpus(spark, 1500)
+    val copies = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("text"))
+    val partials = base.filter(col("doc_id") < 100).as("a")
+      .join(base.filter(col("doc_id").between(1000, 1099)).as("b"),
+        col("a.doc_id") + 1000 === col("b.doc_id"))
+      .select((col("a.doc_id") + 20000).as("doc_id"), col("a.source"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    val docs = base.unionAll(copies).unionAll(partials)
+      .withColumnRenamed("doc_id", "id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val solo = canon(TextAnalysis.duplicateSpanStatsSolo(docs, "id", "text", 3))
+    val window = canon(TextAnalysis.duplicateSpanStatsWindow(docs, "id", "text", 3))
+    val join = canon(TextAnalysis.duplicateSpanStatsJoin(docs, "id", "text", 3))
+    // the fixture must exercise both regimes: some duplicated spans, some
+    // docs not fully duplicated — otherwise agreement proves nothing
+    assert(solo.nonEmpty && solo.exists(_._3 > 0) && solo.exists(r => r._3 < r._2))
+    assert(solo == window)
+    assert(solo == join)
+  }
+
   test("source-mix sample water-fills on the binding source and draws deterministically") {
     val s = spark
     import s.implicits._

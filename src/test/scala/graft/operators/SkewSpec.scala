@@ -51,20 +51,21 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
-  test("LSH pair self-join under a hot bucket: AQE splits the skewed partition, result unchanged") {
+  /** One viral near-duplicate: 400 identical texts (one hot bucket under
+    * ANY of the pair families' blocking keys — LSH band hash, simhash
+    * block value, or an explicit bucket column), plus a unique tail. */
+  private def hotDocs = {
     val s = spark
     import s.implicits._
-    // one viral near-duplicate: 400 identical texts share every LSH band
-    // (one hot (band, hash) bucket), plus a unique tail
-    val docs = ((0 until 400).map(i => (i.toLong, "hot viral post going around")) ++
+    ((0 until 400).map(i => (i.toLong, "hot viral post going around")) ++
       (400 until 600).map(i => (i.toLong, s"unique text number $i about topic ${i % 7}")))
       .toDF("doc_id", "text")
+  }
 
-    // ground truth from the broadcast path (default gate)
-    val viaBroadcast = Dedup.minhashLshPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaBroadcast.size >= 400 * 399 / 2) // the hot clique is present
-
+  /** Force the at-scale shuffle shape on a toy fixture: no broadcast
+    * anywhere, skew thresholds low enough that the hot bucket's partition
+    * trips them. Restores every conf afterwards. */
+  private def withForcedSkew[A](body: => A): A = {
     val prev = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold",
@@ -75,8 +76,6 @@ class SkewSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.enabled",
     ).map(k => k -> spark.conf.getOption(k)).toMap
     try {
-      // force the at-scale shape on a toy fixture: no broadcast anywhere,
-      // skew thresholds low enough that the hot bucket's partition trips them
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -86,19 +85,72 @@ class SkewSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
+  private def assertSkewSplitJoin(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("skewed"), // AQEShuffleRead marks the split partitions
+      s"expected AQE skew-split markers in the final adaptive plan:\n$plan")
+  }
+
+  test("LSH pair self-join under a hot bucket: AQE splits the skewed partition, result unchanged") {
+    val docs = hotDocs
+    // ground truth from the broadcast path (default gate)
+    val viaBroadcast = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBroadcast.size >= 400 * 399 / 2) // the hot clique is present
+
+    withForcedSkew {
       // broadcastRowLimit = 0 → the shuffle join path (what a 100 TB corpus takes)
       val shuffled = Dedup.minhashLshPairs(docs, "doc_id", "text", broadcastRowLimit = 0L)
       val viaShuffle = shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(viaShuffle == viaBroadcast, "skew-split shuffle join must equal the broadcast join")
+      assertSkewSplitJoin(shuffled)
+    }
+  }
 
-      val plan = shuffled.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
-      assert(plan.contains("skewed"), // AQEShuffleRead marks the split partitions
-        s"expected AQE skew-split markers in the final adaptive plan:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  test("jaccard pair join under a hot bucket: AQE splits the skewed partition, result unchanged") {
+    // all docs share one blocking bucket value — the hot clique plus tail
+    // all land on one reducer unless AQE splits it
+    val docs = hotDocs.withColumn("bkt", lit(1))
+    val viaBroadcast = Dedup.jaccardPairs(docs, "doc_id", "text",
+        bucket = Seq("bkt"), ngram = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBroadcast.size >= 400 * 399 / 2)
+
+    withForcedSkew {
+      val shuffled = Dedup.jaccardPairs(docs, "doc_id", "text",
+        bucket = Seq("bkt"), ngram = 2, threshold = 0.5, broadcastRowLimit = 0L)
+      val viaShuffle = shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaShuffle == viaBroadcast, "skew-split shuffle join must equal the broadcast join")
+      assertSkewSplitJoin(shuffled)
+    }
+  }
+
+  test("banded simhash pair join under a hot block: AQE splits the skewed partition, result unchanged") {
+    // simhashPairsBanded always shuffles (no broadcast arm — banding IS its
+    // scale path); identical texts agree on every (block, value) key, so
+    // the hot clique concentrates on single reducers
+    val docs = hotDocs
+    // ground truth: the same operator under default confs (its plan is
+    // deterministic; only the physical partitioning changes under skew)
+    val baseline = Dedup.simhashPairsBanded(docs, "doc_id", "text",
+        bucket = Nil, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(baseline.size >= 400 * 399 / 2)
+
+    withForcedSkew {
+      val shuffled = Dedup.simhashPairsBanded(docs, "doc_id", "text",
+        bucket = Nil, maxDist = 3)
+      val viaShuffle = shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaShuffle == baseline, "skew-split shuffle join must equal the default-conf run")
+      assertSkewSplitJoin(shuffled)
     }
   }
 }
