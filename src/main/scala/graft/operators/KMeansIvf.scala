@@ -206,11 +206,12 @@ object KMeansIvf {
     rankCodes(qs, cands.withColumnRenamed(idCol, "__id"), k)
   }
 
-  /** The in-cell quantized ranking tail shared by [[searchSq8]] and
-    * [[searchSq8MultiProbe]]: cell equi-join, DotCodes similarity,
-    * per-query (qsim DESC, cand_id) top-k. Both sides carry
-    * (__id, __q, cluster); the query side is already broadcast-hinted. */
-  private def rankCodes(qs: DataFrame, cs: DataFrame, k: Int): DataFrame = {
+  /** The in-cell quantized ranking tail shared by [[searchSq8]],
+    * [[searchSq8MultiProbe]], and [[graft.streaming.IvfStore.search]]:
+    * cell equi-join, DotCodes similarity, per-query (qsim DESC, cand_id)
+    * top-k. Both sides carry (__id, __q, cluster); the query side is
+    * already broadcast-hinted. */
+  private[graft] def rankCodes(qs: DataFrame, cs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     qs.as("q").join(cs.as("c"), col("q.cluster") === col("c.cluster") &&
         col("q.__id") =!= col("c.__id"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 import graft.model.{Condition, Post}
 import graft.operators.{FilterCascade, Upsert}
@@ -34,17 +33,14 @@ object Ingest {
     * rewrite-and-swap compactions/deletes, and the backfill's dedup+append
     * — takes this lock, because each one reads a point-in-time snapshot and
     * then mutates the same files: an unsynchronized append between a
-    * `kept` read and `deleteRecursively` would be silently destroyed, and
+    * `kept` read and a version GC would be silently destroyed, and
     * two concurrent dedups against the same snapshot would double-insert.
     * The reference gets this for free from SQLite's single writer; a
     * Delta/Iceberg store at scale gets it from optimistic commit — this is
     * the parquet-harness equivalent. Spark task threads never take the
     * lock, so holding it across a job is deadlock-free. */
-  private val storeLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def lockFor(storeDir: String): Object =
-    storeLocks.computeIfAbsent(
-      Paths.get(storeDir).toAbsolutePath.normalize.toString, _ => new Object)
+    VersionedStore.lockFor(storeDir)
 
   def emptyStore(spark: SparkSession): DataFrame =
     // an empty LOCAL relation, not an empty RDD: Catalyst can prove it
@@ -52,120 +48,24 @@ object Ingest {
     // its whole shuffle) from first-batch/bootstrap plans
     spark.createDataFrame(java.util.Collections.emptyList[Row](), postSchema)
 
-  // ---- store versioning: the lock serializes WRITERS, but serving
-  // readers materialize pages lazily AFTER readStore returns, so a
-  // rewrite that deleted the directory in place could yank files out from
-  // under an in-flight scan (empty page or FileNotFoundException mid
-  // listing). Rewrites therefore land as a NEW version directory and an
-  // atomically-replaced pointer file — readers keep streaming the version
-  // they resolved (it survives one more swap, the grace window) and the
-  // next resolve sees the new one. SQLite gives the reference this
-  // snapshot isolation transactionally; Delta/Iceberg give it to a real
-  // deployment via manifest snapshots — this is the parquet-harness form.
-  // Legacy layout (parquet directly under the root, the specs' seeding
-  // shape) reads as-is until the first rewrite versions it. Version dirs
-  // are underscore-prefixed so Spark's hidden-path filter EXCLUDES them
-  // from a listing of the root: a reader that resolved the legacy root
-  // just before the first swap must keep seeing only the legacy files,
-  // not legacy + _v1 double-counted (an explicitly-given `_v...` root
-  // still reads fine — only discovered children are filtered).
-  private val CurrentPtr = "_current"
-
-  private def currentVersion(root: Path): Option[String] = {
-    val ptr = root.resolve(CurrentPtr)
-    if (Files.exists(ptr))
-      Some(new String(Files.readAllBytes(ptr),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    else None
-  }
-
+  // ---- store versioning: the [[VersionedStore]] version-dir +
+  // pointer-flip pattern. Legacy layout (parquet directly under the root,
+  // the specs' seeding shape) reads as-is until the first rewrite
+  // versions it.
   /** The directory holding the store's CURRENT version files; appends and
     * reads both resolve through here. */
-  private[graft] def versionDir(storeDir: String): String = {
-    val root = Paths.get(storeDir)
-    currentVersion(root).map(v => root.resolve(v).toString).getOrElse(storeDir)
-  }
+  private[graft] def versionDir(storeDir: String): String =
+    VersionedStore.versionDir(storeDir)
 
-  private def writePointer(root: Path, version: String): Unit = {
-    val tmp = root.resolve(CurrentPtr + ".tmp")
-    Files.write(tmp, version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve(CurrentPtr),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** How many superseded versions survive each swap. A reader must
-    * straddle GraceVersions+1 swaps between resolving the pointer and
-    * finishing its scan before its files can vanish; swaps are retention
-    * cycles or admin ops (seconds-to-minutes apart) while serving scans
-    * are sub-second, so 2 is already far beyond the observable window.
-    * The bounded window is the harness tradeoff for SQLite's transactional
-    * snapshots; a real deployment gets unbounded snapshot isolation from
-    * Delta/Iceberg manifests. */
-  private val GraceVersions = 2
-
-  /** Land `kept` as the store's next version: write beside the live data,
-    * atomically flip the pointer, then garbage-collect everything older
-    * than the versions readers may still be streaming. Caller holds the
-    * store lock. Version numbers are derived from the predecessor (not
-    * wall/monotonic clocks — System.nanoTime may be negative and would
-    * produce a name the GC regex treats as garbage). */
-  private def swapStore(storeDir: String, kept: DataFrame): Unit = {
-    val root = Paths.get(storeDir)
-    Files.createDirectories(root)
-    val prev = currentVersion(root)
-    val prevNum = prev.map(_.stripPrefix("_v").toLong).getOrElse(0L)
-    // allocate PAST any version dir already on disk, not just past the
-    // pointer: a crash between the version move and the pointer flip
-    // leaves an orphan _v(prev+1), and re-allocating that name would make
-    // this swap's Files.move collide forever after. The orphan itself is
-    // GC'd below (a version name outside the keep window).
-    // (name, number) pairs straight off the listing: keep-set membership
-    // is by the LITERAL directory name, never a re-format of the parsed
-    // number — a version dir written under a different digit-width must
-    // still be protected by the grace window
-    val onDisk = {
-      val s = Files.list(root)
-      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-        .filter(_.matches("_v\\d+")).map(n => n -> n.stripPrefix("_v").toLong).toSeq
-      finally s.close()
-    }
-    val nextNum = (prevNum +: onDisk.map(_._2)).max + 1
-    val next = f"_v$nextNum%019d"
-    val tmp = root.resolve(next + ".tmp")
-    kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString)
-    Files.move(tmp, root.resolve(next))
-    writePointer(root, next)
-    // grace: keep the newest GraceVersions superseded versions THAT EXIST
-    // (in-flight readers) — derived from the on-disk list, not arithmetic:
-    // crash-recovery gaps or a numbering-scheme change would otherwise
-    // shrink the window below the documented GraceVersions+1 swaps — and
-    // drop older ones plus any stale *.tmp (under the lock the current
-    // swap's tmp is already moved, so every remaining tmp is a crash
-    // leftover); the pre-versioning root files go once legacy readers
-    // have had a full swap to drain. Orphans (> prevNum) are never a
-    // reader's version: the pointer never named them.
-    val keep = Set(next) ++
-      onDisk.filter(_._2 <= prevNum).sortBy(_._2).takeRight(GraceVersions)
-        .map(_._1)
-    // legacy cleanup matches ONLY the pre-versioning parquet layout this
-    // store itself wrote (key=* partition dirs, _SUCCESS + its crc, bare
-    // part files) — a foreign file someone parks under the store root is
-    // not ours to delete, even though the directory is documented as
-    // store-owned
-    val isLegacy = (n: String) => n.startsWith("key=") || n == "_SUCCESS" ||
-      n == "._SUCCESS.crc" || n.startsWith("part-") || n.startsWith(".part-")
-    val s = Files.list(root)
-    try s.forEach { p =>
-      val name = p.getFileName.toString
-      val isVersion = name.matches("_v\\d+")
-      if (isVersion && !keep(name)) deleteRecursively(p)
-      else if (name.endsWith(".tmp")) deleteRecursively(p)
-      else if (!isVersion && name != CurrentPtr && prev.isDefined &&
-          isLegacy(name))
-        deleteRecursively(p)
-    } finally s.close()
-  }
+  /** Land `kept` as the store's next version via [[VersionedStore.swap]].
+    * Caller holds the store lock. The legacy matcher names ONLY the
+    * pre-versioning parquet layout this store itself wrote (key=*
+    * partition dirs, _SUCCESS + its crc, bare part files). */
+  private def swapStore(storeDir: String, kept: DataFrame): Unit =
+    VersionedStore.swap(storeDir,
+      tmp => kept.write.mode("overwrite").partitionBy("key").parquet(tmp.toString),
+      isLegacy = n => n.startsWith("key=") || n == "_SUCCESS" ||
+        n == "._SUCCESS.crc" || n.startsWith("part-") || n.startsWith(".part-"))
 
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
     val p = Paths.get(versionDir(storeDir))
@@ -335,10 +235,4 @@ object Ingest {
         least(coalesce(col("n"), lit(0L)), col("__limit").cast("long")).as("recordCount"))
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
 }
