@@ -145,12 +145,14 @@ object ScaleSmoke {
       "dup_span_stats" -> (d =>
         TextAnalysis.duplicateSpanStats(d, "doc_id", "text", n = 3)
           .filter(col("dup_frac") > 0.5).count()),
-      // A/B arms for the ns48 plan race (SCALE.md): same contract, the
-      // pre-round-11 window sort vs the groupBy+join re-read. Excluded
-      // from default runs by the opFilter (select "dup_span" to race all
-      // three).
-      "dup_span_window_ab" -> (d =>
-        TextAnalysis.duplicateSpanStatsWindow(d, "doc_id", "text", n = 3)
+      // A/B arms for the ns48 plan race (SCALE.md): same contract as the
+      // production window plan, hash-based contenders (solo-count agg /
+      // groupBy+shuffle-hash-join re-read). Excluded from default runs by
+      // the opFilter (select "dup_span" to race all three). The join arm
+      // is EXPECTED to die at 20 M — ShuffledHashJoin cannot spill its
+      // scales-with-corpus build side; that crash is the recorded result.
+      "dup_span_solo_ab" -> (d =>
+        TextAnalysis.duplicateSpanStatsSolo(d, "doc_id", "text", n = 3)
           .filter(col("dup_frac") > 0.5).count()),
       "dup_span_join_ab" -> (d =>
         TextAnalysis.duplicateSpanStatsJoin(d, "doc_id", "text", n = 3)

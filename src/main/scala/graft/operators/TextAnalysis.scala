@@ -207,26 +207,41 @@ object TextAnalysis {
     * occur in at least one OTHER document, and the fraction. Differs from
     * [[containmentScore]] (which compares against a small external probe
     * set) in that the "probe set" here is the corpus itself, so nothing
-    * broadcasts: distinct (doc, span) incidences feed a count window
-    * partitioned by span — the per-span document frequency, same shuffle
-    * a groupBy-join would take minus the join — then one
-    * map-side-combined per-doc aggregation. Exact integer counts, one
-    * final double division. Docs shorter than n words have no spans and
-    * drop, like the containment scorer. */
+    * broadcasts. Production plan is [[duplicateSpanStatsWindow]] — the
+    * measured winner of the round-11 three-arm race at BOTH 2 M and 20 M
+    * docs over keyed incidences (SCALE.md): one exchange of (id, gramKey)
+    * pairs, one sort, zero joins, and — decisively — no hash-table
+    * memory cliff. The hash-everywhere contenders lose above ~1 B
+    * distinct grams: the solo arm's final hash aggregate spills itself
+    * 2.2× slower, and the groupBy+shuffle-hash-join arm dies outright
+    * ("Can't acquire memory to build hash relation"). Exact integer
+    * counts, one final double division. Docs shorter than n words have
+    * no spans and drop, like the containment scorer. */
   def duplicateSpanStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame =
-    duplicateSpanStatsSolo(df, idCol, textCol, n)
+    duplicateSpanStatsWindow(df, idCol, textCol, n)
 
   /** Per-document DISTINCT span sets, computed scan-locally: the
     * dataframe-level `.distinct()` the pre-round-11 shape paid a full
     * (doc, span) exchange for only ever removed WITHIN-document repeats —
-    * a (doc, span) pair cannot recur across documents — so array_distinct
-    * before the explode is the same set at zero shuffle. Shared by all
+    * a (doc, span) pair cannot recur across documents — so per-row
+    * dedup before the explode is the same set at zero shuffle. Spans are
+    * counted by their fixed 60-bit [[gramKey]] (Md5GramKeys — the ns51
+    * move): every downstream exchange/aggregate handles an 8-byte long
+    * instead of an unbounded gram string, and because the SAME key is
+    * declared in the DuckDB oracle, a key collision (two spans → one
+    * key) yields identical answers on both engines rather than a flaky
+    * mismatch. The keying alone was worth 5–10× at 2 M docs: over gram
+    * STRINGS the window arm took 95 s and the solo arm 205 s; over long
+    * keys they take 18.0 s and 20.5 s (SCALE.md records the full
+    * three-arm race at 2 M and 20 M). Shared by all
     * [[duplicateSpanStats]] plan variants. */
   private def spanSets(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), array_distinct(ngramsOf(col("__ws"), n)).as("__gs"))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
+          distinct = true).as("__gs"))
 
   /** The distinct (doc, span) incidence frame — [[spanSets]] exploded. */
   private def spanIncidences(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -234,16 +249,20 @@ object TextAnalysis {
     spanSets(df, idCol, textCol, n)
       .select(col(idCol), explode(col("__gs")).as("g"))
 
-  /** "Solo-count" plan (the production choice): a span is duplicated iff
-    * its document frequency > 1, so per-doc dup counts are n_spans minus
-    * the spans UNIQUE to the doc — and a unique span's one incidence row
-    * already names its owner (min(id) of a df=1 group IS the doc).
-    * n_spans is size(per-doc span set) — scan-local, no explode. The
-    * incidence frame therefore crosses exactly ONE wide exchange (the
-    * per-gram aggregation, map-side combined) and is never sorted and
-    * never joined: the window variant sorts all ~55·n_docs incidences by
-    * gram; the join variant probes them through a gram-keyed hash join.
-    * The only join left is doc-level (one row per doc each side). */
+  /** "Solo-count" A/B arm: a span is duplicated iff its document
+    * frequency > 1, so per-doc dup counts are n_spans minus the spans
+    * UNIQUE to the doc — and a unique span's one incidence row already
+    * names its owner (min(id) of a df=1 group IS the doc). n_spans is
+    * size(per-doc span set) — scan-local, no explode. On paper the
+    * incidence frame crosses one exchange with no sort; in the measured
+    * race the per-gram hash aggregate is the flaw: distinct grams grow
+    * WITH the corpus (~1 B at 20 M docs), so the final aggregate's hash
+    * table outgrows task memory and its spill-merge path loses to the
+    * window arm's single clean sort (481 s vs 219 s at 20 M; even at 2 M
+    * it is slightly behind, 20.5 s vs 18.0 s — SCALE.md). Kept as the
+    * race arm documenting WHY the production plan is sort-based: a hash
+    * aggregate keyed by something that scales with the data has a memory
+    * cliff, a sort does not. */
   private[graft] def duplicateSpanStatsSolo(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val sets = spanSets(df, idCol, textCol, n)
@@ -266,11 +285,17 @@ object TextAnalysis {
       .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
-  /** Window-count plan (the pre-round-11 shape, kept for A/B): per-span
-    * document frequency via `count over (partition by g)` — same shuffle
-    * a groupBy-join takes minus the join, but the WindowExec sorts every
-    * incidence by gram (the 2 M-doc wall's single biggest stage; SCALE.md
-    * records the 20 M comparison). */
+  /** Window-count plan (the production choice): per-span document
+    * frequency via `count over (partition by g)` — same shuffle a
+    * groupBy-join takes, minus the join. The WindowExec sorts every
+    * incidence by gram key, and that sort is exactly why this arm WINS
+    * the race once incidences are 16-byte (id, key) pairs instead of
+    * strings: sorting is cliff-free at any gram cardinality, while both
+    * hash-based contenders degrade (solo arm, 2.2× slower at 20 M) or
+    * die (shuffle-hash join arm) when ~1 B distinct grams outgrow their
+    * hash tables. 18.0 s at 2 M / 218.6 s at 20 M docs — near-linear,
+    * with the gram-partitioned shuffle as the only wide exchange
+    * (SCALE.md). */
   private[graft] def duplicateSpanStatsWindow(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -285,12 +310,22 @@ object TextAnalysis {
   /** GroupBy-join plan (the other A/B arm, the verdict's suggested
     * comparator): per-gram df via hash aggregation, joined back onto a
     * re-read of the incidence frame — no sort, but the full incidence
-    * frame flows through a gram-keyed join probe. */
+    * frame flows through a gram-keyed join probe. The shuffle_hash hint
+    * is load-bearing: Catalyst's STATIC size estimate for the aggregate
+    * undershoots its real ~gram-cardinality output, so the planner
+    * broadcast-joined it at 2 M docs and died collecting ~1 GiB to the
+    * driver (spark.driver.maxResultSize) — exactly the unbounded-build
+    * broadcast this engine's broadcastRowLimit gates exist to prevent.
+    * With the hint it survives 2 M (25.0 s, last of the three arms) but
+    * is eliminated at 20 M: the per-gram build side grows with the
+    * corpus and ShuffledHashJoin cannot spill its build ("Can't acquire
+    * memory to build hash relation") — the same scales-with-data hash
+    * cliff as the solo arm, terminal instead of slow (SCALE.md). */
   private[graft] def duplicateSpanStatsJoin(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val spans = spanIncidences(df, idCol, textCol, n)
     val perGram = spans.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    spans.join(perGram, Seq("g"))
+    spans.join(perGram.hint("shuffle_hash"), Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__df") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))

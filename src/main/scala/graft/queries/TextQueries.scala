@@ -360,7 +360,9 @@ object TextQueries extends QueryModule {
     * quality signal): for every doc, the share of its distinct trigram
     * spans that some OTHER document also contains — the span-level dedup
     * decision input, with the corpus itself as the probe set (nothing
-    * broadcasts; see TextAnalysis.duplicateSpanStats). */
+    * broadcasts; see TextAnalysis.duplicateSpanStats). Spans are counted
+    * by their fixed 60-bit [[TextAnalysis.gramKey]] on BOTH engines
+    * (same move as ns51), so the comparison is collision-identical. */
   private val ns48 = QueryEntry(
     "ns48_dup_spans",
     (spark, dir) => {
@@ -368,18 +370,20 @@ object TextQueries extends QueryModule {
       TextAnalysis.duplicateSpanStats(t.documents, "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     },
-    Some(
-      """WITH dsh AS (SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
-        |cnt AS (SELECT g, count(*) AS docs FROM dsh GROUP BY g)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_spans,
-        |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-        |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
-        |FROM dsh JOIN cnt USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    Some {
+      val gk = duckGramKey("g0")
+      s"""WITH dsh AS (SELECT DISTINCT doc_id, $gk AS g FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g0
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+         |cnt AS (SELECT g, count(*) AS docs FROM dsh GROUP BY g)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM dsh JOIN cnt USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** PII redaction with audit counts: synthetic PII (derived from doc_id,
@@ -558,6 +562,18 @@ object TextQueries extends QueryModule {
   private val Bm25Probe: Seq[String] =
     Seq("spark", "vector", "join", "merge", "window", "filter", "customer", "query")
 
+  /** DuckDB restatement of [[graft.operators.TextAnalysis.gramKey]] over
+    * the named gram column: the first 15 md5 hex digits as a base-16
+    * BIGINT, digit-by-digit (strpos over the hex alphabet — DuckDB 1.0
+    * has no conv()). Declared in every oracle whose Spark side hashes
+    * grams through Md5GramKeys (ns48, ns51), so key collisions are
+    * engine-identical rather than flaky. */
+  private def duckGramKey(c: String): String =
+    (1 to 15).map { k =>
+      val mult = 1L << (4 * (15 - k))
+      s"(strpos('0123456789abcdef', substr(md5($c), $k, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+
   /** Corpus-overlap audit: pairwise shared distinct-trigram Jaccard
     * between sources — the "does dataset A duplicate dataset B" question
     * asked before mixing corpora. Pair fan-out is bounded by sources²,
@@ -573,12 +589,7 @@ object TextQueries extends QueryModule {
         .orderBy(col("src_a"), col("src_b"))
     },
     Some {
-      // first 15 md5 hex digits as a base-16 BIGINT — digit-by-digit
-      // (strpos over the hex alphabet), DuckDB 1.0 has no conv()
-      val gk = (1 to 15).map { k =>
-        val mult = 1L << (4 * (15 - k))
-        s"(strpos('0123456789abcdef', substr(md5(g0), $k, 1)) - 1) * CAST($mult AS BIGINT)"
-      }.mkString(" + ")
+      val gk = duckGramKey("g0")
       s"""WITH w AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
          |g AS (SELECT DISTINCT source, $gk AS g FROM (
          |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
