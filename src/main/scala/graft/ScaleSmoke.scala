@@ -157,6 +157,15 @@ object ScaleSmoke {
       "dup_span_join_ab" -> (d =>
         TextAnalysis.duplicateSpanStatsJoin(d, "doc_id", "text", n = 3)
           .filter(col("dup_frac") > 0.5).count()),
+      "containment_score" -> { d =>
+        // ns47/ns29 shape: probe set = every 100 000th document (200
+        // probes at 20 M — the config-sized benchmark side the operators
+        // assume), scored against the whole corpus
+        val probes = d.filter(pmod(col("doc_id"), lit(100000)) === 0)
+          .select(col("text").as("ptext"))
+        TextAnalysis.containmentScore(d, "doc_id", "text", probes, "ptext", n = 3)
+          .filter(col("containment") > 0.5).count()
+      },
       "norm_dedup" -> (d =>
         Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()),
       "token_budget" -> (d =>

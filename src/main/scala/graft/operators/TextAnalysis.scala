@@ -136,46 +136,58 @@ object TextAnalysis {
 
   /** Benchmark-contamination screen: which documents contain any probe
     * n-gram, and how many distinct ones. Probe and document texts are
-    * decomposed into the same word n-grams and equi-joined on md5(gram) —
-    * at scale the probe side is a few thousand benchmark rows, so the join
-    * is a broadcast hash semi-join against every document shard; no
-    * substring scans, no cross product. */
+    * decomposed into the same word n-grams and equi-joined on the gram
+    * itself — at scale the probe side is a few thousand benchmark rows,
+    * so the join is a broadcast hash semi-join against every document
+    * shard; no substring scans, no cross product. (An earlier shape
+    * joined on md5(gram); the digest bought nothing — same predicate,
+    * same-sized broadcast build — and cost a per-corpus-gram md5+hex,
+    * ~1.1 B digests at 20 M docs.) Grams are deduped PER ROW at the
+    * scan (a (doc, gram) pair cannot recur across rows — the spanSets
+    * observation), which turns the per-doc count_distinct into a plain
+    * count: no expand/two-phase distinct machinery, and only partial
+    * counts cross the per-doc shuffle — the gram strings never leave
+    * their scan partition. */
   def contaminationScreen(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
-    val probeHashes = probes
+    val probeGrams = probes
       .select(words(col(probeTextCol)).as("__pw"))
-      .select(explode(ngramsOf(col("__pw"), n)).as("pg"))
-      .select(md5(col("pg")).as("h")).distinct()
+      .select(explode(ngramsOf(col("__pw"), n)).as("pg")).distinct()
     docs.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
-      .join(broadcast(probeHashes), md5(col("g")) === col("h"))
+      .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
+      .join(broadcast(probeGrams), col("g") === col("pg"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("g")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** Per-document benchmark-containment ratio — the decontamination metric
     * (|doc shingles ∩ benchmark shingles| / |doc shingles|, distinct
     * n-grams, exact integer counts, ONE final double division). Where
     * [[contaminationScreen]] only lists contaminated docs, this scores
-    * EVERY doc so a pipeline can threshold. Shape: explode → broadcast
-    * left join against the (small) benchmark shingle set → one
-    * map-side-combined aggregation; docs shorter than n words have no
+    * EVERY doc so a pipeline can threshold. Shape: per-row gram dedup at
+    * the scan (the spanSets observation: a (doc, gram) pair cannot recur
+    * across rows) → explode → broadcast left join against the (small)
+    * benchmark shingle set, on the gram itself (the former md5(gram) key
+    * cost a digest per corpus gram for the same predicate) → one
+    * map-side-combined PLAIN-count aggregation — no count_distinct
+    * expand, and only partial counts cross the per-doc shuffle. A gram
+    * matches at most one probe row (the probe side is distinct), so
+    * count(pg) ≡ distinct hit grams. Docs shorter than n words have no
     * shingles and drop, like the screen. */
   def containmentScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
-    val probeHashes = probes
+    val probeGrams = probes
       .select(words(col(probeTextCol)).as("__pw"))
-      .select(explode(ngramsOf(col("__pw"), n)).as("pg"))
-      .select(md5(col("pg")).as("h")).distinct()
+      .select(explode(ngramsOf(col("__pw"), n)).as("pg")).distinct()
     docs.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(ngramsOf(col("__ws"), n)).as("g"))
-      .join(broadcast(probeHashes), md5(col("g")) === col("h"), "left")
+      .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
+      .join(broadcast(probeGrams), col("g") === col("pg"), "left")
       .groupBy(col(idCol))
       .agg(
-        count_distinct(col("g")).as("n_shingles"),
-        count_distinct(when(col("h").isNotNull, col("g"))).as("n_hits"))
+        count(lit(1)).as("n_shingles"),
+        count(col("pg")).as("n_hits"))
       .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
   }
 

@@ -309,7 +309,7 @@ object TextQueries extends QueryModule {
       val values = ProbeTexts.map(p => s"('$p')").mkString(", ")
       s"""WITH probes(ptext) AS (VALUES $values),
          |pw AS (SELECT string_split(lower(ptext), ' ') AS pw FROM probes),
-         |psh AS (SELECT DISTINCT md5(g) AS h FROM (
+         |psh AS (SELECT DISTINCT g AS pg FROM (
          |  SELECT unnest(list_transform(range(1, len(pw) - 1),
          |    i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])) AS g FROM pw)),
          |dsh AS (SELECT doc_id,
@@ -317,7 +317,7 @@ object TextQueries extends QueryModule {
          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
          |SELECT doc_id, count(DISTINCT g) AS n_hits
-         |FROM dsh JOIN psh ON md5(g) = h
+         |FROM dsh JOIN psh ON g = pg
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
   )
@@ -339,18 +339,18 @@ object TextQueries extends QueryModule {
       val values = ProbeTexts.map(p => s"('$p')").mkString(", ")
       s"""WITH probes(ptext) AS (VALUES $values),
          |pw AS (SELECT string_split(lower(ptext), ' ') AS pw FROM probes),
-         |psh AS (SELECT DISTINCT md5(g) AS h FROM (
+         |psh AS (SELECT DISTINCT g AS pg FROM (
          |  SELECT unnest(list_transform(range(1, len(pw) - 1),
          |    i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])) AS g FROM pw)),
          |dsh AS (SELECT doc_id,
          |  unnest(list_transform(range(1, len(w) - 1),
          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
-         |j AS (SELECT d.doc_id, d.g, p.h FROM dsh d LEFT JOIN psh p ON md5(d.g) = p.h)
+         |j AS (SELECT d.doc_id, d.g, p.pg FROM dsh d LEFT JOIN psh p ON d.g = p.pg)
          |SELECT doc_id,
          |  count(DISTINCT g) AS n_shingles,
-         |  count(DISTINCT CASE WHEN h IS NOT NULL THEN g END) AS n_hits,
-         |  CAST(count(DISTINCT CASE WHEN h IS NOT NULL THEN g END) AS DOUBLE)
+         |  count(DISTINCT CASE WHEN pg IS NOT NULL THEN g END) AS n_hits,
+         |  CAST(count(DISTINCT CASE WHEN pg IS NOT NULL THEN g END) AS DOUBLE)
          |    / count(DISTINCT g) AS containment
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },

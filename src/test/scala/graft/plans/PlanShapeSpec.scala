@@ -97,6 +97,31 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
   }
 
+  test("ns29/ns47 contamination family: probe side broadcasts, no distinct Expand") {
+    // r11 rewrite: grams dedup PER ROW at the scan (array_distinct before
+    // the explode), so the per-doc aggregate is a plain count — the former
+    // count_distinct Expand (ns47 carried two, doubling the exploded gram
+    // stream through the shuffle) must not come back, and the probe-gram
+    // join must stay a broadcast hash join (the probe side is
+    // benchmark-sized by contract)
+    import org.apache.spark.sql.execution.ExpandExec
+    for (name <- Seq("ns29_contamination", "ns47_containment_score")) {
+      val plan = {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+      assert(plan.collectWithSubqueries { case _: ExpandExec => }.isEmpty,
+        s"$name: count_distinct Expand machinery crept back in")
+      assert(plan.collectWithSubqueries { case _: BroadcastHashJoinExec => }.size == 1,
+        s"$name: the probe-gram join must be exactly one broadcast hash join")
+      assert(plan.collectWithSubqueries { case _: SortMergeJoinExec => }.isEmpty,
+        s"$name: no sort-merge join — a demotion funnels every corpus gram " +
+          "through an extra exchange+sort")
+    }
+  }
+
   test("ns51 source overlap: two codegen aggregates, no set aggregate, no window, " +
       "sizes join broadcast") {
     // materialize = identity keeps the whole dataflow in ONE inspectable
