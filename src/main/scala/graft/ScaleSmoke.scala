@@ -49,6 +49,34 @@ object ScaleSmoke {
       .select("doc_id", "source", "text")
   }
 
+  /** [[corpus]] with the duplicate clusters capped at a CONSTANT 20 docs
+    * (the 5% dup docs collapse onto their 400-id window base instead of a
+    * fixed 4096-seed pool), so true dup pairs grow LINEARLY with n
+    * (~0.475·n) rather than quadratically. The pair-emitting families
+    * (ns03 LSH, ns53 banded simhash) stop at 2 M over [[corpus]] because
+    * their OUTPUT explodes there; this variant holds output proportional
+    * to input, which isolates the PLAN's slope — the thing the 100 TB
+    * claim actually rests on — and lets those families run at 20 M. */
+  def corpusFixedDup(spark: SparkSession, n: Long): DataFrame = {
+    val V = 20000
+    spark.range(n).toDF("doc_id")
+      .withColumn("__seed",
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          col("doc_id") - pmod(col("doc_id"), lit(400)))
+          .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(
+          sequence(lit(0), (pmod(xxhash64(col("__seed")), lit(41)) + lit(40)).cast("int")),
+          i => {
+            val u = pmod(xxhash64(col("__seed") * lit(1000003L) + i), lit(1000000L))
+              .cast("double") / lit(1000000.0)
+            concat(lit("w"), floor(u * u * V).cast("long"))
+          })))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id") + lit(7)), lit(20))))
+      .select("doc_id", "source", "text")
+  }
+
   /** Deterministic embedding corpus for the ANN families: dim-wide
     * uniform [-1, 1) float vectors plus a 64-way label (the coarse
     * blocking column ns09 uses). Uniform — not clustered — on purpose:
@@ -234,7 +262,19 @@ object ScaleSmoke {
       },
     )
 
+    // Pair families over the FIXED-cluster corpus (constant 20-doc dup
+    // clusters → output grows linearly with n): the growing-cluster corpus
+    // above makes their output quadratic, which measures the materialized
+    // pair volume, not the plan. Same op configs as the text section.
+    val fixDupOps: Seq[(String, DataFrame => Long)] = Seq(
+      "lsh_pairs_fixdup" -> (d =>
+        Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
+      "simhash_banded_fixdup" -> (d =>
+        Dedup.simhashPairsBanded(d, "doc_id", "text", bucket = Nil, maxDist = 3).count()),
+    )
+
     runSection("text", corpus(spark, _), textOps)
+    runSection("fixdup", corpusFixedDup(spark, _), fixDupOps)
     runSection("vector", vectors(spark, _), vecOps)
     spark.stop()
   }
