@@ -30,12 +30,20 @@ object ScaleSmoke {
     * rare — so n-grams overlap realistically: common stopword-like heads,
     * a long rare tail). All columns derive from the row id via xxhash64 —
     * generation is embarrassingly parallel and reproducible. */
-  def corpus(spark: SparkSession, n: Long): DataFrame = {
+  def corpus(spark: SparkSession, n: Long): DataFrame =
+    corpusWithSeed(spark, n,
+      when(pmod(col("doc_id"), lit(20)) === 0, pmod(col("doc_id"), lit(4096)))
+        .otherwise(col("doc_id")))
+
+  /** Shared text/source generation over an injected duplicate-seed
+    * expression: the two corpora MUST differ only in which docs share a
+    * seed, or the fixdup-vs-text cross-section comparisons in SCALE.md
+    * stop measuring what they claim to. */
+  private def corpusWithSeed(spark: SparkSession, n: Long,
+      seed: org.apache.spark.sql.Column): DataFrame = {
     val V = 20000
     spark.range(n).toDF("doc_id")
-      .withColumn("__seed",
-        when(pmod(col("doc_id"), lit(20)) === 0, pmod(col("doc_id"), lit(4096)))
-          .otherwise(col("doc_id")))
+      .withColumn("__seed", seed)
       .withColumn("text", concat_ws(" ",
         transform(
           sequence(lit(0), (pmod(xxhash64(col("__seed")), lit(41)) + lit(40)).cast("int")),
@@ -57,25 +65,11 @@ object ScaleSmoke {
     * their OUTPUT explodes there; this variant holds output proportional
     * to input, which isolates the PLAN's slope — the thing the 100 TB
     * claim actually rests on — and lets those families run at 20 M. */
-  def corpusFixedDup(spark: SparkSession, n: Long): DataFrame = {
-    val V = 20000
-    spark.range(n).toDF("doc_id")
-      .withColumn("__seed",
-        when(pmod(col("doc_id"), lit(20)) === 0,
-          col("doc_id") - pmod(col("doc_id"), lit(400)))
-          .otherwise(col("doc_id")))
-      .withColumn("text", concat_ws(" ",
-        transform(
-          sequence(lit(0), (pmod(xxhash64(col("__seed")), lit(41)) + lit(40)).cast("int")),
-          i => {
-            val u = pmod(xxhash64(col("__seed") * lit(1000003L) + i), lit(1000000L))
-              .cast("double") / lit(1000000.0)
-            concat(lit("w"), floor(u * u * V).cast("long"))
-          })))
-      .withColumn("source",
-        concat(lit("src"), pmod(xxhash64(col("doc_id") + lit(7)), lit(20))))
-      .select("doc_id", "source", "text")
-  }
+  def corpusFixedDup(spark: SparkSession, n: Long): DataFrame =
+    corpusWithSeed(spark, n,
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        col("doc_id") - pmod(col("doc_id"), lit(400)))
+        .otherwise(col("doc_id")))
 
   /** Deterministic embedding corpus for the ANN families: dim-wide
     * uniform [-1, 1) float vectors plus a 64-way label (the coarse

@@ -210,11 +210,18 @@ object KMeansIvf {
     * [[searchSq8MultiProbe]], and [[graft.streaming.IvfStore.search]]:
     * cell equi-join, DotCodes similarity, per-query (qsim DESC, cand_id)
     * top-k. Both sides carry (__id, __q, cluster); the query side is
-    * already broadcast-hinted. */
-  private[graft] def rankCodes(qs: DataFrame, cs: DataFrame, k: Int): DataFrame = {
+    * already broadcast-hinted. `excludeSelf` drops candidates whose id
+    * equals the query id — right for the catalog entries (queries drawn
+    * FROM the corpus, self-hit is a degenerate rank-1), wrong for a store
+    * searched with EXTERNAL queries, where the two id namespaces are
+    * unrelated and an id collision would silently hide a valid candidate
+    * ([[graft.streaming.IvfStore.search]] passes false). */
+  private[graft] def rankCodes(qs: DataFrame, cs: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    qs.as("q").join(cs.as("c"), col("q.cluster") === col("c.cluster") &&
-        col("q.__id") =!= col("c.__id"))
+    val sameCell = col("q.cluster") === col("c.cluster")
+    qs.as("q").join(cs.as("c"),
+        if (excludeSelf) sameCell && col("q.__id") =!= col("c.__id") else sameCell)
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))

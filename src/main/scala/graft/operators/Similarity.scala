@@ -94,13 +94,22 @@ object Similarity {
     *     the quantize scans carry no join at all. The key asserts an
     *     IMMUTABLE corpus — [[sq8TopK]]'s scaladoc states the full
     *     contract. */
-  private[operators] def sq8WithBounds(candidates: DataFrame, vecCol: String,
-      boundsCacheKey: Option[String]): DataFrame => DataFrame = {
+  /** One-row (`__mn`, `__mx`) frame of fixed-point per-dimension SQ8
+    * bounds — THE bounds recipe: every quantize site (the batch paths here
+    * and [[graft.streaming.IvfStore.publish]]) must derive bounds through
+    * this one definition, or a vector quantized at publish time and one
+    * quantized by the batch path could disagree at the code edge. */
+  private[graft] def sq8BoundsFrame(candidates: DataFrame, vecCol: String): DataFrame = {
     val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
-    def boundsRow() = candidates
+    candidates
       .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
       .select(transform(col("__b._1"), fpOne).as("__mn"),
         transform(col("__b._2"), fpOne).as("__mx"))
+  }
+
+  private[operators] def sq8WithBounds(candidates: DataFrame, vecCol: String,
+      boundsCacheKey: Option[String]): DataFrame => DataFrame = {
+    def boundsRow() = sq8BoundsFrame(candidates, vecCol)
     boundsCacheKey match {
       case Some(key) =>
         val (mn, mx) = graft.SharedCache.getOrComputeValue(key) {

@@ -42,10 +42,14 @@ object IvfStore {
   // vec_id is pinned to LONG in the at-rest layout: schema-on-read needs
   // one concrete type, and every embedding fixture/source in scope keys
   // vectors by int64. Hash wider ids to longs upstream (xxhash64).
+  // `__b` is the writer partition: -1 for fitted versions (publish/refit
+  // consolidate everything they write), the foreachBatch epoch id for
+  // streamed appends — the idempotence handle (see [[ingest]]).
   private val codesSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("__q", BinaryType),
-    StructField("cell", IntegerType)))
+    StructField("cell", IntegerType),
+    StructField("__b", LongType)))
 
   private def codesDir(versionDir: String) =
     Paths.get(versionDir, "codes").toString
@@ -58,15 +62,11 @@ object IvfStore {
     * catalog entries), one pointer flip. Returns the published model. */
   def publish(spark: SparkSession, storeDir: String, embeddings: DataFrame,
       idCol: String, vecCol: String, nCells: Int, iters: Int = 3): Model = {
-    val fpOne = (x: org.apache.spark.sql.Column) =>
-      floor(x.cast("double") * 1000000d).cast("long")
     val nn = embeddings.filter(col(vecCol).isNotNull)
-    // fixed-point bounds, exactly Similarity.sq8PackedCodes' recipe — a
-    // vector quantized here and one quantized by the batch path must get
-    // identical codes
-    val b = nn.agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
-      .select(transform(col("__b._1"), fpOne).as("mn"),
-        transform(col("__b._2"), fpOne).as("mx")).head()
+    // bounds come from Similarity's ONE recipe definition — a vector
+    // quantized here and one quantized by the batch path must get
+    // identical codes, so there is nothing here that could drift from it
+    val b = graft.operators.Similarity.sq8BoundsFrame(nn, vecCol).head()
     val model0 = Model(b.getSeq[Long](0).toArray, b.getSeq[Long](1).toArray, Array.empty)
     val codes = nn.select(col(idCol).cast("long").as("vec_id"),
       SQ8PackRaw(col(vecCol), typedlit(model0.mn.toSeq),
@@ -84,9 +84,9 @@ object IvfStore {
   def refit(spark: SparkSession, storeDir: String, nCells: Int,
       iters: Int = 3): Model =
     VersionedStore.lockFor(storeDir).synchronized {
-      val m = model(spark, storeDir)
-      swapFit(spark, storeDir, codes(spark, storeDir).select("vec_id", "__q"),
-        m, nCells, iters)
+      val v = VersionedStore.versionDir(storeDir)
+      swapFit(spark, storeDir, codesAt(spark, v).select("vec_id", "__q"),
+        modelAt(spark, v), nCells, iters)
     }
 
   /** Fit cells on `codes`, then write (model, assigned codes) as the next
@@ -106,14 +106,14 @@ object IvfStore {
       Seq((next.mn.toSeq, next.mx.toSeq, next.centroids.map(_.toSeq).toSeq))
         .toDF("mn", "mx", "centroids")
         .coalesce(1).write.parquet(modelDir(tmp.toString))
-      assigned.write.partitionBy("cell").parquet(codesDir(tmp.toString))
+      assigned.withColumn("__b", lit(-1L))
+        .write.partitionBy("cell", "__b").parquet(codesDir(tmp.toString))
     })
     next
   }
 
-  /** The CURRENT version's model sidecar. */
-  def model(spark: SparkSession, storeDir: String): Model = {
-    val r = spark.read.parquet(modelDir(VersionedStore.versionDir(storeDir))).head()
+  private def modelAt(spark: SparkSession, versionDir: String): Model = {
+    val r = spark.read.parquet(modelDir(versionDir)).head()
     // nested rows come back as mutable.ArraySeq — type the inner element
     // as collection.Seq or the .map trips a ClassCastException
     Model(r.getSeq[Long](r.fieldIndex("mn")).toArray,
@@ -122,22 +122,42 @@ object IvfStore {
         .map(_.toArray).toArray)
   }
 
+  private def codesAt(spark: SparkSession, versionDir: String): DataFrame =
+    spark.read.schema(codesSchema).parquet(codesDir(versionDir))
+      .select("vec_id", "__q", "cell")
+
+  /** The CURRENT version's model sidecar. */
+  def model(spark: SparkSession, storeDir: String): Model =
+    modelAt(spark, VersionedStore.versionDir(storeDir))
+
   /** The CURRENT version's code table (vec_id, __q, cell). */
   def codes(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(codesSchema)
-      .parquet(codesDir(VersionedStore.versionDir(storeDir)))
+    codesAt(spark, VersionedStore.versionDir(storeDir))
 
-  /** Append a streamed batch of assigned codes — the output shape of
-    * [[AnnIngest.assignCells]] plus the id column — into the CURRENT
+  /** Land a streamed micro-batch of assigned codes — the output shape of
+    * [[AnnIngest.assignCells]] plus the id column — in the CURRENT
     * version. Serialized with publish/refit by the store lock, so an
-    * append can never land in a directory the GC is about to drop. */
-  def ingest(storeDir: String, assigned: DataFrame, idCol: String): Unit =
+    * append can never land in a directory the GC is about to drop.
+    *
+    * `batchId` is the foreachBatch epoch of the (single) writer stream and
+    * is the IDEMPOTENCE handle: the batch writes into its own `__b`
+    * partition with dynamic partition overwrite, so a batch redelivered
+    * after a mid-write failure REPLACES what the first attempt wrote
+    * instead of duplicating it (cell assignment is deterministic given the
+    * model, so the replayed batch lands on the identical partition set). */
+  def ingest(storeDir: String, assigned: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be a non-negative stream epoch, got $batchId")
     VersionedStore.lockFor(storeDir).synchronized {
       assigned
-        .select(col(idCol).cast("long").as("vec_id"), col("__q"), col("cell"))
-        .write.mode("append").partitionBy("cell")
+        .select(col(idCol).cast("long").as("vec_id"), col("__q"), col("cell"),
+          lit(batchId).as("__b"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "__b")
         .parquet(codesDir(VersionedStore.versionDir(storeDir)))
     }
+  }
 
   /** Top-k in-cell quantized search against the CURRENT version: external
     * query vectors quantize with the stored bounds, probe their `nProbe`
@@ -145,17 +165,26 @@ object IvfStore {
     * [[KMeansIvf.searchSq8MultiProbe]] ranking over the published index
     * instead of a per-query refit. partitionBy(cell) turns the cell
     * equi-join into pruned file reads when Spark plans it as a dynamic
-    * filter; the broadcast query side never shuffles the code table. */
+    * filter; the broadcast query side never shuffles the code table.
+    *
+    * The version pointer is resolved ONCE and both the model and the code
+    * table read from that resolved directory — a refit flipping the
+    * pointer mid-search can therefore never pair one version's centroids
+    * with another version's cell assignments (the superseded files
+    * survive the flip through the grace window). Queries are EXTERNAL:
+    * no self-exclusion — a query id that happens to collide with a stored
+    * vec_id must still retrieve that vector. */
   def search(spark: SparkSession, storeDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
-    val m = model(spark, storeDir)
+    val v = VersionedStore.versionDir(storeDir)
+    val m = modelAt(spark, v)
     val qs = broadcast(queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         SQ8PackRaw(col(vecCol), typedlit(m.mn.toSeq), typedlit(m.mx.toSeq)).as("__q"))
       .withColumn("cluster", explode(NearestCellsCodes(col("__q"), m.centroids, nProbe))))
     KMeansIvf.rankCodes(qs,
-      codes(spark, storeDir)
+      codesAt(spark, v)
         .select(col("vec_id").as("__id"), col("__q"), col("cell").as("cluster")),
-      k)
+      k, excludeSelf = false)
   }
 }

@@ -379,10 +379,10 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("duplicate-span stats: all plan variants agree (solo ≡ window ≡ join)") {
-    // the production (solo-count) plan and both A/B arms must stay
-    // value-identical — the 20 M-doc race in SCALE.md is a fair race only
-    // if every arm computes the same contract, and a semantics fix to one
-    // arm must break this spec rather than silently fork them.
+    // the production (window) plan and both A/B arms (solo-count, join)
+    // must stay value-identical — the 20 M-doc race in SCALE.md is a fair
+    // race only if every arm computes the same contract, and a semantics
+    // fix to one arm must break this spec rather than silently fork them.
     // ScaleSmoke.corpus has no duplicate clusters below ~20 k docs (seed
     // collapse needs doc_id ≥ 4096 on a %20 grid), so duplicates are
     // constructed: full copies of docs 0–499 under new ids, plus partial

@@ -41,8 +41,8 @@ class IvfLifecycleSpec extends SparkSpec {
     val stream = MemoryStream[Vec]
     val q = AnnIngest.assignCells(stream.toDF(), "embedding", m1.mn, m1.mx, m1.centroids)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IvfStore.ingest(dir, batch, "vec_id")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IvfStore.ingest(dir, batch, "vec_id", batchId)
       }
       .start()
     stream.addData(tail.take(100).toIndexedSeq)
@@ -51,6 +51,18 @@ class IvfLifecycleSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(IvfStore.codes(spark, dir).count() == 300 + tail.length + 1)
+
+    // redelivery is idempotent: foreachBatch is at-least-once, so a batch
+    // replayed after a mid-write failure arrives again UNDER THE SAME
+    // EPOCH ID — re-ingesting batch 0's exact content with batchId 0 must
+    // overwrite its own partitions, not append duplicates
+    IvfStore.ingest(dir,
+      AnnIngest.assignCells(
+        spark.createDataset(tail.take(100).toIndexedSeq).toDF(),
+        "embedding", m1.mn, m1.mx, m1.centroids),
+      "vec_id", batchId = 0L)
+    assert(IvfStore.codes(spark, dir).count() == 300 + tail.length + 1,
+      "redelivered micro-batch duplicated rows instead of replacing itself")
 
     // streamed rows landed with the v1 model's cell assignment
     val storedCells = IvfStore.codes(spark, dir).filter(col("vec_id") >= 300)
@@ -61,14 +73,17 @@ class IvfLifecycleSpec extends SparkSpec {
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(storedCells == expectCells)
 
-    // ---- search v1: vector 42's exact streamed copy must be its top hit
-    // (identical bounds → identical codes → maximal dot product)
+    // ---- search v1: queries are EXTERNAL, so no self-exclusion — the
+    // stored vector 42 itself (the query's id-collision twin) and its
+    // exact streamed copy 9999 carry identical codes and must rank 1-2 in
+    // cand_id tie-break order (identical bounds → identical codes →
+    // equal, maximal dot products)
     val queries = emb.filter(col("vec_id") === 42).select("vec_id", "embedding")
     val hits1 = IvfStore.search(spark, dir, queries, "vec_id", "embedding", k = 5)
       .orderBy("rank").collect()
     assert(hits1.length == 5)
-    assert(hits1.head.getAs[Long]("cand_id") == 9999L,
-      s"expected the exact copy as top-1, got ${hits1.toSeq}")
+    assert(hits1.take(2).map(_.getAs[Long]("cand_id")).toSeq == Seq(42L, 9999L),
+      s"expected the stored original then the exact copy, got ${hits1.toSeq}")
 
     // ---- versioned refit: retrain cells on batch+streamed codes, land as
     // v2 via pointer flip; bounds carry over, data survives, the
@@ -89,10 +104,10 @@ class IvfLifecycleSpec extends SparkSpec {
       .filter(col("cell") =!= col("__expect")).count()
     assert(misassigned == 0)
 
-    // ---- search v2: the exact copy is still the top hit
+    // ---- search v2: the identical-code pair still leads, same order
     val hits2 = IvfStore.search(spark, dir, queries, "vec_id", "embedding", k = 5)
       .orderBy("rank").collect()
-    assert(hits2.head.getAs[Long]("cand_id") == 9999L)
+    assert(hits2.take(2).map(_.getAs[Long]("cand_id")).toSeq == Seq(42L, 9999L))
 
     VersionedStore.deleteRecursively(Paths.get(dir))
   }
