@@ -188,6 +188,14 @@ object ScaleSmoke {
         TextAnalysis.containmentScore(d, "doc_id", "text", probes, "ptext", n = 3)
           .filter(col("containment") > 0.5).count()
       },
+      "dedup_components" -> (d =>
+        // ns26's distributed min-label fixpoint (the corpus is far above
+        // spark.graft.components.localThreshold, so this measures the
+        // bipartite loop itself); output is one label per doc — linear —
+        // so unlike the pair emitters this family CAN run on the
+        // growing-cluster corpus at 20 M
+        Dedup.minhashLshComponents(d, "doc_id", "text", numHashes = 16, bands = 4)
+          .filter(col("component") =!= col("doc_id")).count()),
       "norm_dedup" -> (d =>
         Dedup.normalizedExact(d, "doc_id", "text").filter(col("n") > 1).count()),
       "token_budget" -> (d =>
@@ -242,6 +250,32 @@ object ScaleSmoke {
       "ann_pq_adc" -> (v =>
         ProductQuantizer.pqTopK(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 10, dim = dim).count()),
+      "ivf_store_cycle" -> { v =>
+        // the durable streaming-ANN lifecycle (IvfLifecycleSpec's loop) at
+        // corpus scale: publish quantizes + code-trains + writes the
+        // versioned index, ingest appends a 1%-sized "micro-batch" under
+        // the live model, refit retrains cells over batch+streamed codes
+        // and pointer-flips, search probes the result — measuring that the
+        // file-backed store (not just the in-memory plans) holds its slope
+        val spark = v.sparkSession
+        val dir = java.nio.file.Files.createTempDirectory("ivf_smoke").toString
+        try {
+          val m = graft.streaming.IvfStore.publish(
+            spark, dir, v, "vec_id", "embedding", nCells = 16, iters = 2)
+          val nV = v.count()
+          val batch = vectors(spark, math.max(nV / 100, 1000L))
+            .withColumn("vec_id", col("vec_id") + lit(nV))
+          graft.streaming.IvfStore.ingest(dir,
+            graft.streaming.AnnIngest.assignCells(
+              batch, "embedding", m.mn, m.mx, m.centroids),
+            "vec_id", batchId = 0L)
+          graft.streaming.IvfStore.refit(spark, dir, nCells = 16, iters = 2)
+          graft.streaming.IvfStore.search(spark, dir,
+            v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10).count()
+        } finally
+          graft.streaming.VersionedStore.deleteRecursively(
+            java.nio.file.Paths.get(dir))
+      },
       "embed_neardup_lsh" -> { v =>
         // ns07's pair emitter with LSH blocking instead of the oracle's
         // coarse label: 20 planes ≈ 1 M buckets, so within-bucket pair

@@ -233,8 +233,13 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
     val nNodes = labels.count() // constant across iterations — gate broadcast once
+    // above the gate, pin every loop join to sort-merge: the aggregate-
+    // derived frames (nbrMin = nodes) carry undershot static size
+    // estimates, and an auto-broadcast of a corpus-sized frame dies on the
+    // driver (the ns48-race trap; same pin as minhashLshComponents)
+    val big = nNodes > JoinHints.DefaultBroadcastRowLimit
     def gate(l: DataFrame): DataFrame =
-      if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(l) else l
+      if (big) l.hint("merge") else broadcast(l)
 
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -243,8 +248,9 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges.join(gate(labels), col("src") === col("id"))
+      val nbrMinRaw = edges.join(gate(labels), col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nm"))
+      val nbrMin = if (big) nbrMinRaw.hint("merge") else nbrMinRaw
       val stepped = labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.dst"), "left")
         .select(col("l.id").as("id"),
@@ -299,12 +305,18 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
 
     // large-star: for every center u, link each LARGER neighbor v to
-    // m = min(Γ(u) ∪ {u}) — centers are every node (bidirectional view)
+    // m = min(Γ(u) ∪ {u}) — centers are every node (bidirectional view).
+    // The per-center min frames (m ≈ nodes) carry undershot static size
+    // estimates like every huge aggregate (the ns48-race trap), so both
+    // star joins pin sort-merge; AQE still demotes to broadcast at
+    // runtime when the actual size is small, so oracle-scale graphs lose
+    // nothing.
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = bidir.groupBy(col("u"))
         .agg(min(col("v")).as("__mn"))
         .select(col("u"), least(col("__mn"), col("u")).as("m"))
+        .hint("merge")
       bidir.join(m, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -316,7 +328,7 @@ object Dedup {
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m")).hint("merge")
       oriented.join(m, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(m.select(col("u"), col("m").as("v")))
@@ -422,22 +434,40 @@ object Dedup {
     if (integralId && nNodes <= localThreshold)
       return localBucketComponents(df, idCol, memberRows)
 
-    val members = memberRows.localCheckpoint()
+    // members is joined on id once per round, every cycle — pre-partition
+    // and pre-sort it ONCE (checkpoint preserves partitioning and order,
+    // SPARK-28153), so each round's sort-merge join exchanges and sorts
+    // only the labels side (nodes) instead of re-shuffling the bands×nodes
+    // membership frame per round. This is the bucketed-table layout a
+    // 100 TB run would give the membership relation, expressed in-plan.
+    val members = memberRows.repartition(col("id"))
+      .sortWithinPartitions(col("id")).localCheckpoint()
     var labels = withBands.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
+
+    // Above the broadcast gate every frame in the loop scales with the
+    // corpus, INCLUDING the aggregate-derived ones (bucketMin ≈ distinct
+    // buckets, nodeMin = nodes): Catalyst's static size estimate for a
+    // huge aggregate undershoots (the same trap SCALE.md's ns48 plan race
+    // records), so left to itself the planner auto-broadcasts them and
+    // dies collecting a corpus-sized frame to the driver. Pin those joins
+    // to sort-merge — spill-safe under any per-partition cardinality —
+    // and keep the broadcast form only under the explicit row-count gate.
+    val big = nNodes > JoinHints.DefaultBroadcastRowLimit
+    def pinned(df: DataFrame): DataFrame = if (big) df.hint("merge") else df
 
     // one bipartite round: label ← min(label, min over the node's buckets
     // of the bucket's member-label minimum)
     def round(l: DataFrame): DataFrame = {
-      val lbls = if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(l) else l
+      val lbls = if (big) l.hint("merge") else broadcast(l)
       val withLbl = members.as("m").join(lbls.as("l"), col("m.id") === col("l.id"))
         .select(col("m.id").as("id"), col("m.band").as("band"),
           col("m.bh").as("bh"), col("l.lbl").as("lbl"))
-      val bucketMin = withLbl.groupBy(col("band"), col("bh"))
-        .agg(min(col("lbl")).as("bm"))
-      val nodeMin = withLbl.as("w")
+      val bucketMin = pinned(withLbl.groupBy(col("band"), col("bh"))
+        .agg(min(col("lbl")).as("bm")))
+      val nodeMin = pinned(withLbl.as("w")
         .join(bucketMin.as("b"), col("w.band") === col("b.band") && col("w.bh") === col("b.bh"))
-        .groupBy(col("w.id")).agg(min(col("bm")).as("nm"))
+        .groupBy(col("w.id")).agg(min(col("bm")).as("nm")))
       l.as("l0").join(nodeMin.as("n"), col("l0.id") === col("n.id"), "left")
         .select(col("l0.id").as("id"),
           least(col("l0.lbl"), coalesce(col("n.nm"), col("l0.lbl"))).as("lbl"))
@@ -454,7 +484,7 @@ object Dedup {
     // itself — labels form a parent forest pointing at smaller ids, so the
     // composed cycle below converges in O(log diameter) cycles
     def jump(l: DataFrame): DataFrame = {
-      val lbls = if (nNodes <= JoinHints.DefaultBroadcastRowLimit) broadcast(l) else l
+      val lbls = if (big) l.hint("merge") else broadcast(l)
       l.as("a").join(lbls.as("b"), col("a.lbl") === col("b.id"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
