@@ -265,6 +265,8 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
+      // see minhashLshComponents: reclaim the dead cycle's shuffle files
+      if (big) System.gc()
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations — raise maxIters " +
@@ -350,6 +352,9 @@ object Dedup {
       converged = s == prev
       prev = s
       it += 1
+      // see minhashLshComponents: reclaim the dead cycle's shuffle files
+      // (gated on the live edge count so spec-scale graphs skip the GC)
+      if (s._1 > JoinHints.DefaultBroadcastRowLimit) System.gc()
     }
     if (!converged) throw new IllegalStateException(
       s"twoPhaseComponents did not converge in $maxIters iterations — raise maxIters " +
@@ -434,26 +439,49 @@ object Dedup {
     if (integralId && nNodes <= localThreshold)
       return localBucketComponents(df, idCol, memberRows)
 
-    // members is joined on id once per round, every cycle — pre-partition
-    // and pre-sort it ONCE (checkpoint preserves partitioning and order,
+    // Two structural reductions before the loop, both of which make its
+    // working set proportional to the CLUSTERED docs instead of the
+    // corpus (on a mostly-unique corpus that is a 10-20× cut — measured
+    // at 20 M docs, where the unfiltered loop's per-cycle shuffle volume
+    // exhausted the build machine's disk):
+    //
+    // 1. Singleton buckets are INERT: a bucket with one member contributes
+    //    exactly that node's own label to its node-min, so dropping those
+    //    membership rows cannot change any label. One keyed window (the
+    //    sort-based shape, no giant hash agg) filters them; the fixpoint
+    //    then touches only docs that share at least one bucket.
+    // 2. Only nodes that SURVIVE the filter can ever change label — the
+    //    loop's label table is restricted to them, and every other doc is
+    //    its own component by construction (re-attached after the loop).
+    //
+    // The surviving members frame is then pre-partitioned and pre-sorted
+    // on id ONCE (checkpoint preserves partitioning and order,
     // SPARK-28153), so each round's sort-merge join exchanges and sorts
-    // only the labels side (nodes) instead of re-shuffling the bands×nodes
-    // membership frame per round. This is the bucketed-table layout a
-    // 100 TB run would give the membership relation, expressed in-plan.
-    val members = memberRows.repartition(col("id"))
+    // only the active-labels side instead of re-shuffling membership rows
+    // per round — the bucketed-table layout a 100 TB run would give the
+    // membership relation, expressed in-plan.
+    import org.apache.spark.sql.expressions.Window
+    val shared = memberRows.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") > 1).drop("__bn")
+    val members = shared.repartition(col("id"))
       .sortWithinPartitions(col("id")).localCheckpoint()
-    var labels = withBands.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    var labels = members.select(col("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
 
     // Above the broadcast gate every frame in the loop scales with the
-    // corpus, INCLUDING the aggregate-derived ones (bucketMin ≈ distinct
-    // buckets, nodeMin = nodes): Catalyst's static size estimate for a
-    // huge aggregate undershoots (the same trap SCALE.md's ns48 plan race
-    // records), so left to itself the planner auto-broadcasts them and
-    // dies collecting a corpus-sized frame to the driver. Pin those joins
-    // to sort-merge — spill-safe under any per-partition cardinality —
-    // and keep the broadcast form only under the explicit row-count gate.
-    val big = nNodes > JoinHints.DefaultBroadcastRowLimit
+    // ACTIVE set, INCLUDING the aggregate-derived ones (bucketMin ≈
+    // distinct shared buckets, nodeMin = active nodes): Catalyst's static
+    // size estimate for a huge aggregate undershoots (the same trap
+    // SCALE.md's ns48 plan race records), so left to itself the planner
+    // auto-broadcasts them and dies collecting a corpus-sized frame to
+    // the driver. Pin those joins to sort-merge — spill-safe under any
+    // per-partition cardinality — and keep the broadcast form only under
+    // the explicit row-count gate. The gate counts ACTIVE nodes (the
+    // checkpoint makes the count free): a 100 TB corpus with a bounded
+    // near-dup population still gets the broadcast loop.
+    val nActive = labels.count()
+    val big = nActive > JoinHints.DefaultBroadcastRowLimit
     def pinned(df: DataFrame): DataFrame = if (big) df.hint("merge") else df
 
     // one bipartite round: label ← min(label, min over the node's buckets
@@ -503,11 +531,24 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
+      // the checkpoint truncates lineage, so the previous cycle's shuffle
+      // files are garbage — but ContextCleaner only deletes them after a
+      // JVM GC notices the dead references, and a long fixpoint at corpus
+      // scale writes tens of GB per cycle (measured: ENOSPC at 20 M docs
+      // before this nudge). One System.gc() per cycle bounds on-disk
+      // shuffle state at ~one cycle's worth; negligible against the
+      // cycle's own minutes of work, and skipped entirely on small graphs.
+      if (big) System.gc()
     }
     if (!converged) throw new IllegalStateException(
       s"minhashLshComponents did not converge in $maxIters iterations — raise maxIters " +
         "(unconverged labels would silently split true components)")
-    labels.select(col("id").as(idCol), col("lbl").as("component"))
+    // re-attach the inert docs (no shared bucket): own id = own component
+    val fin = if (big) labels.hint("merge") else broadcast(labels)
+    df.select(col(idCol)).as("n")
+      .join(fin.as("c"), col(s"n.`$idCol`") === col("c.id"), "left")
+      .select(col(s"n.`$idCol`").as(idCol),
+        coalesce(col("c.lbl"), col(s"n.`$idCol`")).as("component"))
   }
 
   /** Below-threshold component labelling: collect the (id, band, bh)

@@ -113,7 +113,15 @@ object KMeansIvf {
       centroids = next
     }
 
-    (assign(fp).select(col(idCol), col("cluster")), centroids)
+    // fresh-alias the returned columns: fp's checkpoint REUSES the input
+    // frame's attribute ids, so returning them as-is makes the standard
+    // `input.join(assignments, idCol)` a same-attribute join whenever the
+    // caller's id column is alias-derived (e.g. a cast) — a collision the
+    // analyzer's relation dedup cannot repair (it re-instances duplicated
+    // leaves, not alias-vs-checkpoint overlaps). The local path above
+    // returns a fresh LocalRelation and never collides; this makes the
+    // distributed path's contract identical.
+    (assign(fp).select(col(idCol).as(idCol), col("cluster").as("cluster")), centroids)
   }
 
   /** [[fit]] with the result shared across consumers via

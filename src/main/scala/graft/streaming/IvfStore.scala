@@ -98,16 +98,7 @@ object IvfStore {
       m: Model, nCells: Int, iters: Int): Model = {
     val (assignments, centroids) =
       KMeansIvf.fitCodes(codes, "vec_id", "__q", nCells, iters)
-    // the distributed fit checkpoints its working set REUSING the input's
-    // attribute ids; when `codes` derives vec_id through an alias (publish
-    // casts the id), the self-referential join would then carry the same
-    // attribute on both sides — an alias-vs-checkpoint collision the
-    // analyzer's relation dedup cannot repair (it only re-instances
-    // duplicated leaves). Fresh-alias the assignment side's output so the
-    // join children's outputs are disjoint by construction.
-    val assigned = codes.join(
-        assignments.select(col("vec_id").as("__aid"), col("cluster")),
-        col("vec_id") === col("__aid"))
+    val assigned = codes.join(assignments, "vec_id")
       .select(col("vec_id"), col("__q"), col("cluster").as("cell"))
     val next = Model(m.mn, m.mx, centroids)
     VersionedStore.swap(storeDir, tmp => {

@@ -133,6 +133,25 @@ class KMeansIvfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
   }
 
+  test("distributed-fit assignments join back onto an alias-derived input (IvfStore's shape)") {
+    // regression: the distributed fit checkpoints its working set reusing
+    // the INPUT's attribute ids; before the fitImpl fresh-alias fix,
+    // joining the assignments back onto an input whose id column is an
+    // alias (here: a cast, IvfStore.publish's shape) threw the analyzer's
+    // "conflicting attributes" internal error — but only above the local
+    // threshold, so the 300-row lifecycle spec never saw it
+    val aliased = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    spark.conf.set("spark.graft.kmeans.localThreshold", "0")
+    try {
+      val (assignments, _) = KMeansIvf.fit(aliased, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val joined = aliased.join(assignments, "vec_id")
+      assert(joined.count() == aliased.count())
+      assert(joined.columns.count(_ == "vec_id") == 1)
+    } finally spark.conf.unset("spark.graft.kmeans.localThreshold")
+  }
+
   test("driver PQ training equals the distributed joint Lloyd (codebooks bit-equal)") {
     val local = graft.operators.ProductQuantizer.fitCodebooks(
       emb, "vec_id", "embedding", dim = 64, m = 4, ks = 16, iters = 2)
