@@ -481,6 +481,11 @@ object Dedup {
     // checkpoint makes the count free): a 100 TB corpus with a bounded
     // near-dup population still gets the broadcast loop.
     val nActive = labels.count()
+    // no two docs share a bucket (a fully-unique corpus): the fixpoint has
+    // nothing to do, and entering the loop would NPE on labelSum's null
+    // sum over the empty label table — every doc is its own component
+    if (nActive == 0)
+      return df.select(col(idCol), col(idCol).as("component"))
     val big = nActive > JoinHints.DefaultBroadcastRowLimit
     def pinned(df: DataFrame): DataFrame = if (big) df.hint("merge") else df
 

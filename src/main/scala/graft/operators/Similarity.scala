@@ -79,10 +79,23 @@ object Similarity {
         col("q.__id") =!= col("c.__id")), k, dim)
   }
 
-  /** Corpus-wide per-dimension fixed-point bounds attacher: ONE
-    * partial-aggregated pass over the RAW floats (floor(·×10⁶) is
-    * monotone, so fixed-point min/max = the float min/max, converted by a
-    * one-row transform) collapsed to a single 2×dim row that lands on the
+  /** One-row (`__mn`, `__mx`) frame of fixed-point per-dimension SQ8
+    * bounds — THE bounds recipe: ONE partial-aggregated pass over the RAW
+    * floats (floor(·×10⁶) is monotone, so fixed-point min/max = the float
+    * min/max, converted by a one-row transform). Every quantize site (the
+    * batch paths via [[sq8WithBounds]] and
+    * [[graft.streaming.IvfStore.publish]]) must derive bounds through
+    * this one definition, or a vector quantized at publish time and one
+    * quantized by the batch path could disagree at the code edge. */
+  private[graft] def sq8BoundsFrame(candidates: DataFrame, vecCol: String): DataFrame = {
+    val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
+    candidates
+      .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
+      .select(transform(col("__b._1"), fpOne).as("__mn"),
+        transform(col("__b._2"), fpOne).as("__mx"))
+  }
+
+  /** Bounds attacher over [[sq8BoundsFrame]]: lands the 2×dim row on the
     * target frame as `__mn`/`__mx` columns. Two shapes, same values:
     *   - uncached: the row stays IN-PLAN as a broadcast the quantize
     *     scans cross-join (one reused exchange; the whole query is ONE
@@ -94,19 +107,6 @@ object Similarity {
     *     the quantize scans carry no join at all. The key asserts an
     *     IMMUTABLE corpus — [[sq8TopK]]'s scaladoc states the full
     *     contract. */
-  /** One-row (`__mn`, `__mx`) frame of fixed-point per-dimension SQ8
-    * bounds — THE bounds recipe: every quantize site (the batch paths here
-    * and [[graft.streaming.IvfStore.publish]]) must derive bounds through
-    * this one definition, or a vector quantized at publish time and one
-    * quantized by the batch path could disagree at the code edge. */
-  private[graft] def sq8BoundsFrame(candidates: DataFrame, vecCol: String): DataFrame = {
-    val fpOne = (x: Column) => floor(x.cast("double") * 1000000d).cast("long")
-    candidates
-      .agg(graft.functions.MinMaxVecAgg.bounds(col(vecCol)).as("__b"))
-      .select(transform(col("__b._1"), fpOne).as("__mn"),
-        transform(col("__b._2"), fpOne).as("__mx"))
-  }
-
   private[operators] def sq8WithBounds(candidates: DataFrame, vecCol: String,
       boundsCacheKey: Option[String]): DataFrame => DataFrame = {
     def boundsRow() = sq8BoundsFrame(candidates, vecCol)

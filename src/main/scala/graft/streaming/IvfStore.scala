@@ -42,14 +42,16 @@ object IvfStore {
   // vec_id is pinned to LONG in the at-rest layout: schema-on-read needs
   // one concrete type, and every embedding fixture/source in scope keys
   // vectors by int64. Hash wider ids to longs upstream (xxhash64).
-  // `__b` is the writer partition: -1 for fitted versions (publish/refit
-  // consolidate everything they write), the foreachBatch epoch id for
-  // streamed appends — the idempotence handle (see [[ingest]]).
+  // `__b` is the writer partition: "fit" for fitted versions (publish/
+  // refit consolidate everything they write), "<writerId>-<epoch>" for
+  // streamed appends — the idempotence handle (see [[ingest]]). This is
+  // layout v2; v1 (no __b level) was never shipped outside this repo's
+  // dev iterations and is not readable by this code.
   private val codesSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("__q", BinaryType),
     StructField("cell", IntegerType),
-    StructField("__b", LongType)))
+    StructField("__b", StringType)))
 
   private def codesDir(versionDir: String) =
     Paths.get(versionDir, "codes").toString
@@ -85,7 +87,14 @@ object IvfStore {
       iters: Int = 3): Model =
     VersionedStore.lockFor(storeDir).synchronized {
       val v = VersionedStore.versionDir(storeDir)
-      swapFit(spark, storeDir, codesAt(spark, v).select("vec_id", "__q"),
+      // dropDuplicates backstop: a batch replayed ACROSS a refit lands as
+      // a fresh epoch partition beside its already-consolidated rows (the
+      // one redelivery window the per-epoch overwrite cannot cover, since
+      // consolidation rewrote those rows under __b=fit). Duplicates are
+      // exact copies (same bounds → same code), so any-row-per-id is
+      // correct, and each refit restores the one-row-per-vector invariant.
+      swapFit(spark, storeDir,
+        codesAt(spark, v).select("vec_id", "__q").dropDuplicates("vec_id"),
         modelAt(spark, v), nCells, iters)
     }
 
@@ -106,7 +115,7 @@ object IvfStore {
       Seq((next.mn.toSeq, next.mx.toSeq, next.centroids.map(_.toSeq).toSeq))
         .toDF("mn", "mx", "centroids")
         .coalesce(1).write.parquet(modelDir(tmp.toString))
-      assigned.withColumn("__b", lit(-1L))
+      assigned.withColumn("__b", lit("fit"))
         .write.partitionBy("cell", "__b").parquet(codesDir(tmp.toString))
     })
     next
@@ -139,19 +148,29 @@ object IvfStore {
     * version. Serialized with publish/refit by the store lock, so an
     * append can never land in a directory the GC is about to drop.
     *
-    * `batchId` is the foreachBatch epoch of the (single) writer stream and
-    * is the IDEMPOTENCE handle: the batch writes into its own `__b`
-    * partition with dynamic partition overwrite, so a batch redelivered
-    * after a mid-write failure REPLACES what the first attempt wrote
-    * instead of duplicating it (cell assignment is deterministic given the
-    * model, so the replayed batch lands on the identical partition set). */
+    * `(writerId, batchId)` is the IDEMPOTENCE handle (the Delta/Iceberg
+    * txn-id convention): the batch writes into its own `__b` partition
+    * with dynamic partition overwrite, so a batch redelivered after a
+    * mid-write failure REPLACES what the first attempt wrote instead of
+    * duplicating it (cell assignment is deterministic given the model, so
+    * the replayed batch lands on the identical partition set). Pass the
+    * streaming QUERY ID as `writerId`: it is stable across
+    * checkpoint-preserving restarts (where epochs continue and replays
+    * must overwrite), and a wiped/fresh checkpoint — whose epochs restart
+    * at 0 — gets a fresh query id and therefore a fresh idempotence
+    * scope instead of silently overwriting an earlier incarnation's
+    * batches. A replay that straddles a [[refit]] is the one window this
+    * cannot cover (its first attempt was consolidated under `__b=fit`);
+    * refit's vec_id dedup restores the invariant at the next swap. */
   def ingest(storeDir: String, assigned: DataFrame, idCol: String,
-      batchId: Long): Unit = {
+      batchId: Long, writerId: String = "stream"): Unit = {
     require(batchId >= 0, s"batchId must be a non-negative stream epoch, got $batchId")
+    require(writerId.nonEmpty && !writerId.contains("/"),
+      s"writerId must be a non-empty path-safe token, got '$writerId'")
     VersionedStore.lockFor(storeDir).synchronized {
       assigned
         .select(col(idCol).cast("long").as("vec_id"), col("__q"), col("cell"),
-          lit(batchId).as("__b"))
+          lit(s"$writerId-$batchId").as("__b"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "__b")

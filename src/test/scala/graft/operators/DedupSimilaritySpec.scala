@@ -262,6 +262,23 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.components.localThreshold")
   }
 
+  test("distributed fixpoint on a corpus with NO shared buckets: every doc its own component") {
+    // regression: the singleton-bucket filter leaves the active label table
+    // EMPTY on a fully-unique corpus, and the loop's convergence sum over
+    // an empty frame is null — this NPE'd before the early return (the
+    // normal case for a near-dup-free corpus above the local threshold)
+    val s = spark
+    import s.implicits._
+    val unique = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"),
+      (3L, "kk ll mm nn oo")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try {
+      val out = Dedup.minhashLshComponents(unique, "doc_id", "text", 8, 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+  }
+
   test("components of the LSH pair graph partition the corpus and respect pair edges") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
     val comp = Dedup.minhashLshComponents(docs, "doc_id", "text", 8, 2).cache()

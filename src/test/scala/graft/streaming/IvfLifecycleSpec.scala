@@ -39,10 +39,16 @@ class IvfLifecycleSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().map { case (id, v) => Vec(id, v) }
     val stream = MemoryStream[Vec]
+    // writerId scopes the epoch-partition idempotence to this writer
+    // incarnation, per the ingest contract (production passes the
+    // streaming query id: stable across checkpoint-preserving restarts,
+    // fresh when the checkpoint is wiped — here a UUID plays that role,
+    // fixed before start so even a data-less first trigger sees it)
+    val qid = java.util.UUID.randomUUID().toString
     val q = AnnIngest.assignCells(stream.toDF(), "embedding", m1.mn, m1.mx, m1.centroids)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        IvfStore.ingest(dir, batch, "vec_id", batchId)
+        IvfStore.ingest(dir, batch, "vec_id", batchId, qid)
       }
       .start()
     stream.addData(tail.take(100).toIndexedSeq)
@@ -54,13 +60,13 @@ class IvfLifecycleSpec extends SparkSpec {
 
     // redelivery is idempotent: foreachBatch is at-least-once, so a batch
     // replayed after a mid-write failure arrives again UNDER THE SAME
-    // EPOCH ID — re-ingesting batch 0's exact content with batchId 0 must
+    // (writer, epoch) — re-ingesting batch 0's exact content must
     // overwrite its own partitions, not append duplicates
     IvfStore.ingest(dir,
       AnnIngest.assignCells(
         spark.createDataset(tail.take(100).toIndexedSeq).toDF(),
         "embedding", m1.mn, m1.mx, m1.centroids),
-      "vec_id", batchId = 0L)
+      "vec_id", batchId = 0L, writerId = qid)
     assert(IvfStore.codes(spark, dir).count() == 300 + tail.length + 1,
       "redelivered micro-batch duplicated rows instead of replacing itself")
 
@@ -108,6 +114,18 @@ class IvfLifecycleSpec extends SparkSpec {
     val hits2 = IvfStore.search(spark, dir, queries, "vec_id", "embedding", k = 5)
       .orderBy("rank").collect()
     assert(hits2.take(2).map(_.getAs[Long]("cand_id")).toSeq == Seq(42L, 9999L))
+
+    // ---- a FRESH writer incarnation (wiped checkpoint: epochs restart
+    // at 0) gets its own idempotence scope — its batch 0 must NOT
+    // overwrite what any other writer's epoch 0 wrote
+    val n2 = IvfStore.codes(spark, dir).count()
+    IvfStore.ingest(dir,
+      AnnIngest.assignCells(
+        spark.createDataset(Seq(Vec(77777L, probe)).toIndexedSeq).toDF(),
+        "embedding", m2.mn, m2.mx, m2.centroids),
+      "vec_id", batchId = 0L, writerId = qid + "-respawn")
+    assert(IvfStore.codes(spark, dir).count() == n2 + 1,
+      "a fresh writer's epoch 0 clobbered another incarnation's rows")
 
     VersionedStore.deleteRecursively(Paths.get(dir))
   }
