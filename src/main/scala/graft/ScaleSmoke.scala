@@ -299,6 +299,21 @@ object ScaleSmoke {
         Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
       "simhash_banded_fixdup" -> (d =>
         Dedup.simhashPairsBanded(d, "doc_id", "text", bucket = Nil, maxDist = 3).count()),
+      // the PAIR-INPUT component loops (the alternative clustering APIs to
+      // ns26's bucket-bipartite fixpoint) over the linear pair stream:
+      // hash-to-min propagation and the Kiveris two-phase contraction —
+      // both localCheckpoint their edge set, so the pair stream is
+      // materialized once and each loop is measured on its own work
+      "pair_components_hashmin" -> { d =>
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.connectedComponents(d.select("doc_id"), "doc_id", pairs)
+          .filter(col("component") =!= col("doc_id")).count()
+      },
+      "pair_components_twophase" -> { d =>
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", pairs)
+          .filter(col("component") =!= col("doc_id")).count()
+      },
     )
 
     runSection("text", corpus(spark, _), textOps)

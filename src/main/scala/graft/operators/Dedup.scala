@@ -488,11 +488,12 @@ object Dedup {
       return df.select(col(idCol), col(idCol).as("component"))
     val big = nActive > JoinHints.DefaultBroadcastRowLimit
     def pinned(df: DataFrame): DataFrame = if (big) df.hint("merge") else df
+    def gated(l: DataFrame): DataFrame = if (big) l.hint("merge") else broadcast(l)
 
     // one bipartite round: label ← min(label, min over the node's buckets
     // of the bucket's member-label minimum)
     def round(l: DataFrame): DataFrame = {
-      val lbls = if (big) l.hint("merge") else broadcast(l)
+      val lbls = gated(l)
       val withLbl = members.as("m").join(lbls.as("l"), col("m.id") === col("l.id"))
         .select(col("m.id").as("id"), col("m.band").as("band"),
           col("m.bh").as("bh"), col("l.lbl").as("lbl"))
@@ -517,7 +518,7 @@ object Dedup {
     // itself — labels form a parent forest pointing at smaller ids, so the
     // composed cycle below converges in O(log diameter) cycles
     def jump(l: DataFrame): DataFrame = {
-      val lbls = if (big) l.hint("merge") else broadcast(l)
+      val lbls = gated(l)
       l.as("a").join(lbls.as("b"), col("a.lbl") === col("b.id"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
@@ -549,7 +550,7 @@ object Dedup {
       s"minhashLshComponents did not converge in $maxIters iterations — raise maxIters " +
         "(unconverged labels would silently split true components)")
     // re-attach the inert docs (no shared bucket): own id = own component
-    val fin = if (big) labels.hint("merge") else broadcast(labels)
+    val fin = gated(labels)
     df.select(col(idCol)).as("n")
       .join(fin.as("c"), col(s"n.`$idCol`") === col("c.id"), "left")
       .select(col(s"n.`$idCol`").as(idCol),
