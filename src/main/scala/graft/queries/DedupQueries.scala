@@ -249,6 +249,29 @@ object DedupQueries extends QueryModule {
     headline = true,
   )
 
+  /** The SAME component contract through the OTHER clustering algorithm:
+    * [[Dedup.twoPhaseComponents]] (Kiveris large/small-star contraction)
+    * over the materialized LSH pair stream of the identical band graph.
+    * Two docs are LSH-pair-connected iff they share a band bucket, so the
+    * star contraction must reach exactly the min-label fixpoint ns26's
+    * bucket-bipartite loop reaches — one oracle grades both algorithms,
+    * which makes this entry a cross-algorithm equivalence proof as well
+    * as the scale-path alternative's hash gate (SCALE.md measures it
+    * 1.8× faster than hash-to-min at 20 M docs on the pair route). */
+  private val ns64 = QueryEntry(
+    "ns64_components_twophase",
+    (spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", NumHashes, bands = 2)
+      Dedup.twoPhaseComponents(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""$componentsOracleCtes
+         |SELECT id AS doc_id, lbl AS component
+         |FROM lab12 ORDER BY doc_id""".stripMargin),
+  )
+
   /** The verdict table a dedup pipeline actually ships: per document its
     * cluster, whether it is the cluster keeper, and its rank within the
     * cluster (1 = keeper; drop everything with dup_rank > 1). */
@@ -371,5 +394,5 @@ object DedupQueries extends QueryModule {
 
   override def entries: Seq[QueryEntry] =
     Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45,
-      ns53, ns54, ns60)
+      ns53, ns54, ns60, ns64)
 }
