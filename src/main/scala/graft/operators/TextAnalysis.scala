@@ -134,61 +134,151 @@ object TextAnalysis {
           col("__nb").cast("double")).as("dup_bigram_ratio"))
   }
 
+  /** The distinct probe-gram side shared by the contamination family. */
+  private def probeGramsOf(probes: org.apache.spark.sql.DataFrame,
+      probeTextCol: String, n: Int): org.apache.spark.sql.DataFrame = probes
+    .select(words(col(probeTextCol)).as("__pw"))
+    .select(explode(ngramsOf(col("__pw"), n)).as("pg")).distinct()
+
+  /** TINY probe sets fold into the scan: below
+    * `spark.graft.probes.rowLocalThreshold` distinct grams (default 1024)
+    * the whole set collapses to ONE sorted array LITERAL in the plan, and
+    * each document intersects against it row-locally
+    * ([[org.apache.spark.sql.graft.IntersectSizeSorted]]'s merge walk) —
+    * zero shuffles, zero joins, no per-doc aggregation, and none of the
+    * broadcast/one-row-aggregate jobs a frame-valued probe side costs
+    * (six sub-100 ms jobs of pure scheduler floor at sf0.1). The walk is
+    * O(|doc| + |probes|) per row, so the gate is deliberately LOW: a
+    * full benchmark-suite probe set (10⁵⁺ grams) would dominate every
+    * row's walk, and there the explode + broadcast hash semi-join —
+    * O(|doc|) hash probes per row — stays the scale shape. The count
+    * gate runs BEFORE anything is collected, so the driver never holds
+    * more than `limit` grams — the [[JoinHints.maybeBroadcast]]
+    * eager-gate discipline (two control-plane jobs at plan-build time
+    * over the small, usually literal probe frame). The array is sorted
+    * ENGINE-side (array_sort), never by JVM String order — UTF-16
+    * code-unit comparisons disagree with UTF8String binary order beyond
+    * ASCII, and the merge walk requires the latter. */
+  private def probeArrayIfTiny(probeGrams: org.apache.spark.sql.DataFrame,
+      cacheKey: Option[String] = None): Option[Seq[String]] = {
+    def compute: Option[Seq[String]] = {
+      val limit = probeGrams.sparkSession.conf
+        .get("spark.graft.probes.rowLocalThreshold", "1024").toLong
+      if (probeGrams.count() > limit) None
+      else Some(probeGrams.agg(array_sort(collect_set(col("pg"))).as("__pgs"))
+        .head().getSeq[String](0))
+    }
+    // the same benchmark suite screens AND scores in one run — share the
+    // two control-plane jobs across consumers like any fitted model
+    // (KMeansIvf.fitCached's discipline); key must identify probes + n
+    cacheKey match {
+      case None => compute
+      case Some(k) => graft.SharedCache.getOrComputeValue(k)(compute)
+    }
+  }
+
+
   /** Benchmark-contamination screen: which documents contain any probe
     * n-gram, and how many distinct ones. Probe and document texts are
-    * decomposed into the same word n-grams and equi-joined on the gram
-    * itself — at scale the probe side is a few thousand benchmark rows,
-    * so the join is a broadcast hash semi-join against every document
-    * shard; no substring scans, no cross product. (An earlier shape
-    * joined on md5(gram); the digest bought nothing — same predicate,
-    * same-sized broadcast build — and cost a per-corpus-gram md5+hex,
-    * ~1.1 B digests at 20 M docs.) Grams are deduped PER ROW at the
-    * scan (a (doc, gram) pair cannot recur across rows — the spanSets
+    * decomposed into the same word n-grams; a tiny probe set folds into
+    * the scan ([[probeArrayIfTiny]] — one sorted-array broadcast, one
+    * merge walk per row, no shuffle at all), a large one is equi-joined
+    * on the gram itself — the probe side is benchmark rows, so that join
+    * is a broadcast hash semi-join against every document shard; no
+    * substring scans, no cross product. (An earlier shape joined on
+    * md5(gram); the digest bought nothing — same predicate, same-sized
+    * broadcast build — and cost a per-corpus-gram md5+hex, ~1.1 B
+    * digests at 20 M docs.) Grams are deduped PER ROW at the scan (a
+    * (doc, gram) pair cannot recur across rows — the spanSets
     * observation), which turns the per-doc count_distinct into a plain
-    * count: no expand/two-phase distinct machinery, and only partial
-    * counts cross the per-doc shuffle — the gram strings never leave
-    * their scan partition. */
+    * count on the join path and a plain intersect size on the row-local
+    * one. */
   def contaminationScreen(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
-      n: Int): org.apache.spark.sql.DataFrame = {
-    val probeGrams = probes
-      .select(words(col(probeTextCol)).as("__pw"))
-      .select(explode(ngramsOf(col("__pw"), n)).as("pg")).distinct()
-    docs.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
-      .join(broadcast(probeGrams), col("g") === col("pg"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      n: Int, probeCacheKey: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val probeGrams = probeGramsOf(probes, probeTextCol, n)
+    // the contains prefilter is O(K·|text|) per row, so the row-local
+    // screen gates TIGHTER than the merge walk (which only pays O(K) once
+    // past the filter): above this the broadcast join path wins
+    val containsLimit = docs.sparkSession.conf
+      .get("spark.graft.probes.containsThreshold", "64").toInt
+    probeArrayIfTiny(probeGrams, probeCacheKey) match {
+      case Some(pgs) if pgs.size <= containsLimit =>
+        // "n_hits ≥ 1" restated as a SUBSTRING predicate the scan can run:
+        // a word n-gram of text is exactly a space-bounded substring of
+        // the space-padded lowered text, so contains-any(padded grams) ⟺
+        // at least one probe gram matches. Stating the filter this way
+        // (instead of `n_hits > 0` over the projected count) matters
+        // twice: predicate pushdown moves it INTO the scan where it
+        // eliminates the non-contaminated bulk before the gram pipeline
+        // ever runs, and the pushed form costs K contains() per row —
+        // whereas pushing `n_hits > 0` inlines the whole n-gram lambda
+        // with the split re-run per element (no CSE in interpreted
+        // lambdas), the O(words²) trap measured 13× at sf0.1. No
+        // post-filter needed: survivors have n_hits ≥ 1 by construction.
+        val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+        val containsAny = pgs.map(g => padded.contains(lit(" " + g + " ")))
+          .foldLeft(lit(false))(_ || _)
+        docs.filter(containsAny)
+          .select(col(idCol), words(col(textCol)).as("__ws"))
+          .select(col(idCol),
+            array_sort(array_distinct(ngramsOf(col("__ws"), n))).as("__g"))
+          .select(col(idCol),
+            org.apache.spark.sql.graft.IntersectSizeSorted(col("__g"), typedlit(pgs))
+              .as("n_hits"))
+      case _ =>
+        docs.select(col(idCol), words(col(textCol)).as("__ws"))
+          .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
+          .join(broadcast(probeGrams), col("g") === col("pg"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_hits"))
+    }
   }
 
   /** Per-document benchmark-containment ratio — the decontamination metric
     * (|doc shingles ∩ benchmark shingles| / |doc shingles|, distinct
     * n-grams, exact integer counts, ONE final double division). Where
     * [[contaminationScreen]] only lists contaminated docs, this scores
-    * EVERY doc so a pipeline can threshold. Shape: per-row gram dedup at
-    * the scan (the spanSets observation: a (doc, gram) pair cannot recur
-    * across rows) → explode → broadcast left join against the (small)
-    * benchmark shingle set, on the gram itself (the former md5(gram) key
-    * cost a digest per corpus gram for the same predicate) → one
-    * map-side-combined PLAIN-count aggregation — no count_distinct
-    * expand, and only partial counts cross the per-doc shuffle. A gram
-    * matches at most one probe row (the probe side is distinct), so
-    * count(pg) ≡ distinct hit grams. Docs shorter than n words have no
-    * shingles and drop, like the screen. */
+    * EVERY doc so a pipeline can threshold. Same two shapes as the
+    * screen: a tiny probe set is one sorted array intersected row-locally
+    * (scan-only — the ratio needs no aggregation at all, since per-row
+    * gram dedup makes the doc's shingle set a single array); a large one
+    * is explode → broadcast LEFT join on the gram itself → one
+    * map-side-combined PLAIN-count aggregation (a gram matches at most
+    * one probe row, so count(pg) ≡ distinct hit grams; no count_distinct
+    * expand, and only partial counts cross the per-doc shuffle). Docs
+    * shorter than n words have no shingles and drop on both paths. */
   def containmentScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, probes: org.apache.spark.sql.DataFrame, probeTextCol: String,
-      n: Int): org.apache.spark.sql.DataFrame = {
-    val probeGrams = probes
-      .select(words(col(probeTextCol)).as("__pw"))
-      .select(explode(ngramsOf(col("__pw"), n)).as("pg")).distinct()
-    docs.select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
-      .join(broadcast(probeGrams), col("g") === col("pg"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        count(col("pg")).as("n_hits"))
-      .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
+      n: Int, probeCacheKey: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val probeGrams = probeGramsOf(probes, probeTextCol, n)
+    probeArrayIfTiny(probeGrams, probeCacheKey) match {
+      case Some(pgs) =>
+        // the drop-short-docs predicate is size(__ws) >= n — EXACTLY the
+        // rows whose shingle set is non-empty — stated on the words array
+        // so predicate pushdown inlines one cheap split() into the scan;
+        // filtering on n_shingles AFTER the projection pushed the WHOLE
+        // inlined n-gram lambda (split per element — the O(words²) trap)
+        // into the scan filter, measured 16x slower at sf0.1
+        docs.select(col(idCol), words(col(textCol)).as("__ws"))
+          .filter(size(col("__ws")) >= n)
+          .select(col(idCol),
+            array_sort(array_distinct(ngramsOf(col("__ws"), n))).as("__g"))
+          .select(col(idCol), size(col("__g")).cast("long").as("n_shingles"),
+            org.apache.spark.sql.graft.IntersectSizeSorted(col("__g"), typedlit(pgs))
+              .as("n_hits"))
+          .withColumn("containment",
+            col("n_hits").cast("double") / col("n_shingles"))
+      case None =>
+        docs.select(col(idCol), words(col(textCol)).as("__ws"))
+          .select(col(idCol), explode(array_distinct(ngramsOf(col("__ws"), n))).as("g"))
+          .join(broadcast(probeGrams), col("g") === col("pg"), "left")
+          .groupBy(col(idCol))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            count(col("pg")).as("n_hits"))
+          .withColumn("containment", col("n_hits").cast("double") / col("n_shingles"))
+    }
   }
 
   /** PII redaction (the Dolma/RedPajama-style scrub): email, IPv4, and
@@ -485,8 +575,13 @@ object TextAnalysis {
     * exactly the bytes the join's term-side shuffle moved, minus a whole
     * job and a cached copy). The corpus size N stays in-plan: a one-row
     * count aggregate broadcast onto the scored rows instead of an eager
-    * `df.count()` job. The final per-document top-k is a partitioned
-    * window, never a global sort.
+    * `df.count()` job. The final per-document top-k runs through the
+    * [[org.apache.spark.sql.graft.TopKPerKey]] physical operator rather
+    * than a row_number window: the map-side heap pass cuts every
+    * partition to ≤ k rows per document BEFORE the per-doc exchange, and
+    * the final pass never sorts whole partitions — the same rows the
+    * window form selects ((tfidf desc, term asc) is a total order within
+    * a document), one exchange-and-sort cheaper.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -501,9 +596,8 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
-    val rn = row_number().over(
-      Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc))
-    scored.withColumn("rn", rn).filter(col("rn") <= k)
+    org.apache.spark.sql.graft.TopKPerKey(scored, Seq(idCol),
+        Seq(("tfidf", true), ("term", false)), k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 

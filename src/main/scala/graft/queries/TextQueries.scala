@@ -302,7 +302,8 @@ object TextQueries extends QueryModule {
       import s.implicits._
       val t = Tables(spark, dir)
       val probes = ProbeTexts.toDF("ptext")
-      TextAnalysis.contaminationScreen(t.documents, "doc_id", "text", probes, "ptext", n = 3)
+      TextAnalysis.contaminationScreen(t.documents, "doc_id", "text", probes, "ptext", n = 3,
+        probeCacheKey = Some(s"probegrams:$dir:3"))
         .orderBy(col("doc_id"))
     },
     Some {
@@ -332,7 +333,8 @@ object TextQueries extends QueryModule {
       import s.implicits._
       val t = Tables(spark, dir)
       val probes = ProbeTexts.toDF("ptext")
-      TextAnalysis.containmentScore(t.documents, "doc_id", "text", probes, "ptext", n = 3)
+      TextAnalysis.containmentScore(t.documents, "doc_id", "text", probes, "ptext", n = 3,
+        probeCacheKey = Some(s"probegrams:$dir:3"))
         .orderBy(col("doc_id"))
     },
     Some {

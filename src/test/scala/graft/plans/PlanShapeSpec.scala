@@ -55,10 +55,25 @@ class PlanShapeSpec extends SparkSpec {
   private def catalog(name: String): Shape =
     pinned(SparkEntry.queries(name)(spark, sf0001))
 
-  test("ns27 tf-idf top-terms: docfreq rides count windows, final top-k is group-limit pruned") {
-    assert(catalog("ns27_tfidf_topterms") == Shape(
+  test("ns27 tf-idf top-terms: docfreq rides ONE count window, final top-k is TopKPerKey") {
+    // r12 rewrite: the per-doc row_number window (an exchange + full sort
+    // per doc partition) became the TopKPerKey physical pair — the
+    // map-side heap cuts each partition to k rows per doc BEFORE the
+    // per-doc exchange, and no partition is ever sorted
+    import org.apache.spark.sql.graft.TopKPerKeyExec
+    val name = "ns27_tfidf_topterms"
+    assert(catalog(name) == Shape(
       shuffles = 5, broadcastJoins = 0, sortMergeJoins = 0,
-      objectHashAggs = 0, windows = 2, windowGroupLimits = 2, takeOrdered = 0))
+      objectHashAggs = 0, windows = 1, windowGroupLimits = 0, takeOrdered = 0))
+    val plan = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val heaps = plan.collectWithSubqueries { case t: TopKPerKeyExec => t.partial }
+    assert(heaps.sorted == Seq(false, true),
+      s"$name: expected the partial+final TopKPerKey pair, got $heaps")
   }
 
   test("ns52 bm25: probe semi-join broadcasts, stats broadcast, top-k is TakeOrdered") {
@@ -97,14 +112,17 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
   }
 
-  test("ns29/ns47 contamination family: probe side broadcasts, no distinct Expand") {
-    // r11 rewrite: grams dedup PER ROW at the scan (array_distinct before
-    // the explode), so the per-doc aggregate is a plain count — the former
-    // count_distinct Expand (ns47 carried two, doubling the exploded gram
-    // stream through the shuffle) must not come back, and the probe-gram
-    // join must stay a broadcast hash join (the probe side is
-    // benchmark-sized by contract)
+  test("ns29/ns47 contamination family: tiny probes are scan-local — no joins, no Expand") {
+    // r12 rewrite: a gate-tiny probe set becomes a sorted array LITERAL
+    // intersected row-locally (IntersectSizeSorted), so the plan has NO
+    // join of any kind and no per-doc aggregate; the screen's hit filter
+    // is the contains-any predicate pushed into the scan (pushing
+    // `n_hits > 0` instead inlines the O(words²) n-gram lambda — the trap
+    // this pin guards). The former count_distinct Expand must not come
+    // back either. The >gate probe path keeps the broadcast hash join
+    // (covered by the operator specs).
     import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     for (name <- Seq("ns29_contamination", "ns47_containment_score")) {
       val plan = {
         val prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -114,11 +132,15 @@ class PlanShapeSpec extends SparkSpec {
       }
       assert(plan.collectWithSubqueries { case _: ExpandExec => }.isEmpty,
         s"$name: count_distinct Expand machinery crept back in")
-      assert(plan.collectWithSubqueries { case _: BroadcastHashJoinExec => }.size == 1,
-        s"$name: the probe-gram join must be exactly one broadcast hash join")
-      assert(plan.collectWithSubqueries { case _: SortMergeJoinExec => }.isEmpty,
-        s"$name: no sort-merge join — a demotion funnels every corpus gram " +
-          "through an extra exchange+sort")
+      assert(plan.collectWithSubqueries {
+          case _: BroadcastHashJoinExec => ()
+          case _: BroadcastNestedLoopJoinExec => ()
+          case _: SortMergeJoinExec => () }.isEmpty,
+        s"$name: tiny-probe path must be join-free (probe set is a literal)")
+      assert(plan.collectWithSubqueries {
+          case s: ShuffleExchangeExec
+            if !s.outputPartitioning.toString.contains("range") => () }.isEmpty,
+        s"$name: scan-local path must not shuffle (orderBy range exchange aside)")
     }
   }
 
