@@ -188,7 +188,7 @@ final class DurablePipeline(
     // same window would pass both point-in-time anti-joins and be
     // inserted twice, breaking the effectively-once invariant.
     val t0 = System.nanoTime()
-    Ingest.lockFor(storeDir.toString).synchronized {
+    graft.streaming.VersionedStore.withStoreLock(storeDir.toString) {
       val stored = Ingest.readStore(spark, storeDir.toString)
       val fresh = Ingest.backfill(spark, stored, posts, control.conditions, profiles)
         .persist()

@@ -223,17 +223,30 @@ object KMeansIvf {
     * FROM the corpus, self-hit is a degenerate rank-1), wrong for a store
     * searched with EXTERNAL queries, where the two id namespaces are
     * unrelated and an id collision would silently hide a valid candidate
-    * ([[graft.streaming.IvfStore.search]] passes false). */
+    * ([[graft.streaming.IvfStore.search]] passes false). `dedupTies`
+    * drops repeated (q_id, cand_id) hits before ranking — the store's
+    * replay-across-refit window can briefly hold one vector twice as
+    * EXACT copies, and both would otherwise claim top-k slots. Exact
+    * copies share one qsim, so the duplicates are ADJACENT under the
+    * ranking order and one lag() comparison in the SAME window (same
+    * partitioning, same sort — no extra exchange) removes them; a
+    * same-id pair with different codes (a contract violation) is not
+    * adjacent and not this backstop's job. */
   private[graft] def rankCodes(qs: DataFrame, cs: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, dedupTies: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sameCell = col("q.cluster") === col("c.cluster")
-    qs.as("q").join(cs.as("c"),
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cand_id"))
+    val scored = qs.as("q").join(cs.as("c"),
         if (excludeSelf) sameCell && col("q.__id") =!= col("c.__id") else sameCell)
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
-      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("qsim").desc, col("cand_id"))).cast("long"))
+    val unique = if (dedupTies)
+      scored.withColumn("__prev", lag(col("cand_id"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("cand_id"))
+        .drop("__prev")
+    else scored
+    unique.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 

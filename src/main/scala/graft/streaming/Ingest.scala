@@ -42,6 +42,11 @@ object Ingest {
   private[graft] def lockFor(storeDir: String): Object =
     VersionedStore.lockFor(storeDir)
 
+  /** The cross-process form ([[VersionedStore.withStoreLock]]): JVM
+    * monitor + OS advisory file lock, re-entrant per thread. */
+  private def locked[T](storeDir: String)(body: => T): T =
+    VersionedStore.withStoreLock(storeDir)(body)
+
   def emptyStore(spark: SparkSession): DataFrame =
     // an empty LOCAL relation, not an empty RDD: Catalyst can prove it
     // empty, so PropagateEmptyRelation deletes the dedup anti-join (and
@@ -112,7 +117,7 @@ object Ingest {
     val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()
       val conditions = conditionsFn()
-      lockFor(storeDir).synchronized {
+      locked(storeDir) {
         val stored = readStore(spark, storeDir)
         val fresh = processBatch(spark, stored, batch, conditions, profiles)
         val perKey = metrics.map { _ =>
@@ -141,7 +146,7 @@ object Ingest {
     * rows. Parquet-harness compaction = rewrite-and-swap; on Delta this is
     * a DELETE over the same window rank. */
   def retentionCompact(spark: SparkSession, storeDir: String, conditions: Seq[Condition]): Unit =
-    lockFor(storeDir).synchronized {
+    locked(storeDir) {
       retentionCompactLocked(spark, storeDir, conditions)
     }
 
@@ -199,16 +204,16 @@ object Ingest {
     * tables). Lands as a new store version ([[swapStore]]), so concurrent
     * serving reads keep streaming the snapshot they resolved. */
   def deleteKey(spark: SparkSession, storeDir: String, key: String): Unit =
-    lockFor(storeDir).synchronized {
+    locked(storeDir) {
       val store = readStore(spark, storeDir)
-      if (store.isEmpty) return
-      swapStore(storeDir, store.filter(col("key") =!= key))
+      if (!store.isEmpty)
+        swapStore(storeDir, store.filter(col("key") =!= key))
     }
 
   /** Refresh handling (S10): refresh == -1 deletes the feed's rows;
     * refresh > 0 deletes its N newest (subscription.ts:143-169). */
   def applyRefresh(spark: SparkSession, storeDir: String, c: Condition): Unit =
-    lockFor(storeDir).synchronized { applyRefreshLocked(spark, storeDir, c) }
+    locked(storeDir) { applyRefreshLocked(spark, storeDir, c) }
 
   private def applyRefreshLocked(spark: SparkSession, storeDir: String, c: Condition): Unit = {
     if (c.refresh == 0) return

@@ -73,7 +73,7 @@ object IvfStore {
     val codes = nn.select(col(idCol).cast("long").as("vec_id"),
       SQ8PackRaw(col(vecCol), typedlit(model0.mn.toSeq),
         typedlit(model0.mx.toSeq)).as("__q"))
-    VersionedStore.lockFor(storeDir).synchronized {
+    VersionedStore.withStoreLock(storeDir) {
       swapFit(spark, storeDir, codes, model0, nCells, iters)
     }
   }
@@ -85,16 +85,26 @@ object IvfStore {
     * version keep streaming it through the grace window. */
   def refit(spark: SparkSession, storeDir: String, nCells: Int,
       iters: Int = 3): Model =
-    VersionedStore.lockFor(storeDir).synchronized {
+    VersionedStore.withStoreLock(storeDir) {
       val v = VersionedStore.versionDir(storeDir)
-      // dropDuplicates backstop: a batch replayed ACROSS a refit lands as
-      // a fresh epoch partition beside its already-consolidated rows (the
-      // one redelivery window the per-epoch overwrite cannot cover, since
+      // Dedup backstop: a batch replayed ACROSS a refit lands as a fresh
+      // epoch partition beside its already-consolidated rows (the one
+      // redelivery window the per-epoch overwrite cannot cover, since
       // consolidation rewrote those rows under __b=fit). Duplicates are
-      // exact copies (same bounds → same code), so any-row-per-id is
-      // correct, and each refit restores the one-row-per-vector invariant.
+      // exact copies by contract (same bounds → same code), so collapsing
+      // to one row per id is correct and each refit restores the
+      // one-row-per-vector invariant. The winner is DETERMINISTIC — max
+      // over (__b, __q), not dropDuplicates' partition-order pick — so a
+      // contract violation (a cross-writer id collision, or an updated
+      // vector re-ingested under its old id) collapses to the same row on
+      // every refit instead of flapping between runs. (__b order is a
+      // tiebreak, not recency: writer tokens don't totally order epochs
+      // across incarnations.)
       swapFit(spark, storeDir,
-        codesAt(spark, v).select("vec_id", "__q").dropDuplicates("vec_id"),
+        rawCodesAt(spark, v)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("__b"), col("__q"))).as("__w"))
+          .select(col("vec_id"), col("__w.__q").as("__q")),
         modelAt(spark, v), nCells, iters)
     }
 
@@ -131,9 +141,16 @@ object IvfStore {
         .map(_.toArray).toArray)
   }
 
-  private def codesAt(spark: SparkSession, versionDir: String): DataFrame =
+  /** All non-in-flight code rows incl. the writer-partition column; the
+    * `.tmp` partition filter excludes batches an [[ingest]] is mid-write
+    * on (or a crashed attempt left behind) — readers never see a torn
+    * batch, partition pruning makes the exclusion free. */
+  private def rawCodesAt(spark: SparkSession, versionDir: String): DataFrame =
     spark.read.schema(codesSchema).parquet(codesDir(versionDir))
-      .select("vec_id", "__q", "cell")
+      .filter(!col("__b").endsWith(".tmp"))
+
+  private def codesAt(spark: SparkSession, versionDir: String): DataFrame =
+    rawCodesAt(spark, versionDir).select("vec_id", "__q", "cell")
 
   /** The CURRENT version's model sidecar. */
   def model(spark: SparkSession, storeDir: String): Model =
@@ -161,20 +178,62 @@ object IvfStore {
     * scope instead of silently overwriting an earlier incarnation's
     * batches. A replay that straddles a [[refit]] is the one window this
     * cannot cover (its first attempt was consolidated under `__b=fit`);
-    * refit's vec_id dedup restores the invariant at the next swap. */
+    * refit's vec_id dedup restores the invariant at the next swap.
+    *
+    * Write protocol: the batch lands under `__b=<writer>-<epoch>.tmp`
+    * partitions — INVISIBLE to readers (the `.tmp` partition filter in
+    * [[rawCodesAt]]) — then each cell's tmp dir renames over the final
+    * partition dir. A replayed batch therefore never deletes committed
+    * files while it re-writes them (the former dynamic-partition
+    * overwrite yanked the first attempt's files mid-rewrite — an
+    * in-place-rewrite hazard for any concurrent search that had already
+    * resolved the version; with ignoreMissingFiles it would silently
+    * drop rows). The residual window is the per-cell delete+rename pair
+    * — two metadata ops, not a data rewrite; a search listing files in
+    * exactly that instant can still lose the race and should retry, the
+    * same transient contract as the version GC's grace window. Crashed
+    * attempts leave only `.tmp` partitions, which readers filter, the
+    * same batch's redelivery deletes, and [[refit]] drops at
+    * consolidation. */
   def ingest(storeDir: String, assigned: DataFrame, idCol: String,
       batchId: Long, writerId: String = "stream"): Unit = {
     require(batchId >= 0, s"batchId must be a non-negative stream epoch, got $batchId")
     require(writerId.nonEmpty && !writerId.contains("/"),
       s"writerId must be a non-empty path-safe token, got '$writerId'")
-    VersionedStore.lockFor(storeDir).synchronized {
+    VersionedStore.withStoreLock(storeDir) {
+      val cdir = codesDir(VersionedStore.versionDir(storeDir))
+      val bFinal = s"$writerId-$batchId"
+      val bTmp = s"$bFinal.tmp"
+      // a crashed earlier attempt's tmp partitions would double with this
+      // write's append — clear them first (readers never saw them)
+      forEachBatchDir(cdir, bTmp)(VersionedStore.deleteRecursively)
       assigned
         .select(col(idCol).cast("long").as("vec_id"), col("__q"), col("cell"),
-          lit(s"$writerId-$batchId").as("__b"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+          lit(bTmp).as("__b"))
+        .write.mode("append")
         .partitionBy("cell", "__b")
-        .parquet(codesDir(VersionedStore.versionDir(storeDir)))
+        .parquet(cdir)
+      // commit: per cell, replace the previous attempt's partition (if
+      // any) with the tmp one
+      forEachBatchDir(cdir, bTmp) { tmp =>
+        val finalDir = tmp.resolveSibling(s"__b=$bFinal")
+        VersionedStore.deleteRecursively(finalDir)
+        java.nio.file.Files.move(tmp, finalDir)
+      }
+    }
+  }
+
+  /** Apply `f` to the `__b=<b>` dir under every `cell=` partition. */
+  private def forEachBatchDir(codesDir: String, b: String)(
+      f: java.nio.file.Path => Unit): Unit = {
+    val root = Paths.get(codesDir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val cells = java.nio.file.Files.list(root)
+      try cells.forEach { cell =>
+        val d = cell.resolve(s"__b=$b")
+        if (cell.getFileName.toString.startsWith("cell=") &&
+            java.nio.file.Files.isDirectory(d)) f(d)
+      } finally cells.close()
     }
   }
 
@@ -182,9 +241,13 @@ object IvfStore {
     * query vectors quantize with the stored bounds, probe their `nProbe`
     * nearest cells, rank by the exact integer code dot product — the
     * [[KMeansIvf.searchSq8MultiProbe]] ranking over the published index
-    * instead of a per-query refit. partitionBy(cell) turns the cell
-    * equi-join into pruned file reads when Spark plans it as a dynamic
-    * filter; the broadcast query side never shuffles the code table.
+    * instead of a per-query refit. The probed cell set is DRIVER-BOUNDED
+    * (≤ queries × nProbe ≤ nCells ids), so it is collected once and
+    * pushed as a literal `cell IN (...)` predicate on the code table —
+    * partitionBy(cell) then prunes to exactly the probed cells' files
+    * UNCONDITIONALLY (plan-pinned in PlanShapeSpec), instead of hoping
+    * the cell equi-join plans as a dynamic partition filter; the
+    * broadcast query side never shuffles the code table.
     *
     * The version pointer is resolved ONCE and both the model and the code
     * table read from that resolved directory — a refit flipping the
@@ -197,13 +260,23 @@ object IvfStore {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
     val v = VersionedStore.versionDir(storeDir)
     val m = modelAt(spark, v)
-    val qs = broadcast(queries.filter(col(vecCol).isNotNull)
+    val qsBase = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         SQ8PackRaw(col(vecCol), typedlit(m.mn.toSeq), typedlit(m.mx.toSeq)).as("__q"))
-      .withColumn("cluster", explode(NearestCellsCodes(col("__q"), m.centroids, nProbe))))
-    KMeansIvf.rankCodes(qs,
+      .withColumn("cluster", explode(NearestCellsCodes(col("__q"), m.centroids, nProbe)))
+    // one control-plane job over the (broadcast-small) query side; the
+    // resulting literal predicate is what makes the partition pruning
+    // unconditional
+    val probed = qsBase.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    KMeansIvf.rankCodes(broadcast(qsBase),
       codesAt(spark, v)
+        .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
         .select(col("vec_id").as("__id"), col("__q"), col("cell").as("cluster")),
-      k, excludeSelf = false)
+      // dedupTies: in the acknowledged replay-across-refit window one
+      // vec_id can briefly hold two identical code rows (epoch partition
+      // + its __b=fit consolidation); without the dedup a top-k could
+      // spend two of its slots on one vector
+      k, excludeSelf = false, dedupTies = true)
   }
 }

@@ -33,6 +33,45 @@ private[graft] object VersionedStore {
     storeLocks.computeIfAbsent(
       Paths.get(storeDir).toAbsolutePath.normalize.toString, _ => new Object)
 
+  /** The store's writer critical section: the JVM monitor ([[lockFor]])
+    * plus an OS-level advisory file lock on `<store>/_lock`, so two Spark
+    * APPLICATIONS publishing/compacting one store directory serialize
+    * instead of interleaving swaps (the JVM monitor alone only covers one
+    * process — the round-11 gap). The monitor is taken FIRST, so within a
+    * process only one thread ever touches the file lock (same-JVM overlap
+    * would throw OverlappingFileLockException rather than block);
+    * re-entrant per thread, because compactions call locked helpers from
+    * already-locked batch sinks. `FileChannel.lock()` BLOCKS until the
+    * other process releases — writer sections are read-modify-write
+    * cycles that must serialize, not fail. Readers never take any lock
+    * (versioned swaps + the grace window are what protect them). The
+    * `_lock` file itself is neither a version dir nor legacy data, so
+    * [[swap]]'s GC never touches it. */
+  private val lockHolds = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+    override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
+  }
+  def withStoreLock[T](storeDir: String)(body: => T): T = {
+    val key = Paths.get(storeDir).toAbsolutePath.normalize.toString
+    lockFor(storeDir).synchronized {
+      val holds = lockHolds.get()
+      if (holds.getOrElse(key, 0) > 0) {
+        holds(key) += 1
+        try body finally holds(key) -= 1
+      } else {
+        val root = Paths.get(storeDir)
+        Files.createDirectories(root)
+        val ch = java.nio.channels.FileChannel.open(root.resolve("_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          holds(key) = 1
+          try body finally { holds(key) = 0; l.release() }
+        } finally ch.close()
+      }
+    }
+  }
+
   /** How many superseded versions survive each swap. A reader must
     * straddle GraceVersions+1 swaps between resolving the pointer and
     * finishing its scan before its files can vanish; swaps are retention

@@ -129,4 +129,134 @@ class IvfLifecycleSpec extends SparkSpec {
 
     VersionedStore.deleteRecursively(Paths.get(dir))
   }
+
+  test("search prunes the code scan to the probed cells — literal partition filter") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ivf_prune").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val m = IvfStore.publish(spark, dir, emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    val query = emb.filter(col("vec_id") === 7).select("vec_id", "embedding")
+    val probedCell = AnnIngest.assignCells(query, "embedding", m.mn, m.mx, m.centroids)
+      .select("cell").head().getInt(0)
+
+    // plan level: the codes scan carries a LITERAL cell partition filter
+    // (collected from the driver-bounded probe set) — pruning does not
+    // depend on DPP planning the equi-join as a dynamic filter
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try IvfStore.search(spark, dir, query, "vec_id", "embedding", k = 3)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("codes")) => f
+    }
+    assert(scans.nonEmpty, "no parquet scan over the codes table found")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "cell"))),
+      s"codes scan must carry a cell partition filter, got " +
+        scans.map(_.partitionFilters).mkString("; "))
+
+    // physical level: poison every OTHER cell's partition with a corrupt
+    // parquet file — a search that reads ANY unprobed cell dies on it, so
+    // a passing search PROVES only the probed cell's files were read
+    val codesRoot = Paths.get(VersionedStore.versionDir(dir), "codes")
+    val cells = Files.list(codesRoot)
+    try cells.forEach { c =>
+      val name = c.getFileName.toString
+      if (name.startsWith("cell=") && name != s"cell=$probedCell") {
+        val leaf = Files.list(c)
+        val sub = try leaf.findFirst().orElse(c) finally leaf.close()
+        Files.write(sub.resolve("part-junk.parquet"),
+          "not a parquet file".getBytes)
+      }
+    } finally cells.close()
+    // the poison is potent: an unpruned full-table read fails on it
+    intercept[Exception] { IvfStore.codes(spark, dir).count() }
+    // ...but the nProbe=1 search never touches those partitions
+    val hits = IvfStore.search(spark, dir, query, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("cand_id") == 7L)
+
+    VersionedStore.deleteRecursively(Paths.get(dir))
+  }
+
+  test("a replay straddling a refit: search stays duplicate-free, next refit restores one row per vector") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ivf_soak").toString
+    val ckpt = Files.createTempDirectory("ivf_soak_ckpt").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+
+    val m1 = IvfStore.publish(spark, dir,
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", nCells = 4, iters = 2)
+    val tail = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => Vec(id, v) }
+
+    // a sink that INGESTS then fails — the write is on disk, the epoch is
+    // NOT committed to the checkpoint, so the restart must redeliver it
+    val stream = MemoryStream[Vec]
+    val writerId = "soak-writer" // production: the (restart-stable) query id
+    @volatile var injectFailure = true
+    val sink = (batch: org.apache.spark.sql.DataFrame, batchId: Long) => {
+      IvfStore.ingest(dir, batch, "vec_id", batchId, writerId)
+      if (batchId == 1 && injectFailure) {
+        injectFailure = false
+        throw new RuntimeException("injected post-write pre-commit failure")
+      }
+    }
+    def start() = AnnIngest
+      .assignCells(stream.toDF(), "embedding", m1.mn, m1.mx, m1.centroids)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink).start()
+
+    val q1 = start()
+    stream.addData(tail.take(30).toIndexedSeq)
+    q1.processAllAvailable()
+    stream.addData(tail.drop(30).toIndexedSeq)
+    intercept[Exception] { q1.processAllAvailable() } // batch 1 written, then failed
+    q1.stop()
+    assert(IvfStore.codes(spark, dir).count() == 260)
+
+    // the refit lands BETWEEN failure and replay: batch 1's first attempt
+    // is consolidated under __b=fit in the NEW version — the one
+    // redelivery window the per-epoch overwrite cannot cover
+    IvfStore.refit(spark, dir, nCells = 4, iters = 2)
+    assert(IvfStore.codes(spark, dir).count() == 260)
+
+    // restart from the same checkpoint: batch 1 redelivers and lands as a
+    // fresh epoch partition BESIDE its consolidated copy
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val total = IvfStore.codes(spark, dir).count()
+    val uniq = IvfStore.codes(spark, dir).select("vec_id").distinct().count()
+    assert(uniq == 260 && total == 290,
+      s"replay must duplicate exactly its own 30 rows, got total=$total uniq=$uniq")
+    // the duplicates are EXACT copies at the code level (same bounds →
+    // same __q), which is what makes refit's any-copy dedup correct
+    assert(IvfStore.codes(spark, dir).dropDuplicates("vec_id", "__q").count() == 260)
+
+    // in the acknowledged window, search must not spend two top-k slots
+    // on one vector (the rankCodes tie-dedup)
+    val qdf = emb.filter(col("vec_id") === 235).select("vec_id", "embedding")
+    val hits = IvfStore.search(spark, dir, qdf, "vec_id", "embedding", k = 10)
+      .collect()
+    val cands = hits.map(_.getAs[Long]("cand_id"))
+    assert(cands.distinct.length == cands.length,
+      s"duplicate cand_ids in top-k: ${cands.toSeq}")
+    assert(hits.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to hits.length),
+      "ranks must stay contiguous after the tie dedup")
+
+    // the NEXT refit restores the one-row-per-vector invariant
+    IvfStore.refit(spark, dir, nCells = 4, iters = 2)
+    assert(IvfStore.codes(spark, dir).count() == 260)
+
+    VersionedStore.deleteRecursively(Paths.get(dir))
+    VersionedStore.deleteRecursively(Paths.get(ckpt))
+  }
 }

@@ -30,6 +30,38 @@ class StoreLockSpec extends SparkSpec {
     assert(Ingest.lockFor(dir) eq Ingest.lockFor(dir + "/x/.."))
   }
 
+  test("withStoreLock holds an OS-level file lock a second process would contend on") {
+    // the JVM monitor only serializes writers within one process; the
+    // file lock on <store>/_lock is what stops two Spark APPLICATIONS
+    // from interleaving read-modify-write cycles on one store dir
+    val dir = Files.createTempDirectory("graft-oslock").toString
+    VersionedStore.withStoreLock(dir) {
+      // re-entrant: compactions call locked helpers from already-locked
+      // sinks — nesting must neither self-deadlock nor trip
+      // OverlappingFileLockException
+      VersionedStore.withStoreLock(dir) { () }
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(dir, "_lock"),
+        java.nio.file.StandardOpenOption.WRITE)
+      // a second PROCESS would block on lock() / get null from tryLock();
+      // the same-JVM probe surfaces the held OS lock as the overlap
+      // exception — either way the lock exists at the OS level, not just
+      // as a JVM monitor
+      try intercept[java.nio.channels.OverlappingFileLockException] {
+        ch.tryLock()
+      } finally ch.close()
+    }
+    // and it is released on section exit: a fresh channel can take it
+    val ch2 = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, "_lock"),
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch2.tryLock()
+      assert(l != null, "file lock not released after withStoreLock exit")
+      l.release()
+    } finally ch2.close()
+  }
+
   test("concurrent appends, deletes and compactions lose no unrelated rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stress").resolve("store").toString
