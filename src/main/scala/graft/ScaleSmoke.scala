@@ -204,6 +204,23 @@ object ScaleSmoke {
         TextAnalysis.tokenBudgetSelect(d, "source", "doc_id", "text", n).count()),
       "chunk_overlap" -> (d =>
         TextAnalysis.chunkOverlap(d, "doc_id", "text", size = 32, stride = 24).count()),
+      "chunk_pack" -> { d =>
+        // the ns58 COMPOSED curation tail at corpus scale: chunk → corpus-
+        // wide first-occurrence chunk dedup (per-hash window) → source
+        // join → per-source running-sum packing. The heaviest composed
+        // pipeline in the catalog; measures that the pieces' shuffles
+        // (chunk_h, doc_id, source) compose without a new bottleneck.
+        import org.apache.spark.sql.expressions.Window
+        val chunks = TextAnalysis.chunkOverlap(d, "doc_id", "text",
+          size = 32, stride = 24)
+        val firstSeen = chunks.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("chunk_h"))
+              .orderBy(col("doc_id"), col("chunk_id"))))
+          .filter(col("__rn") === 1)
+        val keyed = firstSeen.join(d.select(col("doc_id"), col("source")), "doc_id")
+        TextAnalysis.packSequences(keyed, "source", Seq("doc_id", "chunk_id"),
+          col("n_toks"), budget = 256).count()
+      },
       "url_domains" -> { d =>
         val withUrls = d.select(col("doc_id"), concat(col("text"),
           lit(" https://m"), pmod(col("doc_id"), lit(37)).cast("string"),

@@ -77,11 +77,13 @@ class PlanSpec extends SparkSpec {
     // docfreq comes from a count window over the tf frame (no second
     // aggregate + join of the same explode), the corpus size N is a
     // one-row broadcast (nested-loop on 1 row, not a CartesianProduct
-    // over data), and the per-doc top-k prunes map-side via
-    // WindowGroupLimit before the window shuffle
+    // over data), and the per-doc top-k is the TopKPerKey physical pair
+    // (r12: replaced the row_number window + WindowGroupLimit — the heap
+    // passes never sort a partition and the map-side pass cuts to k rows
+    // per doc before the exchange)
     assert(p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
