@@ -159,10 +159,22 @@ class IvfLifecycleSpec extends SparkSpec {
       s"codes scan must carry a cell partition filter, got " +
         scans.map(_.partitionFilters).mkString("; "))
 
+    // in-flight (or crashed) ingest batches are INVISIBLE: a `.tmp`
+    // writer partition containing garbage — planted in the PROBED cell,
+    // so even a pruned search would die on it if the partition filter
+    // ever regressed — is excluded by partition pruning, never read
+    val codesRoot = Paths.get(VersionedStore.versionDir(dir), "codes")
+    val tmpDir = codesRoot.resolve(s"cell=$probedCell").resolve("__b=crashed-7.tmp")
+    Files.createDirectories(tmpDir)
+    Files.write(tmpDir.resolve("part-torn.parquet"), "torn write".getBytes)
+    assert(IvfStore.codes(spark, dir).count() == emb.count(),
+      "a .tmp writer partition leaked into the reader view")
+    assert(IvfStore.search(spark, dir, query, "vec_id", "embedding", k = 3)
+      .count() == 3)
+
     // physical level: poison every OTHER cell's partition with a corrupt
     // parquet file — a search that reads ANY unprobed cell dies on it, so
     // a passing search PROVES only the probed cell's files were read
-    val codesRoot = Paths.get(VersionedStore.versionDir(dir), "codes")
     val cells = Files.list(codesRoot)
     try cells.forEach { c =>
       val name = c.getFileName.toString
