@@ -373,6 +373,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("contamination family: row-local and join paths agree, empty probes are empty/zero") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "nothing in common here at all"),
+      (3L, "a quick brown fox appears twice quick brown fox yes"),
+      (4L, "xy"), // shorter than n — drops from the score, never screens
+    ).toDF("doc_id", "text")
+    val probes = Seq("quick brown fox", "common here at all").toDF("ptext")
+    def screen() = TextAnalysis
+      .contaminationScreen(docsDf, "doc_id", "text", probes, "ptext", 3)
+    def score() = TextAnalysis
+      .containmentScore(docsDf, "doc_id", "text", probes, "ptext", 3)
+    val (screenLocal, scoreLocal) = (screen().collect().toSet, score().collect().toSet)
+    // force the >gate broadcast-join path: identical answers by contract
+    spark.conf.set("spark.graft.probes.rowLocalThreshold", "0")
+    try {
+      assert(screen().collect().toSet == screenLocal,
+        "screen: join path diverged from the row-local path")
+      assert(score().collect().toSet == scoreLocal,
+        "score: join path diverged from the row-local path")
+    } finally spark.conf.unset("spark.graft.probes.rowLocalThreshold")
+    // and the screen's contains-gate boundary: probes under the walk gate
+    // but over containsThreshold route to the join path — same answers
+    spark.conf.set("spark.graft.probes.containsThreshold", "0")
+    try assert(screen().collect().toSet == screenLocal,
+      "screen: the over-containsThreshold route diverged")
+    finally spark.conf.unset("spark.graft.probes.containsThreshold")
+    // empty probe set: nothing screens, every scored doc has zero hits
+    val none = Seq.empty[String].toDF("ptext")
+    assert(TextAnalysis.contaminationScreen(
+      docsDf, "doc_id", "text", none, "ptext", 3).count() == 0)
+    val zs = TextAnalysis.containmentScore(
+        docsDf, "doc_id", "text", none, "ptext", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(zs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("duplicate-span stats count only cross-document spans, exactly once per doc") {
     val s = spark
     import s.implicits._
