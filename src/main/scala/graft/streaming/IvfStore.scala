@@ -260,11 +260,17 @@ object IvfStore {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
     val v = VersionedStore.versionDir(storeDir)
     val m = modelAt(spark, v)
+    // materialized ONCE (queries are broadcast-small by contract): the
+    // quantize+assign projection feeds both the probe-set collect below
+    // and the join's broadcast build — without the checkpoint each would
+    // re-scan the caller's query frame, which may be a filter over a
+    // corpus-sized table
     val qsBase = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         SQ8PackRaw(col(vecCol), typedlit(m.mn.toSeq), typedlit(m.mx.toSeq)).as("__q"))
       .withColumn("cluster", explode(NearestCellsCodes(col("__q"), m.centroids, nProbe)))
-    // one control-plane job over the (broadcast-small) query side; the
+      .localCheckpoint()
+    // one control-plane job over the checkpointed query side; the
     // resulting literal predicate is what makes the partition pruning
     // unconditional
     val probed = qsBase.select(col("cluster")).distinct()
