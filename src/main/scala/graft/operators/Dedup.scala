@@ -227,6 +227,35 @@ object Dedup {
     require(nodes.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"connectedComponents needs a numeric id column (got ${nodes.schema(idCol).dataType}); " +
         "hash string ids to longs (xxhash64) before clustering")
+    // Adaptive small-graph fast path — minhashLshComponents' gated driver
+    // union-find, for PAIR input: below the node threshold AND a bounded
+    // pair collect, the fixpoint is one driver pass instead of
+    // O(log diameter) distributed cycles of 4-5 stages each. Node check
+    // is a LIMIT peek (only "over the gate?" matters); the pair bound is
+    // enforced ON the collect itself — limit(cap + 1) — so the driver
+    // never holds more than the cap even when a small node set carries a
+    // quadratic clique pair stream, and an over-cap result falls through
+    // to the distributed loop having evaluated the pair plan once (the
+    // loop would have paid that materialization anyway). Same integral-id
+    // restriction as the bucket-graph path (the driver round-trips ids
+    // through Long).
+    val localThreshold = nodes.sparkSession.conf
+      .get("spark.graft.components.localThreshold", "100000").toLong
+    val integralId = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && localThreshold > 0 &&
+        nodes.select(col(idCol)).limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      val pairCap = nodes.sparkSession.conf
+        .get("spark.graft.components.localPairLimit", "4000000").toLong
+      val capped = pairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .limit((pairCap + 1).toInt).collect()
+      if (capped.length <= pairCap)
+        return localPairComponents(nodes, idCol, capped)
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -624,6 +653,40 @@ object Dedup {
       .join(fin.as("c"), col(s"n.`$idCol`") === col("c.id"), "left")
       .select(col(s"n.`$idCol`").as(idCol),
         coalesce(col("c.lbl"), col(s"n.`$idCol`")).as("component"))
+  }
+
+  /** Below-threshold PAIR-graph labelling: union-find over a collected,
+    * cap-bounded edge array, roots relabelled to the component MIN id —
+    * the same fixpoint the distributed hash-to-min loop reaches
+    * (spec-asserted against it on random graphs). Nodes come from the
+    * nodes frame (isolates label themselves). */
+  private def localPairComponents(nodes: DataFrame, idCol: String,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    nodes.select(col(idCol).cast("long")).collect()
+      .foreach(r => parent.getOrElseUpdate(r.getLong(0), r.getLong(0)))
+    // an edge endpoint OUTSIDE the nodes frame is inert, exactly like the
+    // distributed loop (labels exist only for nodes, so a foreign
+    // endpoint neither receives nor relays a label) — skipping the edge
+    // keeps the two paths' semantics identical
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      if (parent.contains(a) && parent.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+    }
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema(idCol).dataType
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("__lid", "__lcomp")
+      .select(col("__lid").cast(idType).as(idCol),
+        col("__lcomp").cast(idType).as("component"))
   }
 
   /** Below-threshold component labelling: collect the (id, band, bh)

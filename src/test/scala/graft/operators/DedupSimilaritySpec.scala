@@ -200,9 +200,23 @@ class DedupSimilaritySpec extends SparkSpec {
     // pair (2,4), isolate 1
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
     val pairs = Seq((3L, 5L), (3L, 9L), (7L, 9L), (2L, 4L)).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 3L)
+    // default: the gated driver union-find fast path
     val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 3L))
+    assert(got == want)
+    // threshold 0: the distributed pointer-jumped propagation loop
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try {
+      val dist = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == want)
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+    // empty nodes frame: empty labels, no NPE from the convergence sum
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try assert(Dedup.connectedComponents(
+        nodes.filter(lit(false)), "doc_id", pairs).count() == 0)
+    finally spark.conf.unset("spark.graft.components.localThreshold")
   }
 
   test("components match a union-find oracle on random graphs and a 150-node chain") {
@@ -227,10 +241,17 @@ class DedupSimilaritySpec extends SparkSpec {
     cases.foreach { case (n, edges) =>
       val nodes = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("id_a", "id_b")
-      val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // force the DISTRIBUTED loop (the driver fast path IS a union-find —
+      // comparing it against the oracle would be vacuous)
+      spark.conf.set("spark.graft.components.localThreshold", "0")
+      val got = try Dedup.connectedComponents(nodes, "doc_id", pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.components.localThreshold")
       assert(got == unionFind(n, edges),
         s"n=$n edges=${edges.size}: pointer-jumped propagation must equal union-find")
+      val local = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == got, s"n=$n: driver fast path diverged from the distributed loop")
     }
   }
 
@@ -313,9 +334,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val nodeIds = (0L until 3000L) ++ (10000L to 10500L) ++ Seq(99999L)
     val nodes = nodeIds.toDF("doc_id")
     val pairs = (chain ++ star).toDF("id_a", "id_b")
-    intercept[IllegalStateException] {
+    // the budget-exhaustion contract is the DISTRIBUTED loop's (the
+    // driver fast path has no rounds to exhaust)
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try intercept[IllegalStateException] {
       Dedup.connectedComponents(nodes, "doc_id", pairs, maxIters = 10)
-    }
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
     val got = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = ((0L until 3000L).map(_ -> 0L) ++
