@@ -69,10 +69,16 @@ object Bench {
       if (ok) dt else -1.0
     }
 
-    val names = SparkEntry.all.map(_.name)
+    // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=ns64,...  restricts the run
+    // to the named queries (comma-separated). Unset = the full catalog
+    // (the driver's contract).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val entries = only.fold(SparkEntry.all)(f => SparkEntry.all.filter(e => f(e.name)))
+    val names = entries.map(_.name)
     val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       SharedCache.clear(spark)
-      SparkEntry.all.map(e => e.name -> timeOnce(e)).toMap
+      entries.map(e => e.name -> timeOnce(e)).toMap
     }
     // Failed passes carry the -1 sentinel; aggregate over VALID samples
     // only, and a query with zero valid samples stays -1 (explicit failure)

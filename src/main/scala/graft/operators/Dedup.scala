@@ -86,7 +86,10 @@ object Dedup {
     df.select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
       .select(col(idCol) +: (0 until bands).map(j =>
         xxhash64(md5(concat_ws("|", slice(col("__sig"), j * rows + 1, rows)))).as(s"__h$j")): _*)
-      .localCheckpoint()
+      // lazy: the first consumer's job materializes the blocks (in
+      // minhashLshPairs that is the broadcast-gate count, which would
+      // otherwise be a second pass right after an eager-checkpoint job)
+      .localCheckpoint(false)
   }
 
   /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
@@ -424,8 +427,43 @@ object Dedup {
     // input is a no-op projection.)
     val orientedRaw = rawPairs.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
+    // LAZY checkpoints throughout the fixpoint: each round's signature
+    // aggregate is the job that materializes that round's edge blocks, so
+    // a round costs ONE Spark job instead of an eager-checkpoint job plus
+    // a signature job (lineage truncation is identical:
+    // localCheckpoint(false) wraps the same ExistingRDD, it just persists
+    // on first use — the blocks land during the signature job).
     var edges = smallStar(
-      if (big) orientedRaw.localCheckpoint() else orientedRaw).localCheckpoint()
+      if (big) orientedRaw.localCheckpoint() else orientedRaw).localCheckpoint(false)
+    // Gated driver finish — the adaptive design connectedComponents and
+    // minhashLshComponents already carry, placed AFTER the contraction
+    // init: one distributed smallStar pass has already shrunk the pair
+    // multiset to a ~node-bounded star set (the 4.8 M-pair LSH multiset at
+    // sf0.1 contracts to ~5 k edges), so below the node threshold a single
+    // cap-bounded collect + driver union-find replaces the remaining
+    // rounds — which on a contracted graph are almost pure scheduling
+    // floor (~4 rounds × 2 broadcast builds + 3 exchanges each). Above
+    // the gate the alternating loop below is the only option, same
+    // integral-id restriction as the other driver paths.
+    val localThreshold = nodes.sparkSession.conf
+      .get("spark.graft.components.localThreshold", "100000").toLong
+    val integralId = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && localThreshold > 0 && !big &&
+        nodes.select(col(idCol)).limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      val pairCap = nodes.sparkSession.conf
+        .get("spark.graft.components.localPairLimit", "4000000").toLong
+      // the collect doubles as the init checkpoint's materializing job; an
+      // over-cap star set falls through with the blocks already persisted
+      val capped = edges
+        .select(col("u").cast("long"), col("v").cast("long"))
+        .limit((pairCap + 1).toInt).collect()
+      if (capped.length <= pairCap)
+        return localPairComponents(nodes, idCol, capped)
+    }
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under
     // the Kiveris potential means equal consecutive signatures happen
@@ -434,7 +472,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val s = signature(edges)
       converged = prev.contains(s)
       prev = Some(s)

@@ -334,17 +334,24 @@ class DedupSimilaritySpec extends SparkSpec {
     val nodeIds = (0L until 3000L) ++ (10000L to 10500L) ++ Seq(99999L)
     val nodes = nodeIds.toDF("doc_id")
     val pairs = (chain ++ star).toDF("id_a", "id_b")
-    // the budget-exhaustion contract is the DISTRIBUTED loop's (the
-    // driver fast path has no rounds to exhaust)
+    // the budget-exhaustion and convergence contracts are the DISTRIBUTED
+    // loops' (the driver fast paths have no rounds to exhaust)
     spark.conf.set("spark.graft.components.localThreshold", "0")
-    try intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "doc_id", pairs, maxIters = 10)
+    val got = try {
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(nodes, "doc_id", pairs, maxIters = 10)
+      }
+      Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     } finally spark.conf.unset("spark.graft.components.localThreshold")
-    val got = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = ((0L until 3000L).map(_ -> 0L) ++
       (10000L to 10500L).map(_ -> 10000L) ++ Seq(99999L -> 99999L)).toMap
     assert(got == want)
+    // the gated contraction-init + driver union-find finish reaches the
+    // same fixpoint on the same adversarial graph
+    val fast = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want, "driver-finish path diverged from the distributed contraction")
   }
 
   test("two-phase components equal hash-to-min on random graphs and the real LSH pair graph") {
@@ -357,15 +364,26 @@ class DedupSimilaritySpec extends SparkSpec {
         .filter(e => e._1 != e._2)
       val nodes = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("id_a", "id_b")
-      val a = Dedup.connectedComponents(nodes, "doc_id", pairs)
-      val b = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
-      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-        s"n=$n edges=${edges.size}: two-phase must equal pointer-jumped propagation")
+      // force both DISTRIBUTED loops — with the driver gates open this
+      // comparison would be union-find vs union-find, i.e. vacuous
+      spark.conf.set("spark.graft.components.localThreshold", "0")
+      try {
+        val a = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        val b = Dedup.twoPhaseComponents(nodes, "doc_id", pairs)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"n=$n edges=${edges.size}: two-phase must equal pointer-jumped propagation")
+      } finally spark.conf.unset("spark.graft.components.localThreshold")
     }
     val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
-    val a = Dedup.connectedComponents(docs, "doc_id", lshPairs)
-    val b = Dedup.twoPhaseComponents(docs, "doc_id", lshPairs)
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    val (a, b) = try {
+      (Dedup.connectedComponents(docs, "doc_id", lshPairs).cache(),
+       Dedup.twoPhaseComponents(docs, "doc_id", lshPairs))
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the default (gated driver-finish) path agrees on the real graph
+    val c = Dedup.twoPhaseComponents(docs, "doc_id", lshPairs)
+    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
   }
 
   test("repetition metrics expose duplicated words and bigrams") {
