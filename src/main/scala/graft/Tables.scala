@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.cached(spark, s"$dir/$name.parquet")
 
   /** events.ts has shipped as two physical parquet types over the life of
     * this testdata — INT64 TIMESTAMP(NANOS) originally, TIMESTAMP_MICROS
@@ -68,4 +68,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  // (session, path) -> loaded frame. `spark.read.parquet` lists the
+  // directory and reads a footer for schema EVERY call — a fixed
+  // ~10-30 ms tax per table per query that a 95-query bench pass pays
+  // hundreds of times over. The loaded DataFrame is immutable and its
+  // FileIndex snapshot is exactly what we want for a static test corpus;
+  // anything that rewrites a table mid-session (nothing under /root/
+  // testdata — it is read-only) must call [[invalidate]]. Keyed on the
+  // session so a restarted SparkSession never serves frames bound to a
+  // stopped context; entries are few (sessions × tables).
+  private val frames = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  private def cached(spark: SparkSession, path: String): DataFrame =
+    frames.synchronized {
+      frames.getOrElseUpdate((spark, path), spark.read.parquet(path))
+    }
+
+  /** Drop cached frames (all of them, or one session's). */
+  def invalidate(spark: SparkSession = null): Unit = frames.synchronized {
+    if (spark == null) frames.clear()
+    else frames.filterInPlace { case ((s, _), _) => s != spark }
+  }
 }
