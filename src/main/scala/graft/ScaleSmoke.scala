@@ -305,6 +305,40 @@ object ScaleSmoke {
         Similarity.cosineNearDupPairs(withBkt, "vec_id", "embedding",
           bucket = Seq("bkt"), threshold = 0.2, dim = Some(dim)).count()
       },
+      "semantic_dedup" -> { v =>
+        // ns65's SemDeDup composition at corpus scale: coarse k-means
+        // cells, then near-dup pairs, then component verdicts. The one
+        // term that does NOT survive 1000× naively is the in-cell
+        // all-pairs (Σ|cell|² explodes as cells hit millions of members),
+        // so the scale path refines the blocking INSIDE each cell with
+        // the same 20-plane hyperplane bucket the embed-neardup op uses —
+        // pair candidates stay bounded per (cell, bucket) block while
+        // the cell still scopes the semantic neighborhood (a coarser
+        // bucket-only blocking merges across cells; cell ∧ bucket is
+        // strictly finer, which only drops candidates SemDeDup's own
+        // cell blocking would also drop at higher k). Components run
+        // through the Kiveris contraction (the adversarial-graph-safe
+        // loop), and the count is the dropped-duplicate verdict rows.
+        // The cell fit runs on PACKED SQ8 codes (fitCodes) — the at-rest
+        // representation the ns61 scale path established; the near-dup
+        // PAIR predicate stays exact on the raw vectors. Measured at
+        // 20 M: 445.2 s code fit vs 431.2 s exact fit end-to-end — the
+        // fit is NOT the dominant term in this composition (the
+        // embedding-wide assignment join + blocked pair self-join + the
+        // 7.4 M-pair contraction are), so the code fit is kept for its
+        // at-rest consistency, not a measured win here.
+        val codes = Similarity.sq8PackedCodes(v, "vec_id", "embedding")
+        val (assign, _) = KMeansIvf.fitCodes(codes, "vec_id", "__q", k = 64, iters = 2)
+        val w = Similarity.hyperplaneWeights(20, dim)
+        val cells = v.join(assign, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cluster"),
+            Similarity.hyperplaneBucket(
+              Similarity.fixedPoint(col("embedding")), w).as("bkt"))
+        val pairs = Similarity.cosineNearDupPairs(cells, "vec_id", "embedding",
+          bucket = Seq("cluster", "bkt"), threshold = 0.2, dim = Some(dim))
+        Dedup.twoPhaseComponents(v.select("vec_id"), "vec_id", pairs)
+          .filter(col("component") =!= col("vec_id")).count()
+      },
     )
 
     // Pair families over the FIXED-cluster corpus (constant 20-doc dup

@@ -566,16 +566,18 @@ object TextAnalysis {
     * (tf × N / docfreq — no logarithm, so every score is one exact integer
     * product and one IEEE division, bit-identical across engines).
     *
-    * ONE dataflow, no materialization barrier: term frequencies are a
-    * (doc, term) hash aggregate of the token explode, and document
-    * frequencies fall out of the SAME frame as a count window partitioned
-    * by term — the tf rows ARE the distinct doc-term incidences, so
-    * `count(*) over (partition by term)` is the docfreq, replacing the
-    * former checkpoint + self-join (the window's term shuffle moves
-    * exactly the bytes the join's term-side shuffle moved, minus a whole
-    * job and a cached copy). The corpus size N stays in-plan: a one-row
-    * count aggregate broadcast onto the scored rows instead of an eager
-    * `df.count()` job. The final per-document top-k runs through the
+    * ONE dataflow, no materialization barrier: term frequencies are
+    * computed INSIDE each document's row ([[org.apache.spark.sql.graft
+    * .TermCounts]] — tf is doc-local, so the classic explode +
+    * groupBy(doc, term) form shuffles a corpus-sized token stream to
+    * co-locate rows that already live together; the expression form has
+    * NO tf exchange at all), and document frequencies fall out of the
+    * SAME frame as a count window partitioned by term — the tf rows ARE
+    * the distinct doc-term incidences, so `count(*) over (partition by
+    * term)` is the docfreq, replacing the former checkpoint + self-join.
+    * The corpus size N stays in-plan: a one-row count aggregate broadcast
+    * onto the scored rows instead of an eager `df.count()` job. The final
+    * per-document top-k runs through the
     * [[org.apache.spark.sql.graft.TopKPerKey]] physical operator rather
     * than a row_number window: the map-side heap pass cuts every
     * partition to ≤ k rows per document BEFORE the per-doc exchange, and
@@ -588,9 +590,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.agg(count(lit(1)).as("__n"))
     val tf = df
-      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
+      .select(col(idCol), col("__tc.term").as("term"), col("__tc.tf").as("tf"))
       .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
@@ -782,16 +785,20 @@ object TextAnalysis {
         size(filter(col("__ws"), w => w =!= lit(""))).cast("long"))
       .filter(col("__dl") > 0)
     val dl = withLen.select(col("__id"), col("__dl"))
-    val tok = withLen
-      .select(col("__id"), explode(col("__ws")).as("term"))
-      .filter(col("term") =!= "")
     val stats = broadcast(
       dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
         .select(col("__n"),
           (col("__sumdl").cast("double") / col("__n").cast("double")).as("__avgdl")))
     val probe = broadcast(terms.toDF("term"))
-    val tf = tok.join(probe, Seq("term"))
-      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+    // tf is doc-local (TermCounts — see tfidfTopTerms): the probe
+    // semi-join prunes to query terms AFTER the in-row count, so no
+    // (doc, term) exchange exists anywhere in the tf path
+    val tf = withLen
+      .select(col("__id"),
+        explode(org.apache.spark.sql.graft.TermCounts(col("__ws"))).as("__tc"))
+      .select(col("__id"), col("__tc.term").as("term"), col("__tc.tf").as("__tf"))
+      .filter(col("term") =!= "")
+      .join(probe, Seq("term"))
     val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("__df")))
     val scored = tf.join(dl, Seq("__id")).join(dfreq, Seq("term")).crossJoin(stats)
       .withColumn("__idf",

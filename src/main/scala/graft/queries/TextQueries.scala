@@ -516,17 +516,22 @@ object TextQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
-  /** Corpus vocabulary: top-100 terms by frequency. One partial-aggregated
-    * groupBy; the top-100 is TakeOrderedAndProject (bounded heap per
-    * partition + driver merge), never a global sort. */
+  /** Corpus vocabulary: top-100 terms by frequency. Tokens are
+    * pre-counted inside each document's row (TermCounts — the partial
+    * aggregate then hashes per-doc-DISTINCT terms instead of every
+    * token), one partial-aggregated groupBy sums them; the top-100 is
+    * TakeOrderedAndProject (bounded heap per partition + driver merge),
+    * never a global sort. */
   private val ns34 = QueryEntry(
     "ns34_vocab_top",
     (spark, dir) => {
       val t = Tables(spark, dir)
       t.documents
-        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .select(explode(org.apache.spark.sql.graft.TermCounts(
+          TextAnalysis.words(col("text")))).as("__tc"))
+        .select(col("__tc.term").as("term"), col("__tc.tf").as("tf"))
         .filter(col("term") =!= "")
-        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
         .orderBy(col("cnt").desc, col("term"))
         .limit(100)
     },

@@ -56,14 +56,16 @@ class PlanShapeSpec extends SparkSpec {
     pinned(SparkEntry.queries(name)(spark, sf0001))
 
   test("ns27 tf-idf top-terms: docfreq rides ONE count window, final top-k is TopKPerKey") {
-    // r12 rewrite: the per-doc row_number window (an exchange + full sort
-    // per doc partition) became the TopKPerKey physical pair — the
-    // map-side heap cuts each partition to k rows per doc BEFORE the
-    // per-doc exchange, and no partition is ever sorted
+    // r12 rewrite, two steps: the per-doc row_number window became the
+    // TopKPerKey physical pair (map-side heaps cut each partition to k
+    // rows per doc BEFORE the per-doc exchange, nothing sorts whole
+    // partitions), and tf moved IN-ROW (TermCounts) — the (doc, term)
+    // groupBy exchange vanished because a document's term frequencies
+    // never needed to leave its row
     import org.apache.spark.sql.graft.TopKPerKeyExec
     val name = "ns27_tfidf_topterms"
     assert(catalog(name) == Shape(
-      shuffles = 5, broadcastJoins = 0, sortMergeJoins = 0,
+      shuffles = 4, broadcastJoins = 0, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 1, windowGroupLimits = 0, takeOrdered = 0))
     val plan = {
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -77,8 +79,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ns52 bm25: probe semi-join broadcasts, stats broadcast, top-k is TakeOrdered") {
+    // r12: tf moved in-row (TermCounts) — the (doc, term) groupBy
+    // exchange and the downstream re-exchange it forced are gone; the
+    // probe semi-join prunes the exploded counts before anything shuffles
     assert(catalog("ns52_bm25_search") == Shape(
-      shuffles = 5, broadcastJoins = 4, sortMergeJoins = 0,
+      shuffles = 3, broadcastJoins = 4, sortMergeJoins = 0,
       objectHashAggs = 2, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
   }
 
