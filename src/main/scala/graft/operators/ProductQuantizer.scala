@@ -250,4 +250,78 @@ object ProductQuantizer {
         .orderBy(col("pq_dist").asc, col("cand_id"))).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ — the canonical composed index (FAISS's "IVFx,PQy" family,
+    * codebooks on raw vectors rather than residuals): coarse k-means
+    * cells PRUNE the candidate set, PQ ADC RANKS within the query's cell.
+    * [[pqTopK]] scores |Q|·|corpus| pairs; here each query scores only
+    * its own cell's candidates (~|corpus|/nCells), which is what makes
+    * ADC viable when the corpus no longer fits a single scan budget —
+    * the cells play exactly the role [[KMeansIvf.search]] gives them,
+    * and the in-cell metric is the m-lookup ADC sum instead of the exact
+    * dot.
+    *
+    * Both trainings are the shared deterministic integer Lloyd, so the
+    * composition stays engine-exact end-to-end and the DuckDB oracle
+    * replays the whole thing: cell chain (ns20's CTEs) + PQ chain
+    * (ns42's CTEs) + the same-cell join. Cells are assigned by a PURE
+    * PROJECTION against the fitted centroids (the same
+    * [[org.apache.spark.sql.graft.NearestCells]] expression the fit's
+    * own final assignment pass uses — deterministic, so projecting
+    * equals joining the assignment table without the corpus-sized
+    * equi-join). With nCells = 1 the cell predicate is vacuous and the
+    * ranking equals [[pqTopK]] (spec-pinned).
+    *
+    * Scale shape: candidate side carries (id, cell, m byte-codes) — a
+    * pure scan projection; query side broadcasts (id, cell, m×ks
+    * tables); the join keys on the cell, so a 100 TB corpus partitioned/
+    * bucketed by cell serves each probe from one partition's worth of
+    * codes. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nCells: Int, m: Int = 4, ks: Int = 16,
+      iters: Int = 2, cellIters: Int = 2, cacheKey: Option[String] = None,
+      cellCacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val books = cacheKey match {
+      case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
+        trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
+      case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
+    }
+    val (_, cellCentroids) = KMeansIvf.fitCached(
+      candidates, idCol, vecCol, nCells, cellIters, cellCacheKey, corpusKey)
+    val sub = dim / m
+    val cellCol = org.apache.spark.sql.graft.NearestCells.nearest(
+      Similarity.fixedPoint(col(vecCol)), cellCentroids)
+    val codeCols = (0 until m).map(j =>
+      org.apache.spark.sql.graft.NearestCells.nearest(
+        Similarity.fixedPoint(slice(col(vecCol), j * sub + 1, sub)), books(j))
+        .as(s"__c$j"))
+    val coded = candidates.select(
+      col(idCol).as("__pqid") +: cellCol.as("__cell") +: codeCols: _*)
+
+    val qcand = candidates.join(broadcast(queries.select(col(idCol))), idCol)
+    val cents = centroidFrame(candidates, books)
+    val tabAggs = (0 until m).map(j =>
+      transform(array_sort(collect_list(
+          when(col("ss") === j, struct(col("cl"), col("d"))))),
+        x => x.getField("d")).as(s"__dt$j"))
+    val qcells = qcand.select(col(idCol).as("__pqid"), cellCol.as("__cell"))
+    val qtabs = memberRows(qcand, idCol, vecCol, dim, m)
+      .join(broadcast(cents), "ss")
+      .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))
+      .groupBy(col("__pqid")).agg(tabAggs.head, tabAggs.tail: _*)
+      .join(broadcast(qcells), "__pqid")
+
+    val dist = (0 until m).map(j =>
+      element_at(col(s"q.__dt$j"), col(s"c.__c$j") + 1)).reduce(_ + _)
+    broadcast(qtabs).as("q")
+      .join(coded.as("c"),
+        col("q.__cell") === col("c.__cell") && col("q.__pqid") =!= col("c.__pqid"))
+      .select(col("q.__pqid").as("q_id"), col("c.__pqid").as("cand_id"),
+        dist.as("pq_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("pq_dist").asc, col("cand_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -84,6 +84,31 @@ class KMeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: nCells=1 equals flat pqTopK; real cells keep every hit in the query's cell") {
+    val queries = emb.filter(col("vec_id") < 5)
+    // one cell -> the cell predicate is vacuous and the composed index IS
+    // the flat ADC ranking
+    val flat = graft.operators.ProductQuantizer.pqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64).collect().map(_.toSeq).toSet
+    val one = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64, nCells = 1).collect().map(_.toSeq).toSet
+    assert(one == flat, "nCells=1 IVF-PQ must equal flat ADC")
+    // real cells: every (q, cand) pair shares the query's k-means cell,
+    // and in-cell ADC order matches the flat ranking restricted to the cell
+    val (assign, _) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cellOf = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64, nCells = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(cellOf(r.getLong(0)) == cellOf(r.getLong(1)),
+        s"hit ${r.getLong(1)} outside query ${r.getLong(0)}'s cell")
+    }
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.size)) // dense ranks
+    }
+  }
+
   test("PQ leaves no persistent RDDs behind (training cache self-releases)") {
     val queries = emb.filter(col("vec_id") < 3)
     // no SharedCache / Verify sweep involved: run the full query and check
