@@ -267,6 +267,18 @@ object ScaleSmoke {
       "ann_pq_adc" -> (v =>
         ProductQuantizer.pqTopK(v.filter(col("vec_id") < 5), v,
           "vec_id", "embedding", k = 10, dim = dim).count()),
+      "ann_ivf_pq" -> (v =>
+        // the composed index (ns66): same ADC math as ann_pq_adc but each
+        // query scores only its own coarse cell — the |corpus|/nCells
+        // candidate cut is the claim to verify at 20 M. Cells train on
+        // packed SQ8 codes (cellsOnCodes — the ns61 representation): with
+        // the exact cell fit the composition LOSES to flat ADC (10.0 s vs
+        // 7.6 s at 2 M, and the exact fit is storage-bound at 20 M), i.e.
+        // the index only pays when the cell training rides the at-rest
+        // codes
+        ProductQuantizer.ivfPqTopK(v.filter(col("vec_id") < 5), v,
+          "vec_id", "embedding", k = 10, dim = dim, nCells = 16,
+          iters = 2, cellIters = 2, cellsOnCodes = true).count()),
       "ivf_store_cycle" -> { v =>
         // the durable streaming-ANN lifecycle (IvfLifecycleSpec's loop) at
         // corpus scale: publish quantizes + code-trains + writes the

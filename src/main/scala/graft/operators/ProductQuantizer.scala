@@ -281,23 +281,47 @@ object ProductQuantizer {
       vecCol: String, k: Int, dim: Int, nCells: Int, m: Int = 4, ks: Int = 16,
       iters: Int = 2, cellIters: Int = 2, cacheKey: Option[String] = None,
       cellCacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      // scale knob: train/assign the COARSE CELLS on packed SQ8 codes
+      // (KMeansIvf.fitCodes) instead of raw vectors — at 20 M+ the exact
+      // cell Lloyd is storage-bound (SCALE.md's ns20 cliff; its fix,
+      // ns61, IS this representation) while the 64 B/vec code fit stays
+      // memory-resident. Cell boundaries differ slightly from the exact
+      // fit (code-space vs raw-space Lloyd); the in-cell ADC ranking is
+      // unchanged. The catalog entry keeps the exact fit (false) so the
+      // oracle replays ns20's own chain.
+      cellsOnCodes: Boolean = false,
+      boundsCacheKey: Option[String] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val books = cacheKey match {
       case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
         trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
       case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
     }
-    val (_, cellCentroids) = KMeansIvf.fitCached(
-      candidates, idCol, vecCol, nCells, cellIters, cellCacheKey, corpusKey)
+    val (attach, cellCol) =
+      if (cellsOnCodes) {
+        val packed = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
+        val (_, cc) = cellCacheKey match {
+          case key @ Some(_) =>
+            KMeansIvf.fitCodesCached(packed, idCol, "__q", nCells, cellIters, key, corpusKey)
+          case None => KMeansIvf.fitCodes(packed, idCol, "__q", nCells, cellIters, corpusKey)
+        }
+        (Similarity.sq8WithBounds(candidates, vecCol, boundsCacheKey),
+          org.apache.spark.sql.graft.NearestCellsCodes.nearest(
+            org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")), cc))
+      } else {
+        val (_, cc) = KMeansIvf.fitCached(
+          candidates, idCol, vecCol, nCells, cellIters, cellCacheKey, corpusKey)
+        (identity[DataFrame] _,
+          org.apache.spark.sql.graft.NearestCells.nearest(
+            Similarity.fixedPoint(col(vecCol)), cc))
+      }
     val sub = dim / m
-    val cellCol = org.apache.spark.sql.graft.NearestCells.nearest(
-      Similarity.fixedPoint(col(vecCol)), cellCentroids)
     val codeCols = (0 until m).map(j =>
       org.apache.spark.sql.graft.NearestCells.nearest(
         Similarity.fixedPoint(slice(col(vecCol), j * sub + 1, sub)), books(j))
         .as(s"__c$j"))
-    val coded = candidates.select(
+    val coded = attach(candidates).select(
       col(idCol).as("__pqid") +: cellCol.as("__cell") +: codeCols: _*)
 
     val qcand = candidates.join(broadcast(queries.select(col(idCol))), idCol)
@@ -306,7 +330,7 @@ object ProductQuantizer {
       transform(array_sort(collect_list(
           when(col("ss") === j, struct(col("cl"), col("d"))))),
         x => x.getField("d")).as(s"__dt$j"))
-    val qcells = qcand.select(col(idCol).as("__pqid"), cellCol.as("__cell"))
+    val qcells = attach(qcand).select(col(idCol).as("__pqid"), cellCol.as("__cell"))
     val qtabs = memberRows(qcand, idCol, vecCol, dim, m)
       .join(broadcast(cents), "ss")
       .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))

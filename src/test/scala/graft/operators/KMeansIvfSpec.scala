@@ -93,6 +93,13 @@ class KMeansIvfSpec extends SparkSpec {
     val one = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
       "vec_id", "embedding", k = 5, dim = 64, nCells = 1).collect().map(_.toSeq).toSet
     assert(one == flat, "nCells=1 IVF-PQ must equal flat ADC")
+    // ... and the scale representation (cells trained/assigned on packed
+    // SQ8 codes) changes WHICH cell a vector lands in, never the in-cell
+    // ADC ranking — with one cell it must also equal flat ADC exactly
+    val oneCodes = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64, nCells = 1, cellsOnCodes = true)
+      .collect().map(_.toSeq).toSet
+    assert(oneCodes == flat, "nCells=1 code-cell IVF-PQ must equal flat ADC")
     // real cells: every (q, cand) pair shares the query's k-means cell,
     // and in-cell ADC order matches the flat ranking restricted to the cell
     val (assign, _) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
