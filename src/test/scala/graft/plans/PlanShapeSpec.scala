@@ -87,6 +87,16 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 2, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
   }
 
+  test("ns66 ivf-pq: query side broadcasts, candidate encode is a projection, rank is group-limit pruned") {
+    // the composed index's plan contract: the corpus-sized candidate side
+    // is a pure scan projection (cell + m codes) probed by BROADCAST
+    // joins only — its 3 shuffles belong to the |Q|-sized ADC-table
+    // aggregation and the final per-query window, never to the corpus
+    assert(catalog("ns66_ann_ivf_pq") == Shape(
+      shuffles = 3, broadcastJoins = 5, sortMergeJoins = 0,
+      objectHashAggs = 2, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
+  }
+
   test("q08 top suppliers: one fact-fact shuffle, dims broadcast, top-k is TakeOrdered") {
     assert(catalog("q08_top_suppliers") == Shape(
       shuffles = 1, broadcastJoins = 3, sortMergeJoins = 0,
