@@ -650,7 +650,82 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
+  /** Index-quality evaluation for the COMPOSED index: recall@5 of IVF-PQ
+    * (ns66) against exact L2 truth — PQ approximates squared L2, so the
+    * truth ranking here is the exact integer L2 (nsq_q − 2·dot + nsq_c),
+    * not cosine: recall then isolates what the INDEX loses (cell pruning
+    * + code quantization), not a metric mismatch. Same bounded left-join
+    * harness as ns44/ns63; the oracle replays exact L2 AND the full
+    * cell + 4-subspace ADC chain side by side. */
+  private val ns67 = QueryEntry(
+    "ns67_ann_ivf_pq_recall",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      import org.apache.spark.sql.expressions.Window
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      val n = t.embeddings.select(col("vec_id"),
+        Similarity.fixedPoint(col("embedding")).as("fe"))
+        .withColumn("nsq", Similarity.dotFp(col("fe"), col("fe")))
+      val truth = broadcast(n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("fe").as("qfe"), col("nsq").as("qnsq")))
+        .join(n.as("c"), col("q_id") =!= col("c.vec_id"))
+        .select(col("q_id"), col("c.vec_id").as("cand_id"),
+          (col("qnsq") - lit(2L) * Similarity.dotFp(col("qfe"), col("c.fe")) +
+            col("c.nsq")).as("__d"))
+        .withColumn("__rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cand_id"))))
+        .filter(col("__rnk") <= 5)
+        .select(col("q_id"), col("cand_id"))
+      val ivfpq = graft.operators.ProductQuantizer.ivfPqTopK(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, dim = 64, nCells = 8, m = 4, ks = 16,
+          iters = 2, cellIters = 2,
+          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"),
+          cellCacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      truth.join(ivfpq, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hits"))
+        .withColumn("recall_at_5", col("n_hits").cast("double") / 5)
+        .orderBy(col("q_id"))
+    },
+    Some {
+      val subs = (0 until 4).map(j => pqSubCtes(j, sub = 16, ks = 16)).mkString(",\n")
+      s"""WITH $FpSql,
+         |${kmeansChainSql(8, 2)},
+         |$subs,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+         |  FROM af0 a0 JOIN af1 a1 USING (vec_id) JOIN af2 a2 USING (vec_id) JOIN af3 a3 USING (vec_id)),
+         |ivfpq5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY pq_dist, cand_id) AS rnk
+         |  FROM (
+         |    SELECT d0.q_id, cand.vec_id AS cand_id, d0.d + d1.d + d2.d + d3.d AS pq_dist
+         |    FROM codes cand
+         |    JOIN af ca ON ca.vec_id = cand.vec_id
+         |    JOIN qd0 d0 ON d0.cluster = cand.k0
+         |    JOIN af qa ON qa.vec_id = d0.q_id AND qa.cluster = ca.cluster
+         |    JOIN qd1 d1 ON d1.q_id = d0.q_id AND d1.cluster = cand.k1
+         |    JOIN qd2 d2 ON d2.q_id = d0.q_id AND d2.cluster = cand.k2
+         |    JOIN qd3 d3 ON d3.q_id = d0.q_id AND d3.cluster = cand.k3
+         |    WHERE cand.vec_id <> d0.q_id))
+         |  WHERE rnk <= 5),
+         |l2b AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY d, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      q.nsq - 2 * CAST(list_sum(list_transform(list_zip(q.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) + c.nsq AS d
+         |    FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5)
+         |SELECT q_id, n_hits, CAST(n_hits AS DOUBLE) / 5 AS recall_at_5 FROM (
+         |  SELECT br.q_id,
+         |    CAST(sum(CASE WHEN pq.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM l2b br LEFT JOIN ivfpq5 pq
+         |    ON br.q_id = pq.q_id AND br.cand_id = pq.cand_id
+         |  GROUP BY br.q_id)
+         |ORDER BY q_id""".stripMargin
+    },
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62,
-      ns63, ns65, ns66)
+      ns63, ns65, ns66, ns67)
 }
