@@ -233,14 +233,24 @@ object KMeansIvf {
     * same-id pair with different codes (a contract violation) is not
     * adjacent and not this backstop's job. */
   private[graft] def rankCodes(qs: DataFrame, cs: DataFrame, k: Int,
-      excludeSelf: Boolean = true, dedupTies: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = true, dedupTies: Boolean = false,
+      withNorms: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sameCell = col("q.cluster") === col("c.cluster")
     val w = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cand_id"))
+    // withNorms: append both sides' code self-dots — what a consumer
+    // needs to turn the raw integer dot into a quantized cosine (the
+    // online near-dup screen's threshold metric) without a second pass
+    // over the code table
+    val normCols = if (withNorms)
+      Seq(org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("q.__q")).as("q_nsq"),
+        org.apache.spark.sql.graft.DotCodes(col("c.__q"), col("c.__q")).as("cand_nsq"))
+    else Seq.empty
     val scored = qs.as("q").join(cs.as("c"),
         if (excludeSelf) sameCell && col("q.__id") =!= col("c.__id") else sameCell)
-      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
+      .select(Seq(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).as("qsim"))
+        ++ normCols: _*)
     val unique = if (dedupTies)
       scored.withColumn("__prev", lag(col("cand_id"), 1).over(w))
         .filter(col("__prev").isNull || col("__prev") =!= col("cand_id"))

@@ -257,7 +257,25 @@ object IvfStore {
     * no self-exclusion — a query id that happens to collide with a stored
     * vec_id must still retrieve that vector. */
   def search(spark: SparkSession, storeDir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      withNorms: Boolean = false): DataFrame = {
+    val (qsBase, pruned) = probeJoin(spark, storeDir, queries, idCol, vecCol, nProbe)
+    KMeansIvf.rankCodes(broadcast(qsBase), pruned,
+      // dedupTies: in the acknowledged replay-across-refit window one
+      // vec_id can briefly hold two identical code rows (epoch partition
+      // + its __b=fit consolidation); without the dedup a top-k could
+      // spend two of its slots on one vector
+      k, excludeSelf = false, dedupTies = true, withNorms = withNorms)
+  }
+
+  /** The probe prelude [[search]] and [[nearDupIds]] share: quantize +
+    * cell-assign the (broadcast-small) query side once, then prune the
+    * code table to the probed cells with a literal `cell IN (...)`
+    * predicate (unconditional partition pruning — see [[search]]'s
+    * scaladoc). */
+  private def probeJoin(spark: SparkSession, storeDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val v = VersionedStore.versionDir(storeDir)
     val m = modelAt(spark, v)
     // materialized ONCE (queries are broadcast-small by contract): the
@@ -275,14 +293,34 @@ object IvfStore {
     // unconditional
     val probed = qsBase.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
-    KMeansIvf.rankCodes(broadcast(qsBase),
+    (qsBase,
       codesAt(spark, v)
         .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
-        .select(col("vec_id").as("__id"), col("__q"), col("cell").as("cluster")),
-      // dedupTies: in the acknowledged replay-across-refit window one
-      // vec_id can briefly hold two identical code rows (epoch partition
-      // + its __b=fit consolidation); without the dedup a top-k could
-      // spend two of its slots on one vector
-      k, excludeSelf = false, dedupTies = true)
+        .select(col("vec_id").as("__id"), col("__q"), col("cell").as("cluster")))
+  }
+
+  /** EXISTENCE screen, not a ranking: the distinct query ids that have AT
+    * LEAST ONE indexed vector in their probed cells whose quantized
+    * cosine (integer code dot over the exact code-norm product) reaches
+    * `threshold`. A top-k ([[search]]) is the WRONG primitive for this —
+    * it ranks by the raw dot, which favors large-norm candidates, so an
+    * exact copy can sit below rank k while sub-threshold vectors fill the
+    * list (measured: the copy at rank 2 behind a 0.90-cosine hit). Here
+    * every in-cell candidate is cosine-tested and the semi-join keeps
+    * ids, so no near-dup can hide behind a bigger vector. Note the SQ8
+    * code space is all-positive (affine 0..255), which puts the
+    * background cosine of unrelated vectors near ~0.9 on this corpus —
+    * screen thresholds are calibrated IN CODE SPACE (0.95+ ≈ near-exact
+    * copies), not raw-vector cosine. */
+  def nearDupIds(spark: SparkSession, storeDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int = 1): DataFrame = {
+    val (qsBase, pruned) = probeJoin(spark, storeDir, queries, idCol, vecCol, nProbe)
+    broadcast(qsBase).as("q").join(pruned.as("c"), col("q.cluster") === col("c.cluster"))
+      .filter(org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).cast("double") >=
+        lit(threshold) * sqrt(
+          org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("q.__q")).cast("double") *
+          org.apache.spark.sql.graft.DotCodes(col("c.__q"), col("c.__q")).cast("double")))
+      .select(col("q.__id").as("q_id")).distinct()
   }
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONLINE semantic dedup — ns65's SemDeDup verdict applied at ingest
+  * time instead of over a resting corpus: each arriving embedding is
+  * screened against the PUBLISHED IVF index ([[IvfStore]]) and dropped
+  * if its nearest indexed neighbor is a near-duplicate; survivors are
+  * ingested into the same index, so the screen tightens as the stream
+  * runs. This is the streaming half of the curation story (reference
+  * behavior: per-cycle dedup-on-insert,
+  * /root/reference/src/logic/getConditionedRecords.ts upsert screen),
+  * composed entirely from the existing planes:
+  *
+  *   - [[AnnIngest.assignCells]]-equivalent quantize+assign rides inside
+  *     [[IvfStore.search]] (stateless — offline model, no state store);
+  *   - the near-dup verdict is the store's EXISTENCE screen
+  *     ([[IvfStore.nearDupIds]]): every in-cell candidate tested on the
+  *     QUANTIZED cosine (dot(q,c)/√(|q|²·|c|²) over SQ8 codes — exact
+  *     integers until the one final division). A top-k search is the
+  *     wrong primitive here: it ranks by raw dot, and an exact copy can
+  *     sit below rank k behind larger-norm sub-threshold vectors;
+  *   - survivors land through [[IvfStore.ingest]], whose per-(writer,
+  *     batch) partition protocol makes redelivered batches idempotent —
+  *     so the composition is exactly-once end-to-end without any
+  *     stream-side state.
+  *
+  * WITHIN-batch duplicates: exact code-level copies collapse to the
+  * lowest id before ingest (deterministic); sub-threshold within-batch
+  * NEAR-dups are deliberately left to the next refit/batch pass (ns65) —
+  * collapsing them online would need a pairwise pass over the batch,
+  * and the batch is the one corpus slice that has not been indexed yet.
+  * A vector can also only be compared against cells the index already
+  * covers (nProbe nearest), the same recall trade every IVF search makes.
+  *
+  * At 100 TB: the screen's cost per batch is |batch| × (|cell|/nCells)
+  * code dots against a cell-pruned parquet scan — the arriving stream
+  * never shuffles the corpus, and the store's partitionBy(cell) layout
+  * serves each probe from one partition's files.
+  */
+object SemanticDedupStream {
+
+  /** Screen one micro-batch against the store: returns the SURVIVORS —
+    * rows whose top-1 indexed neighbor's quantized cosine is below
+    * `threshold`, with exact-code within-batch copies collapsed to the
+    * lowest id. Pure function of (store version, batch); the caller
+    * decides what to do with the survivors ([[ingestDeduped]] writes
+    * them back to the store). */
+  def screen(spark: SparkSession, storeDir: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int = 1): DataFrame = {
+    val m = IvfStore.model(spark, storeDir)
+    val hits = IvfStore.nearDupIds(spark, storeDir, batch, idCol, vecCol,
+      threshold, nProbe)
+    import org.apache.spark.sql.expressions.Window
+    batch
+      .filter(col(vecCol).isNotNull)
+      .join(hits.withColumnRenamed("q_id", idCol).hint("broadcast"), Seq(idCol), "left_anti")
+      // exact within-batch copies: same model ⇒ same packed code ⇒ same
+      // md5; keep the lowest id (deterministic, matches the batch
+      // family's keeper rule)
+      .withColumn("__ck", md5(org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol),
+        typedlit(m.mn.toSeq), typedlit(m.mx.toSeq))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__ck")).orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1).drop("__ck", "__rn")
+  }
+
+  /** Screen + ingest: the foreachBatch body. Returns the survivor count
+    * (what the stream's progress metrics report). Idempotent per
+    * (writerId, batchId) — a redelivered epoch replaces its own previous
+    * attempt through [[IvfStore.ingest]]'s tmp-partition rename
+    * protocol, and the screen re-runs against the CURRENT store version,
+    * which by then may already contain this batch's survivors; the
+    * replacing write makes that harmless (same rows land again). */
+  def ingestDeduped(spark: SparkSession, storeDir: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, batchId: Long,
+      writerId: String = "semdedup", nProbe: Int = 1): Long = {
+    val m = IvfStore.model(spark, storeDir)
+    val survivors = screen(spark, storeDir, batch, idCol, vecCol, threshold, nProbe)
+    val assigned = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
+      .select(col(idCol), col("__q"), col("cell"))
+      .localCheckpoint() // count + ingest: one materialization, two consumers
+    val n = assigned.count()
+    if (n > 0) IvfStore.ingest(storeDir, assigned, idCol, batchId, writerId)
+    n
+  }
+
+  /** Wire a streaming frame of (id, vector) rows into the store through
+    * the screen. One foreachBatch sink; the scratch sweep keeps a long
+    * soak from accumulating per-batch localCheckpoint blocks. */
+  def run(stream: DataFrame, storeDir: String, idCol: String, vecCol: String,
+      threshold: Double, checkpointDir: String, nProbe: Int = 1,
+      writerId: String = "semdedup"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDeduped(batch.sparkSession, storeDir, batch, idCol, vecCol,
+          threshold, batchId, writerId, nProbe)
+        graft.SharedCache.unpersistScratch(batch.sparkSession)
+        ()
+      }
+      .start()
+}

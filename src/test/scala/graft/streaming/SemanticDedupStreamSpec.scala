@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Online semantic dedup: arrivals screened against the published IVF
+  * index, near-dups of indexed vectors dropped, novel vectors ingested —
+  * and because survivors land in the same index, a duplicate arriving in
+  * a LATER batch is screened by its EARLIER twin. */
+class SemanticDedupStreamSpec extends SparkSpec {
+
+  test("stream screen drops indexed near-dups, collapses exact in-batch copies, ingests novels") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("semdedup_store").toString
+
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val snapshot = emb.filter(col("vec_id") < 300)
+    IvfStore.publish(spark, dir, snapshot, "vec_id", "embedding", nCells = 4, iters = 2)
+
+    // fixture arrivals, all with fresh ids ≥ 1000:
+    //  - 1000: exact copy of indexed vec 42          -> dropped (screen)
+    //  - 1001/1002: identical novel vector, twice    -> 1001 kept, 1002 collapsed
+    //  - 1003: copy of indexed vec 7                 -> dropped (screen)
+    //  - 1004: another novel vector                  -> kept
+    val v42 = emb.filter(col("vec_id") === 42).select("embedding").as[Seq[Float]].head()
+    val v7 = emb.filter(col("vec_id") === 7).select("embedding").as[Seq[Float]].head()
+    val novelA = emb.filter(col("vec_id") === 310).select("embedding").as[Seq[Float]].head()
+    val novelB = emb.filter(col("vec_id") === 311).select("embedding").as[Seq[Float]].head()
+
+    val stream = MemoryStream[Vec]
+    val ckpt = Files.createTempDirectory("semdedup_ckpt").toString
+    val q = SemanticDedupStream.run(stream.toDF(), dir, "vec_id", "embedding",
+      threshold = 0.95, checkpointDir = ckpt)
+    stream.addData(Vec(1000L, v42), Vec(1001L, novelA), Vec(1002L, novelA),
+      Vec(1003L, v7), Vec(1004L, novelB))
+    q.processAllAvailable()
+
+    val afterB0 = IvfStore.codes(spark, dir)
+      .filter(col("vec_id") >= 1000L).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterB0 == Set(1001L, 1004L),
+      s"batch 0 should ingest exactly the two novel vectors, got $afterB0")
+
+    // a LATER batch re-sending novelA under yet another id is now a
+    // near-dup of the INDEXED 1001 (ingested by batch 0) — the screen
+    // tightens as the stream runs; a genuinely new vector still lands
+    val novelC = emb.filter(col("vec_id") === 312).select("embedding").as[Seq[Float]].head()
+    stream.addData(Vec(2000L, novelA), Vec(2001L, novelC))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterB1 = IvfStore.codes(spark, dir)
+      .filter(col("vec_id") >= 1000L).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterB1 == Set(1001L, 1004L, 2001L),
+      s"batch 1 must drop the twin of the batch-0 survivor, got $afterB1")
+
+    // replayed epoch (at-least-once): same (writer, batch) re-ingests its
+    // own partitions, never duplicates — and the screen re-run against
+    // the now-larger store still yields the same survivors
+    val replay = Seq(Vec(1000L, v42), Vec(1001L, novelA), Vec(1002L, novelA),
+      Vec(1003L, v7), Vec(1004L, novelB)).toDF()
+    SemanticDedupStream.ingestDeduped(spark, dir, replay, "vec_id", "embedding",
+      threshold = 0.95, batchId = 0L, writerId = "semdedup")
+    val afterReplay = IvfStore.codes(spark, dir).filter(col("vec_id") >= 1000L).count()
+    assert(afterReplay == 3, s"replay must not duplicate rows, got $afterReplay")
+
+    // batch ≡ stream: the pure screen on batch 0's frame returns exactly
+    // the stream's survivors (1002 collapsed onto 1001, 1000/1003 dropped)
+    // when run against a store WITHOUT batch 0's survivors
+    val dir2 = Files.createTempDirectory("semdedup_store2").toString
+    IvfStore.publish(spark, dir2, snapshot, "vec_id", "embedding", nCells = 4, iters = 2)
+    val surv = SemanticDedupStream.screen(spark, dir2, replay,
+        "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1001L, 1004L))
+
+    VersionedStore.deleteRecursively(java.nio.file.Paths.get(dir))
+    VersionedStore.deleteRecursively(java.nio.file.Paths.get(dir2))
+  }
+}
