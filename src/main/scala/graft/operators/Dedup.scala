@@ -462,7 +462,11 @@ object Dedup {
         .select(col("u").cast("long"), col("v").cast("long"))
         .limit((pairCap + 1).toInt).collect()
       if (capped.length <= pairCap)
-        return localPairComponents(nodes, idCol, capped)
+        // registerForeign: the contraction treats a non-node endpoint as a
+        // full vertex (it can bridge two nodes and carry the component
+        // min) — the finish must honor that, unlike hash-to-min's
+        // label-less-foreigner rule
+        return localPairComponents(nodes, idCol, capped, registerForeign = true)
     }
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under
@@ -695,25 +699,38 @@ object Dedup {
 
   /** Below-threshold PAIR-graph labelling: union-find over a collected,
     * cap-bounded edge array, roots relabelled to the component MIN id —
-    * the same fixpoint the distributed hash-to-min loop reaches
+    * the same fixpoint the matching distributed loop reaches
     * (spec-asserted against it on random graphs). Nodes come from the
-    * nodes frame (isolates label themselves). */
+    * nodes frame (isolates label themselves).
+    *
+    * `registerForeign` mirrors the two distributed loops' DIFFERENT
+    * treatment of an edge endpoint outside the nodes frame:
+    *   - false ([[connectedComponents]]'s hash-to-min): labels exist only
+    *     for nodes, so a foreign endpoint neither receives nor relays a
+    *     label — the edge is inert and is skipped;
+    *   - true ([[twoPhaseComponents]]'s star contraction): the contraction
+    *     rewrites the EDGE SET, so a foreign endpoint is a full graph
+    *     vertex that can BRIDGE two nodes (a–X, X–b connects a and b) and
+    *     its id participates in the component minimum. It is registered
+    *     as a latent vertex; only node rows are emitted, exactly like the
+    *     loop's final nodes join. */
   private def localPairComponents(nodes: DataFrame, idCol: String,
-      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+      edges: Array[org.apache.spark.sql.Row],
+      registerForeign: Boolean = false): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    nodes.select(col(idCol).cast("long")).collect()
-      .foreach(r => parent.getOrElseUpdate(r.getLong(0), r.getLong(0)))
-    // an edge endpoint OUTSIDE the nodes frame is inert, exactly like the
-    // distributed loop (labels exist only for nodes, so a foreign
-    // endpoint neither receives nor relays a label) — skipping the edge
-    // keeps the two paths' semantics identical
+    val nodeIds = nodes.select(col(idCol).cast("long")).collect().map(_.getLong(0))
+    nodeIds.foreach(id => parent.getOrElseUpdate(id, id))
     edges.foreach { e =>
       val (a, b) = (e.getLong(0), e.getLong(1))
+      if (registerForeign) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+      }
       if (parent.contains(a) && parent.contains(b)) {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
@@ -722,7 +739,7 @@ object Dedup {
     val spark = nodes.sparkSession
     import spark.implicits._
     val idType = nodes.schema(idCol).dataType
-    parent.keys.toSeq.map(id => (id, find(id))).toDF("__lid", "__lcomp")
+    nodeIds.distinct.toSeq.map(id => (id, find(id))).toDF("__lid", "__lcomp")
       .select(col("__lid").cast(idType).as(idCol),
         col("__lcomp").cast(idType).as("component"))
   }

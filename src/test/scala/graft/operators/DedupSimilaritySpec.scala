@@ -354,6 +354,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fast == want, "driver-finish path diverged from the distributed contraction")
   }
 
+  test("foreign pair endpoints: conduits for star contraction, inert for hash-to-min — on both paths") {
+    val s = spark
+    import s.implicits._
+    // X = 50 is NOT a node; a-X, X-b bridges a and b in the EDGE-REWRITING
+    // contraction (X is a graph vertex there, and its id joins the
+    // component min), while label propagation ignores it (labels exist
+    // only for nodes — X neither receives nor relays one)
+    val nodes = Seq(60L, 70L, 80L).toDF("doc_id")
+    val pairs = Seq((60L, 50L), (50L, 70L)).toDF("id_a", "id_b")
+    val wantTwoPhase = Map(60L -> 50L, 70L -> 50L, 80L -> 80L)
+    val wantHashMin = Map(60L -> 60L, 70L -> 70L, 80L -> 80L)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver fast paths (default gates)
+    assert(collect(Dedup.twoPhaseComponents(nodes, "doc_id", pairs)) == wantTwoPhase)
+    assert(collect(Dedup.connectedComponents(nodes, "doc_id", pairs)) == wantHashMin)
+    // distributed loops (gates closed) — each fast path must mirror ITS loop
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try {
+      assert(collect(Dedup.twoPhaseComponents(nodes, "doc_id", pairs)) == wantTwoPhase)
+      assert(collect(Dedup.connectedComponents(nodes, "doc_id", pairs)) == wantHashMin)
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+  }
+
   test("two-phase components equal hash-to-min on random graphs and the real LSH pair graph") {
     val s = spark
     import s.implicits._
