@@ -282,6 +282,11 @@ object ProductQuantizer {
       iters: Int = 2, cellIters: Int = 2, cacheKey: Option[String] = None,
       cellCacheKey: Option[String] = None,
       corpusKey: Option[String] = None,
+      // recall knob (the ns30/ns62 pattern on the composed index): each
+      // query probes its nProbe nearest cells, ascending (distance, cell).
+      // Candidates keep unique cell assignments, so the fan-out multiplies
+      // only the broadcast query side — never duplicates a (q, cand) pair.
+      nProbe: Int = 1,
       // scale knob: train/assign the COARSE CELLS on packed SQ8 codes
       // (KMeansIvf.fitCodes) instead of raw vectors — at 20 M+ the exact
       // cell Lloyd is storage-bound (SCALE.md's ns20 cliff; its fix,
@@ -298,7 +303,9 @@ object ProductQuantizer {
         trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
       case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
     }
-    val (attach, cellCol) =
+    // candidate cell: single nearest (the index assignment); query cells:
+    // the nProbe nearest, exploded — same centroids, same tie-break order
+    val (attach, cellCol, qCellsCol) =
       if (cellsOnCodes) {
         val packed = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
         val (_, cc) = cellCacheKey match {
@@ -306,15 +313,17 @@ object ProductQuantizer {
             KMeansIvf.fitCodesCached(packed, idCol, "__q", nCells, cellIters, key, corpusKey)
           case None => KMeansIvf.fitCodes(packed, idCol, "__q", nCells, cellIters, corpusKey)
         }
+        val codeOf = org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx"))
         (Similarity.sq8WithBounds(candidates, vecCol, boundsCacheKey),
-          org.apache.spark.sql.graft.NearestCellsCodes.nearest(
-            org.apache.spark.sql.graft.SQ8PackRaw(col(vecCol), col("__mn"), col("__mx")), cc))
+          org.apache.spark.sql.graft.NearestCellsCodes.nearest(codeOf, cc),
+          explode(org.apache.spark.sql.graft.NearestCellsCodes(codeOf, cc, nProbe)))
       } else {
         val (_, cc) = KMeansIvf.fitCached(
           candidates, idCol, vecCol, nCells, cellIters, cellCacheKey, corpusKey)
+        val fe = Similarity.fixedPoint(col(vecCol))
         (identity[DataFrame] _,
-          org.apache.spark.sql.graft.NearestCells.nearest(
-            Similarity.fixedPoint(col(vecCol)), cc))
+          org.apache.spark.sql.graft.NearestCells.nearest(fe, cc),
+          explode(org.apache.spark.sql.graft.NearestCells(fe, cc, nProbe)))
       }
     val sub = dim / m
     val codeCols = (0 until m).map(j =>
@@ -330,7 +339,7 @@ object ProductQuantizer {
       transform(array_sort(collect_list(
           when(col("ss") === j, struct(col("cl"), col("d"))))),
         x => x.getField("d")).as(s"__dt$j"))
-    val qcells = attach(qcand).select(col(idCol).as("__pqid"), cellCol.as("__cell"))
+    val qcells = attach(qcand).select(col(idCol).as("__pqid"), qCellsCol.as("__cell"))
     val qtabs = memberRows(qcand, idCol, vecCol, dim, m)
       .join(broadcast(cents), "ss")
       .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))

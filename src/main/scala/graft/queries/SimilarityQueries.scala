@@ -725,7 +725,54 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
+  /** Multi-probe ns66 — the recall knob on the composed index (the
+    * ns30/ns62 pattern): queries probe their 2 nearest cells, candidates
+    * keep unique assignments so no (q, cand) duplicates; the oracle adds
+    * only the qp CTE (rn ≤ 2 over the cell chain's `ad`) to ns66's. The
+    * ns67 recall reading is exactly what this knob buys back. */
+  private val ns68 = QueryEntry(
+    "ns68_ann_ivf_pq_multiprobe",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.ProductQuantizer.ivfPqTopK(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, dim = 64, nCells = 8, m = 4, ks = 16,
+          iters = 2, cellIters = 2, nProbe = 2,
+          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"),
+          cellCacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
+        .select(col("q_id"), col("cand_id"), col("pq_dist"), col("rank").as("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some {
+      val subs = (0 until 4).map(j => pqSubCtes(j, sub = 16, ks = 16)).mkString(",\n")
+      s"""WITH $FpSql,
+         |${kmeansChainSql(8, 2)},
+         |qp AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad) WHERE rn <= 2),
+         |$subs,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+         |  FROM af0 a0 JOIN af1 a1 USING (vec_id) JOIN af2 a2 USING (vec_id) JOIN af3 a3 USING (vec_id)),
+         |scored AS (
+         |  SELECT d0.q_id, cand.vec_id AS cand_id, d0.d + d1.d + d2.d + d3.d AS pq_dist
+         |  FROM codes cand
+         |  JOIN af ca ON ca.vec_id = cand.vec_id
+         |  JOIN qd0 d0 ON d0.cluster = cand.k0
+         |  JOIN qp ON qp.vec_id = d0.q_id AND qp.cluster = ca.cluster
+         |  JOIN qd1 d1 ON d1.q_id = d0.q_id AND d1.cluster = cand.k1
+         |  JOIN qd2 d2 ON d2.q_id = d0.q_id AND d2.cluster = cand.k2
+         |  JOIN qd3 d3 ON d3.q_id = d0.q_id AND d3.cluster = cand.k3
+         |  WHERE cand.vec_id <> d0.q_id)
+         |SELECT q_id, cand_id, pq_dist, rnk FROM (
+         |  SELECT q_id, cand_id, pq_dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY pq_dist, cand_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62,
-      ns63, ns65, ns66, ns67)
+      ns63, ns65, ns66, ns67, ns68)
 }

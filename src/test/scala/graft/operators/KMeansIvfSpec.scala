@@ -100,6 +100,13 @@ class KMeansIvfSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, dim = 64, nCells = 1, cellsOnCodes = true)
       .collect().map(_.toSeq).toSet
     assert(oneCodes == flat, "nCells=1 code-cell IVF-PQ must equal flat ADC")
+    // probing EVERY cell removes the pruning entirely — multiprobe at
+    // nProbe=nCells must also equal flat ADC (the ns62 equivalence, on
+    // the composed index)
+    val allProbes = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64, nCells = 4, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(allProbes == flat, "nProbe=nCells IVF-PQ must equal flat ADC")
     // real cells: every (q, cand) pair shares the query's k-means cell,
     // and in-cell ADC order matches the flat ranking restricted to the cell
     val (assign, _) = KMeansIvf.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
