@@ -89,7 +89,13 @@ object SemanticDedupStream {
 
   /** Wire a streaming frame of (id, vector) rows into the store through
     * the screen. One foreachBatch sink; the scratch sweep keeps a long
-    * soak from accumulating per-batch localCheckpoint blocks. */
+    * soak from accumulating per-batch localCheckpoint blocks.
+    *
+    * `writerId` scopes the store's epoch-partition idempotence
+    * ([[IvfStore.ingest]]): TWO concurrent streams writing one store MUST
+    * pass distinct writerIds, or their same-numbered epochs overwrite
+    * each other — pass the streaming query's id (stable across
+    * checkpoint-preserving restarts) when more than one writer exists. */
   def run(stream: DataFrame, storeDir: String, idCol: String, vecCol: String,
       threshold: Double, checkpointDir: String, nProbe: Int = 1,
       writerId: String = "semdedup"): org.apache.spark.sql.streaming.StreamingQuery =
