@@ -162,6 +162,11 @@ object ScaleSmoke {
       "bm25_rank" -> (d =>
         TextAnalysis.bm25Rank(d, "doc_id", "text",
           Seq("w17", "w230", "w1200", "w4200", "w9000", "w15000"), 1.2, 0.75, 20).count()),
+      "tfidf_topterms" -> (d =>
+        // ns27's full dataflow: in-row tf (TermCounts — no (doc, term)
+        // exchange), docfreq count window on term, TopKPerKey per-doc
+        // top-5; output is 5 rows/doc, so count() drains ~n·5 rows
+        TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 5).count()),
       "source_overlap_trigrams" -> (d =>
         TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()),
       "dup_span_stats" -> (d =>

@@ -66,27 +66,66 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    // The PARTIAL pass's heap map is BOUNDED: its per-partition key
+    // cardinality is whatever the upstream clustering left (a
+    // term-partitioned upstream puts rows of ~every document into one
+    // partition — the unbounded map measurably OOMed at 2 M keys × k
+    // copied rows), so when the buffered rows reach the cap the current
+    // survivors are EMITTED and the map cleared. Partial output is a
+    // per-key superset filter — flushing early only costs shuffle
+    // compression, never correctness (the final pass re-heaps after the
+    // exchange). The FINAL pass never flushes: its required distribution
+    // co-locates each key, so its map is bounded by the keys it owns —
+    // flushing there would emit more than k rows per key.
+    // Default 256k buffered rows per task: an UnsafeRow copy plus its
+    // map/heap entry costs ~250B, and every core runs a partial task
+    // concurrently — 256k × 250B × 32 tasks ≈ 2 GB peak, which leaves the
+    // heap to the window/shuffle machinery around it (the 1M-row default
+    // still OOMed the 2M-doc tfidf smoke under 32-way parallelism).
+    val flushKeys =
+      if (!partial) Int.MaxValue
+      else math.max(1024, (org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partialBufferRows", (1 << 18).toString)
+        .toInt) / limit)
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = RowOrdering.create(sortOrder, schema)
-      // heap head = WORST retained row (reverse ordering), so admission is
-      // one compare against the head and replacement is O(log k)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        var heap = heaps.get(keyProj(row))
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, ord.reverse)
-          heaps.put(keyProj(row).copy(), heap)
+      import scala.jdk.CollectionConverters._
+      new scala.collection.AbstractIterator[InternalRow] {
+        // heap head = WORST retained row (reverse ordering), so admission
+        // is one compare against the head and replacement is O(log k)
+        private var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def drain(): Iterator[InternalRow] = {
+          val old = heaps
+          heaps = new java.util.HashMap()
+          old.values().asScala.iterator.flatMap(_.iterator().asScala)
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ord.lt(row, heap.peek())) {
-          heap.poll()
-          heap.add(row.copy())
+        private def advance(): Boolean = {
+          while (!out.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            while (iter.hasNext && heaps.size() < flushKeys) {
+              val row = iter.next()
+              var heap = heaps.get(keyProj(row))
+              if (heap == null) {
+                heap = new java.util.PriorityQueue[InternalRow](limit + 1, ord.reverse)
+                heaps.put(keyProj(row).copy(), heap)
+              }
+              if (heap.size < limit) heap.add(row.copy())
+              else if (ord.lt(row, heap.peek())) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+            if (!iter.hasNext || heaps.size() >= flushKeys) out = drain()
+          }
+          out.hasNext
+        }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = {
+          if (!advance()) throw new NoSuchElementException("empty iterator")
+          out.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
     }
   }
 

@@ -43,6 +43,26 @@ class TopKPerKeySpec extends SparkSpec {
     assert(tops == Map(1L -> 20L, 2L -> 5L))
   }
 
+  test("partial-pass flushes under high key cardinality still yield exact top-k") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct keys funneled through ONE partition with the flush
+    // threshold at its 1024-key floor: the partial pass must flush ~5
+    // times mid-stream (the bounded-memory path that replaced the map
+    // that OOMed at 2M keys per partition), and keys STRADDLE flushes
+    // (each key's rows are spread across the input), so the final pass
+    // must merge multiple partial groups per key
+    val rows = for (i <- 0L until 25000L) yield (i % 5000, i)
+    val df = rows.toDF("key", "v").repartition(1)
+    spark.conf.set("spark.graft.topk.partialBufferRows", "1024")
+    val got = try TopKPerKey(df, Seq("key"), Seq("v" -> true), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.topk.partialBufferRows")
+    // top-2 v per key: i = key + 5000*j, so the two largest are j=4, j=3
+    val want = (0L until 5000L).flatMap(k => Seq((k, k + 20000L), (k, k + 15000L))).toSet
+    assert(got == want)
+  }
+
   test("retention via the custom operator matches the window formulation on real data") {
     val t = Tables(spark, sf0001)
     val e = t.events.withColumn("ts_us", unix_micros(col("ts")))
