@@ -571,13 +571,21 @@ object TextAnalysis {
     * .TermCounts]] — tf is doc-local, so the classic explode +
     * groupBy(doc, term) form shuffles a corpus-sized token stream to
     * co-locate rows that already live together; the expression form has
-    * NO tf exchange at all), and document frequencies fall out of the
-    * SAME frame as a count window partitioned by term — the tf rows ARE
-    * the distinct doc-term incidences, so `count(*) over (partition by
-    * term)` is the docfreq, replacing the former checkpoint + self-join.
-    * The corpus size N stays in-plan: a one-row count aggregate broadcast
-    * onto the scored rows instead of an eager `df.count()` job. The final
-    * per-document top-k runs through the
+    * NO tf exchange at all). Document frequencies are a
+    * `groupBy(term).count()` over the same tf rows (they ARE the distinct
+    * doc-term incidences) joined back on term — NOT a count window
+    * partitioned by term: a window must buffer each term partition
+    * wholesale, and a corpus's hottest term sits in nearly every
+    * document, so at 20 M docs that one partition is ~20 M rows and the
+    * window's spill buffer dies where the aggregate's map-side combine
+    * collapses the same rows to one (term, df) pair per task (measured:
+    * the window form OOM-killed the 20 M smoke; this form runs it). The
+    * join is left unhinted on purpose — at bench scale the df table is
+    * auto-broadcast (tf never shuffles), while a web-scale vocabulary
+    * demotes to a streaming shuffle join whose buffered side holds one
+    * row per term. The corpus size N stays in-plan: a one-row count
+    * aggregate broadcast onto the scored rows instead of an eager
+    * `df.count()` job. The final per-document top-k runs through the
     * [[org.apache.spark.sql.graft.TopKPerKey]] physical operator rather
     * than a row_number window: the map-side heap pass cuts every
     * partition to ≤ k rows per document BEFORE the per-doc exchange, and
@@ -587,15 +595,15 @@ object TextAnalysis {
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nDocs = df.agg(count(lit(1)).as("__n"))
     val tf = df
       .select(col(idCol),
         explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
       .select(col(idCol), col("__tc.term").as("term"), col("__tc.tf").as("tf"))
       .filter(col("term") =!= "")
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         (col("tf") * col("__n")).cast("double") / col("df").cast("double"))

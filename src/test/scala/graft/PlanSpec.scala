@@ -72,17 +72,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("ns27: tfidf is one dataflow — docfreq window, no self-join, top-k group-limited") {
+  test("ns27: tfidf docfreq is aggregate+join — NO window over term partitions") {
     val p = planOf("ns27_tfidf_topterms")
-    // docfreq comes from a count window over the tf frame (no second
-    // aggregate + join of the same explode), the corpus size N is a
+    // docfreq is groupBy(term).count joined back onto the tf frame (a
+    // count window over term must buffer the hottest term's ~corpus-sized
+    // partition — it OOM-killed the 20M smoke), the corpus size N is a
     // one-row broadcast (nested-loop on 1 row, not a CartesianProduct
     // over data), and the per-doc top-k is the TopKPerKey physical pair
     // (r12: replaced the row_number window + WindowGroupLimit — the heap
     // passes never sort a partition and the map-side pass cuts to k rows
     // per doc before the exchange)
-    assert(p.contains("Window"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("CartesianProduct"), p)
   }

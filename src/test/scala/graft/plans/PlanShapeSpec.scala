@@ -55,18 +55,26 @@ class PlanShapeSpec extends SparkSpec {
   private def catalog(name: String): Shape =
     pinned(SparkEntry.queries(name)(spark, sf0001))
 
-  test("ns27 tf-idf top-terms: docfreq rides ONE count window, final top-k is TopKPerKey") {
-    // r12 rewrite, two steps: the per-doc row_number window became the
+  test("ns27 tf-idf top-terms: docfreq is an aggregate+join (never a term window), " +
+      "final top-k is TopKPerKey") {
+    // r12 rewrite, three steps: the per-doc row_number window became the
     // TopKPerKey physical pair (map-side heaps cut each partition to k
     // rows per doc BEFORE the per-doc exchange, nothing sorts whole
-    // partitions), and tf moved IN-ROW (TermCounts) — the (doc, term)
+    // partitions); tf moved IN-ROW (TermCounts) — the (doc, term)
     // groupBy exchange vanished because a document's term frequencies
-    // never needed to leave its row
+    // never needed to leave its row; and docfreq became
+    // groupBy(term).count joined back — the count window it replaced
+    // buffered whole term partitions, and the hottest term's partition is
+    // ~the corpus (the window form OOM-killed the 20M smoke; map-side
+    // combine collapses the same rows to one pair per task). windows = 0
+    // is the load-bearing pin here; the broadcast is the df table at
+    // bench scale (a web-scale vocabulary demotes it to a streaming
+    // shuffle join, which is the point of leaving the join unhinted)
     import org.apache.spark.sql.graft.TopKPerKeyExec
     val name = "ns27_tfidf_topterms"
     assert(catalog(name) == Shape(
-      shuffles = 4, broadcastJoins = 0, sortMergeJoins = 0,
-      objectHashAggs = 0, windows = 1, windowGroupLimits = 0, takeOrdered = 0))
+      shuffles = 4, broadcastJoins = 1, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
     val plan = {
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
