@@ -356,6 +356,26 @@ object ScaleSmoke {
         Dedup.twoPhaseComponents(v.select("vec_id"), "vec_id", pairs)
           .filter(col("component") =!= col("vec_id")).count()
       },
+      "knn_graph" -> { v =>
+        // ns69 at corpus scale: top-5 neighbors for EVERY vector. The
+        // catalog blocks on the 10-value oracle label; here the block is
+        // the production cell ∧ hyperplane-bucket composite (ns65's
+        // blocking) — the label-style coarse cell alone puts n/64 members
+        // in each block and the within-block pair term is quadratic, so
+        // the bucket refinement is what keeps candidates per node bounded
+        // as n grows. One equi-join shuffle on the block key, then
+        // TopKPerKey's map-side heaps cut to ≤5 rows per node before the
+        // per-node exchange.
+        val codes = Similarity.sq8PackedCodes(v, "vec_id", "embedding")
+        val (assign, _) = KMeansIvf.fitCodes(codes, "vec_id", "__q", k = 64, iters = 2)
+        val w = Similarity.hyperplaneWeights(20, dim)
+        val blocked = v.join(assign, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cluster"),
+            Similarity.hyperplaneBucket(
+              Similarity.fixedPoint(col("embedding")), w).as("bkt"))
+        Similarity.knnGraph(blocked, "vec_id", "embedding",
+          Seq("cluster", "bkt"), k = 5, dim = Some(dim)).count()
+      },
     )
 
     // Pair families over the FIXED-cluster corpus (constant 20-doc dup

@@ -67,6 +67,42 @@ object Similarity {
     rank(q.join(c, col("q.__id") =!= col("c.__id")), k, dim)
   }
 
+  /** kNN GRAPH: top-k cosine neighbors for EVERY vector — the batch
+    * primitive under SemDeDup-style pruning, diversity sampling, and
+    * graph-based cluster quality audits. Candidates are restricted to rows
+    * sharing `blockCols` (a coarse IVF cell, optionally refined by a
+    * hyperplane bucket — the ns65 blocking), because the EXACT graph is
+    * inherently all-pairs: when every node is a query there is no small
+    * side to broadcast, so the only scalable shape is equi-join on the
+    * block key(s) — both sides shuffle ONCE on the block, pairs stay
+    * inside their block's partition, and the join is left unhinted so the
+    * planner picks hash/sort-merge from real sizes (at bench scale AQE
+    * broadcasts; a 100 TB run bucket-lays-out the table on the cell id and
+    * skips even that exchange). The per-node top-k runs through
+    * [[org.apache.spark.sql.graft.TopKPerKey]], NOT a row_number window: a
+    * hot node's candidate list never buffers — the map-side heap pass cuts
+    * every partition to ≤ k rows per node before the per-node exchange.
+    * (The probe-bounded searches above keep their window: five queries'
+    * rank fits in one partition, and their plans stay fully codegen'd.)
+    * Exact-graph truth at harness scale = [[bruteForceTopK]](df, df, …),
+    * which broadcasts the corpus — fine for a recall harness, never the
+    * scale path. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], k: Int, dim: Option[Int] = None): DataFrame = {
+    require(blockCols.nonEmpty,
+      "knnGraph is blocked by contract; the exact graph is bruteForceTopK(df, df, ...)")
+    val q = prep(df, idCol, vecCol, blockCols, dim).withColumnRenamed(idCol, "__id").as("q")
+    val c = prep(df, idCol, vecCol, blockCols, dim).withColumnRenamed(idCol, "__id").as("c")
+    val cond = blockCols.map(b => col(s"q.$b") === col(s"c.$b"))
+      .reduce(_ && _) && col("q.__id") =!= col("c.__id")
+    val scored = q.join(c, cond)
+      .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
+        cosineFromFp(dotFp(col("q.__fe"), col("c.__fe"), dim),
+          col("q.__nsq"), col("c.__nsq")).as("sim"))
+    org.apache.spark.sql.graft.TopKPerKey(
+      scored, Seq("q_id"), Seq(("sim", true), ("cand_id", false)), k)
+  }
+
   /** IVF-style top-k: candidates restricted to the query's coarse cluster
     * (cell), joined on cluster equality instead of cross product. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,

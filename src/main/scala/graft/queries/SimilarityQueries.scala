@@ -772,7 +772,76 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
+  /** kNN graph: top-3 neighbors for EVERY vector, blocked on the coarse
+    * label cell ([[graft.operators.Similarity.knnGraph]]'s scaladoc carries
+    * the scale argument — equi-join on the block, TopKPerKey per node,
+    * never a corpus broadcast). Output ordered on the (q_id, cand_id) key;
+    * k-boundary ties are resolved by the total (sim DESC, cand_id) order on
+    * both engines, so the SET is deterministic. */
+  private val ns69 = QueryEntry(
+    "ns69_knn_graph",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Similarity.knnGraph(t.embeddings, "vec_id", "embedding",
+          blockCols = Seq("label"), k = 3, dim = Some(64))
+        .orderBy(col("q_id"), col("cand_id"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |g AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |      FROM n q JOIN n c ON q.label = c.label AND c.vec_id <> q.vec_id)
+         |SELECT q_id, cand_id, sim FROM (
+         |  SELECT q_id, cand_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM g) WHERE rnk <= 3
+         |ORDER BY q_id, cand_id""".stripMargin),
+    headline = true,
+  )
+
+  /** Recall of the label-blocked kNN graph against the exact graph — the
+    * ns44/ns63/ns67 pattern applied to the every-node-a-query case: the
+    * exact side runs [[Similarity.bruteForceTopK]] with the corpus as the
+    * probe set (harness-only — the corpus broadcast is exactly what
+    * knnGraph's contract forbids on the scale path). */
+  private val ns70 = QueryEntry(
+    "ns70_knn_graph_recall",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val exact = Similarity.bruteForceTopK(t.embeddings, t.embeddings,
+          "vec_id", "embedding", k = 3, dim = Some(64))
+        .select(col("q_id"), col("cand_id"))
+      val blocked = Similarity.knnGraph(t.embeddings, "vec_id", "embedding",
+          blockCols = Seq("label"), k = 3, dim = Some(64))
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      exact.join(blocked, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 3)
+        .orderBy(col("q_id"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |blk3 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON q.label = c.label AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 3),
+         |exact3 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 3)
+         |SELECT q_id, n_hits, CAST(n_hits AS DOUBLE) / 3 AS recall_at_3 FROM (
+         |  SELECT ex.q_id,
+         |    CAST(sum(CASE WHEN bl.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact3 ex LEFT JOIN blk3 bl
+         |    ON ex.q_id = bl.q_id AND ex.cand_id = bl.cand_id
+         |  GROUP BY ex.q_id)
+         |ORDER BY q_id""".stripMargin),
+    headline = true,
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62,
-      ns63, ns65, ns66, ns67, ns68)
+      ns63, ns65, ns66, ns67, ns68, ns69, ns70)
 }

@@ -37,6 +37,17 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("TopKPerKey ") > p.indexOf("Sort "), p) // sort sits above the heaps
   }
 
+  test("ns69: kNN graph is a blocked equi-join + TopKPerKey — no window, no cartesian") {
+    val p = planOf("ns69_knn_graph")
+    // every node is a query, so there is no small side to broadcast as a
+    // nested loop: the pair generator must be an EQUI-join on the block
+    // key, and the per-node top-k must be the heap pair (a row_number
+    // window would buffer a hot node's whole candidate list)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dq08: the profile dimension joins via broadcast hash join") {
     val p = planOf("dq08_profile_join")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -64,6 +64,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("knnGraph: every node ranked, edges stay inside the block, single-block equals brute force") {
+    val s = spark
+    import s.implicits._
+    val df = emb.limit(12).select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 2).cast("int").as("blk"))
+    // blocked: edges never cross blk, and each node gets min(k, |blk|-1) rows
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", Seq("blk"), k = 3, dim = Some(64))
+    val byBlk = df.select(col("vec_id"), col("blk")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(byBlk(r.getAs[Long]("q_id")) == byBlk(r.getAs[Long]("cand_id"))))
+    val perQ = rows.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) => q -> rs.length }
+    byBlk.keys.foreach { q =>
+      val peers = byBlk.count(_._2 == byBlk(q)) - 1
+      assert(perQ.getOrElse(q, 0) == math.min(3, peers), s"node $q")
+    }
+    // one shared block: the graph IS the exact graph
+    val one = df.withColumn("blk", lit(0))
+    val exact = Similarity.bruteForceTopK(one, one, "vec_id", "embedding", 3, Some(64))
+      .select(col("q_id"), col("cand_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val graph = Similarity.knnGraph(one, "vec_id", "embedding", Seq("blk"), 3, Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(graph == exact)
+  }
+
   test("ivf restricts candidates to the query's cluster") {
     val top = Similarity.ivfTopK(
       emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", "label", 5)
