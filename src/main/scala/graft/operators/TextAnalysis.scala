@@ -621,6 +621,88 @@ object TextAnalysis {
   def gramKey(gram: Column): Column =
     conv(substr(md5(gram), lit(1), lit(15)), 16, 10).cast("long")
 
+  /** DSIR-style hashed-vocabulary importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): the
+    * vocabulary hashes into `buckets` fixed cells, a target subcorpus
+    * (`isTarget`) and the raw corpus each contribute per-bucket token
+    * counts, and every document scores by how much its own token mass
+    * lands in target-heavy buckets — `weight = num/den` with
+    * `num = Σ_w tf(w)·ctgt(bucket(w))`, `den = Σ_w tf(w)·craw(bucket(w))`.
+    * DSIR proper exponentiates a sum of per-bucket LOG-ratios; a log sum
+    * is not exactly rounded (accumulation-order ULP drift would make the
+    * DuckDB comparison flaky), so this takes the ratio-of-sums form —
+    * same monotone "target affinity" signal, all-integer until ONE final
+    * IEEE division, bit-identical on both engines. target ⊆ raw, so
+    * num ≤ den and the weight is a ready-made inclusion probability for
+    * [[dsirSample]].
+    *
+    * Scale shape: the bucket-stats pass is one partial-aggregated
+    * `groupBy(bucket)` over in-row [[org.apache.spark.sql.graft
+    * .TermCounts]] (no (doc, term) exchange — the ns27 argument), whose
+    * RESULT is `buckets` rows — bounded by CONFIG, not by corpus — so it
+    * collects into two `buckets`-long arrays per `statsKey` (the same
+    * driver-state discipline as IVF centroids / SQ8 bounds: SharedCache
+    * key asserts an immutable corpus) and the scoring pass embeds them as
+    * literals: scoring is SCAN-ONLY, zero shuffles, one in-row pass per
+    * document. At 100 TB the stats pass is a single map-side-combined
+    * aggregate to 2×`buckets` longs; scoring streams. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int,
+      statsKey: String): org.apache.spark.sql.DataFrame = {
+    val (raw, tgt) = graft.SharedCache.getOrComputeValue(statsKey) {
+      val rows = df
+        .select(isTarget.as("__t"),
+          explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
+        .filter(col("__tc.term") =!= "")
+        .select(pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
+          col("__tc.tf").as("tf"), col("__t"))
+        .groupBy(col("b"))
+        .agg(sum(col("tf")).as("craw"),
+          sum(when(col("__t"), col("tf")).otherwise(lit(0L))).as("ctgt"))
+        .collect()
+      val r = new Array[Long](buckets)
+      val t = new Array[Long](buckets)
+      rows.foreach { row =>
+        r(row.getInt(0)) = row.getLong(1); t(row.getInt(0)) = row.getLong(2)
+      }
+      (r.toSeq, t.toSeq)
+    }
+    val litRaw = array(raw.map(lit): _*)
+    val litTgt = array(tgt.map(lit): _*)
+    // one in-row pass: per term, (target, raw) contributions as a pair;
+    // empty terms (split artifacts) contribute zero
+    val pairs = transform(
+      org.apache.spark.sql.graft.TermCounts(words(col(textCol))), tc => {
+        val idx = (pmod(gramKey(tc.getField("term")), lit(buckets)) + 1).cast("int")
+        val z = tc.getField("term") === ""
+        struct(
+          when(z, lit(0L)).otherwise(tc.getField("tf") * element_at(litTgt, idx)).as("n"),
+          when(z, lit(0L)).otherwise(tc.getField("tf") * element_at(litRaw, idx)).as("d"))
+      })
+    df.select(col(idCol),
+        aggregate(pairs, lit(0L), (a, p) => a + p.getField("n")).as("num"),
+        aggregate(pairs, lit(0L), (a, p) => a + p.getField("d")).as("den"))
+      .withColumn("weight",
+        when(col("den") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
+  }
+
+  /** Importance RESAMPLING over [[dsirWeights]]: keep a document with
+    * probability equal to its weight, deterministically — the inclusion
+    * draw is the document id's own [[gramKey]] reduced to a 20-bit
+    * uniform, and the comparison `u20·den < num·2²⁰` stays in exact
+    * integer space (num ≤ den ≤ ~2⁴³ even at 20 M docs, so the products
+    * sit far below 2⁶³ — no float threshold, no engine drift). Scan-only
+    * like the scorer: the sample is reproducible row-local arithmetic,
+    * the 100 TB shape for "thin this crawl toward the target domain". */
+  def dsirSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int,
+      statsKey: String): org.apache.spark.sql.DataFrame = {
+    val u20 = pmod(gramKey(col(idCol).cast("string")), lit(1048576L))
+    dsirWeights(df, idCol, textCol, isTarget, buckets, statsKey)
+      .filter(u20 * col("den") < col("num") * lit(1048576L))
+  }
+
   /** Corpus-overlap audit: for every pair of sources, the Jaccard overlap
     * of their DISTINCT word n-gram sets — "how much does dataset A
     * duplicate dataset B", the curation question asked before mixing two

@@ -822,8 +822,71 @@ object TextQueries extends QueryModule {
          |FROM q GROUP BY source, decile ORDER BY source, decile""".stripMargin),
   )
 
+  /** Shared CTE chain for the DSIR pair (ns71/ns72): per-doc hashed-bucket
+    * token counts, 256-bucket target/raw stats, and the per-doc integer
+    * (num, den) scores. The weight itself is ONE IEEE division of exact
+    * integers — see [[graft.operators.TextAnalysis.dsirWeights]] for why
+    * the ratio-of-sums form replaces DSIR's log-ratio sum here. */
+  private def dsirScoreCtes: String = {
+    val gk = duckGramKey("w")
+    s"""tok AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id, lang, w),
+       |bk AS (SELECT doc_id, lang, ($gk) % 256 AS b, tf FROM tok),
+       |stats AS (SELECT b, CAST(sum(tf) AS BIGINT) AS craw,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ctgt
+       |  FROM bk GROUP BY b),
+       |sc AS (SELECT doc_id,
+       |    CAST(sum(bk.tf * s.ctgt) AS BIGINT) AS num,
+       |    CAST(sum(bk.tf * s.craw) AS BIGINT) AS den
+       |  FROM bk JOIN stats s USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DSIR-style importance weights toward the English subcorpus: hashed
+    * 256-bucket vocabulary, all-integer scoring, one final division. */
+  private val ns71 = QueryEntry(
+    "ns71_dsir_weights",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.dsirWeights(t.documents, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256,
+          statsKey = s"dsir:$dir:en:256")
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, num, den,
+         |  CASE WHEN den = 0 THEN 0.0 ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS weight
+         |FROM sc ORDER BY doc_id""".stripMargin),
+    headline = true,
+  )
+
+  /** Deterministic importance resampling over ns71's weights: inclusion
+    * iff the doc id's 20-bit md5 uniform falls under its weight, compared
+    * in exact integer space on both engines. */
+  private val ns72 = QueryEntry(
+    "ns72_dsir_sample",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.dsirSample(t.documents, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256,
+          statsKey = s"dsir:$dir:en:256")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val ugk = duckGramKey("CAST(doc_id AS VARCHAR)")
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, num, den,
+         |  CASE WHEN den = 0 THEN 0.0 ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS weight
+         |FROM sc
+         |WHERE (($ugk) % 1048576) * den < num * 1048576
+         |ORDER BY doc_id""".stripMargin
+    },
+    headline = true,
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
       ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52, ns55, ns56,
-      ns57, ns58, ns59)
+      ns57, ns58, ns59, ns71, ns72)
 }

@@ -119,4 +119,52 @@ class CurationOpsSpec extends SparkSpec {
         .orderBy("doc_id", "chunk_id").collect().toSeq)
     assert(run(df) == run(df.repartition(7)))
   }
+
+  test("dsirWeights: all-target corpus scores 1.0, no-target 0.0, mixed stays ordered in [0,1]") {
+    val s = spark
+    import s.implicits._
+    def mk(rows: (Long, String, Boolean)*) =
+      rows.toSeq.toDF("doc_id", "text", "tgt")
+    def weights(df: org.apache.spark.sql.DataFrame, key: String) =
+      TextAnalysis.dsirWeights(df, "doc_id", "text", col("tgt"), 256, key)
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every doc in the target: target counts == raw counts in every bucket
+    weights(mk((1L, "aa bb cc", true), (2L, "bb cc dd", true)), "dsir-spec-all-curation-ops")
+      .foreach { case (_, (num, den, w)) => assert(num == den && w == 1.0) }
+    // empty target: num = 0 everywhere
+    weights(mk((1L, "aa bb", false), (2L, "cc dd", false)), "dsir-spec-none-curation-ops")
+      .foreach { case (_, (num, _, w)) => assert(num == 0L && w == 0.0) }
+    // mixed: a doc speaking ONLY the target's vocabulary outranks one
+    // sharing nothing with it (md5 buckets may collide, but 3 words into
+    // 256 buckets collide with prob ~2%; vocabularies here are disjoint)
+    val ws = weights(mk(
+      (1L, "aa bb aa", true), (2L, "aa bb", false), (3L, "xx yy zz", false)),
+      "dsir-spec-mix-curation-ops").toMap
+    assert(ws.values.forall { case (num, den, w) => num <= den && w >= 0.0 && w <= 1.0 })
+    assert(ws(2L)._3 > ws(3L)._3)
+    assert(ws(3L)._3 == 0.0)
+  }
+
+  test("dsirSample: weight-1 docs always kept, weight-0 docs never, sample is a weights subset") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "aa bb cc" else "xx yy zz", i % 2 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val key = "dsir-spec-sample-curation-ops"
+    val all = TextAnalysis.dsirWeights(df, "doc_id", "text", col("tgt"), 256, key)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val kept = TextAnalysis.dsirSample(df, "doc_id", "text", col("tgt"), 256, key)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all.keySet))
+    all.foreach { case (id, w) =>
+      if (w == 1.0) assert(kept.contains(id), s"doc $id weight 1.0 must be kept")
+      if (w == 0.0) assert(!kept.contains(id), s"doc $id weight 0.0 must be dropped")
+    }
+    // determinism: the same frame samples identically twice
+    val kept2 = TextAnalysis.dsirSample(df, "doc_id", "text", col("tgt"), 256, key)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+  }
 }
