@@ -85,6 +85,9 @@ object ScaleSmoke {
       .withColumn("label", pmod(xxhash64(col("vec_id") + lit(13)), lit(64)).cast("int"))
       .select("vec_id", "label", "embedding")
 
+  /** Fresh SharedCache key per dsir_weights invocation — see that op. */
+  private val dsirSmokeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional second arg: substring filter over op labels (focused A/B runs)
@@ -167,6 +170,18 @@ object ScaleSmoke {
         // exchange), docfreq count window on term, TopKPerKey per-doc
         // top-5; output is 5 rows/doc, so count() drains ~n·5 rows
         TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 5).count()),
+      "dsir_weights" -> { d =>
+        // ns71 end-to-end INCLUDING the stats pass each timed pass (a
+        // fresh SharedCache key per invocation — the cache would
+        // otherwise let pass 2 measure only the scan-only scoring), with
+        // ~1/5 of the sources as the target. Drain via a sum aggregate:
+        // the weights are one scan, so a count() would let Spark skip
+        // the scoring projection entirely.
+        val k = s"dsir-smoke-${dsirSmokeRuns.incrementAndGet()}"
+        val w = TextAnalysis.dsirWeights(d, "doc_id", "text",
+          pmod(xxhash64(col("source")), lit(5)) === 0, 256, k)
+        w.agg(sum(col("num")), sum(col("den")), count(lit(1))).head().getLong(2)
+      },
       "source_overlap_trigrams" -> (d =>
         TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()),
       "dup_span_stats" -> (d =>

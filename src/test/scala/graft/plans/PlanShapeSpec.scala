@@ -181,4 +181,37 @@ class PlanShapeSpec extends SparkSpec {
       shuffles = 4, broadcastJoins = 2, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
+
+  test("ns71 dsir weights: scoring is SCAN-ONLY — the only exchange is the presentation sort") {
+    // the bucket stats are literals (collected once per statsKey, 2×256
+    // longs of driver state), so the RETURNED plan must carry no join, no
+    // aggregate exchange, no window — one scan, one in-row projection,
+    // and the orderBy(doc_id) range exchange. A join or agg appearing
+    // here means someone un-literalized the stats and re-coupled scoring
+    // to a per-query stats job.
+    assert(catalog("ns71_dsir_weights") == Shape(
+      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+    // the resample adds only a row-local filter to the same plan
+    assert(catalog("ns72_dsir_sample") == Shape(
+      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+  }
+
+  test("ns69 knn graph: one block-keyed pair join, per-node top-k through TopKPerKey heaps") {
+    import org.apache.spark.sql.graft.TopKPerKeyExec
+    val name = "ns69_knn_graph"
+    // sf0.001 sizes put the block join under the broadcast gate (that's
+    // the right local plan; at scale AQE re-decides from real sizes —
+    // knnGraph's scaladoc carries the argument), the TopKPerKey pair
+    // replaces any window, and nothing cartesians
+    val s = catalog(name)
+    assert(s.windows == 0 && s.sortMergeJoins == 0 && s.takeOrdered == 0, s)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+      assert(plan.collectWithSubqueries { case e: TopKPerKeyExec => e }.size == 2, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
