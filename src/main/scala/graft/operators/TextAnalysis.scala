@@ -650,23 +650,42 @@ object TextAnalysis {
       textCol: String, isTarget: Column, buckets: Int,
       statsKey: String): org.apache.spark.sql.DataFrame = {
     val (raw, tgt) = graft.SharedCache.getOrComputeValue(statsKey) {
-      val rows = df
-        .select(isTarget.as("__t"),
-          explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
-        .filter(col("__tc.term") =!= "")
-        .select(pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
-          col("__tc.tf").as("tf"), col("__t"))
-        .groupBy(col("b"))
-        .agg(sum(col("tf")).as("craw"),
-          sum(when(col("__t"), col("tf")).otherwise(lit(0L))).as("ctgt"))
-        .collect()
-      val r = new Array[Long](buckets)
-      val t = new Array[Long](buckets)
-      rows.foreach { row =>
-        r(row.getInt(0)) = row.getLong(1); t(row.getInt(0)) = row.getLong(2)
-      }
-      (r.toSeq, t.toSeq)
+      dsirStats(df, textCol, isTarget, buckets)
     }
+    dsirScore(df, idCol, textCol, raw, tgt)
+  }
+
+  /** The offline half of [[dsirWeights]]: one partial-aggregated pass to
+    * the 2×`buckets` (raw, target) token masses — the trainable "model"
+    * a streaming screen publishes ([[graft.streaming.DsirStream]]). */
+  def dsirStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      isTarget: Column, buckets: Int): (Seq[Long], Seq[Long]) = {
+    val rows = df
+      .select(isTarget.as("__t"),
+        explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
+      .filter(col("__tc.term") =!= "")
+      .select(pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
+        col("__tc.tf").as("tf"), col("__t"))
+      .groupBy(col("b"))
+      .agg(sum(col("tf")).as("craw"),
+        sum(when(col("__t"), col("tf")).otherwise(lit(0L))).as("ctgt"))
+      .collect()
+    val r = new Array[Long](buckets)
+    val t = new Array[Long](buckets)
+    rows.foreach { row =>
+      r(row.getInt(0)) = row.getLong(1); t(row.getInt(0)) = row.getLong(2)
+    }
+    (r.toSeq, t.toSeq)
+  }
+
+  /** The scoring half of [[dsirWeights]]: stats embedded as literals, so
+    * the plan is one scan + one in-row projection — stateless, which is
+    * what lets the SAME expression score a STREAMING frame (no state
+    * store, no watermark; [[graft.streaming.DsirStream]]). */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, raw: Seq[Long], tgt: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    require(raw.size == tgt.size && raw.nonEmpty, "raw/target stats must be same-sized")
+    val buckets = raw.size
     val litRaw = array(raw.map(lit): _*)
     val litTgt = array(tgt.map(lit): _*)
     // one in-row pass: per term, (target, raw) contributions as a pair;
@@ -687,6 +706,14 @@ object TextAnalysis {
           .otherwise(col("num").cast("double") / col("den").cast("double")))
   }
 
+  /** The ns72 inclusion draw as a reusable predicate over a scored frame:
+    * keep iff the id's 20-bit md5 uniform falls under num/den, in exact
+    * integer space. */
+  def dsirDraw(idCol: String): Column = {
+    val u20 = pmod(gramKey(col(idCol).cast("string")), lit(1048576L))
+    u20 * col("den") < col("num") * lit(1048576L)
+  }
+
   /** Importance RESAMPLING over [[dsirWeights]]: keep a document with
     * probability equal to its weight, deterministically — the inclusion
     * draw is the document id's own [[gramKey]] reduced to a 20-bit
@@ -697,11 +724,9 @@ object TextAnalysis {
     * the 100 TB shape for "thin this crawl toward the target domain". */
   def dsirSample(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
-      statsKey: String): org.apache.spark.sql.DataFrame = {
-    val u20 = pmod(gramKey(col(idCol).cast("string")), lit(1048576L))
+      statsKey: String): org.apache.spark.sql.DataFrame =
     dsirWeights(df, idCol, textCol, isTarget, buckets, statsKey)
-      .filter(u20 * col("den") < col("num") * lit(1048576L))
-  }
+      .filter(dsirDraw(idCol))
 
   /** Corpus-overlap audit: for every pair of sources, the Jaccard overlap
     * of their DISTINCT word n-gram sets — "how much does dataset A
