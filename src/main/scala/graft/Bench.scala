@@ -115,11 +115,15 @@ object Bench {
     // the full per-pass record also lands in a FILE: the driver's
     // fixed-size tail capture truncated 35 of 90 per-query times in r8,
     // so the archived artifact must not be the only copy. Guarded — a
-    // read-only CWD must not cost the summary line below.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_perquery.json"), bigLine + "\n")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"bench_perquery.json not written: $e") }
+    // read-only CWD must not cost the summary line below. Only FULL runs
+    // at the driver's bench scale update the record: a filtered
+    // (BENCH_ONLY) or small-sf smoke run overwriting the sf0.1 archive
+    // silently destroys the round's comparison baseline (it did, r12).
+    if (only.isEmpty && sfDir.endsWith("sf0.1"))
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_perquery.json"), bigLine + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"bench_perquery.json not written: $e") }
     // compact summary AFTER the big line: the driver archives only the
     // tail of the output, and a truncated big line loses the headline
     // totals at its head — this line always survives whole. It carries
