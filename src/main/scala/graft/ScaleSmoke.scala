@@ -85,6 +85,40 @@ object ScaleSmoke {
       .withColumn("label", pmod(xxhash64(col("vec_id") + lit(13)), lit(64)).cast("int"))
       .select("vec_id", "label", "embedding")
 
+  /** Clustered variant for the kNN-graph control: members sit in tight
+    * 40-vector clusters (cluster base ± 0.002 jitter per component), the
+    * shape real embedding corpora have and the one the uniform corpus
+    * deliberately lacks. The kNN-graph OUTPUT is then linear in n (every
+    * node finds ~k in-cluster neighbors), so the measured slope is the
+    * PLAN's, not candidate-volume growth — the fixdup-corpus move
+    * ([[corpusFixedDup]]) applied to vectors. */
+  def vectorsClustered(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    val center = col("vec_id") - pmod(col("vec_id"), lit(40))
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        i => ((pmod(xxhash64(center * lit(1000003L) + i), lit(2000000L))
+          .cast("double") / lit(1000000.0) - lit(1.0)) +
+          pmod(xxhash64(col("vec_id") * lit(31L) + i), lit(2000L))
+            .cast("double") / lit(1000000.0)).cast("float")))
+      .withColumn("label", pmod(xxhash64(center + lit(13)), lit(64)).cast("int"))
+      .select("vec_id", "label", "embedding")
+  }
+
+  /** The knn_graph smoke body (shared by the uniform and clustered
+    * corpora): SQ8-code k-means cells ∧ 20-plane hyperplane bucket as the
+    * block, then [[graft.operators.Similarity.knnGraph]]. */
+  private def knnGraphBlocked(v: DataFrame, dim: Int): Long = {
+    val codes = Similarity.sq8PackedCodes(v, "vec_id", "embedding")
+    val (assign, _) = KMeansIvf.fitCodes(codes, "vec_id", "__q", k = 64, iters = 2)
+    val w = Similarity.hyperplaneWeights(20, dim)
+    val blocked = v.join(assign, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        Similarity.hyperplaneBucket(
+          Similarity.fixedPoint(col("embedding")), w).as("bkt"))
+    Similarity.knnGraph(blocked, "vec_id", "embedding",
+      Seq("cluster", "bkt"), k = 5, dim = Some(dim)).count()
+  }
+
   /** Fresh SharedCache key per dsir_weights invocation — see that op. */
   private val dsirSmokeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -371,26 +405,22 @@ object ScaleSmoke {
         Dedup.twoPhaseComponents(v.select("vec_id"), "vec_id", pairs)
           .filter(col("component") =!= col("vec_id")).count()
       },
-      "knn_graph" -> { v =>
-        // ns69 at corpus scale: top-5 neighbors for EVERY vector. The
-        // catalog blocks on the 10-value oracle label; here the block is
-        // the production cell ∧ hyperplane-bucket composite (ns65's
-        // blocking) — the label-style coarse cell alone puts n/64 members
-        // in each block and the within-block pair term is quadratic, so
-        // the bucket refinement is what keeps candidates per node bounded
-        // as n grows. One equi-join shuffle on the block key, then
-        // TopKPerKey's map-side heaps cut to ≤5 rows per node before the
-        // per-node exchange.
-        val codes = Similarity.sq8PackedCodes(v, "vec_id", "embedding")
-        val (assign, _) = KMeansIvf.fitCodes(codes, "vec_id", "__q", k = 64, iters = 2)
-        val w = Similarity.hyperplaneWeights(20, dim)
-        val blocked = v.join(assign, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("cluster"),
-            Similarity.hyperplaneBucket(
-              Similarity.fixedPoint(col("embedding")), w).as("bkt"))
-        Similarity.knnGraph(blocked, "vec_id", "embedding",
-          Seq("cluster", "bkt"), k = 5, dim = Some(dim)).count()
-      },
+      // ns69 at corpus scale: top-5 neighbors for EVERY vector. The
+      // catalog blocks on the 10-value oracle label; here the block is
+      // the production cell ∧ hyperplane-bucket composite (ns65's
+      // blocking) — the label-style coarse cell alone puts n/64 members
+      // in each block and the within-block pair term is quadratic, so
+      // the bucket refinement is what keeps candidates per node bounded
+      // as n grows. One equi-join shuffle on the block key, then
+      // TopKPerKey's map-side heaps cut to ≤5 rows per node before the
+      // per-node exchange.
+      "knn_graph" -> (v => knnGraphBlocked(v, dim)),
+    )
+
+    // The kNN graph again over the CLUSTERED corpus (output linear in n —
+    // the slope control; see vectorsClustered's doc).
+    val vecClustOps: Seq[(String, DataFrame => Long)] = Seq(
+      "knn_graph_clustered" -> (v => knnGraphBlocked(v, dim)),
     )
 
     // Pair families over the FIXED-cluster corpus (constant 20-doc dup
@@ -422,6 +452,7 @@ object ScaleSmoke {
     runSection("text", corpus(spark, _), textOps)
     runSection("fixdup", corpusFixedDup(spark, _), fixDupOps)
     runSection("vector", vectors(spark, _), vecOps)
+    runSection("vecclust", vectorsClustered(spark, _), vecClustOps)
     spark.stop()
   }
 }

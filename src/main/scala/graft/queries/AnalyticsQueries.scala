@@ -249,6 +249,44 @@ object AnalyticsQueries extends QueryModule {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
   )
 
+  /** TPC-H Q17's shape — revenue locked in small-quantity orders: lines
+    * whose quantity sits under 20 % of their part's average. The
+    * correlated scalar subquery becomes a per-part aggregate joined back
+    * onto the fact (unhinted: the agg side is |parts| rows — broadcast at
+    * bench scale, a keyed shuffle join at warehouse scale), and the
+    * threshold compares in EXACT INTEGER space — `5·qty·cnt < Σqty` with
+    * integral TPC-H quantities as longs — so no 0.2·avg double ever
+    * exists to drift between engines; the one division (sum/7) is the
+    * final IEEE op on identical exact inputs. */
+  private val q09 = QueryEntry(
+    "q09_small_qty_revenue",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val qtyL = col("l_quantity").cast("long")
+      val pa = t.lineitem
+        .groupBy(col("l_partkey"))
+        .agg(sum(qtyL).as("sq"), count(lit(1)).as("cq"))
+      t.lineitem
+        .join(pa, "l_partkey")
+        .filter(qtyL * lit(5L) * col("cq") < col("sq"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(
+      """SELECT
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |        count(*) AS cq
+        |      FROM lineitem GROUP BY l_partkey) p
+        |  ON l.l_partkey = p.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 * p.cq < p.sq""".stripMargin),
+    headline = true,
+  )
+
   override def entries: Seq[QueryEntry] =
-    Seq(q02, q03, q04, q05, q06, q07, q08, ns16, ns25, ns39)
+    Seq(q02, q03, q04, q05, q06, q07, q08, q09, ns16, ns25, ns39)
 }
