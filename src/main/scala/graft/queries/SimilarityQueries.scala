@@ -800,14 +800,15 @@ object SimilarityQueries extends QueryModule {
 
   /** Recall of the label-blocked kNN graph against the exact graph — the
     * ns44/ns63/ns67 pattern applied to the every-node-a-query case: the
-    * exact side runs [[Similarity.bruteForceTopK]] with the corpus as the
-    * probe set (harness-only — the corpus broadcast is exactly what
-    * knnGraph's contract forbids on the scale path). */
+    * exact side runs [[Similarity.bruteKnnGraph]] (harness-only — its
+    * corpus broadcast and quadratic pair stream are exactly what
+    * knnGraph's contract forbids on the scale path; its TopKPerKey rank
+    * is what keeps even the harness from window-buffering 4 M pairs). */
   private val ns70 = QueryEntry(
     "ns70_knn_graph_recall",
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val exact = Similarity.bruteForceTopK(t.embeddings, t.embeddings,
+      val exact = Similarity.bruteKnnGraph(t.embeddings,
           "vec_id", "embedding", k = 3, dim = Some(64))
         .select(col("q_id"), col("cand_id"))
       val blocked = Similarity.knnGraph(t.embeddings, "vec_id", "embedding",

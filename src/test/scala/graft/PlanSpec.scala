@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q09: the per-part average is an aggregate joined broadcast onto the fact") {
+    val p = planOf("q09_small_qty_revenue")
+    // the correlated scalar subquery must decorrelate to ONE per-part
+    // aggregate (never a per-row subquery), and at this scale its
+    // |parts|-sized result broadcasts; the fact table is scanned, never
+    // cartesian-paired with itself
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dq08: the profile dimension joins via broadcast hash join") {
     val p = planOf("dq08_profile_join")
     assert(p.contains("BroadcastHashJoin"), p)

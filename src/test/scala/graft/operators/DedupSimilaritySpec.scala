@@ -89,6 +89,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val graph = Similarity.knnGraph(one, "vec_id", "embedding", Seq("blk"), 3, Some(64))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(graph == exact)
+    // and the heap-ranked brute graph is the same set as the window-ranked
+    // bruteForceTopK (the harness truth side must agree with the original)
+    val brute = Similarity.bruteKnnGraph(one, "vec_id", "embedding", 3, Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute == exact)
   }
 
   test("ivf restricts candidates to the query's cluster") {
