@@ -94,6 +94,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteKnnGraph(one, "vec_id", "embedding", 3, Some(64))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(brute == exact)
+    // partition invariance: the heap passes see different row orders under
+    // a different layout; the (sim DESC, cand_id) total order must make
+    // the output identical anyway
+    val re = Similarity.knnGraph(df.repartition(7), "vec_id", "embedding",
+        Seq("blk"), 3, Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(re == rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
   test("ivf restricts candidates to the query's cluster") {
