@@ -50,6 +50,9 @@ object DsirStream {
   /** Read the CURRENT version's stats (the one-row model). */
   def model(spark: SparkSession, storeDir: String): Model = {
     val v = VersionedStore.versionDir(storeDir)
+    require(v != storeDir || java.nio.file.Files.exists(
+        java.nio.file.Paths.get(storeDir, "stats")),
+      s"no published DSIR stats under $storeDir — run publish() first")
     val r = spark.read.parquet(s"$v/stats").head()
     Model(r.getSeq[Long](0), r.getSeq[Long](1))
   }
@@ -63,7 +66,10 @@ object DsirStream {
   /** The importance screen: keep arrivals drawn by the ns72 rule
     * (probability = weight, deterministic per id) AND clearing
     * `minWeight` (set 0.0 for the pure DSIR draw; a positive floor turns
-    * it into draw-plus-quality-gate). */
+    * it into draw-plus-quality-gate). A null-text arrival scores null and
+    * is DROPPED — unscorable rows do not pass a screen whose job is to
+    * admit rows by score; route them aside upstream if they must be
+    * kept. */
   def screen(batch: DataFrame, idCol: String, textCol: String, m: Model,
       minWeight: Double = 0.0): DataFrame =
     score(batch, idCol, textCol, m)

@@ -68,6 +68,23 @@ class DsirStreamSpec extends SparkSpec {
     assert(w.values.forall(_ == 1.0))
   }
 
+  test("model() on a never-published store fails with a pointed message; " +
+      "null-text arrivals are dropped by the screen") {
+    val s = spark
+    import s.implicits._
+    val empty = tmp("dsir-empty")
+    val e = intercept[IllegalArgumentException](DsirStream.model(spark, empty))
+    assert(e.getMessage.contains("publish"))
+    val store = tmp("dsir-null")
+    val m = DsirStream.publish(spark, store,
+      Seq((1L, "aa bb", true)).toDF("doc_id", "text", "tgt"), "text", col("tgt"), 64)
+    val batch = Seq((10L, "aa bb"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = DsirStream.screen(batch, "doc_id", "text", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L))
+  }
+
   test("a minWeight floor turns the draw into a quality gate") {
     val s = spark
     import s.implicits._
