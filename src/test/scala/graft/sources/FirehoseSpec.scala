@@ -64,6 +64,33 @@ class FirehoseSpec extends SparkSpec {
     assert(r.getLong(0) == 32L)
   }
 
+  test("the native text/similarity expressions are SQL-callable") {
+    // each one: SQL text → same value as the Column-API construction
+    val tc = spark.sql(
+      "SELECT term_counts(array('a','b','a')) AS t").head().getSeq[Any](0)
+    assert(tc.size == 2) // a:2, b:1
+    val mh = spark.sql(
+      "SELECT minhash_sig(array('a','b'), 4) AS s").head().getSeq[Any](0)
+    assert(mh.size == 4)
+    val sh = spark.sql(
+      "SELECT simhash_bits(array('a','b'), 16) AS h," +
+        "       simhash_bits(array('b','a'), 16) AS h2").head()
+    assert(sh.getLong(0) == sh.getLong(1)) // order-invariant (dedup is tokenSet's job)
+    val gk = spark.sql(
+      "SELECT md5_gram_keys(array('a','b','c'), 2, true) AS g").head().getSeq[Any](0)
+    assert(gk.size == 2) // two bigrams
+    val is = spark.sql(
+      "SELECT intersect_size_sorted(array('a','c','e'), array('c','d','e')) AS n").head()
+    assert(is.getLong(0) == 2L)
+    val dc = spark.sql(
+      "SELECT dot_codes(X'0102', X'0304') AS d").head()
+    assert(dc.getLong(0) == 1 * 3 + 2 * 4)
+    // a non-literal parameter fails with the USAGE, not a ClassCastException
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), CAST(rand()*4 AS INT))").head())
+    assert(e.getMessage.contains("literal integer"))
+  }
+
   // ---- real binary wire path: CBOR frames + CAR blocks -----------------
 
   import Cbor._
