@@ -392,7 +392,35 @@ object DedupQueries extends QueryModule {
          |GROUP BY sz ORDER BY sz""".stripMargin),
   )
 
+  /** Leakage-safe train/eval split: the unit of assignment is the NEAR-DUP
+    * COMPONENT, never the document — a doc-level hash split leaks ~every
+    * duplicated document across the boundary (its twin lands on the other
+    * side with p=2·r·(1−r)), which is exactly the contamination an eval
+    * set must not have. Split = first md5 hex digit of the component label
+    * under 'c' (a deterministic 12/16 = 75 % train draw, the ns22/ns31
+    * scrub-sample rule applied to cluster keepers), so by construction no
+    * component — hence no near-dup pair — spans the boundary. Fourth
+    * consumer of the SharedCache'd component fixpoint; the split itself is
+    * a scan expression over the (id, label) pairs. */
+  private val ns73 = QueryEntry(
+    "ns73_leakage_safe_split",
+    (spark, dir) => {
+      componentsFor(spark, dir)
+        .withColumn("split",
+          when(substring(md5(col("component").cast("string")), 1, 1) < "c", "train")
+            .otherwise("eval"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""$componentsOracleCtes
+         |SELECT id AS doc_id, lbl AS component,
+         |  CASE WHEN substr(md5(CAST(lbl AS VARCHAR)), 1, 1) < 'c'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM lab12 ORDER BY doc_id""".stripMargin),
+    headline = true,
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns01, ns02, ns03, ns04, ns05, ns06, ns24, ns26, ns41, ns43, ns45,
-      ns53, ns54, ns60, ns64)
+      ns53, ns54, ns60, ns64, ns73)
 }

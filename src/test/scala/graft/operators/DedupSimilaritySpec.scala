@@ -222,6 +222,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.contains((1L, 1L))) // the exact twin is bucket-mate and rank 1
   }
 
+  test("leakage-safe split: a near-dup pair NEVER spans the train/eval boundary") {
+    val s = spark
+    import s.implicits._
+    // 60 docs: ids (i, i+100) share text → guaranteed near-dup pairs
+    val df = (1L to 30L).flatMap(i =>
+      Seq((i, s"alpha beta gamma delta doc$i"), (i + 100, s"alpha beta gamma delta doc$i")))
+      .toDF("doc_id", "text")
+    val comps = Dedup.minhashLshComponents(df, "doc_id", "text", 8, bands = 2)
+    val split = comps.withColumn("split",
+      when(substring(md5(col("component").cast("string")), 1, 1) < "c", "train")
+        .otherwise("eval"))
+    val byDoc = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // SAME banding as the components — the invariant is "no pair OF THE
+    // BLOCKING THAT DEFINED THE CLUSTERS spans the boundary"; a different
+    // banding is a different near-dup relation
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", numHashes = 8, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split ${byDoc(a)}/${byDoc(b)}")
+    }
+    // the draw actually splits (both labels occur across the 30+ clusters)
+    assert(byDoc.values.toSet == Set("train", "eval"))
+  }
+
   test("langid picks the dominant marker class") {
     val s = spark
     import s.implicits._
