@@ -85,6 +85,32 @@ class DsirStreamSpec extends SparkSpec {
     assert(kept == Set(10L))
   }
 
+  test("the screened file sink is exactly-once across a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val store = tmp("dsir-store-rs")
+    DsirStream.publish(spark, store,
+      Seq((1L, "aa bb", true)).toDF("doc_id", "text", "tgt"), "text", col("tgt"), 64)
+    val out = tmp("dsir-out-rs")
+    val ckpt = tmp("dsir-ckpt-rs")
+    // all arrivals speak the target vocabulary → weight 1.0, all kept;
+    // what's under test is the sink's commit log, not the draw
+    val stream = MemoryStream[InDoc]
+    val q1 = DsirStream.run(stream.toDF(), store, "doc_id", "text", out, ckpt)
+    stream.addData((1L to 10L).map(i => InDoc(i, "aa bb")): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the SAME checkpoint and output dir; the new batch
+    // must land exactly once and batch 1 must not re-land
+    val q2 = DsirStream.run(stream.toDF(), store, "doc_id", "text", out, ckpt)
+    stream.addData((11L to 20L).map(i => InDoc(i, "aa bb")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 20L))
+  }
+
   test("a minWeight floor turns the draw into a quality gate") {
     val s = spark
     import s.implicits._
