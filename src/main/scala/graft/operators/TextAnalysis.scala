@@ -642,17 +642,47 @@ object TextAnalysis {
     * RESULT is `buckets` rows — bounded by CONFIG, not by corpus — so it
     * collects into two `buckets`-long arrays per `statsKey` (the same
     * driver-state discipline as IVF centroids / SQ8 bounds: SharedCache
-    * key asserts an immutable corpus) and the scoring pass embeds them as
-    * literals: scoring is SCAN-ONLY, zero shuffles, one in-row pass per
-    * document. At 100 TB the stats pass is a single map-side-combined
-    * aggregate to 2×`buckets` longs; scoring streams. */
+    * key asserts an immutable corpus). Scoring then joins the stats back
+    * as an unconditional 2×`buckets`-row broadcast and re-groups per doc
+    * (map-side combine → one shuffled row per document); the
+    * zero-shuffle in-row alternative ([[dsirScore]]) exists for the
+    * STREAMING screen, where statelessness is mandatory — in batch it
+    * measured 3.5× SLOWER (see the body comment). */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
       statsKey: String): org.apache.spark.sql.DataFrame = {
     val (raw, tgt) = graft.SharedCache.getOrComputeValue(statsKey) {
       dsirStats(df, textCol, isTarget, buckets)
     }
-    dsirScore(df, idCol, textCol, raw, tgt)
+    // batch scoring takes the JOIN form, not [[dsirScore]]'s in-row
+    // literal form — measured 3.5× faster at 2 M docs (13.9 s vs 49.0 s,
+    // ScaleSmoke dsir A/B): the literal form's transform/aggregate
+    // lambdas are higher-order functions, which are CodegenFallback, so
+    // its per-term md5 runs INTERPRETED (twice — once per aggregate),
+    // while this explode keeps the md5 inside whole-stage codegen. The
+    // stats land as a broadcast local relation (the 2×buckets rows are
+    // already on the driver), the per-doc re-group map-side-combines to
+    // one row per doc (explode keeps a doc's rows in one task), and
+    // docs with no scorable tokens are ABSENT — the oracle's semantics;
+    // [[dsirScore]] scores them 0, and the stream screen drops them, so
+    // every path agrees degenerate docs never pass.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = broadcast(
+      raw.indices.map(i => (i, raw(i), tgt(i))).toDF("b", "craw", "ctgt"))
+    df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
+      .filter(col("__tc.term") =!= "")
+      .select(col(idCol),
+        pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
+        col("__tc.tf").as("tf"))
+      .join(stats, "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("ctgt")).as("num"),
+        sum(col("tf") * col("craw")).as("den"))
+      .withColumn("weight",
+        when(col("den") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
   }
 
   /** The offline half of [[dsirWeights]]: one partial-aggregated pass to
@@ -678,10 +708,16 @@ object TextAnalysis {
     (r.toSeq, t.toSeq)
   }
 
-  /** The scoring half of [[dsirWeights]]: stats embedded as literals, so
-    * the plan is one scan + one in-row projection — stateless, which is
-    * what lets the SAME expression score a STREAMING frame (no state
-    * store, no watermark; [[graft.streaming.DsirStream]]). */
+  /** In-row scoring over literal stats: one scan, one projection,
+    * ZERO shuffles — stateless, which is what lets the SAME expression
+    * score a STREAMING frame (no state store, no watermark, no
+    * append-mode aggregation; [[graft.streaming.DsirStream]]). Batch
+    * callers should prefer [[dsirWeights]]: the transform/aggregate
+    * lambdas here are higher-order functions (CodegenFallback — the
+    * per-term md5 interprets), which costs ~3.5× in batch but is
+    * irrelevant against a micro-batch's footprint, and statelessness is
+    * the property the stream cannot do without. Docs with no scorable
+    * tokens score (0, 0, 0.0) here; the batch form omits them. */
   def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, raw: Seq[Long], tgt: Seq[Long]): org.apache.spark.sql.DataFrame = {
     require(raw.size == tgt.size && raw.nonEmpty, "raw/target stats must be same-sized")

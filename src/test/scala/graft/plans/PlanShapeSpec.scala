@@ -182,19 +182,20 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
 
-  test("ns71 dsir weights: scoring is SCAN-ONLY — the only exchange is the presentation sort") {
-    // the bucket stats are literals (collected once per statsKey, 2×256
-    // longs of driver state), so the RETURNED plan must carry no join, no
-    // aggregate exchange, no window — one scan, one in-row projection,
-    // and the orderBy(doc_id) range exchange. A join or agg appearing
-    // here means someone un-literalized the stats and re-coupled scoring
-    // to a per-query stats job.
+  test("ns71 dsir weights: codegen'd explode + unconditional 256-row broadcast + one doc agg") {
+    // batch scoring is the JOIN form (the in-row literal form lost the
+    // 2 M race 49.0 s to 13.9 s — HOF lambdas are CodegenFallback and
+    // interpret the per-term md5; dsirWeights' body comment carries the
+    // measurement): stats join back as a driver-built 256-row broadcast
+    // (nothing corpus-sized can ever be the build side), the per-doc
+    // re-group map-side-combines to one row per doc, plus the
+    // presentation sort. No window, no sort-merge join anywhere.
     assert(catalog("ns71_dsir_weights") == Shape(
-      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      shuffles = 2, broadcastJoins = 1, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
     // the resample adds only a row-local filter to the same plan
     assert(catalog("ns72_dsir_sample") == Shape(
-      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      shuffles = 2, broadcastJoins = 1, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
 
