@@ -119,11 +119,19 @@ object Bench {
     // at the driver's bench scale update the record: a filtered
     // (BENCH_ONLY) or small-sf smoke run overwriting the sf0.1 archive
     // silently destroys the round's comparison baseline (it did, r12).
-    if (only.isEmpty && sfDir.endsWith("sf0.1"))
+    // (path-normalized: a trailing slash or `..` spelling of the same sf0.1
+    // dir must not silently skip archiving; a skipped write says why)
+    val benchScale = java.nio.file.Paths.get(sfDir).normalize match {
+      case p if p.getFileName != null => p.getFileName.toString
+      case _ => sfDir
+    }
+    if (only.isEmpty && benchScale == "sf0.1")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_perquery.json"), bigLine + "\n")
       catch { case e: java.io.IOException =>
         System.err.println(s"bench_perquery.json not written: $e") }
+    else System.err.println(
+      s"bench_perquery.json not updated: only=${only.mkString(",")} scale=$benchScale (full sf0.1 runs only)")
     // compact summary AFTER the big line: the driver archives only the
     // tail of the output, and a truncated big line loses the headline
     // totals at its head — this line always survives whole. It carries

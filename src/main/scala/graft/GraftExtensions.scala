@@ -17,21 +17,32 @@ import org.apache.spark.sql.graft._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** A required-literal scalar parameter (e.g. minhash_sig's k): evaluate
-    * the parsed argument if it is a foldable literal, or fail with the
-    * function's usage instead of a ClassCastException. */
-  private def litInt(fn: String, e: Expression): Int = e match {
-    case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
-    case _ => throw new IllegalArgumentException(
-      s"$fn expects a literal integer parameter, got $e")
-  }
+  /** A required-literal scalar parameter (e.g. minhash_sig's k): folds any
+    * foldable argument (so `2+1` or a cast literal works from SQL text, not
+    * just a bare Literal) and fails with the function's usage instead of a
+    * ClassCastException otherwise. */
+  private def litInt(fn: String, e: Expression): Int =
+    (if (e.foldable) e.eval() else null) match {
+      case v: Int  => v
+      case v: Long => v.toInt
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a foldable integer parameter, got $e")
+    }
 
-  private def litBool(fn: String, e: Expression): Boolean = e match {
-    case Literal(v: Boolean, _) => v
-    case _ => throw new IllegalArgumentException(
-      s"$fn expects a literal boolean parameter, got $e")
-  }
+  private def litBool(fn: String, e: Expression): Boolean =
+    (if (e.foldable) e.eval() else null) match {
+      case v: Boolean => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a foldable boolean parameter, got $e")
+    }
+
+  /** Arity check before indexing `cs` — a wrong-arity SQL call must raise
+    * the function's usage, not IndexOutOfBoundsException. */
+  private def arity(fn: String, cs: Seq[Expression], n: Int, usage: String): Unit =
+    if (cs.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments ($usage), got ${cs.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, builder: Seq[Expression] => Expression,
@@ -40,24 +51,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
 
-    register("dot_fp", cs => DotFp(cs(0), cs(1)), classOf[DotFp])
+    register("dot_fp", cs => {
+      arity("dot_fp", cs, 2, "vec_a, vec_b")
+      DotFp(cs(0), cs(1))
+    }, classOf[DotFp])
     // term_counts(words_array) -> array<struct<term,tf>> (in-row tf)
-    register("term_counts", cs => TermCounts(cs(0)), classOf[TermCounts])
+    register("term_counts", cs => {
+      arity("term_counts", cs, 1, "words_array")
+      TermCounts(cs(0))
+    }, classOf[TermCounts])
     // minhash_sig(words_array, k) -> array<string> of k band minima
-    register("minhash_sig",
-      cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1))), classOf[MinHashSig])
+    register("minhash_sig", cs => {
+      arity("minhash_sig", cs, 2, "words_array, k")
+      MinHashSig(cs(0), litInt("minhash_sig", cs(1)))
+    }, classOf[MinHashSig])
     // simhash_bits(words_array, bits) -> long
-    register("simhash_bits",
-      cs => SimHashBits(cs(0), litInt("simhash_bits", cs(1))), classOf[SimHashBits])
+    register("simhash_bits", cs => {
+      arity("simhash_bits", cs, 2, "words_array, bits")
+      SimHashBits(cs(0), litInt("simhash_bits", cs(1)))
+    }, classOf[SimHashBits])
     // md5_gram_keys(words_array, n, distinct) -> array<long> 60-bit keys
-    register("md5_gram_keys",
-      cs => Md5GramKeys(cs(0), litInt("md5_gram_keys", cs(1)),
-        litBool("md5_gram_keys", cs(2))), classOf[Md5GramKeys])
+    register("md5_gram_keys", cs => {
+      arity("md5_gram_keys", cs, 3, "words_array, n, distinct")
+      Md5GramKeys(cs(0), litInt("md5_gram_keys", cs(1)),
+        litBool("md5_gram_keys", cs(2)))
+    }, classOf[Md5GramKeys])
     // intersect_size_sorted(sorted_a, sorted_b) -> long (merge-walk)
-    register("intersect_size_sorted",
-      cs => IntersectSizeSorted(cs(0), cs(1)), classOf[IntersectSizeSorted])
+    register("intersect_size_sorted", cs => {
+      arity("intersect_size_sorted", cs, 2, "sorted_a, sorted_b")
+      IntersectSizeSorted(cs(0), cs(1))
+    }, classOf[IntersectSizeSorted])
     // dot_codes(packed_a, packed_b) -> long (SQ8 binary-code dot)
-    register("dot_codes", cs => DotCodes(cs(0), cs(1)), classOf[DotCodes])
+    register("dot_codes", cs => {
+      arity("dot_codes", cs, 2, "packed_a, packed_b")
+      DotCodes(cs(0), cs(1))
+    }, classOf[DotCodes])
 
     ext.injectOptimizerRule(_ => RegexCountToRLike)
     ext.injectOptimizerRule(_ => graft.plans.CheapPredicateFirst)

@@ -82,10 +82,23 @@ object Tables {
   // stopped context; entries are few (sessions × tables).
   private val frames = scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
-  private def cached(spark: SparkSession, path: String): DataFrame =
+  private def cached(spark: SparkSession, path: String): DataFrame = {
+    val key = (spark, path)
+    // Fast path + stopped-session eviction under the lock; the actual
+    // spark.read.parquet (directory listing + footer read, the slow part)
+    // runs OUTSIDE it so one slow load never serializes other sessions'
+    // table loads. Two racers may both load the same path — the loads are
+    // idempotent reads of an immutable directory, and the first insert wins.
     frames.synchronized {
-      frames.getOrElseUpdate((spark, path), spark.read.parquet(path))
+      frames.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      frames.get(key)
+    } match {
+      case Some(df) => df
+      case None =>
+        val df = spark.read.parquet(path)
+        frames.synchronized { frames.getOrElseUpdate(key, df) }
     }
+  }
 
   /** Drop cached frames (all of them, or one session's). */
   def invalidate(spark: SparkSession = null): Unit = frames.synchronized {

@@ -744,18 +744,26 @@ object TextAnalysis {
 
   /** The ns72 inclusion draw as a reusable predicate over a scored frame:
     * keep iff the id's 20-bit md5 uniform falls under num/den, in exact
-    * integer space. */
+    * integer space. Compared in decimal(38,0), not Long: `num·2²⁰` fits a
+    * Long only while den < 2⁴³ (~1 bit of headroom at the measured
+    * 20 M-doc stats), and a 100 TB corpus blows past that — Long math
+    * would then error under ANSI (and in the DuckDB oracle) instead of
+    * sampling. The decimal products top out near 2⁸³ (25 digits ≪ 38), so
+    * the comparison stays exact at any corpus size this engine targets. */
   def dsirDraw(idCol: String): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val u20 = pmod(gramKey(col(idCol).cast("string")), lit(1048576L))
-    u20 * col("den") < col("num") * lit(1048576L)
+    u20.cast(dec) * col("den").cast(dec) <
+      col("num").cast(dec) * lit(1048576L).cast(dec)
   }
 
   /** Importance RESAMPLING over [[dsirWeights]]: keep a document with
     * probability equal to its weight, deterministically — the inclusion
     * draw is the document id's own [[gramKey]] reduced to a 20-bit
     * uniform, and the comparison `u20·den < num·2²⁰` stays in exact
-    * integer space (num ≤ den ≤ ~2⁴³ even at 20 M docs, so the products
-    * sit far below 2⁶³ — no float threshold, no engine drift). Scan-only
+    * integer space — evaluated in decimal(38,0) so it cannot overflow at
+    * any den (Long math caps out at den ≈ 2⁴³; see [[dsirDraw]] — no
+    * float threshold, no engine drift). Scan-only
     * like the scorer: the sample is reproducible row-local arithmetic,
     * the 100 TB shape for "thin this crawl toward the target domain". */
   def dsirSample(df: org.apache.spark.sql.DataFrame, idCol: String,

@@ -69,11 +69,19 @@ object SemanticDedupStream {
 
   /** Screen + ingest: the foreachBatch body. Returns the survivor count
     * (what the stream's progress metrics report). Idempotent per
-    * (writerId, batchId) — a redelivered epoch replaces its own previous
-    * attempt through [[IvfStore.ingest]]'s tmp-partition rename
-    * protocol, and the screen re-runs against the CURRENT store version,
-    * which by then may already contain this batch's survivors; the
-    * replacing write makes that harmless (same rows land again). */
+    * (writerId, batchId), but by SELF-SCREENING, not by rewriting: on a
+    * redelivered epoch the screen runs against the CURRENT store, which
+    * already contains this batch's committed survivors — each survivor is
+    * its own indexed near-dup, so it screens itself out, n == 0, and the
+    * `n > 0` guard skips the ingest entirely. Prior state is preserved by
+    * that skip. The residual: if the previous attempt crashed MID-commit
+    * (some cell partitions renamed, some still `.tmp`), survivors that
+    * are near-dups of a committed cell's rows self-screen out while their
+    * own tmp-cell copies are gone — those rows are dropped, so the
+    * end-to-end contract is at-least-once-with-dedup (never a duplicate
+    * in the store; a partial-commit crash can under-ingest), not
+    * exactly-once. [[IvfStore.ingest]]'s per-epoch partition protocol
+    * still makes the WRITE side replay-safe whenever n > 0. */
   def ingestDeduped(spark: SparkSession, storeDir: String, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double, batchId: Long,
       writerId: String = "semdedup", nProbe: Int = 1): Long = {

@@ -85,10 +85,18 @@ class FirehoseSpec extends SparkSpec {
     val dc = spark.sql(
       "SELECT dot_codes(X'0102', X'0304') AS d").head()
     assert(dc.getLong(0) == 1 * 3 + 2 * 4)
-    // a non-literal parameter fails with the USAGE, not a ClassCastException
+    // a non-foldable parameter fails with the USAGE, not a ClassCastException
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), CAST(rand()*4 AS INT))").head())
-    assert(e.getMessage.contains("literal integer"))
+    assert(e.getMessage.contains("foldable integer"))
+    // a foldable non-Literal expression folds (2+1 is not a bare Literal)
+    val folded = spark.sql(
+      "SELECT minhash_sig(array('a','b'), 2+1) AS s").head().getSeq[Any](0)
+    assert(folded.size == 3)
+    // wrong arity raises the usage, not IndexOutOfBoundsException
+    val ar = intercept[Exception](
+      spark.sql("SELECT md5_gram_keys(array('a','b'), 2)").head())
+    assert(ar.getMessage.contains("expects 3 arguments"))
   }
 
   // ---- real binary wire path: CBOR frames + CAR blocks -----------------
