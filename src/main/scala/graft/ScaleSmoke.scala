@@ -374,8 +374,7 @@ object ScaleSmoke {
           graft.streaming.IvfStore.search(spark, dir,
             v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10).count()
         } finally
-          graft.streaming.VersionedStore.deleteRecursively(
-            java.nio.file.Paths.get(dir))
+          graft.streaming.VersionedStore.deleteRecursively(dir)
       },
       "embed_neardup_lsh" -> { v =>
         // ns07's pair emitter with LSH blocking instead of the oracle's

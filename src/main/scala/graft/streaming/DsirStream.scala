@@ -41,7 +41,8 @@ object DsirStream {
       VersionedStore.swap(storeDir, tmp => {
         import spark.implicits._
         Seq((m.raw, m.tgt)).toDF("raw", "tgt")
-          .coalesce(1).write.parquet(tmp.resolve("stats").toString)
+          .coalesce(1).write.parquet(
+            new org.apache.hadoop.fs.Path(tmp, "stats").toString)
       })
     }
     m
@@ -50,8 +51,7 @@ object DsirStream {
   /** Read the CURRENT version's stats (the one-row model). */
   def model(spark: SparkSession, storeDir: String): Model = {
     val v = VersionedStore.versionDir(storeDir)
-    require(v != storeDir || java.nio.file.Files.exists(
-        java.nio.file.Paths.get(storeDir, "stats")),
+    require(v != storeDir || StoreFs.exists(StoreFs.path(storeDir, "stats")),
       s"no published DSIR stats under $storeDir — run publish() first")
     val r = spark.read.parquet(s"$v/stats").head()
     Model(r.getSeq[Long](0), r.getSeq[Long](1))

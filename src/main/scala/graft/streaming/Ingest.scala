@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import graft.model.{Condition, Post}
 import graft.operators.{FilterCascade, Upsert}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
@@ -73,12 +71,10 @@ object Ingest {
         n == "._SUCCESS.crc" || n.startsWith("part-") || n.startsWith(".part-"))
 
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
-    val p = Paths.get(versionDir(storeDir))
-    val nonEmpty = Files.exists(p) && {
-      val s = Files.list(p)
-      try s.findFirst().isPresent finally s.close()
-    }
-    if (nonEmpty) spark.read.schema(postSchema).parquet(p.toString)
+    val vd = versionDir(storeDir)
+    // listNames is empty for a missing dir too — one namespace call
+    if (StoreFs.listNames(StoreFs.path(vd)).nonEmpty)
+      spark.read.schema(postSchema).parquet(vd)
     else emptyStore(spark)
   }
 

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import java.nio.file.Paths
-
 import graft.operators.KMeansIvf
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{NearestCellsCodes, SQ8PackRaw}
@@ -54,9 +53,9 @@ object IvfStore {
     StructField("__b", StringType)))
 
   private def codesDir(versionDir: String) =
-    Paths.get(versionDir, "codes").toString
+    new HPath(versionDir, "codes").toString
   private def modelDir(versionDir: String) =
-    Paths.get(versionDir, "model").toString
+    new HPath(versionDir, "model").toString
 
   /** Train on a corpus snapshot and land it as the store's next version:
     * SQ8 bounds over the snapshot, packed codes, a code-trained k-means
@@ -216,25 +215,24 @@ object IvfStore {
       // commit: per cell, replace the previous attempt's partition (if
       // any) with the tmp one
       forEachBatchDir(cdir, bTmp) { tmp =>
-        val finalDir = tmp.resolveSibling(s"__b=$bFinal")
-        VersionedStore.deleteRecursively(finalDir)
-        java.nio.file.Files.move(tmp, finalDir)
+        val finalDir = new HPath(tmp.getParent, s"__b=$bFinal")
+        StoreFs.deleteRecursively(finalDir)
+        StoreFs.rename(tmp, finalDir)
       }
     }
   }
 
   /** Apply `f` to the `__b=<b>` dir under every `cell=` partition. */
   private def forEachBatchDir(codesDir: String, b: String)(
-      f: java.nio.file.Path => Unit): Unit = {
-    val root = Paths.get(codesDir)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val cells = java.nio.file.Files.list(root)
-      try cells.forEach { cell =>
-        val d = cell.resolve(s"__b=$b")
-        if (cell.getFileName.toString.startsWith("cell=") &&
-            java.nio.file.Files.isDirectory(d)) f(d)
-      } finally cells.close()
-    }
+      f: HPath => Unit): Unit = {
+    val root = new HPath(codesDir)
+    if (StoreFs.isDirectory(root))
+      StoreFs.listNames(root).foreach { cellName =>
+        if (cellName.startsWith("cell=")) {
+          val d = new HPath(new HPath(root, cellName), s"__b=$b")
+          if (StoreFs.isDirectory(d)) f(d)
+        }
+      }
   }
 
   /** Top-k in-cell quantized search against the CURRENT version: external

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import org.apache.hadoop.fs.Path
 
 /** The versioned-directory + atomic-pointer-flip pattern shared by every
   * on-disk store in the engine (the events feed store in [[Ingest]], the
@@ -15,6 +14,12 @@ import java.util.Comparator
   * resolve sees the new one. SQLite gives the reference this snapshot
   * isolation transactionally; Delta/Iceberg give it to a real deployment
   * via manifest snapshots — this is the parquet-harness form.
+  *
+  * Filesystem: every metadata op routes through [[StoreFs]] (the Hadoop
+  * `FileContext` API), so the same protocol runs on the local FS (tests,
+  * harness) and HDFS (where rename is an atomic namespace op) — see
+  * [[StoreFs]] for the per-backend atomicity contract and why a raw
+  * object store needs the Delta/Iceberg form instead.
   *
   * Version dirs are underscore-prefixed so Spark's hidden-path filter
   * EXCLUDES them from a listing of the root: a reader that resolved a
@@ -30,46 +35,115 @@ private[graft] object VersionedStore {
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def lockFor(storeDir: String): Object =
-    storeLocks.computeIfAbsent(
-      Paths.get(storeDir).toAbsolutePath.normalize.toString, _ => new Object)
+    storeLocks.computeIfAbsent(StoreFs.qualifiedKey(storeDir), _ => new Object)
 
   /** The store's writer critical section: the JVM monitor ([[lockFor]])
-    * plus an OS-level advisory file lock on `<store>/_lock`, so two Spark
-    * APPLICATIONS publishing/compacting one store directory serialize
-    * instead of interleaving swaps (the JVM monitor alone only covers one
-    * process — the round-11 gap). The monitor is taken FIRST, so within a
-    * process only one thread ever touches the file lock (same-JVM overlap
-    * would throw OverlappingFileLockException rather than block);
+    * plus a cross-process lock, so two Spark APPLICATIONS publishing/
+    * compacting one store directory serialize instead of interleaving
+    * swaps (the JVM monitor alone only covers one process — the round-11
+    * gap). The monitor is taken FIRST, so within a process only one
+    * thread ever touches the process lock (same-JVM overlap on the local
+    * form would throw OverlappingFileLockException rather than block);
     * re-entrant per thread, because compactions call locked helpers from
-    * already-locked batch sinks. `FileChannel.lock()` BLOCKS until the
-    * other process releases — writer sections are read-modify-write
-    * cycles that must serialize, not fail. Readers never take any lock
+    * already-locked batch sinks.
+    *
+    * The process lock has two forms, dispatched on the store's scheme:
+    * on a LOCAL store it is an OS advisory file lock on `<store>/_lock`
+    * (`FileChannel.lock()` BLOCKS until the other process releases —
+    * writer sections are read-modify-write cycles that must serialize,
+    * not fail). On a remote FS (HDFS) there are no advisory locks, so it
+    * is a create-exclusive LEASE file `<store>/_lock.lease` with a
+    * heartbeat and a TTL takeover ([[acquireLease]]) — the HDFS-native
+    * mutex idiom; its one honest residual (two writers both breaking the
+    * same expired lease) is why a production deployment moves the commit
+    * into a table format's transaction log. Readers never take any lock
     * (versioned swaps + the grace window are what protect them). The
-    * `_lock` file itself is neither a version dir nor legacy data, so
-    * [[swap]]'s GC never touches it. */
+    * `_lock`/`_lock.lease` files are neither version dirs nor legacy
+    * data, so [[swap]]'s GC never touches them. */
   private val lockHolds = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
     override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
   }
   def withStoreLock[T](storeDir: String)(body: => T): T = {
-    val key = Paths.get(storeDir).toAbsolutePath.normalize.toString
+    val key = StoreFs.qualifiedKey(storeDir)
     lockFor(storeDir).synchronized {
       val holds = lockHolds.get()
       if (holds.getOrElse(key, 0) > 0) {
         holds(key) += 1
         try body finally holds(key) -= 1
       } else {
-        val root = Paths.get(storeDir)
-        Files.createDirectories(root)
-        val ch = java.nio.channels.FileChannel.open(root.resolve("_lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
+        val release = acquireProcessLock(storeDir)
         try {
-          val l = ch.lock()
           holds(key) = 1
-          try body finally { holds(key) = 0; l.release() }
-        } finally ch.close()
+          try body finally holds(key) = 0
+        } finally release()
       }
     }
+  }
+
+  /** Take the cross-process half of the writer lock; returns the release
+    * action. Caller holds the JVM monitor. */
+  private def acquireProcessLock(storeDir: String): () => Unit = {
+    val root = new Path(storeDir)
+    StoreFs.mkdirs(root)
+    if (StoreFs.isLocal(root)) {
+      val raf = new java.io.RandomAccessFile(
+        new java.io.File(StoreFs.localFile(root), "_lock"), "rw")
+      val l = raf.getChannel.lock()
+      () => { l.release(); raf.close() }
+    } else acquireLease(new Path(root, "_lock.lease"))
+  }
+
+  /** Lease TTL: a holder that misses heartbeats for this long is presumed
+    * dead and its lease breakable. Heartbeats land every TTL/3, so only a
+    * full process death (not a long write — writes don't block the
+    * heartbeat thread) ever lets a lease expire. */
+  private[streaming] val LeaseTtlMs = 5 * 60 * 1000L
+
+  /** Create-exclusive lease acquisition for filesystems without advisory
+    * locks: loop on an atomic `create(CREATE)` of the lease file (atomic
+    * on HDFS; FileAlreadyExistsException = held), breaking leases whose
+    * mtime is older than `ttlMs`. A daemon heartbeat refreshes the held
+    * lease's mtime every `ttlMs/3` so long writer sections never expire
+    * mid-write. Residual: between one contender's stale-check and its
+    * delete, a second contender can break the same lease — a known
+    * limitation of lease files on stores without compare-and-swap, and
+    * the reason the 100 TB deployment form is a Delta/Iceberg commit, not
+    * this file. */
+  private[streaming] def acquireLease(lease: Path,
+      ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): () => Unit = {
+    val token = s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+    var release: () => Unit = null
+    while (release == null) {
+      try {
+        StoreFs.writeString(lease, token, createNew = true)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val hb = new Thread(() => {
+          while (!stop.get()) {
+            try Thread.sleep(math.max(1L, ttlMs / 3))
+            catch { case _: InterruptedException => () }
+            // overwrite-in-place (never delete+create: the file must stay
+            // present so contenders read "held", not "released")
+            if (!stop.get())
+              try StoreFs.writeString(lease, token)
+              catch { case _: java.io.IOException => () }
+          }
+        }, s"graft-lease-heartbeat-$lease")
+        hb.setDaemon(true)
+        hb.start()
+        release = () => {
+          stop.set(true); hb.interrupt()
+          StoreFs.deleteRecursively(lease)
+        }
+      } catch {
+        case _: java.io.IOException => // held (or just broken by a racer)
+          try {
+            if (System.currentTimeMillis() - StoreFs.modificationTime(lease) > ttlMs)
+              StoreFs.deleteRecursively(lease) // expired: break and re-race
+            else Thread.sleep(pollMs)
+          } catch { case _: java.io.IOException => () } // released mid-check
+      }
+    }
+    release
   }
 
   /** How many superseded versions survive each swap. A reader must
@@ -82,10 +156,8 @@ private[graft] object VersionedStore {
   private val CurrentPtr = "_current"
 
   def currentVersion(root: Path): Option[String] = {
-    val ptr = root.resolve(CurrentPtr)
-    if (Files.exists(ptr))
-      Some(new String(Files.readAllBytes(ptr),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
+    val ptr = new Path(root, CurrentPtr)
+    if (StoreFs.exists(ptr)) Some(StoreFs.readString(ptr).trim)
     else None
   }
 
@@ -93,20 +165,19 @@ private[graft] object VersionedStore {
     * reads both resolve through here. Falls back to the root itself for a
     * legacy (never-swapped) store. */
   def versionDir(storeDir: String): String = {
-    val root = Paths.get(storeDir)
-    currentVersion(root).map(v => root.resolve(v).toString).getOrElse(storeDir)
+    val root = new Path(storeDir)
+    currentVersion(root).map(v => new Path(root, v).toString).getOrElse(storeDir)
   }
 
   private def writePointer(root: Path, version: String): Unit = {
-    val tmp = root.resolve(CurrentPtr + ".tmp")
-    Files.write(tmp, version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve(CurrentPtr),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(root, CurrentPtr + ".tmp")
+    StoreFs.writeString(tmp, version)
+    // atomic on HDFS and POSIX; see StoreFs for the object-store caveat
+    StoreFs.rename(tmp, new Path(root, CurrentPtr), overwrite = true)
   }
 
   /** Land the next version: `writeVersion` populates a `.tmp` directory
-    * beside the live data, which is then moved into place, the pointer
+    * beside the live data, which is then renamed into place, the pointer
     * atomically flipped, and everything older than the versions readers
     * may still be streaming garbage-collected. Caller holds [[lockFor]].
     *
@@ -114,8 +185,8 @@ private[graft] object VersionedStore {
     * clocks — System.nanoTime may be negative and would produce a name
     * the GC regex treats as garbage), and allocate PAST any version dir
     * already on disk, not just past the pointer: a crash between the
-    * version move and the pointer flip leaves an orphan _v(prev+1), and
-    * re-allocating that name would make the swap's Files.move collide
+    * version rename and the pointer flip leaves an orphan _v(prev+1), and
+    * re-allocating that name would make the swap's rename collide
     * forever after. The orphan itself is GC'd (a version name outside
     * the keep window).
     *
@@ -125,53 +196,45 @@ private[graft] object VersionedStore {
     * not ours to delete, even though the directory is store-owned. */
   def swap(storeDir: String, writeVersion: Path => Unit,
       isLegacy: String => Boolean = _ => false): Unit = {
-    val root = Paths.get(storeDir)
-    Files.createDirectories(root)
+    val root = new Path(storeDir)
+    StoreFs.mkdirs(root)
     val prev = currentVersion(root)
     val prevNum = prev.map(_.stripPrefix("_v").toLong).getOrElse(0L)
     // (name, number) pairs straight off the listing: keep-set membership
     // is by the LITERAL directory name, never a re-format of the parsed
     // number — a version dir written under a different digit-width must
     // still be protected by the grace window
-    val onDisk = {
-      val s = Files.list(root)
-      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-        .filter(_.matches("_v\\d+")).map(n => n -> n.stripPrefix("_v").toLong).toSeq
-      finally s.close()
-    }
+    val onDisk = StoreFs.listNames(root)
+      .filter(_.matches("_v\\d+")).map(n => n -> n.stripPrefix("_v").toLong)
     val nextNum = (prevNum +: onDisk.map(_._2)).max + 1
     val next = f"_v$nextNum%019d"
-    val tmp = root.resolve(next + ".tmp")
+    val tmp = new Path(root, next + ".tmp")
     writeVersion(tmp)
-    Files.move(tmp, root.resolve(next))
+    StoreFs.rename(tmp, new Path(root, next))
     writePointer(root, next)
     // grace: keep the newest GraceVersions superseded versions THAT EXIST
     // (in-flight readers) — derived from the on-disk list, not arithmetic:
     // crash-recovery gaps or a numbering-scheme change would otherwise
     // shrink the window below the documented GraceVersions+1 swaps — and
     // drop older ones plus any stale *.tmp (under the lock the current
-    // swap's tmp is already moved, so every remaining tmp is a crash
+    // swap's tmp is already renamed, so every remaining tmp is a crash
     // leftover). Orphans (> prevNum) are never a reader's version: the
     // pointer never named them.
     val keep = Set(next) ++
       onDisk.filter(_._2 <= prevNum).sortBy(_._2).takeRight(GraceVersions)
         .map(_._1)
-    val s = Files.list(root)
-    try s.forEach { p =>
-      val name = p.getFileName.toString
+    StoreFs.listNames(root).foreach { name =>
+      val p = new Path(root, name)
       val isVersion = name.matches("_v\\d+")
-      if (isVersion && !keep(name)) deleteRecursively(p)
-      else if (name.endsWith(".tmp")) deleteRecursively(p)
+      if (isVersion && !keep(name)) StoreFs.deleteRecursively(p)
+      else if (name.endsWith(".tmp")) StoreFs.deleteRecursively(p)
       else if (!isVersion && name != CurrentPtr && prev.isDefined &&
           isLegacy(name))
-        deleteRecursively(p)
-    } finally s.close()
+        StoreFs.deleteRecursively(p)
+    }
   }
 
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
+  def deleteRecursively(p: Path): Unit = StoreFs.deleteRecursively(p)
+  def deleteRecursively(dir: String): Unit =
+    StoreFs.deleteRecursively(new Path(dir))
 }

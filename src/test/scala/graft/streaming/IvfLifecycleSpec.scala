@@ -127,7 +127,7 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(IvfStore.codes(spark, dir).count() == n2 + 1,
       "a fresh writer's epoch 0 clobbered another incarnation's rows")
 
-    VersionedStore.deleteRecursively(Paths.get(dir))
+    VersionedStore.deleteRecursively(dir)
   }
 
   test("search prunes the code scan to the probed cells — literal partition filter") {
@@ -192,7 +192,7 @@ class IvfLifecycleSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(hits.nonEmpty && hits.head.getAs[Long]("cand_id") == 7L)
 
-    VersionedStore.deleteRecursively(Paths.get(dir))
+    VersionedStore.deleteRecursively(dir)
   }
 
   test("a replay straddling a refit: search stays duplicate-free, next refit restores one row per vector") {
@@ -268,7 +268,7 @@ class IvfLifecycleSpec extends SparkSpec {
     IvfStore.refit(spark, dir, nCells = 4, iters = 2)
     assert(IvfStore.codes(spark, dir).count() == 260)
 
-    VersionedStore.deleteRecursively(Paths.get(dir))
-    VersionedStore.deleteRecursively(Paths.get(ckpt))
+    VersionedStore.deleteRecursively(dir)
+    VersionedStore.deleteRecursively(ckpt)
   }
 }

@@ -80,7 +80,68 @@ class SemanticDedupStreamSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(surv == Set(1001L, 1004L))
 
-    VersionedStore.deleteRecursively(java.nio.file.Paths.get(dir))
-    VersionedStore.deleteRecursively(java.nio.file.Paths.get(dir2))
+    VersionedStore.deleteRecursively(dir)
+    VersionedStore.deleteRecursively(dir2)
+  }
+
+  test("two concurrent writers + a refit: no lost updates, replay stays idempotent") {
+    // the multi-writer contract (SemanticDedupStream.run's writerId doc):
+    // two streams with DISTINCT writerIds share one store, their ingests
+    // interleave under the store lock, a refit lands mid-soak — and the
+    // store must end with every writer's every batch present exactly
+    // once. threshold 0.9999 keeps the screen out of the picture (only
+    // exact copies screen), so the expected survivor set is deterministic
+    // under any interleaving.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("semdedup_2w").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", nCells = 4, iters = 2)
+
+    // 40 distinct novel vectors (indexed rows carry ids < 300; these are
+    // re-keyed), 4 batches of 5 per writer
+    val novels = emb.filter(col("vec_id") >= 310 && col("vec_id") < 350)
+      .orderBy("vec_id").select("embedding").as[Seq[Float]].collect()
+    def batchDf(writerBase: Long, b: Int, off: Int) =
+      (0 until 5).map(i => Vec(writerBase + b * 5 + i, novels(off + b * 5 + i))).toDF()
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(name: String, base: Long, off: Int) = new Thread(() => {
+      try (0 until 4).foreach { b =>
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS) // force interleaving per epoch
+        SemanticDedupStream.ingestDeduped(spark, dir, batchDf(base, b, off),
+          "vec_id", "embedding", threshold = 0.9999, batchId = b.toLong,
+          writerId = name)
+        if (name == "wA" && b == 1) // mid-soak refit between epochs
+          IvfStore.refit(spark, dir, nCells = 4, iters = 2)
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val (ta, tb) = (writer("wA", 1000L, 0), writer("wB", 2000L, 20))
+    ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    val stored = IvfStore.codes(spark, dir).filter(col("vec_id") >= 1000L)
+      .groupBy("vec_id").count().collect()
+    assert(stored.forall(_.getLong(1) == 1L),
+      s"duplicate rows: ${stored.filter(_.getLong(1) > 1L).mkString(",")}")
+    val ids = stored.map(_.getLong(0)).toSet
+    val expected = ((1000L until 1020L) ++ (2000L until 2020L)).toSet
+    assert(ids == expected,
+      s"lost updates: missing ${expected -- ids}, extra ${ids -- expected}")
+
+    // replay both writers' epoch 0 (incl. the one consolidated by the
+    // refit): self-screen yields n==0 and the store is unchanged
+    SemanticDedupStream.ingestDeduped(spark, dir, batchDf(1000L, 0, 0),
+      "vec_id", "embedding", threshold = 0.9999, batchId = 0L, writerId = "wA")
+    SemanticDedupStream.ingestDeduped(spark, dir, batchDf(2000L, 0, 20),
+      "vec_id", "embedding", threshold = 0.9999, batchId = 0L, writerId = "wB")
+    val afterReplay = IvfStore.codes(spark, dir).filter(col("vec_id") >= 1000L)
+      .groupBy("vec_id").count().collect()
+    assert(afterReplay.length == 40 && afterReplay.forall(_.getLong(1) == 1L),
+      "replay after refit duplicated or dropped rows")
+
+    VersionedStore.deleteRecursively(dir)
   }
 }

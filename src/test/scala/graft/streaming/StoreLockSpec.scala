@@ -62,6 +62,61 @@ class StoreLockSpec extends SparkSpec {
     } finally ch2.close()
   }
 
+  test("lease lock (remote-FS form): exclusive while held, acquired on release") {
+    // the HDFS branch of the process lock — no advisory locks there, so
+    // withStoreLock falls back to a create-exclusive lease file. Driven
+    // directly against the local FS (create-exclusive is FS-agnostic).
+    val dir = Files.createTempDirectory("graft-lease").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    val release = VersionedStore.acquireLease(lease, ttlMs = 60000, pollMs = 10)
+    val contenderHolds = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      val r2 = VersionedStore.acquireLease(lease, ttlMs = 60000, pollMs = 10)
+      contenderHolds.set(true)
+      r2()
+    })
+    t.start()
+    Thread.sleep(300)
+    assert(!contenderHolds.get(), "contender acquired a held lease")
+    release()
+    t.join(10000)
+    assert(contenderHolds.get(), "contender never acquired after release")
+  }
+
+  test("lease lock: a dead holder's stale lease is broken after the TTL") {
+    val dir = Files.createTempDirectory("graft-lease-stale").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    // a lease nobody heartbeats (the holder "crashed"): plant the file
+    // directly, older than the TTL by the sleep below
+    StoreFs.writeString(lease, "dead@nowhere", createNew = true)
+    Thread.sleep(500)
+    // TTL shorter than the file's age: acquisition must break it and win
+    val release = VersionedStore.acquireLease(lease, ttlMs = 200, pollMs = 20)
+    release()
+    assert(!StoreFs.exists(lease), "lease not cleaned up on release")
+  }
+
+  test("lease lock: heartbeat keeps a long-held lease from expiring") {
+    val dir = Files.createTempDirectory("graft-lease-hb").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    // TTL 300ms, heartbeat every 100ms: hold for 3+ TTLs while a
+    // contender with the same TTL polls — it must NOT break the live lease
+    val release = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      val r2 = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
+      stolen.set(true)
+      r2()
+    })
+    t.start()
+    Thread.sleep(1000)
+    val stoleWhileHeld = stolen.get()
+    release()
+    t.join(10000)
+    assert(!stoleWhileHeld, "contender broke a heartbeating lease")
+    assert(stolen.get(), "contender never acquired after release")
+  }
+
   test("concurrent appends, deletes and compactions lose no unrelated rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stress").resolve("store").toString
