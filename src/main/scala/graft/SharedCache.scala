@@ -30,7 +30,13 @@ object SharedCache {
 
   /** Memoized compute: `key` must identify the result uniquely (include the
     * data dir and any parameters). The builder may create its own scratch
-    * checkpoints; they are released once the final frame is pinned. */
+    * checkpoints; they are released once the final frame is pinned. The
+    * builder may also NEST getOrCompute calls (a cached result built from
+    * a cached sub-artifact — the components-over-band-frame shape): the
+    * inner pin's RDDs land inside the outer call's "new since `before`"
+    * set, so the scratch release must SKIP already-protected ids — it
+    * unpersisted a live nested pin once, and every later reader of that
+    * entry died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. */
   def getOrCompute(key: String, spark: SparkSession)(build: => DataFrame): DataFrame =
     synchronized {
       entries.getOrElseUpdate(key, {
@@ -41,7 +47,8 @@ object SharedCache {
         val pinned = computed.localCheckpoint() // eager: materializes now
         val pinnedIds = sc.getPersistentRDDs.keySet -- before -- scratchIds
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (scratchIds.contains(id)) rdd.unpersist(blocking = false)
+          if (scratchIds.contains(id) && !protectedRddIds.contains(id))
+            rdd.unpersist(blocking = false)
         }
         protectedRddIds ++= pinnedIds
         pinned

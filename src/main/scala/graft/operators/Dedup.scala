@@ -80,17 +80,31 @@ object Dedup {
     * shuffled anyway. Distinct md5s colliding in xxhash64 within one band
     * column is ~n²/2⁶⁵ (≈1e-11 at 20k band values) — below any practical
     * concern and verified against the exact-md5 DuckDB oracle by the gate. */
-  private def bandHashCols(df: DataFrame, idCol: String, textCol: String,
+  private def bandHashColsRaw(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     df.select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
       .select(col(idCol) +: (0 until bands).map(j =>
         xxhash64(md5(concat_ws("|", slice(col("__sig"), j * rows + 1, rows)))).as(s"__h$j")): _*)
-      // lazy: the first consumer's job materializes the blocks (in
-      // minhashLshPairs that is the broadcast-gate count, which would
-      // otherwise be a second pass right after an eager-checkpoint job)
-      .localCheckpoint(false)
   }
+
+  /** The (id, band-hash…) signature frame every LSH consumer starts from.
+    * With `cacheKey` it is pinned through [[graft.SharedCache]] — the
+    * session analog of materializing the signature table once per corpus
+    * and letting the pair route ([[minhashLshPairs]]) and the bucket
+    * route ([[minhashLshComponents]]) both read it; the key must pin
+    * (corpus, numHashes, bands). Without a key it is a LAZY per-call
+    * checkpoint: the first consumer's job materializes the blocks (in
+    * minhashLshPairs that is the broadcast-gate count, which would
+    * otherwise be a second pass right after an eager-checkpoint job). */
+  private def bandHashCols(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(k) => graft.SharedCache.getOrCompute(k, df.sparkSession)(
+        bandHashColsRaw(df, idCol, textCol, numHashes, bands))
+      case None =>
+        bandHashColsRaw(df, idCol, textCol, numHashes, bands).localCheckpoint(false)
+    }
 
   /** Candidate near-dup pairs: documents sharing ≥1 LSH band. The self-join
     * shuffles on (band, bandHash) — bucket-local, never all-pairs. Each
@@ -108,8 +122,9 @@ object Dedup {
     * [[Skew.saltedJoin]] is the explicit fallback for AQE-off builds. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4,
-      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
-    val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)
+      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit,
+      cacheKey: Option[String] = None): DataFrame = {
+    val withBands = bandHashCols(df, idCol, textCol, numHashes, bands, cacheKey)
     val banded = withBands.select(
       (col(idCol) +: (0 until bands).map(j => col(s"__h$j"))) :+
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")): _*)
@@ -362,10 +377,16 @@ object Dedup {
     // The check is a LIMIT-bounded peek, not a full count: only "more
     // than the gate?" matters, and a full count() of the nodes frame is
     // a whole corpus scan when the input is row-cached or a wide table
-    // (measured ~2 min of pure gate overhead in the 20 M smoke).
+    // (measured ~2 min of pure gate overhead in the 20 M smoke). ONE
+    // peek (capped past the larger threshold) answers both this gate and
+    // the driver-finish gate below — two separate limit jobs were pure
+    // scheduling floor on the small-graph path.
     val gateRows = JoinHints.DefaultBroadcastRowLimit
-    val big = nodes.select(col(idCol))
-      .limit((gateRows + 1).toInt).count() > gateRows
+    val localThreshold = nodes.sparkSession.conf
+      .get("spark.graft.components.localThreshold", "100000").toLong
+    val peekCap = math.max(gateRows, localThreshold) + 1
+    val nPeek = nodes.select(col(idCol)).limit(peekCap.toInt).count()
+    val big = nPeek > gateRows
     def gate(m: DataFrame): DataFrame = if (big) m.hint("merge") else broadcast(m)
 
     // large-star: for every center u, link each LARGER neighbor v to
@@ -433,6 +454,13 @@ object Dedup {
     // a signature job (lineage truncation is identical:
     // localCheckpoint(false) wraps the same ExistingRDD, it just persists
     // on first use — the blocks land during the signature job).
+    // (The agg+join smallStar evaluates the pair plan twice — min
+    // aggregate + join probe. Both one-evaluation alternatives were
+    // A/B-raced and LOST at sf0.1: a window-min init sorts the whole
+    // multiset inside WindowExec, 3.4 s vs 1.8 s end-to-end, and an eager
+    // checkpoint of the multiset measured 4.7 s vs 2.7 s — two streaming
+    // hash passes over the fused pair plan beat one pass plus a sort or a
+    // materialization.)
     var edges = smallStar(
       if (big) orientedRaw.localCheckpoint() else orientedRaw).localCheckpoint(false)
     // Gated driver finish — the adaptive design connectedComponents and
@@ -445,15 +473,14 @@ object Dedup {
     // floor (~4 rounds × 2 broadcast builds + 3 exchanges each). Above
     // the gate the alternating loop below is the only option, same
     // integral-id restriction as the other driver paths.
-    val localThreshold = nodes.sparkSession.conf
-      .get("spark.graft.components.localThreshold", "100000").toLong
     val integralId = nodes.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (integralId && localThreshold > 0 && !big &&
-        nodes.select(col(idCol)).limit((localThreshold + 1).toInt).count() <= localThreshold) {
+    // nPeek was capped past max(gate, localThreshold), so the comparison
+    // is exact here — no second node peek job
+    if (integralId && localThreshold > 0 && !big && nPeek <= localThreshold) {
       val pairCap = nodes.sparkSession.conf
         .get("spark.graft.components.localPairLimit", "4000000").toLong
       // the collect doubles as the init checkpoint's materializing job; an
@@ -534,7 +561,8 @@ object Dedup {
     */
   def minhashLshComponents(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 2, maxIters: Int = 25,
-      collapseExact: Boolean = false): DataFrame = {
+      collapseExact: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"minhashLshComponents needs a numeric id column (got ${df.schema(idCol).dataType}); " +
         "hash string ids to longs (xxhash64) before clustering")
@@ -544,6 +572,8 @@ object Dedup {
       val repDocs = df.join(reps, md5(col(textCol)) === col("__h"))
         .filter(col(idCol) === col("__rep"))
         .select(col(idCol), col(textCol))
+      // NO cacheKey for the recursive call: repDocs is a DIFFERENT corpus
+      // (representatives only) than the key the caller pinned
       val repComponents = minhashLshComponents(
         repDocs, idCol, textCol, numHashes, bands, maxIters)
       return df.select(col(idCol), md5(col(textCol)).as("__h"))
@@ -551,7 +581,7 @@ object Dedup {
         .join(repComponents.withColumnRenamed(idCol, "__rep"), "__rep")
         .select(col(idCol), col("component"))
     }
-    val withBands = bandHashCols(df, idCol, textCol, numHashes, bands)
+    val withBands = bandHashCols(df, idCol, textCol, numHashes, bands, cacheKey)
     val memberRows = withBands.select(col(idCol).as("id"),
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))
     val nNodes = df.count()
@@ -803,8 +833,18 @@ object Dedup {
       .localCheckpoint() // shingle sets computed once, not per join side
     val a = sets.as("a")
     val b = JoinHints.maybeBroadcast(sets, broadcastRowLimit).as("b")
+    val sa = size(col("a.__ws")).cast("double")
+    val sb = size(col("b.__ws")).cast("double")
+    // Length filter (PPJoin's size bound): jac = i/(|A|+|B|−i) with
+    // i ≤ min(|A|,|B|) caps at min/max, so min/max < t can never pass —
+    // pruned INSIDE the join condition, before the per-pair merge walk
+    // (the expensive part: O(|A|+|B|) per candidate). The bound uses the
+    // SAME correctly-rounded double division as `jac` below, and division
+    // is monotone in (numerator ↓, denominator ↑), so a pair the exact
+    // predicate keeps is never dropped by the rounded bound.
     val joinCond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol") &&
+      least(sa, sb) / greatest(sa, sb) >= lit(threshold)
     val inter = org.apache.spark.sql.graft.IntersectSizeSorted(col("a.__ws"), col("b.__ws"))
     val union = size(col("a.__ws")).cast("long") + size(col("b.__ws")).cast("long") - inter
     a.join(b, joinCond)

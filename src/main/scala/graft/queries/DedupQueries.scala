@@ -233,10 +233,15 @@ object DedupQueries extends QueryModule {
     * run through [[graft.SharedCache]] — the session analog of persisting
     * the component table once and deriving every downstream verdict from
     * it, instead of re-running the propagation loop per consumer. */
+  /** The bands=2 signature frame ns26's bucket route and ns64's pair
+    * route both start from — one SharedCache pin per (corpus, hashes,
+    * bands), like every other fitted artifact. */
+  private def bandKey(dir: String) = s"bandhash:$dir:$NumHashes:2"
+
   private def componentsFor(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.SharedCache.getOrCompute(s"lsh_components:$NumHashes:2:$dir", spark) {
       Dedup.minhashLshComponents(Tables(spark, dir).documents, "doc_id", "text",
-        NumHashes, bands = 2)
+        NumHashes, bands = 2, cacheKey = Some(bandKey(dir)))
     }
 
   private val ns26 = QueryEntry(
@@ -262,7 +267,8 @@ object DedupQueries extends QueryModule {
     "ns64_components_twophase",
     (spark, dir) => {
       val docs = Tables(spark, dir).documents
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", NumHashes, bands = 2)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", NumHashes,
+        bands = 2, cacheKey = Some(bandKey(dir)))
       Dedup.twoPhaseComponents(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
     },

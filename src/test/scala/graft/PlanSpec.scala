@@ -38,7 +38,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ns69: kNN graph is a blocked equi-join + TopKPerKey — no window, no cartesian") {
-    val p = planOf("ns69_knn_graph")
+    // the catalog entry reads the SharedCache-pinned graph (ns70 shares
+    // it), which hides the dataflow behind a checkpoint scan — inspect
+    // the underlying operator plan, like PlanShapeSpec does
+    spark.catalog.clearCache()
+    val df = graft.operators.Similarity.knnGraph(Tables(spark, sf0001).embeddings,
+      "vec_id", "embedding", blockCols = Seq("label"), k = 3, dim = Some(64))
+    val qe = df.queryExecution
+    val p = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
     // every node is a query, so there is no small side to broadcast as a
     // nested loop: the pair generator must be an EQUI-join on the block
     // key, and the per-node top-k must be the heap pair (a row_number
