@@ -23,14 +23,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // dev knobs for floor experiments (task-count overhead vs parallelism,
+    // AQE's per-stage re-optimization cost at the bench scale); the driver
+    // contract defaults stay `cpus` / AQE on
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -125,13 +130,18 @@ object Bench {
       case p if p.getFileName != null => p.getFileName.toString
       case _ => sfDir
     }
-    if (only.isEmpty && benchScale == "sf0.1")
+    // ...and only under the CONTRACT config: a dev-knob run (SHUFFLE/AQE
+    // overrides) must never clobber the archive with wrong-config numbers
+    // (an AQE-off experiment did exactly that once)
+    val contractConfig = shufflePartitions == cpus && aqe == "true"
+    if (only.isEmpty && benchScale == "sf0.1" && contractConfig)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_perquery.json"), bigLine + "\n")
       catch { case e: java.io.IOException =>
         System.err.println(s"bench_perquery.json not written: $e") }
     else System.err.println(
-      s"bench_perquery.json not updated: only=${only.mkString(",")} scale=$benchScale (full sf0.1 runs only)")
+      s"bench_perquery.json not updated: only=${only.mkString(",")} scale=$benchScale " +
+        s"contractConfig=$contractConfig (full sf0.1 contract-config runs only)")
     // compact summary AFTER the big line: the driver archives only the
     // tail of the output, and a truncated big line loses the headline
     // totals at its head — this line always survives whole. It carries
