@@ -86,6 +86,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("dot_codes", cs, 2, "packed_a, packed_b")
       DotCodes(cs(0), cs(1))
     }, classOf[DotCodes])
+    // bucket_counts(words_array, buckets) -> array<long> hashed token mass
+    register("bucket_counts", cs => {
+      arity("bucket_counts", cs, 2, "words_array, buckets")
+      BucketCounts(cs(0), litInt("bucket_counts", cs(1)))
+    }, classOf[BucketCounts])
+    // dot_longs(a, b) -> long (exact integer array dot)
+    register("dot_longs", cs => {
+      arity("dot_longs", cs, 2, "array_a, array_b")
+      DotLongs(cs(0), cs(1))
+    }, classOf[DotLongs])
 
     ext.injectOptimizerRule(_ => RegexCountToRLike)
     ext.injectOptimizerRule(_ => graft.plans.CheapPredicateFirst)

@@ -114,6 +114,20 @@ object Similarity {
     * their window: five queries' rank is noise there. */
   def bruteKnnGraph(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Option[Int] = None): DataFrame = {
+    // enforce the harness-only contract IN CODE, not just in this doc:
+    // the corpus broadcast below dies slowly and opaquely on a real
+    // corpus — fail fast with the pointed alternative instead. The gate
+    // is a limit-bounded peek (never a full count), overridable for a
+    // deliberate big-harness run.
+    val cap = df.sparkSession.conf
+      .get("spark.graft.bruteKnn.maxRows", "200000").toLong
+    if (cap > 0) {
+      val n = df.limit((cap + 1).toInt).count()
+      require(n <= cap,
+        s"bruteKnnGraph is the quadratic recall-harness truth side (corpus broadcast, " +
+          s"n·(n−1) pairs) and the input exceeds $cap rows — use knnGraph with blocking " +
+          "for a scale path, or raise spark.graft.bruteKnn.maxRows for a deliberate run")
+    }
     val q = broadcast(prep(df, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id")).as("q")
     val c = prep(df, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id").as("c")
     val scored = q.join(c, col("q.__id") =!= col("c.__id"))

@@ -85,6 +85,11 @@ class FirehoseSpec extends SparkSpec {
     val dc = spark.sql(
       "SELECT dot_codes(X'0102', X'0304') AS d").head()
     assert(dc.getLong(0) == 1 * 3 + 2 * 4)
+    // the DSIR primitives: per-token bucket mass and exact integer dot
+    val bc = spark.sql(
+      "SELECT dot_longs(bucket_counts(array('a','b','a',''), 4), array(1L,1L,1L,1L)) AS m")
+      .head().getLong(0)
+    assert(bc == 3L) // '' contributes nothing; three real tokens
     // a non-foldable parameter fails with the USAGE, not a ClassCastException
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), CAST(rand()*4 AS INT))").head())

@@ -62,6 +62,27 @@ class StoreLockSpec extends SparkSpec {
     } finally ch2.close()
   }
 
+  test("store protocols run through an explicit file: scheme URI (the Hadoop FS branch)") {
+    import spark.implicits._
+    // a scheme'd store dir exercises FileContext.getFileContext(uri) —
+    // the exact resolution path an hdfs:// store takes — instead of the
+    // default-FS fallback the schemeless specs use
+    val local = Files.createTempDirectory("graft-scheme-uri").resolve("store")
+    val dir = "file:" + local.toString
+    val conditions = Seq(Fixtures.cond(key = "keep", limitCount = 2000))
+    rows("keep", 0, 10).toDF().write.partitionBy("key").parquet(dir)
+    assert(Ingest.readStore(spark, dir).count() == 10)
+    // one lock object regardless of spelling: scheme'd and schemeless
+    // paths of the same directory are ONE store
+    assert(Ingest.lockFor(dir) eq Ingest.lockFor(local.toString))
+    // full rewrite-and-swap (version dir + pointer flip + GC) via the URI
+    Ingest.deleteKey(spark, dir, "absent")
+    assert(Files.exists(local.resolve("_current")), "pointer not written via file: URI")
+    assert(Ingest.readStore(spark, dir).count() == 10)
+    Ingest.retentionCompact(spark, dir, conditions)
+    assert(Ingest.readStore(spark, dir).count() == 10)
+  }
+
   test("lease lock (remote-FS form): exclusive while held, acquired on release") {
     // the HDFS branch of the process lock — no advisory locks there, so
     // withStoreLock falls back to a create-exclusive lease file. Driven
