@@ -385,7 +385,12 @@ object Dedup {
     val localThreshold = nodes.sparkSession.conf
       .get("spark.graft.components.localThreshold", "100000").toLong
     val peekCap = math.max(gateRows, localThreshold) + 1
-    val nPeek = nodes.select(col(idCol)).limit(peekCap.toInt).count()
+    // the peek is a capped COLLECT (≤ peekCap ids, ~1.6 MB at the default
+    // gates — bounded regardless of corpus size): its length answers both
+    // gates, and on the driver-finish path the ids themselves feed the
+    // union-find, so the finish pays no second nodes job
+    val peeked = nodes.select(col(idCol)).limit(peekCap.toInt).collect()
+    val nPeek = peeked.length.toLong
     val big = nPeek > gateRows
     def gate(m: DataFrame): DataFrame = if (big) m.hint("merge") else broadcast(m)
 
@@ -493,7 +498,8 @@ object Dedup {
         // full vertex (it can bridge two nodes and carry the component
         // min) — the finish must honor that, unlike hash-to-min's
         // label-less-foreigner rule
-        return localPairComponents(nodes, idCol, capped, registerForeign = true)
+        return localPairComponents(nodes, idCol, capped, registerForeign = true,
+          collectedIds = Some(peeked.map(_.getAs[Number](0).longValue)))
     }
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under
@@ -746,14 +752,19 @@ object Dedup {
     *     loop's final nodes join. */
   private def localPairComponents(nodes: DataFrame, idCol: String,
       edges: Array[org.apache.spark.sql.Row],
-      registerForeign: Boolean = false): DataFrame = {
+      registerForeign: Boolean = false,
+      // caller already collected the node ids (twoPhaseComponents' gate
+      // peek IS a capped collect, so the ids are on the driver anyway) —
+      // skip this path's second nodes job
+      collectedIds: Option[Array[Long]] = None): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    val nodeIds = nodes.select(col(idCol).cast("long")).collect().map(_.getLong(0))
+    val nodeIds = collectedIds.getOrElse(
+      nodes.select(col(idCol).cast("long")).collect().map(_.getLong(0)))
     nodeIds.foreach(id => parent.getOrElseUpdate(id, id))
     edges.foreach { e =>
       val (a, b) = (e.getLong(0), e.getLong(1))

@@ -130,6 +130,51 @@ class IvfLifecycleSpec extends SparkSpec {
     VersionedStore.deleteRecursively(dir)
   }
 
+  test("publish → ingest → refit → search through an explicit file: scheme URI") {
+    // the index store's per-epoch tmp-partition commit (list + rename per
+    // cell) through FileContext.getFileContext(uri) — the resolution an
+    // hdfs:// store takes; the schemeless test above rides the default FS
+    val s = spark
+    import s.implicits._
+    val dir = "file:" + Files.createTempDirectory("ivf_uri").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val m = IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", nCells = 4, iters = 2)
+    val probe = emb.filter(col("vec_id") === 42)
+      .select("embedding").as[Seq[Float]].head()
+    IvfStore.ingest(dir,
+      AnnIngest.assignCells(
+        spark.createDataset(Seq(Vec(9999L, probe)).toIndexedSeq).toDF(),
+        "embedding", m.mn, m.mx, m.centroids),
+      "vec_id", batchId = 0L, writerId = "uri-writer")
+    assert(IvfStore.codes(spark, dir).count() == 301)
+    // replay of the same epoch replaces, never duplicates — the rename
+    // protocol end-to-end over the URI
+    IvfStore.ingest(dir,
+      AnnIngest.assignCells(
+        spark.createDataset(Seq(Vec(9999L, probe)).toIndexedSeq).toDF(),
+        "embedding", m.mn, m.mx, m.centroids),
+      "vec_id", batchId = 0L, writerId = "uri-writer")
+    assert(IvfStore.codes(spark, dir).count() == 301)
+    IvfStore.refit(spark, dir, nCells = 4, iters = 2)
+    assert(IvfStore.codes(spark, dir).count() == 301,
+      "refit over the URI lost or duplicated rows")
+    // search end-to-end over the URI: the stored original and its
+    // ingested twin surface with IDENTICAL integer dots (same code ⇒
+    // same qsim — the property the store must preserve through
+    // ingest-commit + refit-consolidation; rank ORDER among different
+    // vectors is raw-dot, deliberately not asserted — the all-positive
+    // code space lets a larger-norm candidate outrank an exact copy,
+    // which is why the near-dup screen is nearDupIds, not top-k)
+    val hits = IvfStore.search(spark, dir,
+        emb.filter(col("vec_id") === 42), "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getAs[Long]("cand_id") -> r.getAs[Long]("qsim")).toMap
+    assert(hits.contains(42L) && hits.contains(9999L),
+      s"twin pair missing from top-5 over the URI store: ${hits.keySet}")
+    assert(hits(42L) == hits(9999L), "identical codes must dot identically")
+    VersionedStore.deleteRecursively(dir)
+  }
+
   test("search prunes the code scan to the probed cells — literal partition filter") {
     val s = spark
     import s.implicits._
