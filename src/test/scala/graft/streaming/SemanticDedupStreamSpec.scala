@@ -144,4 +144,64 @@ class SemanticDedupStreamSpec extends SparkSpec {
 
     VersionedStore.deleteRecursively(dir)
   }
+
+  test("partial-commit crash: at-least-once-with-dedup — never duplicates, may under-ingest") {
+    // the documented residual (ingestDeduped's scaladoc): a crash
+    // MID-commit leaves some of the epoch's cell partitions renamed and
+    // some still `.tmp`; on redelivery a tmp-cell survivor that is a
+    // near-dup of a committed-cell survivor self-screens out while its
+    // own tmp copy stays reader-invisible — the row is dropped, not
+    // duplicated. This spec constructs that exact on-disk state and pins
+    // the contract both ways: no duplicate ever, and the under-ingest is
+    // real (not silently papered over).
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("semdedup_crash").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val m = IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", nCells = 4, iters = 2)
+    val novel = emb.filter(col("vec_id") === 310)
+      .select("embedding").as[Seq[Float]].head()
+
+    // epoch 0 attempt: V1 (id 5000) committed; V2 (id 5001, an exact copy
+    // of V1 under another id) crashed mid-commit — its partition is still
+    // `.tmp`, hand-planted in a DIFFERENT cell (the boundary/stale-model
+    // shape that puts near-dups in different cells)
+    SemanticDedupStream.ingestDeduped(spark, dir, Seq(Vec(5000L, novel)).toDF(),
+      "vec_id", "embedding", threshold = 0.9999, batchId = 0L, writerId = "w")
+    val v = VersionedStore.versionDir(dir)
+    val committedCell = IvfStore.codes(spark, dir)
+      .filter(col("vec_id") === 5000L).select("cell").head().getInt(0)
+    val otherCell = (0 until 4).find(_ != committedCell).get
+    AnnIngest.assignCells(Seq(Vec(5001L, novel)).toDF(),
+        "embedding", m.mn, m.mx, m.centroids)
+      .select(col("vec_id").cast("long").as("vec_id"), col("__q"))
+      .write.parquet(s"$v/codes/cell=$otherCell/__b=w-0.tmp")
+
+    // readers never see the torn half
+    val visible = IvfStore.codes(spark, dir).filter(col("vec_id") >= 5000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(visible == Set(5000L), s"tmp partition leaked to readers: $visible")
+
+    // redelivery of the full epoch: V1 self-screens against its committed
+    // copy; V2 screens out as a near-dup of committed V1 (nProbe wide
+    // enough to reach the committed cell) — n == 0, ingest skipped, so V2
+    // is DROPPED (the under-ingest) and nothing duplicates
+    SemanticDedupStream.ingestDeduped(spark, dir,
+      Seq(Vec(5000L, novel), Vec(5001L, novel)).toDF(),
+      "vec_id", "embedding", threshold = 0.9999, batchId = 0L, writerId = "w",
+      nProbe = 4)
+    val after = IvfStore.codes(spark, dir).filter(col("vec_id") >= 5000L)
+      .groupBy("vec_id").count().collect()
+    assert(after.map(_.getLong(0)).toSet == Set(5000L),
+      "redelivery either duplicated V1 or resurrected the torn V2")
+    assert(after.forall(_.getLong(1) == 1L), "duplicate rows after redelivery")
+
+    // the next refit consolidates and clears the crash leftover for good
+    IvfStore.refit(spark, dir, nCells = 4, iters = 2)
+    val consolidated = IvfStore.codes(spark, dir).filter(col("vec_id") >= 5000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(consolidated == Set(5000L))
+    VersionedStore.deleteRecursively(dir)
+  }
 }
