@@ -58,7 +58,14 @@ object Bench {
     // A failed query returns a NEGATIVE sentinel (and records its message)
     // so time-to-exception can never masquerade as a valid fast timing.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev knob: SPARK_GRAFT_BENCH_JOBS=true prints each query's Spark
+    // job/stage/task inventory to stderr — the scheduling-floor audit
+    // (how many of a 0.5 s entry's milliseconds are distinct job
+    // round-trips vs work). Never affects the JSON contract or archive.
+    val profileJobs = sys.env.get("SPARK_GRAFT_BENCH_JOBS").contains("true")
+    val tracker = spark.sparkContext.statusTracker
     def timeOnce(e: QueryEntry): Double = {
+      val jobsBefore = if (profileJobs) tracker.getJobIdsForGroup(null).length else 0
       val t0 = System.nanoTime()
       val ok =
         try { e.run(spark, sfDir).count(); true }
@@ -67,6 +74,14 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (profileJobs) {
+        val ids = tracker.getJobIdsForGroup(null).sorted.drop(jobsBefore)
+        val infos = ids.flatMap(id => tracker.getJobInfo(id))
+        val stages = infos.map(_.stageIds.length).sum
+        val tasks = infos.flatMap(_.stageIds).flatMap(sid =>
+          tracker.getStageInfo(sid)).map(_.numTasks).sum
+        System.err.println(f"[bench-jobs] ${e.name}%-28s ${dt}%8.3f s  jobs=${ids.length}%-3d stages=$stages%-3d tasks=$tasks")
+      }
       // release intermediate materializations (localCheckpoint RDDs) so one
       // query's scratch state doesn't GC-pressure the next; SharedCache
       // pins survive until the pass ends

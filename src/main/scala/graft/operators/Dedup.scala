@@ -83,7 +83,10 @@ object Dedup {
   private def bandHashColsRaw(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    df.select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
+    // signature computation is compute-dense (tokenize + numHashes×md5
+    // per doc) — widen a narrow input so it parallelizes (no-op at scale)
+    Parallelism.widen(df)
+      .select(col(idCol), minhashSig(tokenSet(col(textCol)), numHashes).as("__sig"))
       .select(col(idCol) +: (0 until bands).map(j =>
         xxhash64(md5(concat_ws("|", slice(col("__sig"), j * rows + 1, rows)))).as(s"__h$j")): _*)
   }
@@ -145,6 +148,43 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(firstMatch)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Connectivity-preserving CONTRACTION of [[minhashLshPairs]]'s pair
+    * graph: per (band, bucket) emit one star — every member linked to the
+    * bucket-min id — instead of the bucket's full clique. A bucket of
+    * size s yields s−1 edges here vs s·(s−1)/2 pairs there, and every
+    * clique edge is reachable through the bucket's hub, so connected
+    * components over these stars equal components over the full pair set
+    * EXACTLY (star ⊆ clique keeps it sound; hub-links keep each bucket
+    * connected, so it is complete). This is the right pair feed for
+    * component clustering ([[twoPhaseComponents]]): the edge count is
+    * bounded by MEMBERSHIP rows (|docs| × bands) no matter how
+    * near-dup-heavy the corpus — the 4.8 M-pair clique multiset at sf0.1
+    * contracts to ~10 k star rows before the contraction loop ever runs,
+    * and at crawl scale a viral near-duplicate's quadratic bucket never
+    * materializes at all. (Pair-level consumers that need every candidate
+    * pair — verification joins, similarity scoring — still use
+    * minhashLshPairs; this feed only preserves connectivity.)
+    *
+    * Shape: one (band, bh) partial-aggregated group-min (bucket count ≤
+    * membership rows) joined back onto the membership — below the row
+    * gate the hub frame broadcasts, above it the join shuffles on the
+    * bucket key where a hot bucket is AQE skew-split like every other
+    * bucket join here. */
+  def minhashLshBandStars(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4,
+      broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit,
+      cacheKey: Option[String] = None): DataFrame = {
+    val withBands = bandHashCols(df, idCol, textCol, numHashes, bands, cacheKey)
+    val banded = withBands.select(col(idCol),
+      posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))
+    val bandedRows = withBands.count() * bands
+    val hubs = banded.groupBy(col("band"), col("bh")).agg(min(col(idCol)).as("id_a"))
+    val h = if (bandedRows <= broadcastRowLimit) broadcast(hubs) else hubs
+    banded.join(h, Seq("band", "bh"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
   }
 
   /** 16-bit SimHash over the word set: bit j is set iff the majority of
@@ -359,7 +399,8 @@ object Dedup {
     * graph.
     */
   def twoPhaseComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b", maxIters: Int = 25,
+      contractedPairs: Boolean = false): DataFrame = {
     require(nodes.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"twoPhaseComponents needs a numeric id column (got ${nodes.schema(idCol).dataType}); " +
         "hash string ids to longs (xxhash64) before clustering")
@@ -385,14 +426,56 @@ object Dedup {
     val localThreshold = nodes.sparkSession.conf
       .get("spark.graft.components.localThreshold", "100000").toLong
     val peekCap = math.max(gateRows, localThreshold) + 1
-    // the peek is a capped COLLECT (≤ peekCap ids, ~1.6 MB at the default
-    // gates — bounded regardless of corpus size): its length answers both
-    // gates, and on the driver-finish path the ids themselves feed the
-    // union-find, so the finish pays no second nodes job
-    val peeked = nodes.select(col(idCol)).limit(peekCap.toInt).collect()
-    val nPeek = peeked.length.toLong
+    val integralId = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // ONE capped peek answers both the join-strategy gate and the
+    // driver-finish gate. Its FORM depends on whether the finish is even
+    // reachable: with an integral id and a live local threshold the peek
+    // is a capped COLLECT of primitive longs (≤ peekCap × 8 B ≈ 1.6 MB at
+    // the default gates — bounded regardless of corpus size) whose ids
+    // feed the driver union-find directly; otherwise (non-integral ids,
+    // or the finish disabled) only the boolean "over the gate?" matters
+    // and a limit+count peek keeps the driver allocation at one Long —
+    // collecting ~200k Rows just to measure their count was tens of MB of
+    // driver garbage on the big path.
+    val finishReachable = integralId && localThreshold > 0
+    val peekedIds: Array[Long] =
+      if (finishReachable)
+        nodes.select(col(idCol).cast("long")).limit(peekCap.toInt)
+          .as(org.apache.spark.sql.Encoders.scalaLong).collect()
+      else Array.emptyLongArray
+    val nPeek =
+      if (finishReachable) peekedIds.length.toLong
+      else nodes.select(col(idCol)).limit(peekCap.toInt).count()
     val big = nPeek > gateRows
     def gate(m: DataFrame): DataFrame = if (big) m.hint("merge") else broadcast(m)
+
+    // `contractedPairs` = the caller declares the feed ~node-bounded (a
+    // per-bucket star contraction like [[minhashLshBandStars]], never a
+    // clique pair stream). Below the node threshold that makes the
+    // distributed contraction init pure overhead: the feed itself is
+    // collectable, so go straight to the capped collect + driver
+    // union-find — the same finish the post-init gate below takes, minus
+    // the init's aggregate/join/distinct stage train (measured ~0.6 s of
+    // AQE micro-jobs on a ~10 k-star sf0.1 graph). An over-cap feed falls
+    // through to the full path having paid one bounded collect attempt;
+    // callers with clique feeds must leave this false — there the init is
+    // what SHRINKS an uncollectable multiset to collectable size, and a
+    // pre-init collect attempt would ship pairCap clique rows to the
+    // driver for nothing.
+    if (contractedPairs && finishReachable && !big && nPeek <= localThreshold) {
+      val pairCap = nodes.sparkSession.conf
+        .get("spark.graft.components.localPairLimit", "4000000").toLong
+      val capped = rawPairs
+        .select(col("u").cast("long"), col("v").cast("long"))
+        .limit((pairCap + 1).toInt).collect()
+      if (capped.length <= pairCap)
+        return localPairComponents(nodes, idCol, capped, registerForeign = true,
+          collectedIds = Some(peekedIds))
+    }
 
     // large-star: for every center u, link each LARGER neighbor v to
     // m = min(Γ(u) ∪ {u}) — centers are every node (bidirectional view).
@@ -478,14 +561,9 @@ object Dedup {
     // floor (~4 rounds × 2 broadcast builds + 3 exchanges each). Above
     // the gate the alternating loop below is the only option, same
     // integral-id restriction as the other driver paths.
-    val integralId = nodes.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
     // nPeek was capped past max(gate, localThreshold), so the comparison
     // is exact here — no second node peek job
-    if (integralId && localThreshold > 0 && !big && nPeek <= localThreshold) {
+    if (finishReachable && !big && nPeek <= localThreshold) {
       val pairCap = nodes.sparkSession.conf
         .get("spark.graft.components.localPairLimit", "4000000").toLong
       // the collect doubles as the init checkpoint's materializing job; an
@@ -499,7 +577,7 @@ object Dedup {
         // min) — the finish must honor that, unlike hash-to-min's
         // label-less-foreigner rule
         return localPairComponents(nodes, idCol, capped, registerForeign = true,
-          collectedIds = Some(peeked.map(_.getAs[Number](0).longValue)))
+          collectedIds = Some(peekedIds))
     }
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under

@@ -92,7 +92,10 @@ object Similarity {
     require(blockCols.nonEmpty,
       "knnGraph is blocked by contract; the exact graph is bruteKnnGraph")
     val q = prep(df, idCol, vecCol, blockCols, dim).withColumnRenamed(idCol, "__id").as("q")
-    val c = prep(df, idCol, vecCol, blockCols, dim).withColumnRenamed(idCol, "__id").as("c")
+    // same widening as [[bruteKnnGraph]]: the stream side of the block
+    // join carries the per-block quadratic scoring
+    val c = prep(Parallelism.widen(df), idCol, vecCol, blockCols, dim)
+      .withColumnRenamed(idCol, "__id").as("c")
     val cond = blockCols.map(b => col(s"q.$b") === col(s"c.$b"))
       .reduce(_ && _) && col("q.__id") =!= col("c.__id")
     val scored = q.join(c, cond)
@@ -129,7 +132,11 @@ object Similarity {
           "for a scale path, or raise spark.graft.bruteKnn.maxRows for a deliberate run")
     }
     val q = broadcast(prep(df, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id")).as("q")
-    val c = prep(df, idCol, vecCol, Nil, dim).withColumnRenamed(idCol, "__id").as("c")
+    // the stream side carries the n·(n−1) scoring work — widen a narrow
+    // input so the nested-loop scoring parallelizes instead of running
+    // one serial task (the harness corpus is one parquet split)
+    val c = prep(Parallelism.widen(df), idCol, vecCol, Nil, dim)
+      .withColumnRenamed(idCol, "__id").as("c")
     val scored = q.join(c, col("q.__id") =!= col("c.__id"))
       .select(col("q.__id").as("q_id"), col("c.__id").as("cand_id"),
         cosineFromFp(dotFp(col("q.__fe"), col("c.__fe"), dim),

@@ -653,22 +653,25 @@ object TextAnalysis {
     * shuffles, pinned by PlanShapeSpec. */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
-      statsKey: String): org.apache.spark.sql.DataFrame = {
+      statsKey: String, pin: Boolean = true): org.apache.spark.sql.DataFrame = {
     // ONE tokenize+hash pass feeds BOTH halves: the per-doc
     // [[org.apache.spark.sql.graft.BucketCounts]] vector (in-row, inside
     // whole-stage codegen — no (doc, term) explode, no shuffle ANYWHERE
     // in this operator) is what the stats aggregate reduces and what the
-    // scoring projection dots against the stats literals. The vector
-    // frame is pinned as an executor-local checkpoint only for the
-    // duration of this call (the SharedCache pin wrapping the catalog
-    // entry / unpersistScratch releases it) so the md5 work isn't paid
-    // twice; at corpus scale this is the "persist the featurized table
-    // once, every consumer reads it" pattern — `buckets`×8 B per doc,
-    // and a deployment that cannot afford the pin simply runs the two
-    // scans.
-    val tb = df.select(col(idCol), isTarget.as("__t"),
+    // scoring projection dots against the stats literals. With `pin` the
+    // vector frame is a LAZY executor-local checkpoint — the stats job is
+    // the action that materializes its blocks, so the tokenize+md5 work
+    // is paid exactly once and never as a separate checkpoint job — held
+    // only for the duration of this call (the SharedCache pin wrapping
+    // the catalog entry / unpersistScratch releases it); at corpus scale
+    // this is the "persist the featurized table once, every consumer
+    // reads it" pattern, `buckets`×8 B per doc. A deployment that cannot
+    // manage the pin's release (a long-lived app calling this library
+    // directly, outside Verify/Bench's scratch sweep) passes pin = false
+    // and simply runs the two scans — nothing is persisted at all.
+    val featurized = df.select(col(idCol), isTarget.as("__t"),
         org.apache.spark.sql.graft.BucketCounts(words(col(textCol)), buckets).as("__bc"))
-      .localCheckpoint()
+    val tb = if (pin) featurized.localCheckpoint(false) else featurized
     val (raw, tgt) = graft.SharedCache.getOrComputeValue(statsKey) {
       statsOf(tb, buckets)
     }

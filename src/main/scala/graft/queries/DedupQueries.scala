@@ -256,20 +256,25 @@ object DedupQueries extends QueryModule {
 
   /** The SAME component contract through the OTHER clustering algorithm:
     * [[Dedup.twoPhaseComponents]] (Kiveris large/small-star contraction)
-    * over the materialized LSH pair stream of the identical band graph.
-    * Two docs are LSH-pair-connected iff they share a band bucket, so the
-    * star contraction must reach exactly the min-label fixpoint ns26's
-    * bucket-bipartite loop reaches — one oracle grades both algorithms,
-    * which makes this entry a cross-algorithm equivalence proof as well
-    * as the scale-path alternative's hash gate (SCALE.md measures it
-    * 1.8× faster than hash-to-min at 20 M docs on the pair route). */
+    * over the identical band graph's pair stream — fed through
+    * [[Dedup.minhashLshBandStars]], the per-bucket star contraction whose
+    * components provably equal the full clique pair set's (its scaladoc
+    * carries the proof), so the edge feed is bounded by membership rows
+    * (|docs| × bands) instead of the clique-quadratic pair multiset
+    * (4.8 M pairs → ~10 k stars at sf0.1 — the r13 `weak` grade was the
+    * init chewing that multiset). Two docs are LSH-pair-connected iff
+    * they share a band bucket, so the contraction must reach exactly the
+    * min-label fixpoint ns26's bucket-bipartite loop reaches — one oracle
+    * grades both algorithms, keeping this entry a cross-algorithm
+    * equivalence proof as well as the scale-path alternative's hash gate. */
   private val ns64 = QueryEntry(
     "ns64_components_twophase",
     (spark, dir) => {
       val docs = Tables(spark, dir).documents
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", NumHashes,
+      val pairs = Dedup.minhashLshBandStars(docs, "doc_id", "text", NumHashes,
         bands = 2, cacheKey = Some(bandKey(dir)))
-      Dedup.twoPhaseComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      Dedup.twoPhaseComponents(docs.select(col("doc_id")), "doc_id", pairs,
+          contractedPairs = true)
         .orderBy(col("doc_id"))
     },
     Some(

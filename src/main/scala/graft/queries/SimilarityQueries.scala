@@ -814,12 +814,21 @@ object SimilarityQueries extends QueryModule {
     * corpus broadcast and quadratic pair stream are exactly what
     * knnGraph's contract forbids on the scale path; its TopKPerKey rank
     * is what keeps even the harness from window-buffering 4 M pairs). */
+  /** The exact truth graph, pinned exactly like [[blockedKnnGraph]] — the
+    * same shared-fit convention (one materialization per (corpus, k, dim),
+    * every consumer reads it), so a future recall/diagnostic entry can
+    * never rebuild the quadratic truth side behind ns70's back. */
+  private def exactKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SharedCache.getOrCompute(s"bruteknn:$dir:embeddings:3:64", spark) {
+      Similarity.bruteKnnGraph(Tables(spark, dir).embeddings,
+        "vec_id", "embedding", k = 3, dim = Some(64))
+    }
+
   private val ns70 = QueryEntry(
     "ns70_knn_graph_recall",
     (spark, dir) => {
-      val t = Tables(spark, dir)
-      val exact = Similarity.bruteKnnGraph(t.embeddings,
-          "vec_id", "embedding", k = 3, dim = Some(64))
+      val exact = exactKnnGraph(spark, dir)
         .select(col("q_id"), col("cand_id"))
       val blocked = blockedKnnGraph(spark, dir)
         .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))

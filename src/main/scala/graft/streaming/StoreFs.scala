@@ -111,6 +111,31 @@ private[graft] object StoreFs {
 
   def modificationTime(p: Path): Long = fc(p).getFileStatus(p).getModificationTime
 
+  /** Schemes whose Hadoop `rename` is copy+delete emulation, not an
+    * atomic namespace op — the pointer flip and version/epoch commits are
+    * UNSOUND there (see the atomicity contract in the object scaladoc). */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
+
+  /** Enforce the atomicity contract at store-open time instead of letting
+    * a raw-object-store deployment corrupt itself slowly: refuse any
+    * store rooted on a scheme in [[NonAtomicRenameSchemes]]. A deliberate
+    * run (e.g. S3 with a consistency layer that does provide atomic
+    * rename) overrides with `-Dgraft.store.allowNonAtomicRename=true`;
+    * the supported object-store answer remains a table format whose
+    * commit is a transaction-log entry (Delta/Iceberg). */
+  def requireAtomicRename(dir: String): Unit = {
+    val scheme = Option(new Path(dir).toUri.getScheme).map(_.toLowerCase)
+    if (scheme.exists(NonAtomicRenameSchemes.contains) &&
+        !sys.props.get("graft.store.allowNonAtomicRename").contains("true"))
+      throw new IllegalArgumentException(
+        s"store '$dir' is rooted on ${scheme.get}://, whose rename is non-atomic " +
+          "copy+delete — the versioned-store pointer flip and version commits are " +
+          "unsound there. Use HDFS (or any FS with atomic rename), or a table " +
+          "format (Delta/Iceberg) for object stores; override for a deliberate " +
+          "run with -Dgraft.store.allowNonAtomicRename=true")
+  }
+
   /** Is `p` on the machine-local filesystem (where OS advisory file locks
     * exist)? */
   def isLocal(p: Path): Boolean = {

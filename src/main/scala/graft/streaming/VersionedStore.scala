@@ -64,6 +64,9 @@ private[graft] object VersionedStore {
     override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
   }
   def withStoreLock[T](storeDir: String)(body: => T): T = {
+    // every writer path enters here — the one choke point where the
+    // atomicity contract can be enforced before any protocol state exists
+    StoreFs.requireAtomicRename(storeDir)
     val key = StoreFs.qualifiedKey(storeDir)
     lockFor(storeDir).synchronized {
       val holds = lockHolds.get()
@@ -105,34 +108,56 @@ private[graft] object VersionedStore {
     * mtime is older than `ttlMs`. A daemon heartbeat refreshes the held
     * lease's mtime every `ttlMs/3` so long writer sections never expire
     * mid-write. Residual: between one contender's stale-check and its
-    * delete, a second contender can break the same lease — a known
-    * limitation of lease files on stores without compare-and-swap, and
+    * delete, a second contender can break the same lease (and a holder's
+    * fenced refresh below can read-then-write across a break) — known
+    * limitations of lease files on stores without compare-and-swap, and
     * the reason the 100 TB deployment form is a Delta/Iceberg commit, not
     * this file. */
   private[streaming] def acquireLease(lease: Path,
       ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): () => Unit = {
-    val token = s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+    // unique per ACQUISITION, not per process: the fenced refresh compares
+    // this against the lease's current content to detect a TTL takeover,
+    // and two holds from one process must never alias
+    val token = s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}#${java.util.UUID.randomUUID()}"
     var release: () => Unit = null
     while (release == null) {
       try {
         StoreFs.writeString(lease, token, createNew = true)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
         val hb = new Thread(() => {
-          while (!stop.get()) {
+          while (!stop.get() && !lost.get()) {
             try Thread.sleep(math.max(1L, ttlMs / 3))
             catch { case _: InterruptedException => () }
-            // overwrite-in-place (never delete+create: the file must stay
-            // present so contenders read "held", not "released")
-            if (!stop.get())
-              try StoreFs.writeString(lease, token)
-              catch { case _: java.io.IOException => () }
+            // FENCED overwrite-in-place (never delete+create: the file must
+            // stay present so contenders read "held", not "released"):
+            // re-read before rewriting, and stand down if the lease now
+            // carries someone else's token — after a TTL takeover a blind
+            // rewrite would hijack the NEW holder's live lease, widening
+            // the split-brain the break already opened. An unreadable,
+            // vanished, or half-written lease SKIPS the beat instead of
+            // recreating it: if it really was taken over, the next beat
+            // reads the new holder's token and stands down then.
+            if (!stop.get() && !lost.get())
+              try {
+                val cur = StoreFs.readString(lease)
+                if (cur == token) StoreFs.writeString(lease, token)
+                else if (cur.nonEmpty) lost.set(true)
+              } catch { case _: java.io.IOException => () }
           }
         }, s"graft-lease-heartbeat-$lease")
         hb.setDaemon(true)
         hb.start()
         release = () => {
           stop.set(true); hb.interrupt()
-          StoreFs.deleteRecursively(lease)
+          // join BEFORE deleting: an in-flight heartbeat write already past
+          // its stop-check would otherwise land AFTER the delete and
+          // resurrect an orphan lease that stalls the next writer for a
+          // full TTL
+          try hb.join(ttlMs) catch { case _: InterruptedException => () }
+          // after a detected takeover the file is the NEW holder's lease —
+          // deleting it would release a lock this process no longer owns
+          if (!lost.get()) StoreFs.deleteRecursively(lease)
         }
       } catch {
         case _: java.io.IOException => // held (or just broken by a racer)

@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ns69/ns71 catalog entries read their SharedCache pin: one checkpoint scan + the presentation sort") {
+    // the underlying operator shapes are pinned above (ns69) and in
+    // PlanShapeSpec (ns71's zero-shuffle scoring plane); this pin guards
+    // the CATALOG WIRING — if an entry stopped reading its shared fit
+    // (wrong SharedCache key, parameter drift) its plan would re-grow the
+    // join/aggregate dataflow instead of a bare checkpoint scan
+    for (name <- Seq("ns69_knn_graph", "ns71_dsir_weights")) {
+      val p = planOf(name)
+      assert(p.contains("Scan ExistingRDD"), s"$name: not a checkpoint scan\n$p")
+      assert(p.contains("Sort "), s"$name: missing the presentation sort\n$p")
+      for (bad <- Seq("Join", "HashAggregate", "TopKPerKey", "DotLongs", "BucketCounts"))
+        assert(!p.contains(bad),
+          s"$name: catalog entry recomputes its fit ($bad in plan)\n$p")
+    }
+  }
+
   test("q09: the per-part average is an aggregate joined broadcast onto the fact") {
     val p = planOf("q09_small_qty_revenue")
     // the correlated scalar subquery must decorrelate to ONE per-part

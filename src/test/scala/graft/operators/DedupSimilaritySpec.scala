@@ -474,6 +474,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
   }
 
+  test("band-star contraction: components equal the full LSH pair graph's, at membership-bounded size") {
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2)
+    val stars = Dedup.minhashLshBandStars(docs, "doc_id", "text", 8, 2)
+    // the whole point of the contraction: star edges are bounded by
+    // membership rows (|docs| × bands), never clique-quadratic
+    assert(stars.count() <= docs.count() * 2, "star set must be membership-bounded")
+    val want = Dedup.twoPhaseComponents(docs, "doc_id", lshPairs).cache()
+    // the catalog's ns64 shape — contracted feed, driver-finish open
+    val viaStars = Dedup.twoPhaseComponents(docs, "doc_id", stars, contractedPairs = true)
+    assert(want.exceptAll(viaStars).isEmpty && viaStars.exceptAll(want).isEmpty,
+      "star-fed driver finish diverged from the clique pair graph's components")
+    // the distributed contraction loop over the star feed (the 100 TB
+    // path — driver gates closed) reaches the same fixpoint
+    spark.conf.set("spark.graft.components.localThreshold", "0")
+    try {
+      val dist = Dedup.twoPhaseComponents(docs, "doc_id", stars, contractedPairs = true)
+      assert(want.exceptAll(dist).isEmpty && dist.exceptAll(want).isEmpty,
+        "star-fed distributed loop diverged from the clique pair graph's components")
+    } finally spark.conf.unset("spark.graft.components.localThreshold")
+  }
+
   test("repetition metrics expose duplicated words and bigrams") {
     val s = spark
     import s.implicits._

@@ -120,22 +120,82 @@ class StoreLockSpec extends SparkSpec {
   test("lease lock: heartbeat keeps a long-held lease from expiring") {
     val dir = Files.createTempDirectory("graft-lease-hb").toString
     val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
-    // TTL 300ms, heartbeat every 100ms: hold for 3+ TTLs while a
-    // contender with the same TTL polls — it must NOT break the live lease
-    val release = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
+    // TTL 3s, heartbeat every 1s: hold past the TTL while a contender
+    // polls — it must NOT break the live lease. The wide TTL/heartbeat
+    // ratio is deliberate: with the old 300ms/100ms pair, a >200ms
+    // scheduler stall of the heartbeat thread on a loaded CI box let the
+    // contender legitimately break a live lease and flake this assert;
+    // now only a multi-second stall could.
+    val release = VersionedStore.acquireLease(lease, ttlMs = 3000, pollMs = 20)
     val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
-      val r2 = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
+      val r2 = VersionedStore.acquireLease(lease, ttlMs = 3000, pollMs = 20)
       stolen.set(true)
       r2()
     })
     t.start()
-    Thread.sleep(1000)
+    Thread.sleep(4000)
     val stoleWhileHeld = stolen.get()
     release()
     t.join(10000)
     assert(!stoleWhileHeld, "contender broke a heartbeating lease")
     assert(stolen.get(), "contender never acquired after release")
+  }
+
+  test("lease lock: a taken-over holder is fenced — heartbeat stands down, release spares the new lease") {
+    val dir = Files.createTempDirectory("graft-lease-fence").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    // short TTL so beats come every ~100ms and the fencing read happens
+    // fast; no contender thread — the takeover is simulated directly
+    val release = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
+    // simulate a contender that TTL-broke the lease and now holds it:
+    // overwrite with ITS token (what acquireLease's create would leave)
+    StoreFs.writeString(lease, "intruder@elsewhere#new-hold")
+    // give the old holder's heartbeat several beats to notice
+    // (an already-in-flight beat that read the old token BEFORE the
+    // overwrite may land once right after it — re-plant the intruder
+    // token until a full quiet window proves the heartbeat stood down)
+    val deadline = System.currentTimeMillis() + 5000
+    var fenced = false
+    while (!fenced && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      if (StoreFs.readString(lease) != "intruder@elsewhere#new-hold")
+        StoreFs.writeString(lease, "intruder@elsewhere#new-hold")
+      else fenced =
+        System.currentTimeMillis() - StoreFs.modificationTime(lease) > 600
+    }
+    // the heartbeat must NOT have overwritten the new holder's token (it
+    // read a foreign token and stood down — mtime stopped refreshing)
+    assert(StoreFs.readString(lease) == "intruder@elsewhere#new-hold",
+      "old holder's heartbeat hijacked the new holder's lease")
+    // ...and the old holder's release must NOT delete the new holder's
+    // lease (that would hand a third contender an instant takeover)
+    release()
+    assert(StoreFs.exists(lease), "old holder's release deleted the new holder's lease")
+    assert(StoreFs.readString(lease) == "intruder@elsewhere#new-hold")
+  }
+
+  test("store lock: refuses a store rooted on a non-atomic-rename scheme, override respected") {
+    // raw object stores have copy+delete rename — the pointer-flip
+    // protocols are unsound there; the writer choke point must refuse
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.withStoreLock("s3a://bucket/store") { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("non-atomic"), e.getMessage)
+    assert(e.getMessage.contains("Delta/Iceberg"), e.getMessage)
+    // with the deliberate-run override the refusal is lifted: the call
+    // then fails on the MISSING s3a connector (not on the contract),
+    // which proves the gate itself stepped aside
+    System.setProperty("graft.store.allowNonAtomicRename", "true")
+    try {
+      val e2 = intercept[Exception] {
+        VersionedStore.withStoreLock("s3a://bucket/store") { () }
+      }
+      assert(!e2.getMessage.contains("non-atomic"), e2.getMessage)
+    } finally System.clearProperty("graft.store.allowNonAtomicRename")
+    // local and hdfs-style schemes pass the gate untouched
+    StoreFs.requireAtomicRename("/tmp/local-store")
+    StoreFs.requireAtomicRename("file:///tmp/local-store")
   }
 
   test("concurrent appends, deletes and compactions lose no unrelated rows") {
