@@ -467,6 +467,17 @@ object ScaleSmoke {
         Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", pairs)
           .filter(col("component") =!= col("doc_id")).count()
       },
+      // the r14 ns64 shape: the same contraction loop fed the per-bucket
+      // STAR set instead of the clique pair stream — edge feed bounded by
+      // membership rows, so round 0 chews |docs|×bands rows no matter how
+      // duplicate-heavy the corpus (above the driver gates this runs the
+      // full distributed loop, the 100 TB path)
+      "pair_components_stars" -> { d =>
+        val stars = Dedup.minhashLshBandStars(d, "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", stars,
+            contractedPairs = true)
+          .filter(col("component") =!= col("doc_id")).count()
+      },
     )
 
     runSection("text", corpus(spark, _), textOps)

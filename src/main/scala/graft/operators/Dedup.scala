@@ -180,7 +180,19 @@ object Dedup {
     val banded = withBands.select(col(idCol),
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))
     val bandedRows = withBands.count() * bands
-    val hubs = banded.groupBy(col("band"), col("bh")).agg(min(col(idCol)).as("id_a"))
+    // singleton buckets (the vast majority on a sparse corpus — every
+    // non-near-dup doc is alone in its bucket per band) emit no edges, so
+    // prune them IN the hub aggregate (count ≥ 2): the hub frame then
+    // carries one row per MULTI-member bucket — bounded by true near-dup
+    // groups, not by the corpus — which lets AQE broadcast it at runtime
+    // and spares the membership side its join shuffle entirely. Without
+    // the prune the 2 M-doc smoke paid an 8 M×8 M bucket-key join to
+    // discard 97% of it (45.6 s vs 28.9 s for the clique route; with it
+    // the star route's only corpus-sized exchange is the one map-side-
+    // combined aggregate).
+    val hubs = banded.groupBy(col("band"), col("bh"))
+      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).drop("__n")
     val h = if (bandedRows <= broadcastRowLimit) broadcast(hubs) else hubs
     banded.join(h, Seq("band", "bh"))
       .filter(col(idCol) =!= col("id_a"))
@@ -914,12 +926,20 @@ object Dedup {
       // above the gate the join shuffles on the bucket keys — a hot bucket
       // is AQE skew-split (spec-forced in SkewSpec, like minhashLshPairs)
       broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
-    val sets = df.select((bucket :+ idCol).map(col) :+
+    // shingle building (split + shingle + sort per doc) is the compute-
+    // dense pass — widen a narrow input so it parallelizes. EAGER
+    // checkpoint (computed once, not per join side): above the broadcast
+    // gate the join's two sides are shuffle-map stages that materialize
+    // CONCURRENTLY, and a lazy checkpoint would race its own first
+    // computation and shingle the corpus twice (the ns51 lesson — lazy is
+    // only safe with exactly one downstream materializer).
+    val sets = Parallelism.widen(df)
+      .select((bucket :+ idCol).map(col) :+
         split(lower(col(textCol)), " ").as("__w"): _*)
       .select((bucket :+ idCol).map(col) :+
         array_sort(if (ngram <= 1) array_distinct(col("__w"))
                    else shinglesOf(col("__w"), ngram)).as("__ws"): _*)
-      .localCheckpoint() // shingle sets computed once, not per join side
+      .localCheckpoint()
     val a = sets.as("a")
     val b = JoinHints.maybeBroadcast(sets, broadcastRowLimit).as("b")
     val sa = size(col("a.__ws")).cast("double")

@@ -300,7 +300,10 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within a blocking bucket. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucket: Seq[String], threshold: Double, dim: Option[Int] = None): DataFrame = {
-    val p = prep(df, idCol, vecCol, bucket, dim).withColumnRenamed(idCol, "__id")
+    // same widening as the kNN graphs: the per-bucket quadratic scoring
+    // is the compute-dense stage and must not inherit a one-split input
+    val p = prep(Parallelism.widen(df), idCol, vecCol, bucket, dim)
+      .withColumnRenamed(idCol, "__id")
     val a = p.as("q")
     val b = JoinHints.maybeBroadcast(p).as("c")
     val joinCond = bucket.map(c0 => col(s"q.$c0") === col(s"c.$c0"))

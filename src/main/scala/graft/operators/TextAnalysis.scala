@@ -799,6 +799,11 @@ object TextAnalysis {
       // plan-audit hook: the fan-out result is eagerly materialized for
       // its two consumers; PlanShapeSpec passes identity so the WHOLE
       // dataflow stays in one inspectable (and pinnable) plan
+      // EAGER on purpose: the fan feeds TWO broadcast builds plus the
+      // probe side, and Spark materializes broadcasts concurrently — a
+      // lazy checkpoint here raced its own first computation and ran the
+      // gram pipeline twice (measured 2× on ns51). Lazy is only safe when
+      // exactly one downstream job materializes the blocks.
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
     val toks = overlapToks(df, groupCol, textCol, n)
@@ -836,6 +841,9 @@ object TextAnalysis {
     * shuffle-row reduction. */
   private[graft] def overlapToks(df: org.apache.spark.sql.DataFrame,
       groupCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    // NOT widened (r14 A/B: widening lost, 0.83 s vs 0.65 s at sf0.1 —
+    // the mask aggregate, not the gram pass, is the dominant term here,
+    // so the repartition bought parallelism nothing and cost an exchange)
     df.select(col(groupCol).as("__src"), words(col(textCol)).as("__ws"))
       .select(col("__src"),
         explode(org.apache.spark.sql.graft.Md5GramKeys(col("__ws"), n,
@@ -937,26 +945,36 @@ object TextAnalysis {
       k: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withLen = df
+    // ONE corpus scan (r14 — the previous shape re-tokenized the corpus
+    // three times: the stats pass, the docfreq broadcast build, and the
+    // scoring pass each re-evaluated the split+TermCounts plan): tokenize
+    // + in-row count + in-row probe prune land in an EAGERLY-checkpointed
+    // base of (id, dl, <=|probe| pruned term counts) — tens of bytes per
+    // doc at any scale, swept as scratch — and every downstream stat
+    // reads it. Eager, not lazy: stats and dfreq are both broadcast
+    // builds that materialize CONCURRENTLY, and a lazy checkpoint would
+    // race its own first computation and run the tokenize pass twice
+    // (the ns51 lesson). Widened first: the pass is compute-dense.
+    val base = Parallelism.widen(df)
       .select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
       .withColumn("__dl",
         size(filter(col("__ws"), w => w =!= lit(""))).cast("long"))
       .filter(col("__dl") > 0)
-    val dl = withLen.select(col("__id"), col("__dl"))
+      .select(col("__id"), col("__dl"),
+        filter(org.apache.spark.sql.graft.TermCounts(col("__ws")),
+          tc => tc.getField("term").isInCollection(terms)).as("__ptc"))
+      .localCheckpoint()
+    val dl = base.select(col("__id"), col("__dl"))
     val stats = broadcast(
       dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
         .select(col("__n"),
           (col("__sumdl").cast("double") / col("__n").cast("double")).as("__avgdl")))
-    val probe = broadcast(terms.toDF("term"))
-    // tf is doc-local (TermCounts — see tfidfTopTerms): the probe
-    // semi-join prunes to query terms AFTER the in-row count, so no
-    // (doc, term) exchange exists anywhere in the tf path
-    val tf = withLen
-      .select(col("__id"),
-        explode(org.apache.spark.sql.graft.TermCounts(col("__ws"))).as("__tc"))
+    // tf stays doc-local (TermCounts — see tfidfTopTerms): the in-row
+    // probe prune replaces the former probe semi-join, so no (doc, term)
+    // exchange exists anywhere in the tf path (the probe set is a literal)
+    val tf = base
+      .select(col("__id"), explode(col("__ptc")).as("__tc"))
       .select(col("__id"), col("__tc.term").as("term"), col("__tc.tf").as("__tf"))
-      .filter(col("term") =!= "")
-      .join(probe, Seq("term"))
     val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("__df")))
     val scored = tf.join(dl, Seq("__id")).join(dfreq, Seq("term")).crossJoin(stats)
       .withColumn("__idf",

@@ -84,14 +84,17 @@ object Upsert {
     // shared materialization their correctness would hinge on Spark
     // reusing the canonical range exchange — two independent executions
     // re-sample range boundaries (RangePartitioner seeds off the RDD id)
-    // and __pid/__rn could disagree between the consumers
+    // and __pid/__rn could disagree between the consumers. LAZY: the
+    // offsets aggregate is the action that lands the blocks, so the
+    // materialization rides an existing pass instead of being its own
+    // job (same truncation, same shared blocks — the r13 fixpoint trick).
     val ranked = df.select(k).distinct()
       .repartitionByRange(k)
       .sortWithinPartitions(k)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .withColumn("__rn",
         monotonically_increasing_id() - shiftleft(col("__pid"), 33) + 1)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val offsets = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .agg(sort_array(collect_list(struct(col("__pid").as("p"), col("__n").as("n"))))
         .as("__cum"))

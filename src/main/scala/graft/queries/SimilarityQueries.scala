@@ -540,10 +540,18 @@ object SimilarityQueries extends QueryModule {
 
   /** DuckDB min-label propagation over a pair adjacency, unrolled —
     * ns26's oracle pattern with edges instead of band buckets: lab_k(v) =
-    * min(lab_{k-1}(v), min over neighbors lab_{k-1}(u)), 12 levels (far
-    * beyond any near-dup component's diameter at oracle scale). */
+    * min(lab_{k-1}(v), min over neighbors lab_{k-1}(u)). The unroll depth
+    * is a HARNESS-SCALE oracle parameter: the engine iterates to an
+    * actual fixpoint, but fixed SQL must be unrolled past the graph's
+    * min-label propagation depth or the ORACLE is the wrong side
+    * (discovered r14: ns65's sf0.1 near-dup graph needs 18 rounds —
+    * 12 left DuckDB under-converged, disagreeing with Spark's true
+    * fixpoint on 18 of 2 000 labels; per-edge adjacency propagates one
+    * hop per round, unlike ns26's band-bucket form where each round
+    * collapses whole buckets and 12 is converged with margin). 24 =
+    * measured 18 + margin; re-measure if the testdata regenerates. */
   private def labelPropagationSql(pairsCte: String, nodesSql: String): String = {
-    val levels = (1 to 12).map { k =>
+    val levels = (1 to 24).map { k =>
       s"""lab$k AS MATERIALIZED (
          |  SELECT l.id, least(l.lbl, coalesce(nm.m, l.lbl)) AS lbl
          |  FROM lab${k - 1} l LEFT JOIN (
@@ -600,7 +608,7 @@ object SimilarityQueries extends QueryModule {
          |${labelPropagationSql("prs", "SELECT vec_id AS id, vec_id AS lbl FROM embeddings")}
          |SELECT l.id AS vec_id, af.cluster, l.lbl AS component,
          |  l.id = l.lbl AS is_keeper
-         |FROM lab12 l JOIN af ON af.vec_id = l.id
+         |FROM lab24 l JOIN af ON af.vec_id = l.id
          |ORDER BY vec_id""".stripMargin),
   )
 

@@ -86,12 +86,17 @@ class PlanShapeSpec extends SparkSpec {
       s"$name: expected the partial+final TopKPerKey pair, got $heaps")
   }
 
-  test("ns52 bm25: probe semi-join broadcasts, stats broadcast, top-k is TakeOrdered") {
+  test("ns52 bm25: one-scan base, in-row probe prune, stats broadcast, top-k is TakeOrdered") {
     // r12: tf moved in-row (TermCounts) — the (doc, term) groupBy
-    // exchange and the downstream re-exchange it forced are gone; the
-    // probe semi-join prunes the exploded counts before anything shuffles
+    // exchange and the downstream re-exchange it forced are gone.
+    // r14: the probe SEMI-JOIN became an in-row filter over the term
+    // counts and the corpus is tokenized exactly once into a checkpointed
+    // (id, dl, pruned-counts) base every stat reads — the probe-join and
+    // dl-join broadcasts fell out of the plan with it (4 → 2 broadcasts:
+    // docfreq + the one-row stats), measured 28.3 s → 5.8 s at 2 M docs
+    // and 250 s → 38.6 s at 20 M.
     assert(catalog("ns52_bm25_search") == Shape(
-      shuffles = 3, broadcastJoins = 4, sortMergeJoins = 0,
+      shuffles = 3, broadcastJoins = 2, sortMergeJoins = 0,
       objectHashAggs = 2, windows = 0, windowGroupLimits = 0, takeOrdered = 1))
   }
 
