@@ -212,9 +212,10 @@ object Dedup {
       // above the gate the join shuffles on the bucket keys — a hot bucket
       // is AQE skew-split (spec-forced in SkewSpec, like minhashLshPairs)
       broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit): DataFrame = {
-    val withSig = Parallelism.widen(df) // compute-dense signature pass
-      .select((bucket :+ idCol).map(col) :+
-        simhash16(tokenSet(col(textCol))).as("__sh"): _*)
+    // NOT widened (r14 A/B: +0.24 s at sf0.1 — the 16-bit signature pass
+    // is cheap and the width dragged the self-join stages; see ns51)
+    val withSig = df.select((bucket :+ idCol).map(col) :+
+      simhash16(tokenSet(col(textCol))).as("__sh"): _*)
       .localCheckpoint() // signatures computed once, not per join side
     val a = withSig.as("a")
     val b = JoinHints.maybeBroadcast(withSig, broadcastRowLimit).as("b")
@@ -244,11 +245,9 @@ object Dedup {
     val blocks = maxDist + 1
     val w = (bits + blocks - 1) / blocks
     val mask = (1L << w) - 1
-    // widened: the signature pass (one md5 per word) is compute-dense and
-    // must not inherit a one-split input; EAGER checkpoint — the self-join
-    // sides materialize concurrently (the ns51 lazy-checkpoint lesson)
-    val withSig = Parallelism.widen(df)
-      .select((bucket :+ idCol).map(col) :+
+    // NOT widened (r14 A/B: +0.19 s at sf0.1 — the banded self-join and
+    // pair distinct dominate, not the signature pass; see ns51)
+    val withSig = df.select((bucket :+ idCol).map(col) :+
         org.apache.spark.sql.graft.SimHashBits(tokenSet(col(textCol)), bits).as("__sh"): _*)
       .localCheckpoint() // signatures computed once, not per join side
     val banded = withSig.select(

@@ -300,9 +300,11 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within a blocking bucket. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucket: Seq[String], threshold: Double, dim: Option[Int] = None): DataFrame = {
-    // same widening as the kNN graphs: the per-bucket quadratic scoring
-    // is the compute-dense stage and must not inherit a one-split input
-    val p = prep(Parallelism.widen(df), idCol, vecCol, bucket, dim)
+    // NOT widened (r14 A/B: ns07 +0.19 s at sf0.1 — bucketed blocks keep
+    // the per-block scoring small, so the exchange outweighed the
+    // parallelism; the UNBLOCKED quadratic scorers, bruteKnnGraph and
+    // knnGraph, are where widening measured 1.4-4x and stays)
+    val p = prep(df, idCol, vecCol, bucket, dim)
       .withColumnRenamed(idCol, "__id")
     val a = p.as("q")
     val b = JoinHints.maybeBroadcast(p).as("c")
