@@ -167,11 +167,13 @@ object Dedup {
     * pair — verification joins, similarity scoring — still use
     * minhashLshPairs; this feed only preserves connectivity.)
     *
-    * Shape: one (band, bh) partial-aggregated group-min (bucket count ≤
-    * membership rows) joined back onto the membership — below the row
-    * gate the hub frame broadcasts, above it the join shuffles on the
-    * bucket key where a hot bucket is AQE skew-split like every other
-    * bucket join here. */
+    * Shape: one (band, bh) partial-aggregated group-min over the
+    * membership, singleton buckets pruned inside the aggregate (they emit
+    * no edges), joined back onto the membership. The pruned hub frame is
+    * bounded by MULTI-member buckets — true near-dup groups, not the
+    * corpus — so below the row gate it broadcasts explicitly and above it
+    * AQE broadcasts it at runtime; the only corpus-sized exchange on any
+    * path is the map-side-combined aggregate itself. */
   def minhashLshBandStars(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4,
       broadcastRowLimit: Long = JoinHints.DefaultBroadcastRowLimit,
