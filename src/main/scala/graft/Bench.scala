@@ -65,7 +65,11 @@ object Bench {
     val profileJobs = sys.env.get("SPARK_GRAFT_BENCH_JOBS").contains("true")
     val tracker = spark.sparkContext.statusTracker
     def timeOnce(e: QueryEntry): Double = {
-      val jobsBefore = if (profileJobs) tracker.getJobIdsForGroup(null).length else 0
+      // track by MAX id, not count: the status store evicts old jobs past
+      // spark.ui.retainedJobs, so a count-based drop() silently discards
+      // this query's own jobs once eviction starts mid-suite
+      val maxJobBefore =
+        if (profileJobs) tracker.getJobIdsForGroup(null).maxOption.getOrElse(-1) else -1
       val t0 = System.nanoTime()
       val ok =
         try { e.run(spark, sfDir).count(); true }
@@ -75,7 +79,7 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       if (profileJobs) {
-        val ids = tracker.getJobIdsForGroup(null).sorted.drop(jobsBefore)
+        val ids = tracker.getJobIdsForGroup(null).filter(_ > maxJobBefore).sorted
         val infos = ids.flatMap(id => tracker.getJobInfo(id))
         val stages = infos.map(_.stageIds.length).sum
         val tasks = infos.flatMap(_.stageIds).flatMap(sid =>

@@ -460,14 +460,22 @@ object Dedup {
     // collecting ~200k Rows just to measure their count was tens of MB of
     // driver garbage on the big path.
     val finishReachable = integralId && localThreshold > 0
-    val peekedIds: Array[Long] =
+    // boxed, not primitive: a null id in a nullable numeric column must
+    // not crash the peek (the distributed loop tolerates nulls — they
+    // surface as their own null component through the final left join);
+    // a null instead DISQUALIFIES the driver finish below, which has no
+    // null-label story, and the loop handles the frame as before
+    val peekedIds: Array[java.lang.Long] =
       if (finishReachable)
         nodes.select(col(idCol).cast("long")).limit(peekCap.toInt)
-          .as(org.apache.spark.sql.Encoders.scalaLong).collect()
-      else Array.emptyLongArray
+          .as(org.apache.spark.sql.Encoders.LONG).collect()
+      else Array.empty
     val nPeek =
       if (finishReachable) peekedIds.length.toLong
       else nodes.select(col(idCol)).limit(peekCap.toInt).count()
+    // complete exactly when the finish is usable: nPeek ≤ localThreshold
+    // < peekCap means EVERY node id was collected, so this scan is total
+    val peekHasNullId = finishReachable && peekedIds.contains(null)
     val big = nPeek > gateRows
     def gate(m: DataFrame): DataFrame = if (big) m.hint("merge") else broadcast(m)
 
@@ -484,7 +492,8 @@ object Dedup {
     // what SHRINKS an uncollectable multiset to collectable size, and a
     // pre-init collect attempt would ship pairCap clique rows to the
     // driver for nothing.
-    if (contractedPairs && finishReachable && !big && nPeek <= localThreshold) {
+    if (contractedPairs && finishReachable && !peekHasNullId &&
+        !big && nPeek <= localThreshold) {
       val pairCap = nodes.sparkSession.conf
         .get("spark.graft.components.localPairLimit", "4000000").toLong
       val capped = rawPairs
@@ -492,7 +501,7 @@ object Dedup {
         .limit((pairCap + 1).toInt).collect()
       if (capped.length <= pairCap)
         return localPairComponents(nodes, idCol, capped, registerForeign = true,
-          collectedIds = Some(peekedIds))
+          collectedIds = Some(peekedIds.map(_.longValue)))
     }
 
     // large-star: for every center u, link each LARGER neighbor v to
@@ -581,7 +590,7 @@ object Dedup {
     // integral-id restriction as the other driver paths.
     // nPeek was capped past max(gate, localThreshold), so the comparison
     // is exact here — no second node peek job
-    if (finishReachable && !big && nPeek <= localThreshold) {
+    if (finishReachable && !peekHasNullId && !big && nPeek <= localThreshold) {
       val pairCap = nodes.sparkSession.conf
         .get("spark.graft.components.localPairLimit", "4000000").toLong
       // the collect doubles as the init checkpoint's materializing job; an
@@ -595,7 +604,7 @@ object Dedup {
         // min) — the finish must honor that, unlike hash-to-min's
         // label-less-foreigner rule
         return localPairComponents(nodes, idCol, capped, registerForeign = true,
-          collectedIds = Some(peekedIds))
+          collectedIds = Some(peekedIds.map(_.longValue)))
     }
     // No initial signature job: the loop always runs ≥ 1 round and
     // compares consecutive round signatures — monotone contraction under

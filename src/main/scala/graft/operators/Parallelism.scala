@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism must follow COMPUTE, not input bytes, for compute-dense
   * operators (per-row minhash/md5 signatures, quadratic dot-product
@@ -17,9 +18,26 @@ import org.apache.spark.sql.DataFrame
   * to leave on every compute-dense path. The repartition uses an explicit
   * partition count, which AQE's coalescePartitions honors (it only
   * re-merges AQE-optimizable shuffles), so tiny inputs stay widened.
+  *
+  * Applies ONLY to scan-shaped inputs (scan/project/filter/sample — no
+  * exchange anywhere in the plan), for two reasons: (a) that is the one
+  * case the helper targets — a join/aggregate/repartition output already
+  * carries shuffle-partition width chosen by its own operators (or by
+  * the caller, who must win); (b) the partition-count probe is
+  * `df.rdd`, and under AQE building the RDD of a plan that CONTAINS
+  * exchanges finalizes the adaptive plan — synchronously executing every
+  * shuffle stage of the input at graph-construction time, work the real
+  * query then re-runs (no cross-execution exchange reuse). On an
+  * exchange-free plan the probe is a driver-side partition count and
+  * runs nothing.
   */
 object Parallelism {
   def widen(df: DataFrame): DataFrame = {
+    val scanShaped = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[Sample] && !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+    if (!scanShaped) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -767,8 +767,11 @@ object TextAnalysis {
     * the 100 TB shape for "thin this crawl toward the target domain". */
   def dsirSample(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
-      statsKey: String): org.apache.spark.sql.DataFrame =
-    dsirWeights(df, idCol, textCol, isTarget, buckets, statsKey)
+      statsKey: String,
+      // forwarded to [[dsirWeights]] — a long-lived caller with no
+      // scratch sweep needs the no-persist form through this wrapper too
+      pin: Boolean = true): org.apache.spark.sql.DataFrame =
+    dsirWeights(df, idCol, textCol, isTarget, buckets, statsKey, pin)
       .filter(dsirDraw(idCol))
 
   /** Corpus-overlap audit: for every pair of sources, the Jaccard overlap

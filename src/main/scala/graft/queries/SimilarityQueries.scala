@@ -816,16 +816,14 @@ object SimilarityQueries extends QueryModule {
     headline = true,
   )
 
-  /** Recall of the label-blocked kNN graph against the exact graph — the
-    * ns44/ns63/ns67 pattern applied to the every-node-a-query case: the
-    * exact side runs [[Similarity.bruteKnnGraph]] (harness-only — its
-    * corpus broadcast and quadratic pair stream are exactly what
-    * knnGraph's contract forbids on the scale path; its TopKPerKey rank
-    * is what keeps even the harness from window-buffering 4 M pairs). */
   /** The exact truth graph, pinned exactly like [[blockedKnnGraph]] — the
     * same shared-fit convention (one materialization per (corpus, k, dim),
     * every consumer reads it), so a future recall/diagnostic entry can
-    * never rebuild the quadratic truth side behind ns70's back. */
+    * never rebuild the quadratic truth side behind ns70's back. It runs
+    * [[Similarity.bruteKnnGraph]] (harness-only — its corpus broadcast
+    * and quadratic pair stream are exactly what knnGraph's contract
+    * forbids on the scale path; its TopKPerKey rank is what keeps even
+    * the harness from window-buffering 4 M pairs). */
   private def exactKnnGraph(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.SharedCache.getOrCompute(s"bruteknn:$dir:embeddings:3:64", spark) {
@@ -833,6 +831,10 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", k = 3, dim = Some(64))
     }
 
+  /** Recall of the label-blocked kNN graph against the exact graph — the
+    * ns44/ns63/ns67 pattern applied to the every-node-a-query case; both
+    * sides read their SharedCache pins ([[blockedKnnGraph]],
+    * [[exactKnnGraph]]). */
   private val ns70 = QueryEntry(
     "ns70_knn_graph_recall",
     (spark, dir) => {

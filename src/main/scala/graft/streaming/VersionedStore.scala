@@ -142,7 +142,16 @@ private[graft] object VersionedStore {
               try {
                 val cur = StoreFs.readString(lease)
                 if (cur == token) StoreFs.writeString(lease, token)
-                else if (cur.nonEmpty) lost.set(true)
+                else if (cur.nonEmpty) {
+                  lost.set(true)
+                  // LOUD on purpose: standing down bounds the split-brain
+                  // but does not undo it — the holder's in-flight writer
+                  // section overlapped the new holder's. The operator
+                  // needs the evidence to audit/repair the affected epoch.
+                  System.err.println(s"[store] WARN lease $lease LOST to '$cur' " +
+                    s"(this holder '$token' was TTL-broken mid-section; " +
+                    "writes from this section may interleave with the new holder's)")
+                }
               } catch { case _: java.io.IOException => () }
           }
         }, s"graft-lease-heartbeat-$lease")
@@ -158,6 +167,9 @@ private[graft] object VersionedStore {
           // after a detected takeover the file is the NEW holder's lease —
           // deleting it would release a lock this process no longer owns
           if (!lost.get()) StoreFs.deleteRecursively(lease)
+          else System.err.println(s"[store] WARN release of $lease skipped — " +
+            "the lease was taken over mid-hold (see the LOST warning above); " +
+            "audit the store for interleaved writes from the overlap window")
         }
       } catch {
         case _: java.io.IOException => // held (or just broken by a racer)
