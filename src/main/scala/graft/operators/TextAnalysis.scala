@@ -957,8 +957,12 @@ object TextAnalysis {
     // reads it. Eager, not lazy: stats and dfreq are both broadcast
     // builds that materialize CONCURRENTLY, and a lazy checkpoint would
     // race its own first computation and run the tokenize pass twice
-    // (the ns51 lesson). Widened first: the pass is compute-dense.
-    val base = Parallelism.widen(df)
+    // (the ns51 lesson). NOT widened (r14 A/B: 1.12 s widened vs 0.81 s
+    // not, same in-suite context at sf0.1 — the exchange plus 32-task
+    // stage trains cost more than the serial tokenize pass saves; at
+    // data scale the input is already wide and widening was a no-op, so
+    // the 2 M/20 M one-scan wins are untouched).
+    val base = df
       .select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
       .withColumn("__dl",
         size(filter(col("__ws"), w => w =!= lit(""))).cast("long"))
