@@ -107,31 +107,48 @@ object TextAnalysis {
     * duplicate-bigram ratio. All ratios are one exact integer subtraction
     * and one IEEE division — bit-identical on the oracle.
     *
-    * Computed by explode + two map-side-combined aggregations per signal
-    * rather than per-row array lambdas: the shuffles move one row per
-    * distinct (doc, term), and nothing is driver-side — the formulation
-    * that still works when a "document" is a 100 MB crawl page.
-    */
+    * SCAN-ONLY: every signal is document-local, and
+    * [[org.apache.spark.sql.graft.TermCounts]] computes per-doc term
+    * multiplicity inside the row (the ns27/ns52 tf observation), so the
+    * whole operator is one projection — no explode, no (doc, term)
+    * shuffle, no join. The previous explode + two-aggregation form moved
+    * a corpus-sized distinct-(doc, term) stream through two exchanges to
+    * re-co-locate rows that were ALREADY co-located; at 100 TB that
+    * exchange was the operator's entire cost. Distinct-count/top-count
+    * read straight off the TermCounts array (size / array_max over the tf
+    * field); bigram totals are size arithmetic (a d-word doc has d−1
+    * bigrams). Per-row memory is one count entry per DISTINCT term — the
+    * same order as the row's own token array, so a 100 MB crawl page
+    * costs what its tokens already cost.
+    *
+    * Degenerate-width note: a sub-2-word document now keeps its row (NaN
+    * dup_bigram_ratio) where the old form's inner join dropped it; the
+    * corpus floor is 10 words so the oracle never sees the difference. */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val tf = df.select(col(idCol), explode(words(col(textCol))).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-    val wordStats = tf.groupBy(col(idCol)).agg(
-      sum(col("c")).as("n_words"),
-      count(lit(1)).as("n_distinct_words"),
-      max(col("c")).as("__top"))
-    val bigramStats = df
+    import org.apache.spark.sql.graft.TermCounts
+    // __ws must be a projected attribute before ngramsOf consumes it (the
+    // no-inline-split rule on [[ngramsOf]]); the second projection keeps
+    // both TermCounts invocations on that one materialized array
+    val counted = df
       .select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(ngramsOf(col("__ws"), 2)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(sum(col("c")).as("__nb"), count(lit(1)).as("__ndb"))
-    wordStats.join(bigramStats, idCol)
-      .select(col(idCol), col("n_words"), col("n_distinct_words"),
-        ((col("n_words") - col("n_distinct_words")).cast("double") /
-          col("n_words").cast("double")).as("dup_word_ratio"),
-        (col("__top").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
-        ((col("__nb") - col("__ndb")).cast("double") /
-          col("__nb").cast("double")).as("dup_bigram_ratio"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        TermCounts(col("__ws")).as("__tc"),
+        TermCounts(ngramsOf(col("__ws"), 2)).as("__bc"))
+    val stats = counted.select(col(idCol), col("n_words"),
+      size(col("__tc")).cast("long").as("n_distinct_words"),
+      array_max(col("__tc").getField("tf")).as("__top"),
+      // split() never yields an empty array, so n_words ≥ 1 and d−1 is
+      // exact for every width (0 bigrams at d = 1, matching ngramsOf)
+      (col("n_words") - 1L).as("__nb"),
+      size(col("__bc")).cast("long").as("__ndb"))
+    stats.select(col(idCol), col("n_words"), col("n_distinct_words"),
+      ((col("n_words") - col("n_distinct_words")).cast("double") /
+        col("n_words").cast("double")).as("dup_word_ratio"),
+      (col("__top").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
+      ((col("__nb") - col("__ndb")).cast("double") /
+        col("__nb").cast("double")).as("dup_bigram_ratio"))
   }
 
   /** The distinct probe-gram side shared by the contamination family. */

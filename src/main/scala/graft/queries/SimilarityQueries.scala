@@ -549,9 +549,18 @@ object SimilarityQueries extends QueryModule {
     * fixpoint on 18 of 2 000 labels; per-edge adjacency propagates one
     * hop per round, unlike ns26's band-bucket form where each round
     * collapses whole buckets and 12 is converged with margin). 24 =
-    * measured 18 + margin; re-measure if the testdata regenerates. */
+    * measured 18 + margin — and the depth is SELF-CHECKING: the emitted
+    * SQL ends in a `labfinal` CTE that compares the last two rounds and
+    * raises (DuckDB `error()`, type-unified into the label column so the
+    * schema is unchanged) if they differ, so a regenerated testdata with
+    * a deeper chain fails the oracle RUN loudly instead of silently
+    * grading Spark against under-converged labels — the r14 failure mode,
+    * previously guarded only by this comment. */
+  private val LabelPropagationDepth = 24
+
   private def labelPropagationSql(pairsCte: String, nodesSql: String): String = {
-    val levels = (1 to 24).map { k =>
+    val d = LabelPropagationDepth
+    val levels = (1 to d).map { k =>
       s"""lab$k AS MATERIALIZED (
          |  SELECT l.id, least(l.lbl, coalesce(nm.m, l.lbl)) AS lbl
          |  FROM lab${k - 1} l LEFT JOIN (
@@ -562,7 +571,14 @@ object SimilarityQueries extends QueryModule {
     s"""adj AS (SELECT id_a AS u, id_b AS v FROM $pairsCte
        |  UNION ALL SELECT id_b, id_a FROM $pairsCte),
        |lab0 AS MATERIALIZED ($nodesSql),
-       |$levels""".stripMargin
+       |$levels,
+       |labconv AS (SELECT count(*) AS n FROM (
+       |  SELECT id, lbl FROM lab$d EXCEPT SELECT id, lbl FROM lab${d - 1})),
+       |labfinal AS (
+       |  SELECT id, CASE WHEN (SELECT n FROM labconv) > 0
+       |    THEN error('label-propagation oracle under-converged at depth $d; deepen labelPropagationSql')
+       |    ELSE lbl END AS lbl
+       |  FROM lab$d)""".stripMargin
   }
 
   /** SemDeDup-style SEMANTIC dedup — the composed pipeline (Abbas et al.,
@@ -608,7 +624,7 @@ object SimilarityQueries extends QueryModule {
          |${labelPropagationSql("prs", "SELECT vec_id AS id, vec_id AS lbl FROM embeddings")}
          |SELECT l.id AS vec_id, af.cluster, l.lbl AS component,
          |  l.id = l.lbl AS is_keeper
-         |FROM lab24 l JOIN af ON af.vec_id = l.id
+         |FROM labfinal l JOIN af ON af.vec_id = l.id
          |ORDER BY vec_id""".stripMargin),
   )
 

@@ -28,6 +28,28 @@ import org.apache.hadoop.fs.Path
   * explicitly-given `_v...` root still reads fine — only discovered
   * children are filtered).
   */
+/** Thrown by [[VersionedStore.withStoreLock]] when the section's
+  * cross-process LEASE was taken over mid-hold (TTL break while this
+  * holder was alive — see [[VersionedStore.acquireLease]]): the body ran
+  * to completion, but its writes may interleave with the new holder's,
+  * so the commit must not be reported clean. Callers catch this to mark
+  * the affected epoch suspect instead of crashing the pipeline. */
+private[graft] final class LeaseLostException(msg: String)
+  extends java.io.IOException(msg)
+
+/** A held cross-process store lock: `apply()` releases it (the
+  * historical `() => Unit` shape, so call sites read `release()`), and
+  * [[lost]] reports whether the holder has detected its lease taken
+  * over by a TTL break — long writer sections poll it between stages
+  * ([[VersionedStore.lockLost]]) to abort early instead of finishing
+  * blind. OS file locks (the local form) can never be taken over, so
+  * their handle always reports false. */
+private[graft] final class LockHandle(releaseFn: () => Unit,
+    lostFn: () => Boolean) extends (() => Unit) {
+  def apply(): Unit = releaseFn()
+  def lost: Boolean = lostFn()
+}
+
 private[graft] object VersionedStore {
 
   /** One lock per store directory (normalized), JVM-wide. Spark task
@@ -63,6 +85,22 @@ private[graft] object VersionedStore {
   private val lockHolds = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
     override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
   }
+  /** This thread's live cross-process handles, for [[lockLost]] polling
+    * from inside a section (outermost hold only — re-entrant holds share
+    * the outer handle). */
+  private val activeHandles = new ThreadLocal[scala.collection.mutable.Map[String, LockHandle]] {
+    override def initialValue() = scala.collection.mutable.Map.empty[String, LockHandle]
+  }
+
+  /** Poll from INSIDE a [[withStoreLock]] section: has this section's
+    * cross-process lease been lost to a TTL takeover? Long writer
+    * sections check between stages and abort early — every write after a
+    * takeover deepens the split-brain interleaving with the new holder.
+    * Always false for the local OS-file-lock form (not breakable) and
+    * outside any section. */
+  def lockLost(storeDir: String): Boolean =
+    activeHandles.get().get(StoreFs.qualifiedKey(storeDir)).exists(_.lost)
+
   def withStoreLock[T](storeDir: String)(body: => T): T = {
     // every writer path enters here — the one choke point where the
     // atomicity contract can be enforced before any protocol state exists
@@ -75,32 +113,53 @@ private[graft] object VersionedStore {
         try body finally holds(key) -= 1
       } else {
         val release = acquireProcessLock(storeDir)
+        activeHandles.get()(key) = release
         try {
           holds(key) = 1
-          try body finally holds(key) = 0
-        } finally release()
+          val out = try body finally holds(key) = 0
+          // surface a mid-section takeover even to callers that never
+          // polled [[lockLost]]: the body completed, but its writes may
+          // interleave with the new holder's — the epoch is suspect and
+          // must not be reported clean. Thrown HERE (not from release(),
+          // which stays non-throwing so cleanup can't mask a body
+          // exception).
+          if (release.lost)
+            throw new LeaseLostException(s"store lock on '$storeDir' was " +
+              "taken over mid-section (TTL break while this holder was " +
+              "alive); writes from this section may interleave with the " +
+              "new holder's — audit the affected epoch before trusting it")
+          out
+        } finally {
+          activeHandles.get().remove(key)
+          release()
+        }
       }
     }
   }
 
-  /** Take the cross-process half of the writer lock; returns the release
-    * action. Caller holds the JVM monitor. */
-  private def acquireProcessLock(storeDir: String): () => Unit = {
+  /** Take the cross-process half of the writer lock; returns the held
+    * handle (release + takeover poll). Caller holds the JVM monitor. */
+  private def acquireProcessLock(storeDir: String): LockHandle = {
     val root = new Path(storeDir)
     StoreFs.mkdirs(root)
     if (StoreFs.isLocal(root)) {
       val raf = new java.io.RandomAccessFile(
         new java.io.File(StoreFs.localFile(root), "_lock"), "rw")
       val l = raf.getChannel.lock()
-      () => { l.release(); raf.close() }
+      new LockHandle(() => { l.release(); raf.close() }, () => false)
     } else acquireLease(new Path(root, "_lock.lease"))
   }
 
   /** Lease TTL: a holder that misses heartbeats for this long is presumed
     * dead and its lease breakable. Heartbeats land every TTL/3, so only a
     * full process death (not a long write — writes don't block the
-    * heartbeat thread) ever lets a lease expire. */
-  private[streaming] val LeaseTtlMs = 5 * 60 * 1000L
+    * heartbeat thread) ever lets a lease expire. Deployment-tunable via
+    * `-Dgraft.store.leaseTtlMs` (shorter = faster crash recovery, more
+    * sensitivity to GC/scheduler stalls; the 5-minute default rides out
+    * any plausible driver pause). */
+  private[streaming] def LeaseTtlMs: Long =
+    sys.props.get("graft.store.leaseTtlMs").map(_.toLong)
+      .getOrElse(5 * 60 * 1000L)
 
   /** Create-exclusive lease acquisition for filesystems without advisory
     * locks: loop on an atomic `create(CREATE)` of the lease file (atomic
@@ -109,22 +168,36 @@ private[graft] object VersionedStore {
     * lease's mtime every `ttlMs/3` so long writer sections never expire
     * mid-write. Residual: between one contender's stale-check and its
     * delete, a second contender can break the same lease (and a holder's
-    * fenced refresh below can read-then-write across a break) — known
-    * limitations of lease files on stores without compare-and-swap, and
-    * the reason the 100 TB deployment form is a Delta/Iceberg commit, not
-    * this file. */
+    * fenced refresh below can read-then-write across a break — the
+    * post-write re-read narrows that to a single write-write race but
+    * cannot close it) — known limitations of lease files on stores
+    * without compare-and-swap, and the reason the 100 TB deployment form
+    * is a Delta/Iceberg commit, not this file. A detected takeover is
+    * surfaced three ways: the stderr WARN, [[LockHandle.lost]] for
+    * polling, and [[withStoreLock]]'s terminal [[LeaseLostException]]. */
   private[streaming] def acquireLease(lease: Path,
-      ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): () => Unit = {
+      ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): LockHandle = {
     // unique per ACQUISITION, not per process: the fenced refresh compares
     // this against the lease's current content to detect a TTL takeover,
     // and two holds from one process must never alias
     val token = s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}#${java.util.UUID.randomUUID()}"
-    var release: () => Unit = null
+    var release: LockHandle = null
     while (release == null) {
       try {
         StoreFs.writeString(lease, token, createNew = true)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // LOUD on purpose: standing down bounds the split-brain but does
+        // not undo it — the holder's in-flight writer section overlapped
+        // the new holder's. The operator needs the evidence to audit/
+        // repair the affected epoch; [[withStoreLock]] additionally
+        // surfaces it programmatically (LeaseLostException + lockLost).
+        def standDown(foreign: String): Unit = {
+          lost.set(true)
+          System.err.println(s"[store] WARN lease $lease LOST to '$foreign' " +
+            s"(this holder '$token' was TTL-broken mid-section; " +
+            "writes from this section may interleave with the new holder's)")
+        }
         val hb = new Thread(() => {
           while (!stop.get() && !lost.get()) {
             try Thread.sleep(math.max(1L, ttlMs / 3))
@@ -141,23 +214,29 @@ private[graft] object VersionedStore {
             if (!stop.get() && !lost.get())
               try {
                 val cur = StoreFs.readString(lease)
-                if (cur == token) StoreFs.writeString(lease, token)
-                else if (cur.nonEmpty) {
-                  lost.set(true)
-                  // LOUD on purpose: standing down bounds the split-brain
-                  // but does not undo it — the holder's in-flight writer
-                  // section overlapped the new holder's. The operator
-                  // needs the evidence to audit/repair the affected epoch.
-                  System.err.println(s"[store] WARN lease $lease LOST to '$cur' " +
-                    s"(this holder '$token' was TTL-broken mid-section; " +
-                    "writes from this section may interleave with the new holder's)")
+                if (cur == token) {
+                  StoreFs.writeString(lease, token)
+                  // the read-then-write above is NOT compare-and-swap: a
+                  // contender can TTL-break and land its token between the
+                  // read and the write, and the write then hijacks the new
+                  // holder's live lease. Re-read AFTER the write: if the
+                  // content is now foreign, the contender's write landed
+                  // last and it holds — stand down. The mirror ordering
+                  // (our write landed last) reads back our own token and
+                  // is undetectable by content, so this narrows the hijack
+                  // window from a full beat to one write-write race rather
+                  // than closing it; the true fix is CAS, i.e. the
+                  // Delta/Iceberg commit-log deployment form.
+                  val after = StoreFs.readString(lease)
+                  if (after != token && after.nonEmpty) standDown(after)
                 }
+                else if (cur.nonEmpty) standDown(cur)
               } catch { case _: java.io.IOException => () }
           }
         }, s"graft-lease-heartbeat-$lease")
         hb.setDaemon(true)
         hb.start()
-        release = () => {
+        release = new LockHandle(() => {
           stop.set(true); hb.interrupt()
           // join BEFORE deleting: an in-flight heartbeat write already past
           // its stop-check would otherwise land AFTER the delete and
@@ -170,7 +249,7 @@ private[graft] object VersionedStore {
           else System.err.println(s"[store] WARN release of $lease skipped — " +
             "the lease was taken over mid-hold (see the LOST warning above); " +
             "audit the store for interleaved writes from the overlap window")
-        }
+        }, () => lost.get())
       } catch {
         case _: java.io.IOException => // held (or just broken by a racer)
           try {

@@ -24,6 +24,11 @@ class ParallelismSpec extends SparkSpec {
   test("widen repartitions a narrow one-split scan to the session's core count") {
     val s = spark
     import s.implicits._
+    // on a 1-core host a one-split scan IS already at defaultParallelism
+    // (1 < 1 is false) and the contract under test is vacuous — cancel,
+    // don't fail, so minimal CI hosts skip rather than misreport
+    assume(spark.sparkContext.defaultParallelism > 1,
+      "widen's narrow-scan contract needs a multi-core session")
     val narrow = oneSplitScan()
     assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
     val widened = Parallelism.widen(narrow)

@@ -140,6 +140,29 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
   }
 
+  test("ns28 repetition: scan-only — zero corpus-keyed exchanges, no joins, no aggregates") {
+    // r15 rewrite: every repetition signal is document-local, so the whole
+    // operator is one projection over in-row TermCounts (words + bigrams).
+    // The former shape exploded to a distinct-(doc, term) stream and moved
+    // it through two corpus-sized exchanges plus a join to re-co-locate
+    // rows that never left their row — at 100 TB that exchange WAS the
+    // operator. The only exchange allowed is the presentation orderBy's
+    // range partition.
+    assert(catalog("ns28_repetition") == Shape(
+      shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+    val plan = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("ns28_repetition")(spark, sf0001).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(plan.collectWithSubqueries {
+        case s: ShuffleExchangeExec
+          if !s.outputPartitioning.toString.contains("range") => () }.isEmpty,
+      "ns28: the one exchange must be the orderBy range partition, nothing corpus-keyed")
+  }
+
   test("ns29/ns47 contamination family: tiny probes are scan-local — no joins, no Expand") {
     // r12 rewrite: a gate-tiny probe set becomes a sorted array LITERAL
     // intersected row-locally (IntersectSizeSorted), so the plan has NO

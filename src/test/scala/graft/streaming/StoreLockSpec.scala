@@ -168,6 +168,9 @@ class StoreLockSpec extends SparkSpec {
     // read a foreign token and stood down — mtime stopped refreshing)
     assert(StoreFs.readString(lease) == "intruder@elsewhere#new-hold",
       "old holder's heartbeat hijacked the new holder's lease")
+    // ...the takeover is visible programmatically on the handle, not just
+    // as a stderr WARN — what long writer sections poll to abort early
+    assert(release.lost, "LockHandle.lost did not report the takeover")
     // ...and the old holder's release must NOT delete the new holder's
     // lease (that would hand a third contender an instant takeover)
     release()
@@ -196,6 +199,82 @@ class StoreLockSpec extends SparkSpec {
     // local and hdfs-style schemes pass the gate untouched
     StoreFs.requireAtomicRename("/tmp/local-store")
     StoreFs.requireAtomicRename("file:///tmp/local-store")
+  }
+
+  test("deliberate override runs the full lease protocol on a mock object-store scheme") {
+    // the blocklist-override branch EXECUTED, not just reached: oss:// is
+    // blocklisted and non-local, and the test classpath registers it as a
+    // local-FS delegate (MockOssFs via core-site.xml), so with the
+    // override set the section runs the REMOTE form end-to-end — lease
+    // file (not an OS lock), StoreFs protocol ops through a second
+    // FileContext scheme, release cleanup
+    val local = Files.createTempDirectory("graft-ossmock")
+    val dir = s"oss://bucket:9000$local/store"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val lease = new org.apache.hadoop.fs.Path(root, "_lock.lease")
+    // without the override, the choke point refuses the scheme outright
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.withStoreLock(dir) { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("non-atomic"), e.getMessage)
+    System.setProperty("graft.store.allowNonAtomicRename", "true")
+    try {
+      var ranBody = false
+      VersionedStore.withStoreLock(dir) {
+        ranBody = true
+        assert(StoreFs.exists(lease), "remote branch must hold a LEASE file")
+        assert(!VersionedStore.lockLost(dir), "fresh hold must not report lost")
+        // the pointer-flip op sequence (tmp write + atomic-overwrite
+        // rename + read-back) against the mock scheme — what swap() runs
+        val tmp = new org.apache.hadoop.fs.Path(root, "_current.tmp")
+        StoreFs.writeString(tmp, "_v0000000000000000001")
+        StoreFs.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+          overwrite = true)
+        assert(VersionedStore.currentVersion(root).contains("_v0000000000000000001"))
+        assert(VersionedStore.versionDir(dir) == s"$dir/_v0000000000000000001")
+      }
+      assert(ranBody, "override did not let the writer section run")
+      assert(!StoreFs.exists(lease), "lease not cleaned up on release")
+      // the delegate really is the local FS: the flip is visible there
+      assert(Files.exists(local.resolve("store").resolve("_current")))
+    } finally System.clearProperty("graft.store.allowNonAtomicRename")
+  }
+
+  test("a mid-section lease takeover surfaces programmatically: lockLost polls true, withStoreLock throws") {
+    val local = Files.createTempDirectory("graft-osslost")
+    val dir = s"oss://bucket:9000$local/store"
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    val intruder = "intruder@elsewhere#takeover"
+    System.setProperty("graft.store.allowNonAtomicRename", "true")
+    System.setProperty("graft.store.leaseTtlMs", "300") // beats every ~100ms
+    try {
+      val thrown = intercept[LeaseLostException] {
+        VersionedStore.withStoreLock(dir) {
+          // simulate a contender that TTL-broke the lease mid-section
+          StoreFs.writeString(lease, intruder)
+          val deadline = System.currentTimeMillis() + 10000
+          while (!VersionedStore.lockLost(dir) &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            // an in-flight beat that read our token BEFORE the overwrite
+            // may land once right after it — re-plant until detected
+            if (StoreFs.readString(lease) != intruder)
+              StoreFs.writeString(lease, intruder)
+          }
+          // the poll a long writer section uses to abort between stages
+          assert(VersionedStore.lockLost(dir),
+            "holder never detected the takeover via lockLost")
+          "section-completed"
+        }
+      }
+      assert(thrown.getMessage.contains("taken over"), thrown.getMessage)
+      // release spared the new holder's lease
+      assert(StoreFs.readString(lease) == intruder,
+        "release clobbered the new holder's lease")
+    } finally {
+      System.clearProperty("graft.store.allowNonAtomicRename")
+      System.clearProperty("graft.store.leaseTtlMs")
+    }
   }
 
   test("concurrent appends, deletes and compactions lose no unrelated rows") {
