@@ -71,6 +71,21 @@ object ScaleSmoke {
         col("doc_id") - pmod(col("doc_id"), lit(400)))
         .otherwise(col("doc_id")))
 
+  /** [[corpusFixedDup]]'s structural opposite: CLIQUE-HEAVY duplication.
+    * Every 4th doc collapses onto its 1000-id window base, so 25% of the
+    * corpus sits in constant ~250-doc duplicate clusters (vs fixdup's
+    * 20). True dup PAIRS still grow linearly in n, but each cluster pays
+    * |cluster|²/2 ≈ 31 k of them — the regime the band-star contraction
+    * exists for: star edges stay membership-bounded (~bands per member,
+    * ~1 k per cluster) while the clique pair multiset is 30× that. The
+    * small-cluster corpora cannot separate the two routes outside ambient
+    * noise (r14: 334 vs 452 s straddle at 20 M); this one is built to. */
+  def corpusCliqueDup(spark: SparkSession, n: Long): DataFrame =
+    corpusWithSeed(spark, n,
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        col("doc_id") - pmod(col("doc_id"), lit(1000)))
+        .otherwise(col("doc_id")))
+
   /** Deterministic embedding corpus for the ANN families: dim-wide
     * uniform [-1, 1) float vectors plus a 64-way label (the coarse
     * blocking column ns09 uses). Uniform — not clustered — on purpose:
@@ -236,6 +251,43 @@ object ScaleSmoke {
         val (raw, tgt) = operators.TextAnalysis.dsirStats(d, "text", isT, 256)
         val w = operators.TextAnalysis.dsirScore(d, "doc_id", "text", raw, tgt)
         w.agg(sum(col("num")), sum(col("den")), count(lit(1))).head().getLong(2)
+      },
+      "repetition_metrics" -> { d =>
+        // ns28's r15 scan-only form (in-row TermCounts, zero corpus-keyed
+        // exchanges); drain every signal through one aggregate — a bare
+        // count() would let column pruning skip the whole projection
+        val m = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+        m.agg(sum(col("dup_word_ratio")), sum(col("top_word_frac")),
+          sum(col("dup_bigram_ratio")), count(lit(1))).head().getLong(3)
+      },
+      "repetition_explode_ab" -> { d =>
+        // A/B arm: the superseded pre-r15 explode + two-aggregation form —
+        // a distinct-(doc, term) stream through two corpus-sized exchanges
+        // plus a join, re-co-locating rows that never left their row.
+        // Kept as the before/after ledger for the in-row rewrite.
+        val tf = d.select(col("doc_id"),
+            explode(TextAnalysis.words(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        val wordStats = tf.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          max(col("c")).as("__top"))
+        val bigramStats = d
+          .select(col("doc_id"), TextAnalysis.words(col("text")).as("__ws"))
+          .select(col("doc_id"),
+            explode(TextAnalysis.ngramsOf(col("__ws"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("c")).as("__nb"), count(lit(1)).as("__ndb"))
+        val m = wordStats.join(bigramStats, "doc_id").select(col("doc_id"),
+          ((col("n_words") - col("n_distinct_words")).cast("double") /
+            col("n_words").cast("double")).as("dup_word_ratio"),
+          (col("__top").cast("double") /
+            col("n_words").cast("double")).as("top_word_frac"),
+          ((col("__nb") - col("__ndb")).cast("double") /
+            col("__nb").cast("double")).as("dup_bigram_ratio"))
+        m.agg(sum(col("dup_word_ratio")), sum(col("top_word_frac")),
+          sum(col("dup_bigram_ratio")), count(lit(1))).head().getLong(3)
       },
       "source_overlap_trigrams" -> (d =>
         TextAnalysis.sourceOverlap(d, "source", "text", n = 3).count()),
@@ -480,8 +532,33 @@ object ScaleSmoke {
       },
     )
 
+    // The star-vs-clique race where the membership bound actually bites:
+    // ~250-doc duplicate cliques ([[corpusCliqueDup]]). Feed sizes are
+    // recorded alongside the component walls — the structural claim IS
+    // the feed-row ratio (stars ~|members|×bands, cliques ~|members|²/2
+    // per cluster), and the walls should separate outside ambient noise
+    // here, unlike the small-cluster corpora (r14 straddle).
+    val cliqueOps: Seq[(String, DataFrame => Long)] = Seq(
+      "clique_feed_pairs" -> (d =>
+        Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
+      "clique_feed_stars" -> (d =>
+        Dedup.minhashLshBandStars(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
+      "clique_components_pairs" -> { d =>
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", pairs)
+          .filter(col("component") =!= col("doc_id")).count()
+      },
+      "clique_components_stars" -> { d =>
+        val stars = Dedup.minhashLshBandStars(d, "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", stars,
+            contractedPairs = true)
+          .filter(col("component") =!= col("doc_id")).count()
+      },
+    )
+
     runSection("text", corpus(spark, _), textOps)
     runSection("fixdup", corpusFixedDup(spark, _), fixDupOps)
+    runSection("cliquedup", corpusCliqueDup(spark, _), cliqueOps)
     runSection("vector", vectors(spark, _), vecOps)
     runSection("vecclust", vectorsClustered(spark, _), vecClustOps)
     spark.stop()

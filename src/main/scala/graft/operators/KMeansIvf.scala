@@ -187,6 +187,26 @@ object KMeansIvf {
         (assignments, centroids)
     }
 
+  /** The corpus frame with its cell assignment joined in, pinned via
+    * [[graft.SharedCache]] under `<cacheKey>:cells:<tag>`. Six catalog
+    * entries (ns20/ns30/ns61/ns62, ns65's cell scoping, plus recall
+    * consumers) read the same (id → cell)-joined corpus and re-derived it
+    * per entry — scan + fixed-point/quantize + assignment probe, a
+    * multi-job prefix each — even though the fit itself was cached; one
+    * pin makes every consumer after the first a checkpoint scan. The
+    * 100 TB analog: a PUBLISHED index stores vectors WITH their cell
+    * ([[graft.streaming.IvfStore]]'s on-disk layout is exactly this
+    * frame), so search jobs read it — they do not re-join it. `tag`
+    * separates representations under one fit key (exact vectors vs
+    * packed codes). */
+  private[graft] def cellsCached(frame: DataFrame, idCol: String,
+      assignments: DataFrame, cacheKey: Option[String], tag: String): DataFrame =
+    cacheKey match {
+      case None => frame.join(assignments, idCol)
+      case Some(key) => graft.SharedCache.getOrCompute(s"$key:cells:$tag",
+        frame.sparkSession)(frame.join(assignments, idCol))
+    }
+
   /** IVF entirely over PACKED SQ8 codes — the 100 TB scale path for
     * [[search]]: quantize the corpus once (binary codes, 64 B/vector), fit
     * the coarse cells ON the codes, rank in-cell by the exact integer dot
@@ -206,7 +226,7 @@ object KMeansIvf {
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
     val (assignments, _) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-    val cands = codes.join(assignments, idCol)
+    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
     // queries drawn from the corpus by id: their codes and cells come from
     // the same quantize/assign pass — no separate query-side encode
     val qs = broadcast(cands.join(queries.select(col(idCol)), Seq(idCol))
@@ -275,7 +295,7 @@ object KMeansIvf {
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
     val (assignments, centroids) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-    val cands = codes.join(assignments, idCol)
+    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
     // queries probe their nProbe nearest cells, ranked by the same
     // (distance, cell) order as the assignment pass
     val qs = broadcast(codes.join(queries.select(col(idCol)), Seq(idCol))
@@ -292,8 +312,14 @@ object KMeansIvf {
       corpusKey: Option[String] = None): DataFrame = {
     val (assignments, _) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
-    val cands = candidates.join(assignments, idCol)
-    val qs = queries.join(assignments, idCol) // queries drawn from the corpus
+    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    // queries drawn from the corpus by id (the inner assignment join this
+    // replaces already implied it — a non-corpus id silently dropped):
+    // vectors and cells both come from the pinned cells frame, so the
+    // query side costs one small semi-join over the checkpoint scan
+    // instead of a second corpus scan + assignment probe — the searchSq8
+    // shape
+    val qs = cands.join(broadcast(queries.select(col(idCol))), Seq(idCol))
     Similarity.ivfTopK(qs, cands, idCol, vecCol, "cluster", k)
   }
 
@@ -309,11 +335,14 @@ object KMeansIvf {
       corpusKey: Option[String] = None): DataFrame = {
     val (assignments, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
-    val cands = candidates.join(assignments, idCol)
+    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
     // the nProbe nearest cells per query, ascending by (distance, cell) —
     // NearestCells reproduces the former sort_array(struct(d, c)) order,
-    // tie-break included
-    val probed = queries
+    // tie-break included. Query vectors read from the pinned cells frame
+    // (corpus-drawn by contract, like search); the single-assignment
+    // cluster column is dropped — multi-probe derives its own cells.
+    val probed = cands.select(col(idCol), col(vecCol))
+      .join(broadcast(queries.select(col(idCol))), Seq(idCol))
       .select(col(idCol), col(vecCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
       .withColumn("cluster", explode(
         org.apache.spark.sql.graft.NearestCells(col("__fe"), centroids, nProbe)))

@@ -599,11 +599,15 @@ object SimilarityQueries extends QueryModule {
     (spark, dir) => {
       val t = Tables(spark, dir)
       val emb = t.embeddings
+      val fitKey = s"kmeansfit:$dir:embeddings:8:2"
       val (assignments, _) = graft.operators.KMeansIvf.fitCached(
         emb, "vec_id", "embedding", k = 8, iters = 2,
-        cacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+        cacheKey = Some(fitKey),
         corpusKey = Some(s"corpus:$dir:embeddings"))
-      val cells = emb.join(assignments, "vec_id")
+      // the SAME pinned (id → cell)-joined corpus ns20/ns30 search —
+      // SemDeDup's cell scoping is one more consumer of the published fit
+      val cells = graft.operators.KMeansIvf.cellsCached(
+        emb, "vec_id", assignments, Some(fitKey), "exact")
       val pairs = Similarity.cosineNearDupPairs(cells, "vec_id", "embedding",
         bucket = Seq("cluster"), threshold = 0.35, dim = Some(64))
       graft.operators.Dedup.connectedComponents(
