@@ -129,15 +129,28 @@ class PlanShapeSpec extends SparkSpec {
   test("ns61 packed-code ivf: every join broadcast, rank is group-limit pruned, " +
       "no sort-merge anywhere") {
     // the scale path's load-bearing pins: the candidate side is scanned
-    // once and never sort-merge-joined (assignment + query joins are all
-    // broadcast — the assignment table is |corpus|-keyed but its JOIN here
-    // is id-equi with the small side broadcast at this SF; at 100 TB the
-    // cell equi-join shuffles on cluster, which AQE picks over broadcast
-    // automatically), and the per-query top-k prunes through
-    // WindowGroupLimit rather than a global sort
+    // once and never sort-merge-joined, and the per-query top-k prunes
+    // through WindowGroupLimit rather than a global sort. Since the r15
+    // cells pin the CATALOG entry reads the shared (id → cell)-joined
+    // checkpoint, so its plan shows only the query-side joins (semi +
+    // cell equi — broadcast at this SF; at 100 TB the cell equi-join
+    // shuffles on cluster, which AQE picks over broadcast automatically);
+    // the codes/assignment joins live in the pin build, asserted on the
+    // UNCACHED operator below (the memory rule: inspect the underlying
+    // plan, not the checkpoint that hides it).
     assert(catalog("ns61_ann_ivf_sq8") == Shape(
-      shuffles = 2, broadcastJoins = 4, sortMergeJoins = 0,
+      shuffles = 2, broadcastJoins = 2, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 1, windowGroupLimits = 2, takeOrdered = 0))
+    val t = Tables(spark, sf0001)
+    val uncached = pinned(graft.operators.KMeansIvf.searchSq8(
+      t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      t.embeddings, "vec_id", "embedding", k = 5, nCells = 8, iters = 2))
+    // objectHashAggs = 2: with no boundsCacheKey the SQ8 bounds pass
+    // (MinMaxVecAgg partial+final) stays in-plan too
+    assert(uncached == Shape(
+      shuffles = 2, broadcastJoins = 4, sortMergeJoins = 0,
+      objectHashAggs = 2, windows = 1, windowGroupLimits = 2, takeOrdered = 0),
+      "uncached searchSq8 must keep the all-broadcast dataflow the pin hides")
   }
 
   test("ns28 repetition: scan-only — zero corpus-keyed exchanges, no joins, no aggregates") {
