@@ -543,7 +543,10 @@ object ScaleSmoke {
         Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
       "clique_feed_stars" -> (d =>
         Dedup.minhashLshBandStars(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
-      "clique_components_pairs" -> { d =>
+      // the contender arm (the production route on this corpus is the star
+      // feed — ns64's shape): runs only when the filter names it, so a
+      // default full sweep never pays the clique wall (707 s at 20 M)
+      "clique_components_pairs_ab" -> { d =>
         val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4)
         Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", pairs)
           .filter(col("component") =!= col("doc_id")).count()

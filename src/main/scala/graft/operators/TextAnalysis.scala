@@ -121,9 +121,11 @@ object TextAnalysis {
     * same order as the row's own token array, so a 100 MB crawl page
     * costs what its tokens already cost.
     *
-    * Degenerate-width note: a sub-2-word document now keeps its row (NaN
-    * dup_bigram_ratio) where the old form's inner join dropped it; the
-    * corpus floor is 10 words so the oracle never sees the difference. */
+    * Degenerate-width note: a sub-2-word document now keeps its row (NULL
+    * dup_bigram_ratio — the nullif guard below; under ANSI mode an
+    * unguarded 0/0 division RAISES, it does not produce NaN) where the
+    * old form's inner join dropped it; the corpus floor is 10 words so
+    * the oracle never sees the difference. */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.TermCounts
@@ -148,7 +150,7 @@ object TextAnalysis {
         col("n_words").cast("double")).as("dup_word_ratio"),
       (col("__top").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
       ((col("__nb") - col("__ndb")).cast("double") /
-        col("__nb").cast("double")).as("dup_bigram_ratio"))
+        nullif(col("__nb").cast("double"), lit(0d))).as("dup_bigram_ratio"))
   }
 
   /** The distinct probe-gram side shared by the contamination family. */

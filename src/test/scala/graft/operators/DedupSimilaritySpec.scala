@@ -510,6 +510,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m(2L).getDouble(3) == 0.0 && m(2L).getDouble(5) == 0.0)
   }
 
+  test("repetition metrics keep degenerate-width docs (scan-only form), word stats exact") {
+    // the r15 scan-only rewrite's documented divergence from the old
+    // explode form: a sub-2-word doc has no bigrams, so its ratio is NULL
+    // (nullif guard — ANSI mode would RAISE on the unguarded 0/0, not
+    // yield NaN) and the ROW SURVIVES (the explode form's inner join
+    // dropped it). The corpus floor is 10 words, so the oracle never sees
+    // this; the pin makes the behavior deliberate, not accidental.
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "solo"), (2L, "a a")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 2L), "degenerate-width docs must survive")
+    assert(m(1L).getLong(1) == 1 && m(1L).getLong(2) == 1)
+    assert(m(1L).getDouble(3) == 0.0 && m(1L).getDouble(4) == 1.0)
+    assert(m(1L).isNullAt(5), "0 bigrams -> NULL ratio, row kept")
+    // 2-word doc: one bigram, duplicated word
+    assert(m(2L).getLong(1) == 2 && m(2L).getLong(2) == 1)
+    assert(m(2L).getDouble(3) == 0.5 && m(2L).getDouble(5) == 0.0)
+  }
+
   test("contamination screen flags only documents sharing a probe n-gram") {
     val s = spark
     import s.implicits._
