@@ -326,6 +326,21 @@ private[graft] object VersionedStore {
     val next = f"_v$nextNum%019d"
     val tmp = new Path(root, next + ".tmp")
     writeVersion(tmp)
+    // the abort point the lease fence feeds: writeVersion is the LONG part
+    // of every rewrite, and a TTL takeover detected during it means the
+    // new holder may already be writing its own versions — publishing ours
+    // (rename + pointer flip + GC of "superseded" dirs that may be theirs)
+    // would maximally deepen the split-brain. Abort BEFORE anything
+    // becomes visible: drop the tmp, surface LeaseLostException. A
+    // takeover landing between this check and the flip is the residual
+    // race the lease scaladoc documents (CAS is the real fix). No-op for
+    // sections under the local OS lock (never lost) or unlocked callers.
+    if (lockLost(storeDir)) {
+      StoreFs.deleteRecursively(tmp)
+      throw new LeaseLostException(s"store lock on '$storeDir' was taken " +
+        "over while the next version was being written; aborting the swap " +
+        "before the pointer flip — nothing from this section was published")
+    }
     StoreFs.rename(tmp, new Path(root, next))
     writePointer(root, next)
     // grace: keep the newest GraceVersions superseded versions THAT EXIST

@@ -277,6 +277,47 @@ class StoreLockSpec extends SparkSpec {
     }
   }
 
+  test("a swap under a lost lease aborts before the pointer flip — nothing published") {
+    val local = Files.createTempDirectory("graft-ossswap")
+    val dir = s"oss://bucket:9000$local/store"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val lease = new org.apache.hadoop.fs.Path(root, "_lock.lease")
+    val intruder = "intruder@elsewhere#swap-abort"
+    System.setProperty("graft.store.allowNonAtomicRename", "true")
+    System.setProperty("graft.store.leaseTtlMs", "300")
+    try {
+      // the outer section also reports the loss on exit — intercepted too
+      intercept[LeaseLostException] {
+        VersionedStore.withStoreLock(dir) {
+          StoreFs.writeString(lease, intruder)
+          val deadline = System.currentTimeMillis() + 10000
+          while (!VersionedStore.lockLost(dir) &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            if (StoreFs.readString(lease) != intruder)
+              StoreFs.writeString(lease, intruder)
+          }
+          assert(VersionedStore.lockLost(dir), "takeover never detected")
+          // the rewrite funnel must refuse to PUBLISH under the lost
+          // lease: version written, then dropped at the abort point —
+          // never renamed in, pointer never flipped
+          val inner = intercept[LeaseLostException] {
+            VersionedStore.swap(dir, tmp =>
+              StoreFs.writeString(new org.apache.hadoop.fs.Path(tmp, "part-0"), "x"))
+          }
+          assert(inner.getMessage.contains("aborting the swap"), inner.getMessage)
+          val names = StoreFs.listNames(root)
+          assert(!names.exists(_.matches("_v\\d+")), s"version published under lost lease: $names")
+          assert(!names.exists(_.endsWith(".tmp")), s"aborted tmp not cleaned: $names")
+          assert(VersionedStore.currentVersion(root).isEmpty, "pointer flipped under lost lease")
+        }
+      }
+    } finally {
+      System.clearProperty("graft.store.allowNonAtomicRename")
+      System.clearProperty("graft.store.leaseTtlMs")
+    }
+  }
+
   test("concurrent appends, deletes and compactions lose no unrelated rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stress").resolve("store").toString
