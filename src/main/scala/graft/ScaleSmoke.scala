@@ -264,7 +264,10 @@ object ScaleSmoke {
         // A/B arm: the superseded pre-r15 explode + two-aggregation form —
         // a distinct-(doc, term) stream through two corpus-sized exchanges
         // plus a join, re-co-locating rows that never left their row.
-        // Kept as the before/after ledger for the in-row rewrite.
+        // Measured losses (same-session, best-of-2): 27.8 vs 4.7 s at 2 M
+        // (5.9×), 493.6 vs 45.9 s at 20 M (10.8× — the gap WIDENS with
+        // scale; the deleted exchange is corpus-sized). Kept as the
+        // before/after ledger for the in-row rewrite.
         val tf = d.select(col("doc_id"),
             explode(TextAnalysis.words(col("text"))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
@@ -545,7 +548,10 @@ object ScaleSmoke {
         Dedup.minhashLshBandStars(d, "doc_id", "text", numHashes = 16, bands = 4).count()),
       // the contender arm (the production route on this corpus is the star
       // feed — ns64's shape): runs only when the filter names it, so a
-      // default full sweep never pays the clique wall (707 s at 20 M)
+      // default full sweep never pays the clique wall. Measured losses to
+      // the star route (same-session, output-identical): 34.0 vs 25.4 s
+      // at 2 M quiet-box, 707.4 vs 325.7 s at 20 M (2.17×) — feed volume
+      // 62.3 M pairs vs 2.0 M stars at 2 M (the 31× membership bound).
       "clique_components_pairs_ab" -> { d =>
         val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", numHashes = 16, bands = 4)
         Dedup.twoPhaseComponents(d.select("doc_id"), "doc_id", pairs)
