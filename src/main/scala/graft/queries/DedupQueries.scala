@@ -221,12 +221,24 @@ object DedupQueries extends QueryModule {
          |    GROUP BY m.doc_id) nm
          |  ON l.id = nm.id)""".stripMargin
     }.mkString(",\n")
+    // self-checking depth (the ns65 discipline, r15): labfinal compares
+    // the last two rounds and raises via DuckDB error() — type-unified
+    // into the label column, schema unchanged — so a regenerated testdata
+    // whose band graph needs more than 12 rounds fails the oracle RUN
+    // loudly instead of silently grading against under-converged labels
     s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
        |sig AS (SELECT doc_id, $sigCols FROM ws),
        |bands AS MATERIALIZED (
        |  $bandSelects),
        |lab0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-       |$levels""".stripMargin
+       |$levels,
+       |labconv AS (SELECT count(*) AS n FROM (
+       |  SELECT id, lbl FROM lab12 EXCEPT SELECT id, lbl FROM lab11)),
+       |labfinal AS (
+       |  SELECT id, CASE WHEN (SELECT n FROM labconv) > 0
+       |    THEN error('band-propagation oracle under-converged at depth 12; deepen componentsOracleCtes')
+       |    ELSE lbl END AS lbl
+       |  FROM lab12)""".stripMargin
   }
 
   /** The component fixpoint feeding BOTH ns26 and ns41, computed once per
@@ -250,7 +262,7 @@ object DedupQueries extends QueryModule {
     Some(
       s"""$componentsOracleCtes
          |SELECT id AS doc_id, lbl AS component
-         |FROM lab12 ORDER BY doc_id""".stripMargin),
+         |FROM labfinal ORDER BY doc_id""".stripMargin),
     headline = true,
   )
 
@@ -280,7 +292,7 @@ object DedupQueries extends QueryModule {
     Some(
       s"""$componentsOracleCtes
          |SELECT id AS doc_id, lbl AS component
-         |FROM lab12 ORDER BY doc_id""".stripMargin),
+         |FROM labfinal ORDER BY doc_id""".stripMargin),
   )
 
   /** The verdict table a dedup pipeline actually ships: per document its
@@ -300,7 +312,7 @@ object DedupQueries extends QueryModule {
       s"""$componentsOracleCtes
          |SELECT id AS doc_id, lbl AS component, id = lbl AS is_keeper,
          |  CAST(row_number() OVER (PARTITION BY lbl ORDER BY id) AS BIGINT) AS dup_rank
-         |FROM lab12 ORDER BY doc_id""".stripMargin),
+         |FROM labfinal ORDER BY doc_id""".stripMargin),
   )
 
   /** Canonical-representative selection: per near-dup cluster keep the
@@ -330,7 +342,7 @@ object DedupQueries extends QueryModule {
          |  row_number() OVER (PARTITION BY l.lbl
          |    ORDER BY CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) DESC, l.id) = 1
          |    AS is_canonical
-         |FROM lab12 l JOIN documents d ON l.id = d.doc_id
+         |FROM labfinal l JOIN documents d ON l.id = d.doc_id
          |ORDER BY doc_id""".stripMargin),
   )
 
@@ -399,7 +411,7 @@ object DedupQueries extends QueryModule {
     Some(
       s"""$componentsOracleCtes
          |SELECT sz, count(*) AS n_clusters FROM (
-         |  SELECT lbl, count(*) AS sz FROM lab12 GROUP BY lbl)
+         |  SELECT lbl, count(*) AS sz FROM labfinal GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin),
   )
 
@@ -427,7 +439,7 @@ object DedupQueries extends QueryModule {
          |SELECT id AS doc_id, lbl AS component,
          |  CASE WHEN substr(md5(CAST(lbl AS VARCHAR)), 1, 1) < 'c'
          |       THEN 'train' ELSE 'eval' END AS split
-         |FROM lab12 ORDER BY doc_id""".stripMargin),
+         |FROM labfinal ORDER BY doc_id""".stripMargin),
     headline = true,
   )
 
