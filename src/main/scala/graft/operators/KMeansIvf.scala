@@ -297,15 +297,29 @@ object KMeansIvf {
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
     val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
     // queries probe their nProbe nearest cells, ranked by the same
-    // (distance, cell) order as the assignment pass
-    val qs = broadcast(codes.join(queries.select(col(idCol)), Seq(idCol))
+    // (distance, cell) order as the assignment pass. Query codes read
+    // from the pinned cells frame like every other consumer (the
+    // single-assignment cluster is dropped — multi-probe derives its
+    // own cells); the unpinned form re-paid the corpus scan + SQ8
+    // encode per execution.
+    val qs = broadcast(cands.drop("cluster")
+      .join(queries.select(col(idCol)), Seq(idCol))
       .withColumn("cluster", explode(NearestCellsCodes(col("__q"), centroids, nProbe)))
       .withColumnRenamed(idCol, "__id"))
     rankCodes(qs, cands.withColumnRenamed(idCol, "__id"), k)
   }
 
   /** Full IVF search: fit on the candidate set, assign queries to their
-    * nearest centroid, search only that cell. */
+    * nearest centroid, search only that cell.
+    *
+    * QUERIES ARE CORPUS-DRAWN BY ID — the contract the whole family
+    * shares (searchSq8's scaladoc states it for the code path): query
+    * vectors and cells are read from the pinned cells frame by an inner
+    * id join, so an id absent from `candidates` contributes no result
+    * rows. (This was already true before the r15 pin — the assignment
+    * join this replaced was inner too; external-vector search is
+    * [[Similarity.bruteForceTopK]]/[[Similarity.ivfTopK]]'s job, or
+    * [[graft.streaming.IvfStore.search]] for a published index.) */
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int = 3,
       cacheKey: Option[String] = None,
@@ -328,7 +342,14 @@ object KMeansIvf {
     * Every candidate lives in exactly ONE cell, so probing several cells
     * never duplicates a (query, candidate) pair; the probe fan-out just
     * multiplies the broadcast query side by nProbe, and the cell equi-join
-    * stays an ordinary hash join over the candidate table. */
+    * stays an ordinary hash join over the candidate table.
+    *
+    * QUERIES ARE CORPUS-DRAWN BY ID since r15 (see [[search]]'s contract
+    * note): query vectors read from the pinned cells frame by an inner id
+    * join — this NARROWED the previous behavior, which used the `queries`
+    * frame's own vectors and accepted external ids. Every caller (catalog,
+    * specs, smoke) draws queries from the corpus; external-vector search
+    * belongs to the [[Similarity]] entry points. */
   def searchMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3,
       cacheKey: Option[String] = None,

@@ -201,14 +201,20 @@ object DedupQueries extends QueryModule {
     * AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     * level references its predecessor twice → 2^12 expression copies
     * ("too many open files") without it. */
+  /** Oracle unroll depth: test band graphs converge in 6 (sf0.01) / 7
+    * (sf0.1) rounds; kept with margin and SELF-CHECKED by the labconv
+    * CTE, so deepening it is this one edit. */
+  private val BandPropagationDepth = 12
+
   private def componentsOracleCtes: String = {
+    val d = BandPropagationDepth
     val rows = NumHashes / 2
     val sigCols = (0 until NumHashes).map(i => s"${sigExprSql(i)} AS s$i").mkString(", ")
     val bandSelects = (0 until 2).map { j =>
       val parts = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $j AS band, md5($parts) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    val levels = (1 to 12).map { k =>
+    val levels = (1 to d).map { k =>
       s"""lab$k AS MATERIALIZED (
          |  SELECT l.id, least(l.lbl, coalesce(nm.nm, l.lbl)) AS lbl
          |  FROM lab${k - 1} l LEFT JOIN (
@@ -233,12 +239,12 @@ object DedupQueries extends QueryModule {
        |lab0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
        |$levels,
        |labconv AS (SELECT count(*) AS n FROM (
-       |  SELECT id, lbl FROM lab12 EXCEPT SELECT id, lbl FROM lab11)),
+       |  SELECT id, lbl FROM lab$d EXCEPT SELECT id, lbl FROM lab${d - 1})),
        |labfinal AS (
        |  SELECT id, CASE WHEN (SELECT n FROM labconv) > 0
-       |    THEN error('band-propagation oracle under-converged at depth 12; deepen componentsOracleCtes')
+       |    THEN error('band-propagation oracle under-converged at depth $d; deepen BandPropagationDepth')
        |    ELSE lbl END AS lbl
-       |  FROM lab12)""".stripMargin
+       |  FROM lab$d)""".stripMargin
   }
 
   /** The component fixpoint feeding BOTH ns26 and ns41, computed once per

@@ -158,8 +158,15 @@ private[graft] object VersionedStore {
     * sensitivity to GC/scheduler stalls; the 5-minute default rides out
     * any plausible driver pause). */
   private[streaming] def LeaseTtlMs: Long =
-    sys.props.get("graft.store.leaseTtlMs").map(_.toLong)
-      .getOrElse(5 * 60 * 1000L)
+    sys.props.get("graft.store.leaseTtlMs") match {
+      case None => 5 * 60 * 1000L
+      case Some(v) => try v.trim.toLong catch {
+        // fail with the property named: a bare NumberFormatException from
+        // deep inside lock acquisition gives the operator nothing to act on
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"-Dgraft.store.leaseTtlMs must be a plain millisecond count, got '$v'")
+      }
+    }
 
   /** Create-exclusive lease acquisition for filesystems without advisory
     * locks: loop on an atomic `create(CREATE)` of the lease file (atomic
@@ -324,7 +331,16 @@ private[graft] object VersionedStore {
       .filter(_.matches("_v\\d+")).map(n => n -> n.stripPrefix("_v").toLong)
     val nextNum = (prevNum +: onDisk.map(_._2)).max + 1
     val next = f"_v$nextNum%019d"
-    val tmp = new Path(root, next + ".tmp")
+    // HOLDER-UNIQUE tmp name: after a TTL break the takeover winner lists
+    // the same versions and derives the same `next`, so a shared
+    // `_vN.tmp` would be one directory BOTH holders write into — and the
+    // loser's abort below would delete the winner's in-flight files. A
+    // unique suffix confines every holder (and the abort's cleanup) to
+    // its own tmp; if both reach the rename, the no-overwrite rename
+    // fails for the second instead of mixing files. Crash leftovers of
+    // any suffix are GC'd by the `.tmp` substring match below.
+    val tmp = new Path(root,
+      next + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     writeVersion(tmp)
     // the abort point the lease fence feeds: writeVersion is the LONG part
     // of every rewrite, and a TTL takeover detected during it means the
@@ -358,7 +374,7 @@ private[graft] object VersionedStore {
       val p = new Path(root, name)
       val isVersion = name.matches("_v\\d+")
       if (isVersion && !keep(name)) StoreFs.deleteRecursively(p)
-      else if (name.endsWith(".tmp")) StoreFs.deleteRecursively(p)
+      else if (name.contains(".tmp")) StoreFs.deleteRecursively(p)
       else if (!isVersion && name != CurrentPtr && prev.isDefined &&
           isLegacy(name))
         StoreFs.deleteRecursively(p)

@@ -45,15 +45,21 @@ class PlanShapeSpec extends SparkSpec {
       takeOrdered = n { case _: TakeOrderedAndProjectExec => })
   }
 
-  private def pinned(build: => DataFrame): Shape = {
+  /** The executed plan with AQE off — ONE place for the toggle, and one
+    * plan build serves both a Shape and any node-level assertions. */
+  private def plannedOf(build: => DataFrame): SparkPlan = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try shapeOf(build.queryExecution.executedPlan)
+    try build.queryExecution.executedPlan
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  private def catalog(name: String): Shape =
-    pinned(SparkEntry.queries(name)(spark, sf0001))
+  private def pinned(build: => DataFrame): Shape = shapeOf(plannedOf(build))
+
+  private def catalogPlan(name: String): SparkPlan =
+    plannedOf(SparkEntry.queries(name)(spark, sf0001))
+
+  private def catalog(name: String): Shape = shapeOf(catalogPlan(name))
 
   test("ns27 tf-idf top-terms: docfreq is an aggregate+join (never a term window), " +
       "final top-k is TopKPerKey") {
@@ -72,15 +78,10 @@ class PlanShapeSpec extends SparkSpec {
     // shuffle join, which is the point of leaving the join unhinted)
     import org.apache.spark.sql.graft.TopKPerKeyExec
     val name = "ns27_tfidf_topterms"
-    assert(catalog(name) == Shape(
+    val plan = catalogPlan(name)
+    assert(shapeOf(plan) == Shape(
       shuffles = 4, broadcastJoins = 1, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
-    val plan = {
-      val prev = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    }
     val heaps = plan.collectWithSubqueries { case t: TopKPerKeyExec => t.partial }
     assert(heaps.sorted == Seq(false, true),
       s"$name: expected the partial+final TopKPerKey pair, got $heaps")
@@ -161,15 +162,10 @@ class PlanShapeSpec extends SparkSpec {
     // rows that never left their row — at 100 TB that exchange WAS the
     // operator. The only exchange allowed is the presentation orderBy's
     // range partition.
-    assert(catalog("ns28_repetition") == Shape(
+    val plan = catalogPlan("ns28_repetition")
+    assert(shapeOf(plan) == Shape(
       shuffles = 1, broadcastJoins = 0, sortMergeJoins = 0,
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
-    val plan = {
-      val prev = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try SparkEntry.queries("ns28_repetition")(spark, sf0001).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    }
     assert(plan.collectWithSubqueries {
         case s: ShuffleExchangeExec
           if !s.outputPartitioning.toString.contains("range") => () }.isEmpty,
@@ -188,12 +184,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     for (name <- Seq("ns29_contamination", "ns47_containment_score")) {
-      val plan = {
-        val prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
-        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-      }
+      val plan = catalogPlan(name)
       assert(plan.collectWithSubqueries { case _: ExpandExec => }.isEmpty,
         s"$name: count_distinct Expand machinery crept back in")
       assert(plan.collectWithSubqueries {
@@ -262,13 +253,9 @@ class PlanShapeSpec extends SparkSpec {
     val t = Tables(spark, sf0001)
     val build = graft.operators.Similarity.knnGraph(t.embeddings,
       "vec_id", "embedding", blockCols = Seq("label"), k = 3, dim = Some(64))
-    val s = pinned(build)
+    val plan = plannedOf(build)
+    val s = shapeOf(plan)
     assert(s.windows == 0 && s.sortMergeJoins == 0 && s.takeOrdered == 0, s)
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val plan = build.queryExecution.executedPlan
-      assert(plan.collectWithSubqueries { case e: TopKPerKeyExec => e }.size == 2, plan)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(plan.collectWithSubqueries { case e: TopKPerKeyExec => e }.size == 2, plan)
   }
 }

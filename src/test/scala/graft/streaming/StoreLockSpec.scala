@@ -240,6 +240,23 @@ class StoreLockSpec extends SparkSpec {
     } finally System.clearProperty("graft.store.allowNonAtomicRename")
   }
 
+  /** Simulate a TTL takeover inside a held section: plant `intruder` as
+    * the lease content and poll until the holder's heartbeat detects it —
+    * re-planting when an in-flight beat that read the old token BEFORE
+    * the overwrite lands once right after it. Asserts detection. */
+  private def takeOverLease(dir: String, lease: org.apache.hadoop.fs.Path,
+      intruder: String): Unit = {
+    StoreFs.writeString(lease, intruder)
+    val deadline = System.currentTimeMillis() + 10000
+    while (!VersionedStore.lockLost(dir) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      if (StoreFs.readString(lease) != intruder)
+        StoreFs.writeString(lease, intruder)
+    }
+    assert(VersionedStore.lockLost(dir), "holder never detected the takeover")
+  }
+
   test("a mid-section lease takeover surfaces programmatically: lockLost polls true, withStoreLock throws") {
     val local = Files.createTempDirectory("graft-osslost")
     val dir = s"oss://bucket:9000$local/store"
@@ -250,20 +267,8 @@ class StoreLockSpec extends SparkSpec {
     try {
       val thrown = intercept[LeaseLostException] {
         VersionedStore.withStoreLock(dir) {
-          // simulate a contender that TTL-broke the lease mid-section
-          StoreFs.writeString(lease, intruder)
-          val deadline = System.currentTimeMillis() + 10000
-          while (!VersionedStore.lockLost(dir) &&
-              System.currentTimeMillis() < deadline) {
-            Thread.sleep(50)
-            // an in-flight beat that read our token BEFORE the overwrite
-            // may land once right after it — re-plant until detected
-            if (StoreFs.readString(lease) != intruder)
-              StoreFs.writeString(lease, intruder)
-          }
           // the poll a long writer section uses to abort between stages
-          assert(VersionedStore.lockLost(dir),
-            "holder never detected the takeover via lockLost")
+          takeOverLease(dir, lease, intruder)
           "section-completed"
         }
       }
@@ -289,15 +294,7 @@ class StoreLockSpec extends SparkSpec {
       // the outer section also reports the loss on exit — intercepted too
       intercept[LeaseLostException] {
         VersionedStore.withStoreLock(dir) {
-          StoreFs.writeString(lease, intruder)
-          val deadline = System.currentTimeMillis() + 10000
-          while (!VersionedStore.lockLost(dir) &&
-              System.currentTimeMillis() < deadline) {
-            Thread.sleep(50)
-            if (StoreFs.readString(lease) != intruder)
-              StoreFs.writeString(lease, intruder)
-          }
-          assert(VersionedStore.lockLost(dir), "takeover never detected")
+          takeOverLease(dir, lease, intruder)
           // the rewrite funnel must refuse to PUBLISH under the lost
           // lease: version written, then dropped at the abort point —
           // never renamed in, pointer never flipped
