@@ -454,16 +454,21 @@ class StoreLockSpec extends SparkSpec {
     // flipped (orphan _v2) — naive prev+1 allocation would collide with it
     Files.createDirectory(v(2))
     Files.write(v(2).resolve("junk"), "not parquet".getBytes)
-    // crash window B: an aborted version write left a stale tmp
+    // crash window B: an aborted version write left a stale tmp — both the
+    // legacy shared name and the r15 holder-unique suffix form
     val staleTmp = root.resolve(f"_v${9L}%019d.tmp")
     Files.createDirectory(staleTmp)
     Files.write(staleTmp.resolve("part-junk"), Array[Byte](1, 2, 3))
+    val staleTmpUnique = root.resolve(f"_v${9L}%019d.tmp-deadbeef")
+    Files.createDirectory(staleTmpUnique)
+    Files.write(staleTmpUnique.resolve("part-junk"), Array[Byte](4, 5))
     // the next rewrite must allocate PAST the orphan, keep the data exact,
     // and GC both leftovers
     Ingest.retentionCompact(spark, dir, conditions)
     assert(Ingest.readStore(spark, dir).filter($"key" === "keep").count() == 12L)
     assert(!Files.exists(v(2)), "orphan version not GC'd")
     assert(!Files.exists(staleTmp), "stale tmp not GC'd")
+    assert(!Files.exists(staleTmpUnique), "holder-unique stale tmp not GC'd")
     assert(Files.exists(v(3)), "allocation did not skip past the orphan")
     // and the store keeps working: another full swap on top
     Ingest.deleteKey(spark, dir, "keep")
