@@ -111,7 +111,7 @@ object Auth {
     * status semantics: 401 AuthRequired for a missing/invalid credential.
     * `nowEpochSec` is injectable for tests. */
   def validateAuth(authorization: Option[String], serviceDid: String,
-      resolver: KeyResolver, verifier: Verifier = Hs256Verifier,
+      resolver: KeyResolver, verifier: Verifier = DefaultVerifier,
       nowEpochSec: Long = System.currentTimeMillis() / 1000): String = {
     val bearer = authorization.filter(_.startsWith("Bearer "))
       .getOrElse(throw AuthError(401, "AuthRequired", "missing bearer token"))

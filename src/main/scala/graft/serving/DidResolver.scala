@@ -32,10 +32,25 @@ final class DidResolver(
     plcUrl: String = "https://plc.directory",
     ttlMillis: Long = 3600L * 1000,
     nowMillis: () => Long = () => System.currentTimeMillis(),
-    maxEntries: Int = 10000) extends Auth.KeyResolver {
+    maxEntries: Int = 10000,
+    // `iss` is attacker-supplied, so did:web resolution is an SSRF
+    // primitive by construction: the default refuses targets that only
+    // make sense INSIDE a deployment network — IP-literal hosts (cloud
+    // metadata endpoints), single-label hosts (localhost, bare internal
+    // service names), *.localhost, and explicit ports (internal HTTPS on
+    // odd ports). Real atproto identities are public multi-label domains
+    // on 443. Dev setups (did:web:localhost%3A8443) opt in explicitly.
+    allowPrivateHosts: Boolean = false,
+    // misses ARE negatively cached, briefly: each miss costs up to three
+    // directory round-trips plus backoff ON THE SERVING THREAD, so
+    // uncached misses hand an attacker with unresolvable iss values a
+    // 4-thread-pool amplification lever. Short TTL keeps the documented
+    // property that a key published moments later is picked up quickly.
+    negativeTtlMillis: Long = 30L * 1000) extends Auth.KeyResolver {
 
   private val mapper = new ObjectMapper()
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+  private val misses = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** Bound the cache: a public endpoint resolves every requester's DID,
     * so an unbounded map is a memory-exhaustion vector (millions of valid
@@ -65,7 +80,11 @@ final class DidResolver(
       // be a bare authority (no '/', '@', '?', '#' — a %2F in the DID would
       // otherwise bind a trusted domain's identity to an attacker path) and
       // each path segment must stay inside the did:web segment charset.
-      val h = java.net.URLDecoder.decode(host, "UTF-8")
+      // a malformed percent-escape (bare '%', '%zz') throws from decode —
+      // that is an unresolvable DID (None → 401), never an exception that
+      // would break resolveKey's no-throw contract and surface as a 400
+      val h = try java.net.URLDecoder.decode(host, "UTF-8")
+        catch { case _: IllegalArgumentException => return None }
       // Every dot-separated host label must be non-empty: a host that IS
       // a dot-segment (did:web:.. → https://../did.json) or contains an
       // empty label would re-open the normalization aliasing the segment
@@ -82,7 +101,14 @@ final class DidResolver(
           dec != "." && dec != ".." && !dec.exists(c => c == '/' || c == '\\')
         }
       }
-      if (!hostOk || !restOk) None
+      val hostPublic = allowPrivateHosts || {
+        val bare = h.takeWhile(_ != ':').toLowerCase
+        !h.contains(':') &&                       // no explicit port
+        bare.contains('.') &&                     // no single-label hosts
+        !bare.endsWith(".localhost") &&
+        !bare.matches("\\d+(\\.\\d+){3}")        // no IPv4 literals
+      }
+      if (!hostOk || !restOk || !hostPublic) None
       else if (rest.isEmpty) Some(s"https://$h/.well-known/did.json")
       else Some(s"https://$h/${rest.mkString("/")}/did.json")
     case _ => None
@@ -92,13 +118,28 @@ final class DidResolver(
     val now = nowMillis()
     Option(cache.get(did)).filter(now - _._2 < ttlMillis) match {
       case Some((key, _)) => Some(key)
+      case None if Option(misses.get(did)).exists(now - _ < negativeTtlMillis) =>
+        None // recent miss: don't re-pay the fetch+backoff train per request
       case None =>
         val fresh = for {
           url <- documentUrl(did)
           body <- fetcher.fetch(url)
           key <- DidResolver.atprotoKey(mapper, body, did)
         } yield key
-        fresh.foreach { k => cache.put(did, (k, now)); compact(now) }
+        fresh match {
+          case Some(k) =>
+            cache.put(did, (k, now)); misses.remove(did); compact(now)
+          case None =>
+            misses.put(did, now)
+            // bound the miss map like the hit cache: random unresolvable
+            // DIDs are the attacker-controlled key space here
+            if (misses.size() > maxEntries) misses.synchronized {
+              val it = misses.entrySet().iterator()
+              while (it.hasNext)
+                if (now - it.next().getValue >= negativeTtlMillis) it.remove()
+              if (misses.size() > maxEntries) misses.clear()
+            }
+        }
         fresh
     }
   }
@@ -111,8 +152,14 @@ object DidResolver {
     * resolvable key). */
   trait Fetcher { def fetch(url: String): Option[String] }
 
-  final class HttpFetcher(retries: Int = 2, backoffMillis: Long = 100) extends Fetcher {
+  final class HttpFetcher(retries: Int = 2, backoffMillis: Long = 100,
+      connectTimeoutMillis: Long = 5000, requestTimeoutMillis: Long = 10000,
+      // DID documents are ~1-2 KB; the host is attacker-steerable via
+      // iss, so an uncapped ofString() accumulation was a one-request
+      // heap-exhaustion vector
+      maxBodyBytes: Int = 64 * 1024) extends Fetcher {
     private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMillis))
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
     /** Bounded retry on TRANSIENT failures only (connect reset, timeout —
       * i.e. IOException, which HttpTimeoutException extends): a directory
@@ -129,9 +176,32 @@ object DidResolver {
       var attempt = 0
       while (true) {
         try {
-          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-          return if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+          // explicit timeouts end-to-end: the JDK client defaults BOTH
+          // connect and request timeouts to infinite, so a stalled host
+          // would otherwise park a serving thread forever (the retry
+          // comment's HttpTimeoutException could never actually fire).
+          // The body is streamed with a byte cap AND a wall-clock
+          // deadline — the request timeout only covers up to response
+          // headers, so a slow-dripped body needs its own bound.
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofMillis(requestTimeoutMillis)).GET().build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+          val in = resp.body()
+          try {
+            if (resp.statusCode() / 100 != 2) return None
+            val deadline = System.currentTimeMillis() + requestTimeoutMillis
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) {
+              buf.write(chunk, 0, n)
+              if (buf.size() > maxBodyBytes || System.currentTimeMillis() > deadline)
+                return None // oversized or slow-dripped: not a DID document
+              n = in.read(chunk)
+            }
+            return Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
         } catch {
           case _: java.io.IOException if attempt < retries =>
             attempt += 1

@@ -135,7 +135,14 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
         condition.isEmpty)
       return error(400, "UnsupportedAlgorithm", "Unsupported algorithm")
     val c = condition.get
-    val limit = math.min(params.get("limit").map(_.toInt).getOrElse(50), 100)
+    // lexicon range is 1..100 (default 50): a sub-1 limit must 400 here —
+    // letting it reach the engine surfaced as a 500 AnalysisException from
+    // df.limit(-1), or leaked TopKPerKey's internal require message,
+    // depending on the engine flag. Over-limit keeps the documented clamp.
+    val limit = params.get("limit").map(_.toInt).getOrElse(50) match {
+      case n if n < 1 => throw new IllegalArgumentException(s"limit must be >= 1, got $n")
+      case n => math.min(n, 100)
+    }
     val cursor = params.get("cursor").filter(_.nonEmpty)
 
     // private feeds authenticate; public feeds stay anonymous
@@ -208,12 +215,24 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
     scala.util.Try(java.util.regex.Pattern.compile(
       p, java.util.regex.Pattern.CASE_INSENSITIVE)).isSuccess
 
-  /** JS `Number(x)` truthiness for the count fields: empty string is 0,
-    * anything unparseable is NaN (→ validation error). */
+  /** JS `Number(x)` for the count fields, NaN modeled as None (the
+    * reference gates with `isNaN(Number(x))` — databaseUtil.ts:49): empty
+    * string is 0; the JS numeric grammar parses (decimal with exponent,
+    * 0x/0o/0b integers, signed Infinity); everything else — INCLUDING the
+    * literal "NaN" and Java-only syntaxes like "5d" or "0x1p3" that a bare
+    * `toDoubleOption` wrongly admits — is NaN → validation error. */
   private def jsNumber(v: Option[String]): Option[Double] = v match {
     case None => None
-    case Some(s) if s.trim.isEmpty => Some(0d)
-    case Some(s) => s.trim.toDoubleOption
+    case Some(s0) =>
+      val s = s0.trim
+      if (s.isEmpty) Some(0d)
+      else if (s.matches("[+-]?Infinity"))
+        Some(if (s.startsWith("-")) Double.NegativeInfinity else Double.PositiveInfinity)
+      else if (s.matches("0[xX][0-9A-Fa-f]+")) Some(BigInt(s.drop(2), 16).toDouble)
+      else if (s.matches("0[oO][0-7]+")) Some(BigInt(s.drop(2), 8).toDouble)
+      else if (s.matches("0[bB][01]+")) Some(BigInt(s.drop(2), 2).toDouble)
+      else if (s.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")) s.toDoubleOption
+      else None
   }
 
   /** Full-replace upsert with reference-ordered validation and result
@@ -357,7 +376,11 @@ object FeedServer {
       hostname: String,
       publisherDid: String,
       keyResolver: Auth.KeyResolver = Auth.StaticKeyResolver(Map.empty),
-      verifier: Auth.Verifier = Auth.Hs256Verifier)
+      // DefaultVerifier BY DEFAULT: wiring a DidResolver (which returns
+      // PUBLIC point bytes) while the default verifier is HS256-only was
+      // the alg-confusion forgery footgun its own scaladoc warns about —
+      // the safe dispatch-on-key-shape verifier must not be opt-in
+      verifier: Auth.Verifier = Auth.DefaultVerifier)
 
   /** Admin wiring: the mutable control plane plus a hook that deletes a
     * key's posts from the store (the engine side of deleteCondition's

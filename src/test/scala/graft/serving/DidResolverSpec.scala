@@ -41,9 +41,32 @@ class DidResolverSpec extends AnyFunSuite {
     // slashes, userinfo, or query metacharacters
     assert(r.documentUrl("did:web:example.com:u@x:alice").isEmpty)
     assert(r.documentUrl("did:web:example.com:u?q").isEmpty)
-    // the legitimate port form still resolves
-    assert(r.documentUrl("did:web:example.com%3A8443")
+    // the port grammar itself is valid — but only a resolver that opted
+    // into private hosts builds the URL; the auth-edge default refuses it
+    assert(r.documentUrl("did:web:example.com%3A8443").isEmpty)
+    val dev = new DidResolver(_ => None, allowPrivateHosts = true)
+    assert(dev.documentUrl("did:web:example.com%3A8443")
       .contains("https://example.com:8443/.well-known/did.json"))
+  }
+
+  test("did:web SSRF guard: internal-looking hosts are refused at the auth edge") {
+    val r = new DidResolver(_ => None)
+    // iss is attacker-supplied, so did:web resolution must not be usable
+    // as a confused-deputy probe of the deployment network
+    assert(r.documentUrl("did:web:169.254.169.254").isEmpty)        // metadata IP
+    assert(r.documentUrl("did:web:10.0.0.7").isEmpty)               // private IP
+    assert(r.documentUrl("did:web:localhost").isEmpty)              // loopback name
+    assert(r.documentUrl("did:web:internal-service").isEmpty)       // single label
+    assert(r.documentUrl("did:web:foo.localhost").isEmpty)          // *.localhost
+    assert(r.documentUrl("did:web:internal.corp%3A8443").isEmpty)   // odd port
+    // public multi-label domains resolve as before
+    assert(r.documentUrl("did:web:feeds.example.com")
+      .contains("https://feeds.example.com/.well-known/did.json"))
+    // the dev override admits all of them (grammar still enforced)
+    val dev = new DidResolver(_ => None, allowPrivateHosts = true)
+    assert(dev.documentUrl("did:web:localhost%3A8080")
+      .contains("https://localhost:8080/.well-known/did.json"))
+    assert(dev.documentUrl("did:web:example.com%2Fuser").isEmpty)
   }
 
   test("did:web rejects dot-segments and malformed percent-encoding in path segments") {
@@ -80,7 +103,8 @@ class DidResolverSpec extends AnyFunSuite {
     // legitimate hosts still resolve
     assert(r.documentUrl("did:web:example.com")
       .contains("https://example.com/.well-known/did.json"))
-    assert(r.documentUrl("did:web:localhost%3A8080")
+    assert(new DidResolver(_ => None, allowPrivateHosts = true)
+      .documentUrl("did:web:localhost%3A8080")
       .contains("https://localhost:8080/.well-known/did.json"))
   }
 
@@ -131,14 +155,26 @@ class DidResolverSpec extends AnyFunSuite {
     assert(r.resolveKey("did:plc:d1").isDefined && fetches == 6)
   }
 
-  test("resolution misses are not negatively cached") {
+  test("misses are negatively cached briefly, then retried (late-published key found)") {
+    var now = 1000L
     var fetches = 0
     var available = false
     val did = "did:plc:latecomer"
     val r = new DidResolver(
-      _ => { fetches += 1; if (available) Some(didDoc(did)) else None })
+      _ => { fetches += 1; if (available) Some(didDoc(did)) else None },
+      nowMillis = () => now, negativeTtlMillis = 30000L)
     assert(r.resolveKey(did).isEmpty && fetches == 1)
+    // inside the negative TTL the miss answers from cache — the
+    // fetch+backoff train is not re-paid per request (the 4-thread-pool
+    // amplification the uncached form handed an attacker)
     available = true
+    now += 1000
+    assert(r.resolveKey(did).isEmpty && fetches == 1)
+    // past the TTL the key published in the meantime is found
+    now += 30000
+    assert(r.resolveKey(did).isDefined && fetches == 2)
+    // and a hit never consults the stale miss entry again
+    now += 1000
     assert(r.resolveKey(did).isDefined && fetches == 2)
   }
 

@@ -48,6 +48,13 @@ class FeedServerSpec extends SparkSpec {
   test("getFeedSkeleton serves pages with cursors over HTTP; unknown feed is 400") {
     val conditions = Seq(Fixtures.cond(key = "f1"))
     withServer(conditions) { port =>
+      // sub-1 limits are a lexicon violation → 400 InvalidRequest; they
+      // used to reach the engine and 500 (df.limit(-1) AnalysisException)
+      // or leak the native operator's internal require message
+      val (stBad, _) = get(port, s"/xrpc/app.bsky.feed.getFeedSkeleton?feed=${feedUri("f1")}&limit=0")
+      assert(stBad == 400)
+      val (stNeg, _) = get(port, s"/xrpc/app.bsky.feed.getFeedSkeleton?feed=${feedUri("f1")}&limit=-1")
+      assert(stNeg == 400)
       val (st1, p1) = get(port, s"/xrpc/app.bsky.feed.getFeedSkeleton?feed=${feedUri("f1")}&limit=2")
       assert(st1 == 200, p1.toString)
       assert(p1.get("feed").size() == 2)
@@ -319,6 +326,12 @@ class FeedServerSpec extends SparkSpec {
       assert(code(setQueryBody("k", "k", refresh = "soon")) == (500, "NOT_NUMBER_REFRESH"))
       assert(code(setQueryBody("k", "k", initPost = "many")) == (500, "NOT_NUMBER_INITPOST"))
       assert(code(setQueryBody("k", "k", limitCount = "lots")) == (500, "NOT_NUMBER_LIMITCOUNT"))
+      // JS-Number parity (the reference gates with isNaN(Number(x)),
+      // databaseUtil.ts:49): the literal "NaN" and Java-only syntaxes are
+      // NaN there and must fail HERE too, not silently store 0
+      assert(code(setQueryBody("k", "k", initPost = "NaN")) == (500, "NOT_NUMBER_INITPOST"))
+      assert(code(setQueryBody("k", "k", limitCount = "5d")) == (500, "NOT_NUMBER_LIMITCOUNT"))
+      assert(code(setQueryBody("k", "k", limitCount = "0x1p3")) == (500, "NOT_NUMBER_LIMITCOUNT"))
       assert(code(setQueryBody("k", "k",
         extra = Map("profileMatch" -> "term::[bad"))) == (500, "PROFILE_MATCH_REGEX_ERROR"))
       assert(control.conditions.isEmpty) // nothing persisted on any failure
