@@ -49,6 +49,69 @@ object Cbor {
       case other =>
         throw new IllegalArgumentException(s"indefinite/reserved length info=$other not allowed in DAG-CBOR")
     }
+    /** A length/count operand: 64-bit on the wire, but nothing inside one
+      * frame can exceed the frame's own byte length — a value past that
+      * (or past Int range) is a crafted/corrupt header and must REJECT,
+      * not truncate via .toInt into a wrong-but-accepted parse (e.g. an
+      * 8-byte length 0x1_0000_0005 truncating to 5 and re-synchronizing
+      * the reader at attacker-chosen offsets, or a count whose .toInt
+      * goes negative making Vector.fill return EMPTY and silently skip
+      * elements). */
+    private def lenArg(info: Int): Int = {
+      val v = uintArg(info)
+      if (v < 0 || v > buf.length)
+        throw new IllegalArgumentException(
+          s"CBOR length/count $v exceeds frame size ${buf.length}")
+      v.toInt
+    }
+    /** Advance past one value WITHOUT materializing it — the hot-path
+      * primitive [[mapValueOf]] uses to extract one field of a frame whose
+      * dominant bytes (a commit's `blocks` CAR archive) would otherwise be
+      * copied per frame just to be discarded. */
+    def skipValue(): Unit = {
+      val ib = u8()
+      val major = ib >> 5
+      val info = ib & 0x1f
+      major match {
+        case 0 | 1 => uintArg(info): Unit
+        case 2 | 3 =>
+          val n = lenArg(info)
+          if (pos + n > buf.length) throw new IllegalArgumentException("truncated CBOR")
+          pos += n
+        case 4 => val n = lenArg(info); var i = 0; while (i < n) { skipValue(); i += 1 }
+        case 5 =>
+          val n = lenArg(info); var i = 0
+          while (i < n) { skipValue(); skipValue(); i += 1 }
+        case 6 => uintArg(info); skipValue()
+        case 7 => info match {
+          case 20 | 21 | 22 => ()
+          case 27 => uintArg(27): Unit
+          case other =>
+            throw new IllegalArgumentException(s"unsupported simple value $other")
+        }
+      }
+    }
+
+    /** Decode ONLY `key`'s value from a map at the cursor, skipping every
+      * other entry unmaterialized; None when the next item is not a map or
+      * lacks the key. */
+    def mapValueOf(key: String): Option[Value] = {
+      val ib = u8()
+      if ((ib >> 5) != 5) return None
+      val n = lenArg(ib & 0x1f)
+      var found: Option[Value] = None
+      var i = 0
+      while (i < n) {
+        decode() match {
+          case CText(k) if found.isEmpty && k == key => found = Some(decode())
+          case _: CText => skipValue()
+          case other => throw new IllegalArgumentException(s"non-text map key $other")
+        }
+        i += 1
+      }
+      found
+    }
+
     def decode(): Value = {
       val ib = u8()
       val major = ib >> 5
@@ -56,10 +119,10 @@ object Cbor {
       major match {
         case 0 => CInt(uintArg(info))
         case 1 => CInt(-1L - uintArg(info))
-        case 2 => CBytes(take(uintArg(info).toInt))
-        case 3 => CText(new String(take(uintArg(info).toInt), java.nio.charset.StandardCharsets.UTF_8))
-        case 4 => CArr(Vector.fill(uintArg(info).toInt)(decode()))
-        case 5 => CMap(Vector.fill(uintArg(info).toInt) {
+        case 2 => CBytes(take(lenArg(info)))
+        case 3 => CText(new String(take(lenArg(info)), java.nio.charset.StandardCharsets.UTF_8))
+        case 4 => CArr(Vector.fill(lenArg(info))(decode()))
+        case 5 => CMap(Vector.fill(lenArg(info)) {
           decode() match {
             case CText(k) => k -> decode()
             case other => throw new IllegalArgumentException(s"non-text map key $other")
@@ -205,7 +268,7 @@ object Cbor {
     case CMap(kvs) => kvs.map { case (k, x) => s"${jsonQuote(k)}:${toJson(x)}" }.mkString("{", ",", "}")
   }
 
-  private def jsonQuote(s: String): String = {
+  private[sources] def jsonQuote(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")

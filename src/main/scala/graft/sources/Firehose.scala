@@ -118,13 +118,19 @@ object Firehose {
   private def opJson(seq: Long, action: String, path: String, repo: String,
       cid: Option[String], record: Option[Cbor.Value]): String = {
     val collection = path.split('/').head
+    // path/repo/action/cid are WIRE-CONTROLLED strings: interpolating
+    // them raw would let a hostile relay inject JSON fields (a quote in
+    // `path` can forge a record/cid on a delete op — Jackson keeps the
+    // last duplicate) or break the frame so PERMISSIVE from_json silently
+    // nulls it. Quote through the same escaper record content uses.
+    val q: String => String = Cbor.jsonQuote
     val fields = Seq(
       s""""seq":$seq""",
-      s""""action":"$action"""",
-      s""""collection":"$collection"""",
-      s""""uri":"at://$repo/$path"""",
-      s""""author":"$repo"""") ++
-      cid.map(c => s""""cid":"$c"""") ++
+      s""""action":${q(action)}""",
+      s""""collection":${q(collection)}""",
+      s""""uri":${q(s"at://$repo/$path")}""",
+      s""""author":${q(repo)}""") ++
+      cid.map(c => s""""cid":${q(c)}""") ++
       record.map(rec => s""""record":${Cbor.toJson(rec)}""")
     fields.mkString("{", ",", "}")
   }
@@ -163,7 +169,12 @@ object Firehose {
         lit(null).cast("string").as("description")).as("author"),
       struct(
         col("text"),
-        date_format(col("createdAt"), "yyyy-MM-dd HH:mm:ss").as("createdAt"),
+        // ISO-8601 with fractional seconds, like the firehose path passes
+        // through verbatim: the former second-truncating format tied
+        // millisecond-distinct posts, so the two ingest paths ranked
+        // identical data differently (FilterCascade's indexedAt is
+        // to_timestamp over this string)
+        date_format(col("createdAt"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("createdAt"),
         array(col("lang")).as("langs"),
         lit(null).cast(replyT).as("reply"),
         lit(null).cast(embedT).as("embed")).as("record"),

@@ -156,6 +156,12 @@ class SearchMicroBatchStream(totalPosts: Long, pageSize: Int,
     val s = start.asInstanceOf[PageOffset].index
     val budget = limit match {
       case r: ReadMaxRows => r.maxRows()
+      // Trigger.Once/AvailableNow pass allAvailable: the contract is the
+      // WHOLE backlog in this batch — treating it as one page budget made
+      // a single-batch query stop after pagesPerTrigger pages and report
+      // success with the rest silently unread
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        totalPosts
       case _ => budgetRows
     }
     PageOffset(math.min(totalPosts, s + budget))
@@ -232,26 +238,37 @@ class SearchReaderFactory(langFilter: Option[String],
 class HttpPageReader(url: String, p: SearchPagePartition,
     langFilter: Option[String]) extends PartitionReader[InternalRow] {
   private lazy val rows: Iterator[InternalRow] = {
-    val lang = langFilter.map(l => s"&lang=$l").getOrElse("")
+    // percent-encode the pushed predicate: a raw space crashes URI.create
+    // (task dies on every retry), and a raw '&' would rewrite the
+    // request's OTHER query parameters
+    val lang = langFilter
+      .map(l => "&lang=" + java.net.URLEncoder.encode(l, "UTF-8")).getOrElse("")
     val uri = java.net.URI.create(
       s"$url?offset=${p.start}&limit=${p.end - p.start}$lang")
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(
+    val resp = HttpPageReader.client.send(
       java.net.http.HttpRequest.newBuilder(uri).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"search endpoint ${resp.statusCode()} for $uri")
     val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    // field access is validated so one malformed row names itself instead
+    // of killing the query with a bare NPE from asText()
+    def field(n: com.fasterxml.jackson.databind.JsonNode, i: Int, name: String): String = {
+      val v = n.get(name)
+      if (v == null || v.isNull)
+        throw new java.io.IOException(s"search row $i from $uri missing field '$name': $n")
+      v.asText()
+    }
     (0 until arr.size()).iterator.map { i =>
       val n = arr.get(i)
+      val t = java.time.Instant.parse(field(n, i, "createdAt"))
       InternalRow(
-        UTF8String.fromString(n.get("uri").asText()),
-        UTF8String.fromString(n.get("cid").asText()),
-        UTF8String.fromString(n.get("did").asText()),
-        UTF8String.fromString(n.get("text").asText()),
-        UTF8String.fromString(n.get("lang").asText()),
-        java.time.Instant.parse(n.get("createdAt").asText()).toEpochMilli * 1000L +
-          java.time.Instant.parse(n.get("createdAt").asText()).getNano / 1000 % 1000,
+        UTF8String.fromString(field(n, i, "uri")),
+        UTF8String.fromString(field(n, i, "cid")),
+        UTF8String.fromString(field(n, i, "did")),
+        UTF8String.fromString(field(n, i, "text")),
+        UTF8String.fromString(field(n, i, "lang")),
+        t.toEpochMilli * 1000L + t.getNano / 1000 % 1000,
       )
     }.toVector.iterator
   }
@@ -260,4 +277,14 @@ class HttpPageReader(url: String, p: SearchPagePartition,
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+object HttpPageReader {
+  /** ONE executor-wide client: each JDK HttpClient owns a selector-manager
+    * thread and has no close() (pre-21), so the former per-partition
+    * client leaked a thread per page until GC — hundreds per hour on a
+    * streaming ingest. The long-lived-singleton pattern SubscribeRepos
+    * already uses. */
+  private[sources] lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 }

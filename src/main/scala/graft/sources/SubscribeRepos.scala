@@ -61,10 +61,10 @@ final class SubscribeReposClient(
         case h: Cbor.CMap
           if h.get("op").contains(Cbor.CInt(1)) &&
              h.get("t").contains(Cbor.CText("#commit")) && r.remaining > 0 =>
-          r.decode() match {
-            case b: Cbor.CMap => b.get("seq").collect { case Cbor.CInt(s) => s }
-            case _ => None
-          }
+          // skip-walk the body: a full decode() copied the multi-KB
+          // `blocks` CAR byte string out of EVERY commit frame on the
+          // single-socket edge thread, just to read one integer
+          r.mapValueOf("seq").collect { case Cbor.CInt(s) => s }
         case _ => None
       }
     } catch { case _: Exception => None } // invalid frame: no cursor advance
@@ -107,8 +107,24 @@ final class SubscribeReposClient(
     }
     http.newWebSocketBuilder().buildAsync(uri, listener).whenComplete { (w, e) =>
       if (e != null) done.completeExceptionally(e)
-      else if (done.isDone) w.abort() // watchdog gave up on this dial mid-handshake:
-      else socket = w                 // kill the late socket, don't let it go zombie
+      else if (done.isDone || stopping) {
+        // watchdog gave up on this dial mid-handshake, OR stop() ran while
+        // the handshake was in flight — stop() sendCloses only the socket
+        // it can SEE, so a late-landing socket here would stream frames
+        // forever (onFrame after stop() returned, monitor parked in join).
+        // Kill it and unpark the dial future.
+        w.abort()
+        done.complete(null)
+      }
+      else {
+        socket = w
+        // Dekker pairing with stop(): stop sets `stopping` BEFORE it reads
+        // `socket`, this publishes `socket` before re-reading `stopping`
+        // (both volatile) — so either stop sees the new socket and closes
+        // it, or this re-check sees the stop and aborts; a stop landing
+        // between the check above and the assignment can't leak a zombie.
+        if (stopping) { w.abort(); done.complete(null) }
+      }
     }
     currentDial = done
     done

@@ -199,6 +199,46 @@ class FirehoseSpec extends SparkSpec {
     assert(viaCbor.exceptAll(viaJson).isEmpty && viaJson.exceptAll(viaCbor).isEmpty)
   }
 
+  test("wire-controlled strings cannot inject JSON fields into the op row") {
+    // a hostile relay controls path/repo byte-for-byte: a quote in the
+    // path must surface as a LITERAL character in the uri, never as a
+    // field boundary that forges record/cid on the op (Jackson keeps the
+    // last duplicate key, so an unescaped interpolation was exploitable)
+    val evilPath = """app.bsky.feed.post/3k","record":{"text":"forged"},"z":"x"""
+    val frame = commitFrame(11L, "did:plc:victim", Seq(
+      op("create", evilPath, Some(cidBytes(postRecord)))), Seq(postRecord))
+    val rows = Firehose.decodeCborFrames(binFrames(frame)).collect()
+    assert(rows.length == 1, "injected frame must still decode as ONE op")
+    val r = rows.head
+    assert(r.getAs[String]("uri") == s"at://did:plc:victim/$evilPath",
+      "quote in path must be literal content, not a JSON field boundary")
+    val rec = r.getStruct(r.fieldIndex("record"))
+    assert(rec.getAs[String]("text") == "spark decodes cbor",
+      "record must come from the CAR block, never from injected bytes")
+  }
+
+  test("CBOR rejects lengths/counts that exceed the frame instead of truncating") {
+    // 8-byte byte-string length 0x1_0000_0005: .toInt would truncate to 5
+    // and re-synchronize the reader at an attacker-chosen offset
+    val hugeLen = Array[Byte](0x5b, 0, 0, 0, 1, 0, 0, 0, 5) ++ Array.fill[Byte](5)(7)
+    intercept[IllegalArgumentException] { new Reader(hugeLen).decode() }
+    // 4-byte array count 0xFFFFFFFF: .toInt goes negative and Vector.fill
+    // would return EMPTY, silently skipping every element
+    val hugeCount = Array[Byte](0x9a.toByte, -1, -1, -1, -1)
+    intercept[IllegalArgumentException] { new Reader(hugeCount).decode() }
+  }
+
+  test("mapValueOf extracts one field without materializing the rest") {
+    val body = Writer.encode(CMap(Vector(
+      "blocks" -> CBytes(Array.fill[Byte](4096)(3)), // the dominant bytes
+      "seq" -> CInt(42L),
+      "extra" -> CArr(Vector(CInt(1), CText("x"))))))
+    assert(new Reader(body).mapValueOf("seq").contains(CInt(42L)))
+    assert(new Reader(body).mapValueOf("absent").isEmpty)
+    // non-map at the cursor: None, not an exception
+    assert(new Reader(Writer.encode(CInt(5))).mapValueOf("seq").isEmpty)
+  }
+
   test("CBOR codec round-trips the DAG-CBOR value domain") {
     val v = CMap(Vector(
       "i" -> CInt(23), "big" -> CInt(1L << 40), "neg" -> CInt(-42),

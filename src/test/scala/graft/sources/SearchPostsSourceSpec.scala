@@ -47,6 +47,21 @@ class SearchPostsSourceSpec extends SparkSpec {
     assert(out.select("uri").distinct().count() == 350) // no dup, no loss
   }
 
+  test("Trigger.Once semantics: allAvailable reads the whole backlog, not one budget") {
+    // Spark passes ReadLimit.allAvailable() for single-batch triggers; the
+    // contract is the ENTIRE backlog in that batch — treating it as one
+    // pagesPerTrigger budget made a Trigger.Once query stop after the
+    // first pages and report success with the rest silently unread
+    val stream = new SearchMicroBatchStream(totalPosts = 50000L,
+      pageSize = 100, pagesPerTrigger = 10, langFilter = None)
+    val all = stream.latestOffset(PageOffset(0L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(all == PageOffset(50000L), s"allAvailable must reach the head, got $all")
+    // the budgeted trigger path is unchanged
+    val budgeted = stream.latestOffset(PageOffset(0L), stream.getDefaultReadLimit)
+    assert(budgeted == PageOffset(1000L))
+  }
+
   test("streaming read with pushed lang filter yields only that language") {
     val store = java.nio.file.Files.createTempDirectory("graft-search-lang").toString
     val q = spark.readStream.format("graft-search")
