@@ -39,14 +39,31 @@ object DedupStream {
 
   /** Near-identical text dedup: key = md5 of the sorted distinct word set
     * ([[TextAnalysis.fingerprint]]), so word order and repetition don't
-    * defeat the match. */
+    * defeat the match.
+    *
+    * CONTENTLESS rows (null text, or a token set that dedups to nothing —
+    * empty/whitespace/punctuation-only) pass through UNDEDUPED: they all
+    * share the degenerate md5("") fingerprint, and keying them would
+    * collapse every such unrelated record to one survivor per watermark
+    * horizon. There is no text content to be a near-duplicate OF, so
+    * dedup is not this operator's call for them; route them through the
+    * id-keyed [[exact]] or a quality gate instead. */
   def byFingerprint(stream: DataFrame, textCol: String, eventTimeCol: String,
-      delay: String): DataFrame =
-    stream
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      delay: String): DataFrame = {
+    val withFp = stream
+      .withColumn("__fp",
+        // trim-nonempty, not tokenSet-nonempty: split("") is [""], one
+        // EMPTY token, so whitespace-only and empty texts share a
+        // non-empty token set and would still collapse onto md5("")
+        when(trim(coalesce(col(textCol), lit(""))) =!= "",
+          TextAnalysis.fingerprint(col(textCol))))
       .withWatermark(eventTimeCol, delay)
+    val contentful = withFp.filter(col("__fp").isNotNull)
       .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+    // unionByName keeps the contentless rows' watermark lineage intact;
+    // both branches read the one source, so this plans as a single scan
+    contentful.unionByName(withFp.filter(col("__fp").isNull)).drop("__fp")
+  }
 
   /** Chunk-level first-occurrence dedup — the stateful step of the ns58
     * curation tail as a STREAM: documents fan out into overlapping token

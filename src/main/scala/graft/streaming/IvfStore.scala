@@ -155,6 +155,17 @@ object IvfStore {
   def model(spark: SparkSession, storeDir: String): Model =
     modelAt(spark, VersionedStore.versionDir(storeDir))
 
+  /** The CURRENT version name plus its model — for callers that quantize/
+    * assign OUTSIDE the ingest lock and pass the version back to
+    * [[ingest]] so a publish/refit landing in between cannot silently
+    * slip stale-model rows into the new version. */
+  def versionedModel(spark: SparkSession, storeDir: String): (String, Model) = {
+    val root = new HPath(storeDir)
+    val v = VersionedStore.currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published version at '$storeDir' — publish() before streaming ingest"))
+    (v, modelAt(spark, new HPath(root, v).toString))
+  }
+
   /** The CURRENT version's code table (vec_id, __q, cell). */
   def codes(spark: SparkSession, storeDir: String): DataFrame =
     codesAt(spark, VersionedStore.versionDir(storeDir))
@@ -195,11 +206,33 @@ object IvfStore {
     * same batch's redelivery deletes, and [[refit]] drops at
     * consolidation. */
   def ingest(storeDir: String, assigned: DataFrame, idCol: String,
-      batchId: Long, writerId: String = "stream"): Unit = {
+      batchId: Long, writerId: String = "stream",
+      modelVersion: Option[String] = None): Unit = {
     require(batchId >= 0, s"batchId must be a non-negative stream epoch, got $batchId")
-    require(writerId.nonEmpty && !writerId.contains("/"),
-      s"writerId must be a non-empty path-safe token, got '$writerId'")
+    // the charset must survive Spark's partition-path escaping VERBATIM:
+    // the commit rename looks for the literal `__b=<writerId>-<batchId>`
+    // directory, and a writerId with ':'/'='/'%'/etc. is written ESCAPED
+    // (`query%3A1`), so the rename would find nothing and the batch would
+    // sit forever in a .tmp partition readers filter out — silent loss
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must match [A-Za-z0-9._-]+ (partition-path-literal token), got '$writerId'")
     VersionedStore.withStoreLock(storeDir) {
+      // fence stale-model assignments: the caller quantized/assigned
+      // outside this lock against `modelVersion`'s bounds + centroids; if
+      // a publish/refit flipped the pointer since, those codes are wrong
+      // under the new model (wrong cells after a refit — probes miss the
+      // rows; incomparable __q bytes after a publish with new bounds, and
+      // refit carries bounds forward, never requantizes). Refuse loudly —
+      // the streaming caller's retry re-assigns against the new model.
+      modelVersion.foreach { v =>
+        val cur = VersionedStore.currentVersion(new HPath(storeDir))
+        if (!cur.contains(v))
+          throw new IllegalStateException(
+            s"ingest into '$storeDir': assignments were computed against model " +
+              s"version '$v' but the store is now at '${cur.getOrElse("<unversioned>")}' " +
+              "(a publish/refit landed in between) — re-assign against the " +
+              "current model and retry")
+      }
       val cdir = codesDir(VersionedStore.versionDir(storeDir))
       val bFinal = s"$writerId-$batchId"
       val bTmp = s"$bFinal.tmp"
@@ -314,11 +347,21 @@ object IvfStore {
       idCol: String, vecCol: String, threshold: Double,
       nProbe: Int = 1): DataFrame = {
     val (qsBase, pruned) = probeJoin(spark, storeDir, queries, idCol, vecCol, nProbe)
-    broadcast(qsBase).as("q").join(pruned.as("c"), col("q.cluster") === col("c.cluster"))
-      .filter(org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).cast("double") >=
-        lit(threshold) * sqrt(
-          org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("q.__q")).cast("double") *
-          org.apache.spark.sql.graft.DotCodes(col("c.__q"), col("c.__q")).cast("double")))
+    // self-norms are per ROW, computed once per side — inside the filter
+    // they re-evaluated per candidate PAIR (3× the dot work of the
+    // screen's dominant |batch|×|cell| term). Both must be STRICTLY
+    // positive: an all-zero code (a vector saturating the published
+    // bounds) has no direction, and the unguarded form degenerated to
+    // 0 >= 0 — one zero-code stored row marked every query probing its
+    // cell a near-duplicate, silently discarding every later arrival.
+    val n2 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.DotCodes(c, c).cast("double")
+    val qn = qsBase.withColumn("__n2", n2(col("__q")))
+    val cn = pruned.withColumn("__n2", n2(col("__q")))
+    broadcast(qn).as("q").join(cn.as("c"), col("q.cluster") === col("c.cluster"))
+      .filter(col("q.__n2") > 0 && col("c.__n2") > 0 &&
+        org.apache.spark.sql.graft.DotCodes(col("q.__q"), col("c.__q")).cast("double") >=
+          lit(threshold) * sqrt(col("q.__n2") * col("c.__n2")))
       .select(col("q.__id").as("q_id")).distinct()
   }
 }

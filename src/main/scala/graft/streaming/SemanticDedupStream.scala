@@ -85,14 +85,39 @@ object SemanticDedupStream {
   def ingestDeduped(spark: SparkSession, storeDir: String, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double, batchId: Long,
       writerId: String = "semdedup", nProbe: Int = 1): Long = {
-    val m = IvfStore.model(spark, storeDir)
-    val survivors = screen(spark, storeDir, batch, idCol, vecCol, threshold, nProbe)
-    val assigned = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
-      .select(col(idCol), col("__q"), col("cell"))
-      .localCheckpoint() // count + ingest: one materialization, two consumers
-    val n = assigned.count()
-    if (n > 0) IvfStore.ingest(storeDir, assigned, idCol, batchId, writerId)
-    n
+    // the whole batch runs against ONE pinned model version, and ingest
+    // FENCES on it: a publish/refit flipping the pointer mid-batch used
+    // to silently land stale-cell/stale-bounds rows in the new version
+    // (wrong cells → probes miss them; stale-bounds __q bytes are
+    // permanently incomparable — refit carries bounds forward). The
+    // fence rejection re-runs the batch here against the new model
+    // (screen included: the new version's rows matter for the verdicts
+    // too); the per-(writer, epoch) ingest protocol makes the retry
+    // replay-safe. Bounded: versions flip at refit cadence (minutes),
+    // so two consecutive flips mid-batch already means operator error.
+    val maxAttempts = 3
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (mv, m) = IvfStore.versionedModel(spark, storeDir)
+      val survivors = screen(spark, storeDir, batch, idCol, vecCol, threshold, nProbe)
+      val assigned = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
+        .select(col(idCol), col("__q"), col("cell"))
+        .localCheckpoint() // count + ingest: one materialization, two consumers
+      val n = assigned.count()
+      try {
+        if (n > 0)
+          IvfStore.ingest(storeDir, assigned, idCol, batchId, writerId, Some(mv))
+        return n
+      } catch {
+        case e: IllegalStateException if attempt < maxAttempts =>
+          System.err.println(s"[semdedup] model version flipped mid-batch " +
+            s"(attempt $attempt/$maxAttempts): ${e.getMessage}; re-running the batch")
+      }
+    }
+    throw new IllegalStateException(
+      s"ingestDeduped into '$storeDir': the model version flipped on every of " +
+        s"$maxAttempts attempts — refits are outpacing ingest batches")
   }
 
   /** Wire a streaming frame of (id, vector) rows into the store through

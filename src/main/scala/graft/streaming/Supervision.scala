@@ -39,8 +39,19 @@ object Supervision {
           case e: Throwable if !stopping && restartCount < maxRestarts =>
             lastError = Some(e)
             Thread.sleep(reconnectDelayMs)
-            restartCount += 1
-            current = mkQuery() // same checkpoint → resume at the stored offsets
+            // re-check AFTER the sleep: a stop() landing during the delay
+            // has already stopped (the dead) `current` and returned — a
+            // blind mkQuery() here would start a fresh incarnation nothing
+            // ever stops, writing to the store with no owner
+            if (!stopping) {
+              restartCount += 1
+              current = mkQuery() // same checkpoint → resume at the stored offsets
+              // Dekker pairing with stop(): stop sets `stopping` BEFORE
+              // stopping `current`, this publishes `current` before
+              // re-reading `stopping` — one side always sees the other,
+              // so a stop racing the assignment can't leak the restart
+              if (stopping) { try current.stop() catch { case _: Exception => () } }
+            }
           case e: Throwable =>
             lastError = Some(e)
             alive = false
@@ -62,6 +73,13 @@ object Supervision {
         try { current.processAllAvailable(); done = true }
         catch {
           case e: Throwable =>
+            // a dead monitor means no restart is coming (budget exhausted
+            // or clean exit): fail fast with the REAL terminal error
+            // instead of spinning out the whole timeout on it
+            if (!monitor.isAlive && !stopping)
+              throw new RuntimeException(
+                s"supervised query terminated (restarts=$restartCount, no restart pending)",
+                lastError.getOrElse(e))
             if (System.nanoTime() > deadline)
               throw new RuntimeException(s"supervised query did not settle in ${timeoutMs}ms", e)
             Thread.sleep(100)

@@ -179,9 +179,16 @@ private[graft] object VersionedStore {
     * post-write re-read narrows that to a single write-write race but
     * cannot close it) — known limitations of lease files on stores
     * without compare-and-swap, and the reason the 100 TB deployment form
-    * is a Delta/Iceberg commit, not this file. A detected takeover is
-    * surfaced three ways: the stderr WARN, [[LockHandle.lost]] for
-    * polling, and [[withStoreLock]]'s terminal [[LeaseLostException]]. */
+    * is a Delta/Iceberg commit, not this file. A further residual: the
+    * staleness check compares THIS process's clock against the remote
+    * filesystem's mtime stamp (the NameNode's clock on HDFS), so client/
+    * server skew beyond the heartbeat slack (ttl − ttl/3 ≈ 3.3 min at the
+    * default) can break a live lease (skew ahead) or never break a dead
+    * one (skew behind) — size the TTL with the deployment's clock
+    * discipline in mind; only a server-side CAS with server-side expiry
+    * removes the skew term entirely. A detected takeover is surfaced
+    * three ways: the stderr WARN, [[LockHandle.lost]] for polling, and
+    * [[withStoreLock]]'s terminal [[LeaseLostException]]. */
   private[streaming] def acquireLease(lease: Path,
       ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): LockHandle = {
     // unique per ACQUISITION, not per process: the fenced refresh compares

@@ -81,4 +81,24 @@ class DedupStreamSpec extends SparkSpec {
     q.stop()
     assert(ids.toSeq == Seq(1L, 3L, 4L))
   }
+
+  test("contentless rows (null/empty/whitespace text) pass through undeduped") {
+    // they all share the degenerate md5("") fingerprint: keying them would
+    // collapse every unrelated null/empty record to ONE survivor per
+    // horizon — there is no content to be a near-duplicate OF
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = DedupStream.byFingerprint(stream.toDF(), "text", "ts", "5 minutes")
+      .writeStream.format("memory").queryName("dedup_fp_null").outputMode("append").start()
+    stream.addData(
+      Doc(1, null, t(0)), Doc(2, "", t(1)), Doc(3, "   ", t(2)),
+      Doc(4, "real content here", t(3)), Doc(5, "real content here", t(4)))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_fp_null").select("id").as[Long].collect().sorted
+    q.stop()
+    // all three contentless rows survive; the real duplicate still dedups
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }

@@ -316,4 +316,74 @@ class IvfLifecycleSpec extends SparkSpec {
     VersionedStore.deleteRecursively(dir)
     VersionedStore.deleteRecursively(ckpt)
   }
+
+  test("ingest refuses a writerId Spark's partition writer would escape") {
+    // ':' (and '=', '%', ...) are written as %3A in partition paths, so
+    // the commit rename would never find the literal __b dir and the
+    // batch would sit invisibly in .tmp forever — silent loss; refuse up
+    // front
+    val s0 = spark
+    import s0.implicits._
+    val dir = Files.createTempDirectory("ivf_writerid").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val m = IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", nCells = 4, iters = 1)
+    val assigned = AnnIngest.assignCells(
+      emb.filter(col("vec_id") === 60), "embedding", m.mn, m.mx, m.centroids)
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.ingest(dir, assigned, "vec_id", 0L, writerId = "query:1")
+    }
+    assert(e.getMessage.contains("writerId"), e.getMessage)
+    VersionedStore.deleteRecursively(dir)
+  }
+
+  test("ingest fences stale-model assignments across a refit") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = Files.createTempDirectory("ivf_fence").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nCells = 4, iters = 1)
+    val (v1, m1) = IvfStore.versionedModel(spark, dir)
+    // a refit lands between the caller's assignment and its ingest
+    IvfStore.refit(spark, dir, nCells = 4, iters = 1)
+    val assigned = AnnIngest.assignCells(
+      emb.filter(col("vec_id") === 150), "embedding", m1.mn, m1.mx, m1.centroids)
+    val e = intercept[IllegalStateException] {
+      IvfStore.ingest(dir, assigned, "vec_id", 0L, "w", Some(v1))
+    }
+    assert(e.getMessage.contains("re-assign"), e.getMessage)
+    // nothing landed
+    assert(IvfStore.codes(spark, dir).filter(col("vec_id") === 150).count() == 0)
+    // against the CURRENT version the same ingest goes through
+    val (v2, m2) = IvfStore.versionedModel(spark, dir)
+    assert(v2 != v1)
+    IvfStore.ingest(dir, AnnIngest.assignCells(
+        emb.filter(col("vec_id") === 150), "embedding", m2.mn, m2.mx, m2.centroids),
+      "vec_id", 0L, "w", Some(v2))
+    assert(IvfStore.codes(spark, dir).filter(col("vec_id") === 150).count() == 1)
+    VersionedStore.deleteRecursively(dir)
+  }
+
+  test("an all-zero stored code never passes the near-dup screen (0 >= 0 degenerate)") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = Files.createTempDirectory("ivf_zerocode").toString
+    val emb = graft.Tables(spark, sf0001).embeddings
+    val m = IvfStore.publish(spark, dir, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nCells = 1, iters = 1) // one cell: every probe hits it
+    // a drifted vector saturating the published lower bounds quantizes to
+    // the all-zero code; plant it directly as an ingested row
+    val zero = Seq((9000L, Array.fill[Byte](m.mn.length)(0), 0))
+      .toDF("vec_id", "__q", "cell")
+    IvfStore.ingest(dir, zero, "vec_id", 0L, "zerowriter")
+    // a query with NO genuine near-dup at an impossible threshold: the
+    // unguarded cosine degenerated to 0 >= 0 against the zero code and
+    // marked the query a near-duplicate
+    val q = emb.filter(col("vec_id") === 50).select("vec_id", "embedding")
+    val hits = IvfStore.nearDupIds(spark, dir, q, "vec_id", "embedding",
+      threshold = 2.0) // cosine can never reach 2 — only a degenerate passes
+    assert(hits.isEmpty, "zero-norm code passed the near-dup screen")
+    VersionedStore.deleteRecursively(dir)
+  }
 }
