@@ -322,15 +322,23 @@ object Dedup {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (integralId && localThreshold > 0 &&
-        nodes.select(col(idCol)).limit((localThreshold + 1).toInt).count() <= localThreshold) {
-      val pairCap = nodes.sparkSession.conf
-        .get("spark.graft.components.localPairLimit", "4000000").toLong
-      val capped = pairs
-        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-        .limit((pairCap + 1).toInt).collect()
-      if (capped.length <= pairCap)
-        return localPairComponents(nodes, idCol, capped)
+    if (integralId && localThreshold > 0) {
+      // collect the peek (not just count it): a null id disqualifies the
+      // driver path — it would NPE in getLong — while the distributed
+      // loop below tolerates nulls (they surface as their own null
+      // component, the twoPhaseComponents convention); same for null
+      // pair endpoints
+      val peek = nodes.select(col(idCol)).limit((localThreshold + 1).toInt).collect()
+      if (peek.length <= localThreshold && !peek.exists(_.isNullAt(0))) {
+        val pairCap = nodes.sparkSession.conf
+          .get("spark.graft.components.localPairLimit", "4000000").toLong
+        val capped = pairs
+          .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+          .limit((pairCap + 1).toInt).collect()
+        if (capped.length <= pairCap &&
+            !capped.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+          return localPairComponents(nodes, idCol, capped)
+      }
     }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -695,7 +703,6 @@ object Dedup {
     val withBands = bandHashCols(df, idCol, textCol, numHashes, bands, cacheKey)
     val memberRows = withBands.select(col(idCol).as("id"),
       posexplode(array((0 until bands).map(j => col(s"__h$j")): _*)).as(Seq("band", "bh")))
-    val nNodes = df.count()
 
     // Adaptive small-graph fast path — the broadcast-join argument applied
     // to the fixpoint: below the threshold the whole doc↔bucket membership
@@ -717,7 +724,11 @@ object Dedup {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (integralId && nNodes <= localThreshold)
+    // limit-bounded gate peek, never a full corpus count: only "over the
+    // threshold?" matters, and the full count was measured as ~2 min of
+    // pure gate overhead in the 20 M smoke (the twoPhaseComponents find)
+    if (integralId && localThreshold > 0 &&
+        df.select(col(idCol)).limit((localThreshold + 1).toInt).count() <= localThreshold)
       return localBucketComponents(df, idCol, memberRows)
 
     // Two structural reductions before the loop, both of which make its

@@ -28,4 +28,14 @@ object JoinHints {
     * first; new call sites must too. */
   def maybeBroadcast(df: DataFrame, rowLimit: Long = DefaultBroadcastRowLimit): DataFrame =
     if (df.count() <= rowLimit) broadcast(df) else df
+
+  /** [[maybeBroadcast]] with a caller-supplied row count — for frames that
+    * are deliberately NOT materialized (a recompute-over-checkpoint trade,
+    * e.g. a corpus-wide prep projection whose checkpoint would be
+    * storage-bound at 20 M+) where the count is available from a cheaper
+    * source, like the raw input's metadata-backed count. An upper BOUND is
+    * fine: it can only under-broadcast, never over. */
+  def maybeBroadcastRows(df: DataFrame, rows: Long,
+      rowLimit: Long = DefaultBroadcastRowLimit): DataFrame =
+    if (rows <= rowLimit) broadcast(df) else df
 }

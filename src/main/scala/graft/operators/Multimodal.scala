@@ -182,7 +182,10 @@ object Multimodal {
   def frameSample(df: DataFrame, n: Int): DataFrame =
     df.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(n - 1)), i => {
-          val len = length(col("media"))
+          // LONG intermediate: i*len multiplies two ints, and a payload
+          // past Int.MaxValue/n bytes (a ~300 MB video at n = 8) would
+          // raise ARITHMETIC_OVERFLOW under ANSI mode mid-scan
+          val len = length(col("media")).cast("long")
           // integer frame boundaries: frame i covers (i*len/n, (i+1)*len/n]
           val lo = floor(i * len / n).cast("int")
           val hi = floor((i + lit(1)) * len / n).cast("int")

@@ -71,8 +71,21 @@ object Sessionize {
             val closed = Seq.newBuilder[SessionOut]
             evs.toSeq.sortBy(_.tsUs).foreach { e =>
               open match {
-                case Some(s) if e.tsUs - s.lastUs <= gapUs =>
-                  open = Some(s.copy(lastUs = math.max(s.lastUs, e.tsUs), n = s.n + 1))
+                // in-gap of the open session on EITHER side: merge and
+                // extend BOTH endpoints — a cross-batch late event inside
+                // the gap used to merge while keeping the stale startUs
+                case Some(s) if e.tsUs >= s.startUs - gapUs && e.tsUs - s.lastUs <= gapUs =>
+                  open = Some(s.copy(startUs = math.min(s.startUs, e.tsUs),
+                    lastUs = math.max(s.lastUs, e.tsUs), n = s.n + 1))
+                // too late to belong to the open session (batch() would
+                // place it in an EARLIER one): emit it as its own closed
+                // singleton rather than folding it in. Residual divergence
+                // from batch(): chains among multiple late events are not
+                // reassembled — single-open-session state cannot reorder
+                // history; [[sessionWindow]] (watermarked) is the form
+                // with full event-time semantics.
+                case Some(s) if e.tsUs < s.startUs - gapUs =>
+                  closed += SessionOut(key, 1, e.tsUs, e.tsUs)
                 case Some(s) =>
                   closed += SessionOut(key, s.n, s.startUs, s.lastUs)
                   open = Some(OpenSession(e.tsUs, e.tsUs, 1))

@@ -307,7 +307,17 @@ object Similarity {
     val p = prep(df, idCol, vecCol, bucket, dim)
       .withColumnRenamed(idCol, "__id")
     val a = p.as("q")
-    val b = JoinHints.maybeBroadcast(p).as("c")
+    // the broadcast gate counts the RAW input (metadata-cheap for a
+    // parquet/range scan), never the unmaterialized prep frame —
+    // maybeBroadcast's own count would compute the whole fixed-point+norm
+    // pipeline as a hidden extra job at build time (its scaladoc
+    // precondition). prep itself stays UNCHECKPOINTED by choice: its
+    // per-side recompute is a codegen scan projection, while its
+    // checkpoint is corpus-wide array<long> rows — the storage-bound
+    // shape the ns61 representation work exists to avoid. df.count() is
+    // an upper bound on prep's rows (prep drops null vectors), which can
+    // only under-broadcast.
+    val b = JoinHints.maybeBroadcastRows(p, df.count()).as("c")
     val joinCond = bucket.map(c0 => col(s"q.$c0") === col(s"c.$c0"))
       .reduce(_ && _) && col("q.__id") < col("c.__id")
     val cos = cosineFromFp(

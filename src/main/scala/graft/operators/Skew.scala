@@ -23,6 +23,17 @@ object Skew {
     * deterministic salt). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltBy: Column,
       n: Int, joinType: String = "inner"): DataFrame = {
+    // the small side is REPLICATED n×, so any join type that emits
+    // unmatched small-side rows (right/full outer) would emit each of
+    // them n times — not 'identical to the unsalted join'. Refuse those
+    // up front; inner/left-flavored joins only ever emit small-side rows
+    // through a match, where the (key, salt) equi-pair picks exactly one
+    // replica per big row.
+    val t = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(t),
+      s"saltedJoin cannot preserve '$joinType' semantics: the replicated small " +
+        "side would duplicate its unmatched rows n times — use the unsalted join " +
+        "(or swap the sides) for right/full outer")
     val salted = big.withColumn("__salt", pmod(hash(saltBy), lit(n)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))

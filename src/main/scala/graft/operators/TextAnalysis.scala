@@ -79,8 +79,16 @@ object TextAnalysis {
     * digits of md5(key) fall under the rate. Reproducible across engines,
     * runs, and partitionings — the sampling a curation pipeline can rerun.
     * rate16 is in 16ths (e.g. 4 → keep ~25%). */
-  def hashSample(key: Column, rate16: Int): Column =
-    substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
+  def hashSample(key: Column, rate16: Int): Column = {
+    // the comparison is a SINGLE hex digit against a string literal:
+    // toHexString(16) is "10", and the lexicographic compare would then
+    // keep ~2/16 of rows where the caller asked for ALL of them — bound
+    // the domain and special-case the keep-everything rate
+    require(rate16 >= 0 && rate16 <= 16,
+      s"rate16 is in 16ths of the keyspace (0..16), got $rate16")
+    if (rate16 == 16) lit(true)
+    else substring(md5(key), 1, 1) < lit(java.lang.Integer.toHexString(rate16))
+  }
 
   /** Word n-grams over an ALREADY-MATERIALIZED words-array column,
     * preserving order and duplicates (repetition signals need the multiset;
