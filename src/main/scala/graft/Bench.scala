@@ -28,9 +28,9 @@ object Bench {
     // contract defaults stay `cpus` / AQE on
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
+    val spark = GraftSession.withMaster(
+      SparkSession.builder().withExtensions(new GraftExtensions),
+      s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -100,9 +100,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val entries = only.fold(SparkEntry.all)(f => SparkEntry.all.filter(e => f(e.name)))
     val names = entries.map(_.name)
+    // machine load as a JSON [1min,5min,15min] triple — sampled around
+    // every pass (not just once at the end) so the artifact itself shows
+    // whether a slow pass ran under ambient load, without needing SCALE.md
+    // prose to reconcile the numbers
+    def loadNow(): String = try {
+      val parts = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       SharedCache.clear(spark)
-      entries.map(e => e.name -> timeOnce(e)).toMap
+      val before = loadNow()
+      val r = entries.map(e => e.name -> timeOnce(e)).toMap
+      passLoads += s"""{"start":$before,"end":${loadNow()}}"""
+      r
     }
     // Failed passes carry the -1 sentinel; aggregate over VALID samples
     // only, and a query with zero valid samples stays -1 (explicit failure)
@@ -167,13 +180,12 @@ object Bench {
     // the slowest-10 best-of-N times (the plan-audit shortlist) and the
     // machine load (/proc/loadavg 1/5/15-min) so cross-round comparisons
     // can tell environment shifts from real regressions.
+    // slowest-10 is BEST-of-passes (same stat as "queries"/"total"), named
+    // so in the key — r15's artifact was ambiguous about whether it was a
+    // best or a median and disagreed with queries_median on the same query
     val slowest = names.sortBy(n => -best(n)).take(10)
       .map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
-    val load = try {
-      val parts = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
-      s"[${parts(0)},${parts(1)},${parts(2)}]"
-    } catch { case _: Throwable => "null" }
+    val load = loadNow()
     println(s"""{"metric":"summary","total_sec":$total,"n_queries":${names.size},""" +
       s""""complete":$complete,"n_failed":${hardFailed.size},""" +
       s""""n_transient":${errors.size - hardFailed.size},"errors":$errJson,""" +
@@ -182,7 +194,9 @@ object Bench {
       // what a failed query contributes (nothing) and a newly-broken query
       // moves n_failed/complete, never the median total
       s""""median_total_sec":${names.map(n => valid(n)).filter(_.nonEmpty).map(median).sum},""" +
-      s""""passes":$passes,"sf":"$sfDir","load":$load,"slowest10":$slowest}""")
+      s""""passes":$passes,"sf":"$sfDir","load":$load,""" +
+      s""""load_per_pass":${passLoads.mkString("[", ",", "]")},""" +
+      s""""slowest10_best_of_passes":$slowest}""")
     spark.stop()
   }
 }

@@ -21,6 +21,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * checkpoint would be unrecoverable, since a localCheckpoint truncates
   * lineage. Bench calls [[clear]] at the start of each timing pass so each
   * pass honestly recomputes the shared work exactly once.
+  *
+  * EXECUTOR-LOSS CONTRACT: `localCheckpoint` blocks live in executor
+  * storage and truncate lineage, so a pin does NOT survive losing the
+  * executor that holds it — any later reader dies with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. That is acceptable by design for
+  * the two places pins exist: the single-JVM harness (local[n] /
+  * local-cluster with stable executors — Verify/Bench runs are minutes
+  * long and re-runnable), and a single interactive driver session. A
+  * deployment keeps shared intermediates as PERSISTED TABLES instead
+  * ([[graft.streaming.IvfStore.publish]] is the ANN form; a curated
+  * components/cells table is the batch form). For a cluster session that
+  * wants pins to survive executor churn without publishing tables, set
+  * `spark.graft.sharedCache.reliableDir` to a fault-tolerant path:
+  * pins then use a RELIABLE `checkpoint()` (files under that dir, read
+  * back by any executor) at the cost of one write+read of the pinned
+  * frame. Checkpoint files are only auto-deleted on GC with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; otherwise
+  * sweep the dir when the session ends.
   */
 object SharedCache {
 
@@ -44,7 +62,15 @@ object SharedCache {
         val before = sc.getPersistentRDDs.keySet
         val computed = build
         val scratchIds = sc.getPersistentRDDs.keySet -- before
-        val pinned = computed.localCheckpoint() // eager: materializes now
+        // both forms are EAGER (materialize now); reliable checkpoints
+        // leave nothing in getPersistentRDDs, so pinnedIds is empty and
+        // unpersistScratch/clear simply have no blocks to manage for them
+        val pinned = spark.conf.getOption("spark.graft.sharedCache.reliableDir") match {
+          case Some(dir) =>
+            if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+            computed.checkpoint()
+          case None => computed.localCheckpoint()
+        }
         val pinnedIds = sc.getPersistentRDDs.keySet -- before -- scratchIds
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
           if (scratchIds.contains(id) && !protectedRddIds.contains(id))

@@ -13,9 +13,9 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
+    val spark = GraftSession.withMaster(
+      SparkSession.builder().withExtensions(new GraftExtensions),
+      s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

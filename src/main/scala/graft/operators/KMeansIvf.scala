@@ -323,10 +323,12 @@ object KMeansIvf {
   def search(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int = 3,
       cacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      assertCovered: Boolean = false): DataFrame = {
     val (assignments, _) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
     val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    if (assertCovered) requireCovered(queries, cands, idCol, "search")
     // queries drawn from the corpus by id (the inner assignment join this
     // replaces already implied it — a non-corpus id silently dropped):
     // vectors and cells both come from the pinned cells frame, so the
@@ -353,10 +355,12 @@ object KMeansIvf {
   def searchMultiProbe(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int, iters: Int = 3,
       cacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      assertCovered: Boolean = false): DataFrame = {
     val (assignments, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
     val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    if (assertCovered) requireCovered(queries, cands, idCol, "searchMultiProbe")
     // the nProbe nearest cells per query, ascending by (distance, cell) —
     // NearestCells reproduces the former sort_array(struct(d, c)) order,
     // tie-break included. Query vectors read from the pinned cells frame
@@ -369,5 +373,53 @@ object KMeansIvf {
         org.apache.spark.sql.graft.NearestCells(col("__fe"), centroids, nProbe)))
       .select(col(idCol), col(vecCol), col("cluster"))
     Similarity.ivfTopK(probed, cands, idCol, vecCol, "cluster", k)
+  }
+
+  /** EXTERNAL-VECTOR IVF search — the entry point for query ids NOT drawn
+    * from the candidate corpus. [[search]]/[[searchMultiProbe]] read query
+    * vectors from the pinned cells frame by an inner id join (one
+    * checkpoint-scan semi-join instead of a second corpus scan), which
+    * means an id absent from the corpus contributes ZERO result rows; a
+    * caller with its own query vectors must come through here instead.
+    * The queries frame supplies its own vectors, each assigned in-scan to
+    * its `nProbe` nearest fitted cells (the multi-probe shape; nProbe=1 is
+    * plain IVF), and self-hits are NOT excluded — the two id namespaces
+    * are unrelated, so an id collision must not hide a valid candidate
+    * (the [[rankCodes]] `excludeSelf=false` argument; IvfStore.search is
+    * the published-index version of this entry point). */
+  def searchVectors(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int = 1, iters: Int = 3,
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (assignments, centroids) =
+      fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
+    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    val probed = queries.select(col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
+      .withColumn("cluster", explode(
+        org.apache.spark.sql.graft.NearestCells(col("__fe"), centroids, nProbe)))
+      .select(col(idCol), col(vecCol), col("cluster"))
+    Similarity.ivfTopK(probed, cands, idCol, vecCol, "cluster", k,
+      excludeSelf = false)
+  }
+
+  /** Opt-in loud failure for the corpus-drawn-by-id contract: a query id
+    * absent from the corpus otherwise silently contributes zero result
+    * rows (ADVICE r15). One left-anti against the pinned cells frame's id
+    * column, limit-bounded — opt-in (`assertCovered`) because it is an
+    * extra pass over the corpus ids per search call; harnesses and
+    * first-time callers turn it on, standing production queries that own
+    * their id discipline leave it off. */
+  private def requireCovered(queries: DataFrame, cands: DataFrame,
+      idCol: String, caller: String): Unit = {
+    val missing = queries.select(col(idCol))
+      .join(cands.select(col(idCol)), Seq(idCol), "left_anti")
+      .limit(5).collect()
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$caller: query ids absent from the candidate corpus (first " +
+          s"${missing.length}): ${missing.map(_.get(0)).mkString(", ")} — " +
+          "queries are corpus-drawn by id here; use searchVectors for " +
+          "external query vectors")
   }
 }

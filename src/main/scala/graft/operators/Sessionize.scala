@@ -68,6 +68,18 @@ object Sessionize {
             out.iterator
           } else {
             var open = state.getOption
+            // second open-session slot for cross-batch LATE events (older
+            // than the open session's reach): consecutive late events
+            // within gap of each other chain into ONE pending session —
+            // they arrive sorted, so one slot suffices — where emitting
+            // each as its own singleton diverged from batch() beyond the
+            // single-event case (ADVICE r15). The chain closes when the
+            // batch ends (state carries one open session), so the residual
+            // divergence from batch() is now only ACROSS batches: a late
+            // event in a future batch within gap of this chain starts a
+            // new chain; [[streamingSessionWindow]] (watermarked) is the
+            // form with full event-time semantics.
+            var late = Option.empty[OpenSession]
             val closed = Seq.newBuilder[SessionOut]
             evs.toSeq.sortBy(_.tsUs).foreach { e =>
               open match {
@@ -77,15 +89,30 @@ object Sessionize {
                 case Some(s) if e.tsUs >= s.startUs - gapUs && e.tsUs - s.lastUs <= gapUs =>
                   open = Some(s.copy(startUs = math.min(s.startUs, e.tsUs),
                     lastUs = math.max(s.lastUs, e.tsUs), n = s.n + 1))
+                  // a downward-extended start can bring the pending late
+                  // chain into reach — fold it in rather than closing it
+                  // as a separate session batch() would have merged
+                  (open, late) match {
+                    case (Some(o), Some(l)) if o.startUs - l.lastUs <= gapUs =>
+                      open = Some(o.copy(startUs = math.min(o.startUs, l.startUs),
+                        n = o.n + l.n))
+                      late = None
+                    case _ => ()
+                  }
                 // too late to belong to the open session (batch() would
-                // place it in an EARLIER one): emit it as its own closed
-                // singleton rather than folding it in. Residual divergence
-                // from batch(): chains among multiple late events are not
-                // reassembled — single-open-session state cannot reorder
-                // history; [[sessionWindow]] (watermarked) is the form
-                // with full event-time semantics.
+                // place it in an EARLIER one): chain it onto the pending
+                // late session if in gap, else flush that chain and start
+                // a new one
                 case Some(s) if e.tsUs < s.startUs - gapUs =>
-                  closed += SessionOut(key, 1, e.tsUs, e.tsUs)
+                  late match {
+                    case Some(l) if e.tsUs - l.lastUs <= gapUs =>
+                      late = Some(l.copy(lastUs = e.tsUs, n = l.n + 1))
+                    case Some(l) =>
+                      closed += SessionOut(key, l.n, l.startUs, l.lastUs)
+                      late = Some(OpenSession(e.tsUs, e.tsUs, 1))
+                    case None =>
+                      late = Some(OpenSession(e.tsUs, e.tsUs, 1))
+                  }
                 case Some(s) =>
                   closed += SessionOut(key, s.n, s.startUs, s.lastUs)
                   open = Some(OpenSession(e.tsUs, e.tsUs, 1))
@@ -93,6 +120,7 @@ object Sessionize {
                   open = Some(OpenSession(e.tsUs, e.tsUs, 1))
               }
             }
+            late.foreach(l => closed += SessionOut(key, l.n, l.startUs, l.lastUs))
             open.foreach(state.update)
             idleTimeout.foreach(state.setTimeoutDuration)
             closed.result().iterator

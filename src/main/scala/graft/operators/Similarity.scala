@@ -146,15 +146,21 @@ object Similarity {
   }
 
   /** IVF-style top-k: candidates restricted to the query's coarse cluster
-    * (cell), joined on cluster equality instead of cross product. */
+    * (cell), joined on cluster equality instead of cross product.
+    * `excludeSelf` drops candidates whose id equals the query id — right
+    * when queries are drawn FROM the candidate corpus (the self-hit is a
+    * degenerate rank-1), wrong for EXTERNAL queries whose id namespace is
+    * unrelated, where a collision would silently hide a valid candidate
+    * ([[graft.operators.KMeansIvf.rankCodes]] has the packed-codes
+    * version of the same argument). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, clusterCol: String, k: Int,
-      dim: Option[Int] = None): DataFrame = {
+      dim: Option[Int] = None, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(prep(queries, idCol, vecCol, Seq(clusterCol), dim).withColumnRenamed(idCol, "__id")).as("q")
     val c = prep(candidates, idCol, vecCol, Seq(clusterCol), dim).withColumnRenamed(idCol, "__id").as("c")
-    rank(
-      q.join(c, col(s"q.$clusterCol") === col(s"c.$clusterCol") &&
-        col("q.__id") =!= col("c.__id")), k, dim)
+    val sameCell = col(s"q.$clusterCol") === col(s"c.$clusterCol")
+    val cond = if (excludeSelf) sameCell && col("q.__id") =!= col("c.__id") else sameCell
+    rank(q.join(c, cond), k, dim)
   }
 
   /** One-row (`__mn`, `__mx`) frame of fixed-point per-dimension SQ8

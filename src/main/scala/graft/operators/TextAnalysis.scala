@@ -133,7 +133,11 @@ object TextAnalysis {
     * dup_bigram_ratio — the nullif guard below; under ANSI mode an
     * unguarded 0/0 division RAISES, it does not produce NaN) where the
     * old form's inner join dropped it; the corpus floor is 10 words so
-    * the oracle never sees the difference. */
+    * the oracle never sees the difference. NULL text is FILTERED up
+    * front, preserving the old explode+join form's row set: words(NULL)
+    * is a NULL array, and a row of all-NULL word stats is useless to
+    * every downstream consumer (and would diverge from the oracle's
+    * unnest-based shape, which drops such docs). */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.TermCounts
@@ -141,6 +145,7 @@ object TextAnalysis {
     // no-inline-split rule on [[ngramsOf]]); the second projection keeps
     // both TermCounts invocations on that one materialized array
     val counted = df
+      .where(col(textCol).isNotNull)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_words"),

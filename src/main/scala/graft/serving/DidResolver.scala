@@ -40,6 +40,9 @@ final class DidResolver(
     // service names), *.localhost, and explicit ports (internal HTTPS on
     // odd ports). Real atproto identities are public multi-label domains
     // on 443. Dev setups (did:web:localhost%3A8443) opt in explicitly.
+    // This is a string-level screen only: where a public-looking domain
+    // actually RESOLVES is checked again at fetch time by
+    // [[DidResolver.HttpFetcher]]'s private-range guard.
     allowPrivateHosts: Boolean = false,
     // misses ARE negatively cached, briefly: each miss costs up to three
     // directory round-trips plus backoff ON THE SERVING THREAD, so
@@ -157,7 +160,23 @@ object DidResolver {
       // DID documents are ~1-2 KB; the host is attacker-steerable via
       // iss, so an uncapped ofString() accumulation was a one-request
       // heap-exhaustion vector
-      maxBodyBytes: Int = 64 * 1024) extends Fetcher {
+      maxBodyBytes: Int = 64 * 1024,
+      // Defense in depth behind documentUrl's host-STRING screen: that
+      // screen can't see where a public-looking multi-label domain
+      // actually RESOLVES (attacker-controlled DNS, nip.io-style
+      // wildcards), so the fetcher resolves the host itself and refuses
+      // private/loopback/link-local/ULA/CGNAT targets before connecting.
+      // Residual: the check and the client's own connect are two DNS
+      // lookups (rebinding TOCTOU) — the JVM's positive DNS cache
+      // (networkaddress.cache.ttl, default ~30 s) narrows but does not
+      // close it; fully closing it means pinning the checked address,
+      // which the JDK client can't do per-request for HTTPS (SNI/Host
+      // would diverge). Deployments needing a hard guarantee should
+      // route fetches through an egress proxy. `resolve` is injectable
+      // so specs exercise the guard without real DNS.
+      guardPrivateRanges: Boolean = true,
+      resolve: String => Array[java.net.InetAddress] =
+        java.net.InetAddress.getAllByName) extends Fetcher {
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMillis))
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
@@ -183,6 +202,14 @@ object DidResolver {
           // The body is streamed with a byte cap AND a wall-clock
           // deadline — the request timeout only covers up to response
           // headers, so a slow-dripped body needs its own bound.
+          if (guardPrivateRanges) {
+            val host = java.net.URI.create(url).getHost
+            if (host == null) return None
+            // UnknownHostException is an IOException: a transient DNS
+            // blip rides the bounded retry like any other connect failure
+            if (resolve(host).exists(DidResolver.isPrivateAddress))
+              return None
+          }
           val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
             .timeout(java.time.Duration.ofMillis(requestTimeoutMillis)).GET().build()
           val resp = client.send(req,
@@ -216,6 +243,27 @@ object DidResolver {
       None // unreachable
     }
   }
+
+  /** Address ranges that only make sense INSIDE a deployment network —
+    * the resolve-time complement of documentUrl's host-string screen.
+    * IPv4: loopback/link-local/RFC1918 (the InetAddress predicates),
+    * plus 0/8, CGNAT 100.64/10, 192.0.0.0/24, 198.18/15, 240/4.
+    * IPv6: loopback/link-local via the predicates, ULA fc00::/7;
+    * IPv4-mapped addresses surface as Inet4Address and take the v4 path. */
+  private[serving] def isPrivateAddress(a: java.net.InetAddress): Boolean =
+    a.isAnyLocalAddress || a.isLoopbackAddress || a.isLinkLocalAddress ||
+      a.isSiteLocalAddress || a.isMulticastAddress || (a match {
+        case v4: java.net.Inet4Address =>
+          val b = v4.getAddress.map(_ & 0xff)
+          b(0) == 0 ||
+            (b(0) == 100 && (b(1) & 0xc0) == 64) ||
+            (b(0) == 192 && b(1) == 0 && b(2) == 0) ||
+            (b(0) == 198 && (b(1) & 0xfe) == 18) ||
+            b(0) >= 240
+        case v6: java.net.Inet6Address =>
+          (v6.getAddress()(0) & 0xfe) == 0xfc
+        case _ => false
+      })
 
   private val Base58Alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 

@@ -245,8 +245,15 @@ class HttpPageReader(url: String, p: SearchPagePartition,
       .map(l => "&lang=" + java.net.URLEncoder.encode(l, "UTF-8")).getOrElse("")
     val uri = java.net.URI.create(
       s"$url?offset=${p.start}&limit=${p.end - p.start}$lang")
+    // request timeout: the JDK client defaults it to INFINITE, so an
+    // endpoint that accepts the connection and then stalls would park
+    // this Spark task forever — a timeout fails the task instead, and
+    // Spark's task retry is the retry policy (same pitfall fixed in
+    // DidResolver.HttpFetcher; a page is ≤ limit rows, so 30 s covers
+    // any healthy response)
     val resp = HttpPageReader.client.send(
-      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"search endpoint ${resp.statusCode()} for $uri")

@@ -531,6 +531,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m(2L).getDouble(3) == 0.5 && m(2L).getDouble(5) == 0.0)
   }
 
+  test("repetition metrics drop NULL-text docs (old row-set semantics, oracle parity)") {
+    // words(NULL) is a NULL array → a row of all-NULL word stats, which
+    // the old explode+inner-join form never emitted and the DuckDB
+    // oracle's unnest shape drops; the operator filters NULL text up
+    // front so the row set stays the explode form's (ADVICE r15). An
+    // EMPTY string is not null — split("") = [""], one "word" — and keeps
+    // its row.
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(1L, 3L), "null-text doc must be dropped, empty-text kept")
+    assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 2)
+  }
+
   test("contamination screen flags only documents sharing a probe n-gram") {
     val s = spark
     import s.implicits._

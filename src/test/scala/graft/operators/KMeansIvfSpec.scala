@@ -46,6 +46,60 @@ class KMeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("assertCovered fails loudly on query ids absent from the corpus") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq(999999L, 999998L).toDF("vec_id")
+    val e = intercept[IllegalArgumentException](
+      KMeansIvf.search(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, iters = 2, assertCovered = true))
+    assert(e.getMessage.contains("absent from the candidate corpus"))
+    assert(e.getMessage.contains("searchVectors"))
+    // covered ids pass the guard and return rows
+    val ok = KMeansIvf.search(emb.filter(col("vec_id") < 3), emb, "vec_id",
+      "embedding", k = 5, nCells = 4, iters = 2, assertCovered = true)
+    assert(ok.count() > 0)
+    val e2 = intercept[IllegalArgumentException](
+      KMeansIvf.searchMultiProbe(queries, emb, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, iters = 2, assertCovered = true))
+    assert(e2.getMessage.contains("searchMultiProbe"))
+  }
+
+  test("searchVectors accepts external query vectors and keeps id collisions") {
+    val s = spark
+    import s.implicits._
+    // external queries: corpus vectors under FOREIGN ids (one colliding
+    // with a corpus id on purpose) — search/searchMultiProbe would return
+    // zero rows for the non-corpus ids; searchVectors must rank them all
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 3).collect()
+    val ext = sample.zipWithIndex.map { case (r, i) =>
+      // id 0 collides with corpus vec_id 0; the rest are foreign
+      (if (i == 0) 0L else 1000000L + i, r.getSeq[Float](1))
+    }.toSeq.toDF("vec_id", "embedding")
+    val res = KMeansIvf.searchVectors(ext, emb, "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 4, iters = 2)
+    val byQ = res.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == ext.collect().map(_.getLong(0)).toSet,
+      "every external query id must produce result rows")
+    // the colliding id's top hit is its own corpus twin (sim = 1),
+    // NOT excluded — external id namespaces are unrelated
+    val collide = byQ(0L).minBy(_.getAs[Long]("rank"))
+    assert(collide.getAs[Long]("cand_id") == 0L)
+    assert(math.abs(collide.getAs[Double]("sim") - 1.0) < 1e-9)
+    // full-probe searchVectors on corpus-drawn vectors ≡ brute force
+    // EXCEPT self-hits rank first — drop them and compare the tail
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 4)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaVec = KMeansIvf.searchVectors(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 4, iters = 2)
+      .filter(col("q_id") =!= col("cand_id"))
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(viaVec))
+  }
+
   test("multi-probe with nProbe = nCells recovers the brute-force top-k exactly") {
     val queries = emb.filter(col("vec_id") < 3)
     val all = KMeansIvf.searchMultiProbe(queries, emb, "vec_id", "embedding",

@@ -56,6 +56,41 @@ class SessionizeSpec extends SparkSpec {
     assert(batchAll.size == closed.size + 2) // two open tails (1@300, 2@500)
   }
 
+  test("streaming chains cross-batch late events; a reachable chain folds into the open session") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Sessionize.Ev]
+    val out = Sessionize.streaming(stream.toDS(), gapUs = 30L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late_out").start()
+    // batch 1: open sessions (1000..1010) for both keys
+    stream.addData(Seq(Sessionize.Ev(1L, 1000L), Sessionize.Ev(1L, 1010L),
+      Sessionize.Ev(2L, 1000L), Sessionize.Ev(2L, 1010L)))
+    q.processAllAvailable()
+    // batch 2, key 1: late events 800+820 are within gap of EACH OTHER →
+    // one chained session (was two singletons); 900 is out of gap of the
+    // chain → its own session; 1005 merges into the open session but its
+    // extended start (1000) can't reach 900 (gap 30)
+    // batch 2, key 2: 950 chains late, then 975 merges into the open
+    // session pulling its start to 975 — within gap of 950, so the chain
+    // FOLDS IN instead of closing separately (batch() parity)
+    stream.addData(Seq(Sessionize.Ev(1L, 800L), Sessionize.Ev(1L, 820L),
+      Sessionize.Ev(1L, 900L), Sessionize.Ev(1L, 1005L),
+      Sessionize.Ev(2L, 950L), Sessionize.Ev(2L, 975L)))
+    q.processAllAvailable()
+    // batch 3: an out-of-gap event closes key 2's folded open session
+    stream.addData(Seq(Sessionize.Ev(2L, 2000L)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_late_out").as[Sessionize.SessionOut]
+      .collect().map(o => (o.key, o.n_events, o.start_us, o.end_us)).toSet
+    assert(closed == Set(
+      (1L, 2L, 800L, 820L), (1L, 1L, 900L, 900L),
+      (2L, 4L, 950L, 1010L),
+    ))
+  }
+
   test("session_window streaming emits watermark-closed sessions with gap-extended ends") {
     val s = spark
     import s.implicits._

@@ -201,7 +201,10 @@ class DidResolverSpec extends AnyFunSuite {
     server.start()
     try {
       val plcUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
-      val resolver = new DidResolver(new DidResolver.HttpFetcher, plcUrl = plcUrl)
+      // the fixture server IS loopback, so the private-range resolve
+      // guard is switched off here; its own behavior is spec'd below
+      val resolver = new DidResolver(
+        new DidResolver.HttpFetcher(guardPrivateRanges = false), plcUrl = plcUrl)
       val exp = System.currentTimeMillis() / 1000 + 600
       val token = Auth.signEs256k(requester, service, exp, priv)
       // Transient-connect recovery now lives in HttpFetcher itself
@@ -223,5 +226,28 @@ class DidResolverSpec extends AnyFunSuite {
         Auth.validateAuth(Some(s"Bearer $bad"), service, resolver, Auth.Es256kVerifier))
       assert(err.status == 401)
     } finally server.stop(0)
+  }
+
+  test("HttpFetcher refuses hosts that resolve to private/internal ranges") {
+    import java.net.InetAddress
+    def fetcherTo(ip: String) = new DidResolver.HttpFetcher(
+      retries = 0, resolve = _ => Array(InetAddress.getByName(ip)))
+    // none of these may even attempt a connection: the resolve hook is the
+    // only I/O, and a refused range returns None straight away
+    for (ip <- Seq("127.0.0.1", "10.1.2.3", "172.16.9.9", "192.168.1.1",
+        "169.254.169.254", "100.64.0.7", "198.18.0.1", "240.1.1.1",
+        "0.0.0.0", "::1", "fc00::1", "fd12:3456::1", "fe80::1"))
+      assert(fetcherTo(ip).fetch("https://public-looking.example.com/did.json").isEmpty,
+        s"resolving to $ip must be refused")
+    // an unresolvable host is a miss, not a crash
+    assert(new DidResolver.HttpFetcher(retries = 0,
+      resolve = h => throw new java.net.UnknownHostException(h))
+      .fetch("https://nx.example.com/did.json").isEmpty)
+  }
+
+  test("isPrivateAddress passes ordinary public unicast addresses") {
+    import java.net.InetAddress
+    for (ip <- Seq("93.184.216.34", "8.8.8.8", "2606:2800:220:1::1"))
+      assert(!DidResolver.isPrivateAddress(InetAddress.getByName(ip)), ip)
   }
 }

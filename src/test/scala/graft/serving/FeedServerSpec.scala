@@ -134,7 +134,10 @@ class FeedServerSpec extends SparkSpec {
     try {
       val plcUrl = s"http://127.0.0.1:${directory.getAddress.getPort}"
       val wired = cfg.copy(
-        keyResolver = new DidResolver(new DidResolver.HttpFetcher, plcUrl = plcUrl),
+        // the fixture directory IS loopback — the fetcher's private-range
+        // resolve guard (spec'd in DidResolverSpec) is off for it
+        keyResolver = new DidResolver(
+          new DidResolver.HttpFetcher(guardPrivateRanges = false), plcUrl = plcUrl),
         verifier = Auth.DefaultVerifier)
       val conditions = Seq(Fixtures.cond(key = "p1", privateFeed = Seq(requester)))
       val s = spark
