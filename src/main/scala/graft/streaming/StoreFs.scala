@@ -109,6 +109,29 @@ private[graft] object StoreFs {
     finally out.close()
   }
 
+  /** Create `p` with content `s`, failing if it already exists — the
+    * atomic arbitration primitive the epoch-lease protocol is built on
+    * ([[VersionedStore.acquireLease]]): of N racers targeting one name,
+    * exactly one must win. On HDFS `create` without OVERWRITE is a single
+    * atomic namespace op. On the LOCAL FS, Hadoop's RawLocalFs `create`
+    * is exists-check-then-open — NOT atomic — so local paths go straight
+    * to `O_CREAT|O_EXCL` via java.nio `CREATE_NEW` (the loser gets
+    * `FileAlreadyExistsException`, an IOException, same as the HDFS
+    * flavor). Schemes that cannot provide an exclusive create (raw object
+    * stores without conditional writes) are already refused by
+    * [[requireAtomicRename]]'s store gate. */
+  def createExclusive(p: Path, s: String): Unit =
+    if (isLocal(p)) {
+      val f = localFile(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      finally ch.close()
+    } else writeString(p, s, createNew = true)
+
   def modificationTime(p: Path): Long = fc(p).getFileStatus(p).getModificationTime
 
   /** Schemes whose Hadoop `rename` is copy+delete emulation, not an

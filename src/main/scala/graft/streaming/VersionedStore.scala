@@ -74,14 +74,17 @@ private[graft] object VersionedStore {
     * (`FileChannel.lock()` BLOCKS until the other process releases —
     * writer sections are read-modify-write cycles that must serialize,
     * not fail). On a remote FS (HDFS) there are no advisory locks, so it
-    * is a create-exclusive LEASE file `<store>/_lock.lease` with a
-    * heartbeat and a TTL takeover ([[acquireLease]]) — the HDFS-native
-    * mutex idiom; its one honest residual (two writers both breaking the
-    * same expired lease) is why a production deployment moves the commit
-    * into a table format's transaction log. Readers never take any lock
-    * (versioned swaps + the grace window are what protect them). The
-    * `_lock`/`_lock.lease` files are neither version dirs nor legacy
-    * data, so [[swap]]'s GC never touches them. */
+    * is an EPOCH-CHAIN lease under `<store>/_lock.lease.e<N>` with a
+    * heartbeat and a TTL takeover ([[acquireLease]]): acquisition and
+    * break are one atomic create-exclusive of the next epoch file, so
+    * lease ownership itself is CAS-protected — two writers can never
+    * both break one expired lease, and a stale heartbeat can never
+    * overwrite a takeover. What a table format's transaction log still
+    * adds is fencing the DATA writes of a TTL-broken holder's in-flight
+    * section (see the residuals on [[acquireLease]]). Readers never take
+    * any lock (versioned swaps + the grace window are what protect
+    * them). The `_lock`/`_lock.lease*` files are neither version dirs
+    * nor legacy data, so [[swap]]'s GC never touches them. */
   private val lockHolds = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
     override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
   }
@@ -168,113 +171,200 @@ private[graft] object VersionedStore {
       }
     }
 
-  /** Create-exclusive lease acquisition for filesystems without advisory
-    * locks: loop on an atomic `create(CREATE)` of the lease file (atomic
-    * on HDFS; FileAlreadyExistsException = held), breaking leases whose
-    * mtime is older than `ttlMs`. A daemon heartbeat refreshes the held
-    * lease's mtime every `ttlMs/3` so long writer sections never expire
-    * mid-write. Residual: between one contender's stale-check and its
-    * delete, a second contender can break the same lease (and a holder's
-    * fenced refresh below can read-then-write across a break — the
-    * post-write re-read narrows that to a single write-write race but
-    * cannot close it) — known limitations of lease files on stores
-    * without compare-and-swap, and the reason the 100 TB deployment form
-    * is a Delta/Iceberg commit, not this file. A further residual: the
-    * staleness check compares THIS process's clock against the remote
-    * filesystem's mtime stamp (the NameNode's clock on HDFS), so client/
-    * server skew beyond the heartbeat slack (ttl − ttl/3 ≈ 3.3 min at the
-    * default) can break a live lease (skew ahead) or never break a dead
-    * one (skew behind) — size the TTL with the deployment's clock
-    * discipline in mind; only a server-side CAS with server-side expiry
-    * removes the skew term entirely. A detected takeover is surfaced
-    * three ways: the stderr WARN, [[LockHandle.lost]] for polling, and
-    * [[withStoreLock]]'s terminal [[LeaseLostException]]. */
+  /** EPOCH-CHAIN lease acquisition for filesystems without advisory
+    * locks — compare-and-swap derived from atomic create-exclusive
+    * ([[StoreFs.createExclusive]]; the r15 protocol's overwrite-in-place
+    * heartbeat and delete-then-create TTL break are both gone, and with
+    * them their two hijack races).
+    *
+    * The lease is the HIGHEST-numbered `<base>.e<N>` file beside `lease`
+    * (a bare legacy `<base>` file from the pre-epoch protocol counts as
+    * epoch 0, so crash leftovers are TTL-respected and then GC'd).
+    * Acquisition and TTL takeover are the SAME one operation: observe the
+    * highest epoch expired (mtime older than `ttlMs`) or absent, then
+    * create-exclusive `<base>.e<highest+1>` — of N racers targeting that
+    * name exactly one wins, so two contenders can never both break one
+    * expired lease. A holder's heartbeat bumps the mtime of its OWN
+    * epoch file every `ttlMs/3` — a name no other participant ever
+    * writes — so a TTL break cannot be overwritten by a stale beat, BY
+    * CONSTRUCTION: the new holder's lease is a different, higher-numbered
+    * file. The beat detects supersession (a higher epoch exists, or the
+    * winner's GC removed our file) and stands down; a post-create fence
+    * re-lists after every win and abandons the claim if a higher epoch
+    * already exists (a stale listing can resurrect a GC'd epoch name, and
+    * max-epoch ownership is the invariant every participant reads).
+    *
+    * The highest epoch file is NEVER deleted — a clean release marks it
+    * `RELEASED` in place (still the holder's own name) and the next
+    * winner GCs it from above. That keeps the on-disk epoch number
+    * monotonically increasing forever, which is what makes the
+    * post-create fence sound: any name a stale laggard can resurrect is
+    * strictly BELOW the live lease, so the fence always sees the higher
+    * epoch and abandons. (If release deleted the highest file, numbering
+    * would restart and a resurrected mid number could out-rank a live
+    * low one.) Steady-state footprint is one small file per store.
+    *
+    * Residuals, honestly: (a) the staleness check compares THIS process's
+    * clock against the filesystem's mtime stamp (the NameNode's clock on
+    * HDFS), so client/server skew beyond the heartbeat slack
+    * (ttl − ttl/3 ≈ 3.3 min at the default) can break a live lease or
+    * delay breaking a dead one — size the TTL with the deployment's clock
+    * discipline in mind. (b) a TTL-broken holder's writer section is
+    * still RUNNING until its next beat notices (≤ ttl/3) — the takeover
+    * is detected, fenced at the publish points ([[swap]]'s abort,
+    * [[withStoreLock]]'s terminal [[LeaseLostException]]), and never
+    * hijacks the lease itself, but data writes issued inside that window
+    * can interleave; only a transactional commit log (Delta/Iceberg)
+    * closes the data-plane window, which is why that remains the stated
+    * 100 TB deployment form. */
   private[streaming] def acquireLease(lease: Path,
       ttlMs: Long = LeaseTtlMs, pollMs: Long = 100L): LockHandle = {
-    // unique per ACQUISITION, not per process: the fenced refresh compares
-    // this against the lease's current content to detect a TTL takeover,
-    // and two holds from one process must never alias
+    // unique per ACQUISITION, not per process: two holds from one process
+    // must never alias in the WARN trail
     val token = s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}#${java.util.UUID.randomUUID()}"
+    val parent = lease.getParent
+    val base = lease.getName
+    def epochPath(name: String) = new Path(parent, name)
+    // (name, epoch) pairs on disk; one namespace listing, same cost class
+    // as the pointer read every store op already pays
+    def epochsNow(): Seq[(String, Long)] =
+      StoreFs.listNames(parent).flatMap { n =>
+        if (n == base) Some(n -> 0L)
+        else if (n.startsWith(base + ".e")) {
+          val d = n.substring(base.length + 2)
+          // 19 digits caps the parse inside Long (the writer's %019d)
+          if (d.nonEmpty && d.length <= 19 && d.forall(_.isDigit))
+            Some(n -> d.toLong)
+          else None
+        } else None
+      }
+
+    // one create-exclusive attempt at epoch `num`; None = lost the race
+    // (or abandoned at the post-create fence) — caller re-lists and loops
+    def tryTake(num: Long): Option[LockHandle] = {
+      val own = epochPath(f"$base.e$num%019d")
+      try StoreFs.createExclusive(own, token)
+      catch { case _: java.io.IOException => return None }
+      if (epochsNow().exists(_._2 > num)) {
+        // post-create fence: our listing was stale and we resurrected a
+        // name below the real lease — abandon (our own name is ours alone
+        // to delete; the real holder's file is untouched)
+        try StoreFs.deleteRecursively(own)
+        catch { case _: java.io.IOException => () }
+        return None
+      }
+      // won: GC strictly-lower epochs — superseded holders' leftovers and
+      // the legacy bare file; never a live lease (ours is the highest)
+      epochsNow().filter(_._2 < num).foreach { case (n, _) =>
+        try StoreFs.deleteRecursively(epochPath(n))
+        catch { case _: java.io.IOException => () }
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // LOUD on purpose: standing down bounds the split-brain but does
+      // not undo it — the holder's in-flight writer section overlapped
+      // the new holder's. The operator needs the evidence to audit the
+      // affected epoch; [[withStoreLock]] additionally surfaces it
+      // programmatically (LeaseLostException + lockLost).
+      def standDown(foreign: String): Unit = {
+        lost.set(true)
+        // drop our own (now superseded) epoch file so it cannot linger as
+        // a fresh-looking highest after the winner releases: a beat that
+        // raced the winner's GC may have resurrected it. Own name only,
+        // content-guarded — never the new holder's file.
+        try {
+          val c = try Some(StoreFs.readString(own))
+          catch { case _: java.io.IOException => None }
+          if (c.contains(token)) StoreFs.deleteRecursively(own)
+        } catch { case _: java.io.IOException => () }
+        System.err.println(s"[store] WARN lease $lease LOST to '$foreign' " +
+          s"(this holder '$token' was TTL-broken mid-section; " +
+          "writes from this section may interleave with the new holder's)")
+      }
+      val hb = new Thread(() => {
+        while (!stop.get() && !lost.get()) {
+          try Thread.sleep(math.max(1L, ttlMs / 3))
+          catch { case _: InterruptedException => () }
+          if (!stop.get() && !lost.get())
+            try {
+              // refresh = rewrite OUR OWN epoch file (mtime bump). No other
+              // participant ever writes this name, so unlike the r15
+              // overwrite-in-place form this write can never land on a new
+              // holder's lease, whatever the interleaving.
+              val cur = try Some(StoreFs.readString(own))
+              catch { case _: java.io.FileNotFoundException => None }
+              cur match {
+                case Some(c) if c == token => StoreFs.writeString(own, token)
+                case None =>
+                  // our file is gone and we didn't release: a higher-epoch
+                  // winner's GC removed it — we were taken over
+                  standDown("(own epoch file removed by a takeover's GC)")
+                case Some(other) if other.nonEmpty =>
+                  standDown(other) // defensive: foreign bytes under our name
+                case _ => () // half-written read: skip the beat
+              }
+              // supersession check: any higher epoch IS a completed takeover
+              if (!lost.get())
+                epochsNow().filter(_._2 > num).maxByOption(_._2).foreach {
+                  case (n, _) =>
+                    val who = try StoreFs.readString(epochPath(n))
+                    catch { case _: java.io.IOException => n }
+                    standDown(who)
+                }
+            } catch { case _: java.io.IOException => () } // transient: skip beat
+        }
+      }, s"graft-lease-heartbeat-$own")
+      hb.setDaemon(true)
+      hb.start()
+      Some(new LockHandle(() => {
+        stop.set(true); hb.interrupt()
+        // join BEFORE the release mark: an in-flight beat already past its
+        // stop-check would otherwise re-stamp the token AFTER the mark and
+        // stall the next writer for a full TTL
+        try hb.join(ttlMs) catch { case _: InterruptedException => () }
+        // clean release = mark RELEASED in place, never delete: the
+        // highest epoch file must survive so epoch numbers stay monotonic
+        // (see the scaladoc); the next winner GCs it
+        if (!lost.get())
+          try StoreFs.writeString(own, s"$Released $token")
+          catch { case _: java.io.IOException => () } // next writer waits a TTL
+        else System.err.println(s"[store] WARN release of $own skipped — " +
+          "the lease was taken over mid-hold (see the LOST warning above); " +
+          "audit the store for interleaved writes from the overlap window")
+      }, () => lost.get()))
+    }
+
     var release: LockHandle = null
     while (release == null) {
-      try {
-        StoreFs.writeString(lease, token, createNew = true)
-        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
-        // LOUD on purpose: standing down bounds the split-brain but does
-        // not undo it — the holder's in-flight writer section overlapped
-        // the new holder's. The operator needs the evidence to audit/
-        // repair the affected epoch; [[withStoreLock]] additionally
-        // surfaces it programmatically (LeaseLostException + lockLost).
-        def standDown(foreign: String): Unit = {
-          lost.set(true)
-          System.err.println(s"[store] WARN lease $lease LOST to '$foreign' " +
-            s"(this holder '$token' was TTL-broken mid-section; " +
-            "writes from this section may interleave with the new holder's)")
-        }
-        val hb = new Thread(() => {
-          while (!stop.get() && !lost.get()) {
-            try Thread.sleep(math.max(1L, ttlMs / 3))
-            catch { case _: InterruptedException => () }
-            // FENCED overwrite-in-place (never delete+create: the file must
-            // stay present so contenders read "held", not "released"):
-            // re-read before rewriting, and stand down if the lease now
-            // carries someone else's token — after a TTL takeover a blind
-            // rewrite would hijack the NEW holder's live lease, widening
-            // the split-brain the break already opened. An unreadable,
-            // vanished, or half-written lease SKIPS the beat instead of
-            // recreating it: if it really was taken over, the next beat
-            // reads the new holder's token and stands down then.
-            if (!stop.get() && !lost.get())
-              try {
-                val cur = StoreFs.readString(lease)
-                if (cur == token) {
-                  StoreFs.writeString(lease, token)
-                  // the read-then-write above is NOT compare-and-swap: a
-                  // contender can TTL-break and land its token between the
-                  // read and the write, and the write then hijacks the new
-                  // holder's live lease. Re-read AFTER the write: if the
-                  // content is now foreign, the contender's write landed
-                  // last and it holds — stand down. The mirror ordering
-                  // (our write landed last) reads back our own token and
-                  // is undetectable by content, so this narrows the hijack
-                  // window from a full beat to one write-write race rather
-                  // than closing it; the true fix is CAS, i.e. the
-                  // Delta/Iceberg commit-log deployment form.
-                  val after = StoreFs.readString(lease)
-                  if (after != token && after.nonEmpty) standDown(after)
-                }
-                else if (cur.nonEmpty) standDown(cur)
-              } catch { case _: java.io.IOException => () }
+      epochsNow().maxByOption(_._2) match {
+        case None => release = tryTake(1L).orNull // first-ever acquisition
+        case Some((name, num)) =>
+          val p = epochPath(name)
+          // a cleanly-released lease is acquirable NOW (no TTL wait); a
+          // half-read of an in-flight release mark just falls through to
+          // the mtime check, which the mark's write has freshened — worst
+          // case one TTL of latency, never a correctness issue
+          val released =
+            try StoreFs.readString(p).startsWith(Released)
+            catch { case _: java.io.IOException => false }
+          val age =
+            try Some(System.currentTimeMillis() - StoreFs.modificationTime(p))
+            catch { case _: java.io.IOException => None } // vanished: re-list
+          age match {
+            case _ if released => release = tryTake(num + 1).orNull
+            case Some(a) if a <= ttlMs => // held and alive: wait
+              try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
+            case Some(_) => release = tryTake(num + 1).orNull // expired: supersede
+            case None => () // vanished mid-check: re-list immediately
           }
-        }, s"graft-lease-heartbeat-$lease")
-        hb.setDaemon(true)
-        hb.start()
-        release = new LockHandle(() => {
-          stop.set(true); hb.interrupt()
-          // join BEFORE deleting: an in-flight heartbeat write already past
-          // its stop-check would otherwise land AFTER the delete and
-          // resurrect an orphan lease that stalls the next writer for a
-          // full TTL
-          try hb.join(ttlMs) catch { case _: InterruptedException => () }
-          // after a detected takeover the file is the NEW holder's lease —
-          // deleting it would release a lock this process no longer owns
-          if (!lost.get()) StoreFs.deleteRecursively(lease)
-          else System.err.println(s"[store] WARN release of $lease skipped — " +
-            "the lease was taken over mid-hold (see the LOST warning above); " +
-            "audit the store for interleaved writes from the overlap window")
-        }, () => lost.get())
-      } catch {
-        case _: java.io.IOException => // held (or just broken by a racer)
-          try {
-            if (System.currentTimeMillis() - StoreFs.modificationTime(lease) > ttlMs)
-              StoreFs.deleteRecursively(lease) // expired: break and re-race
-            else Thread.sleep(pollMs)
-          } catch { case _: java.io.IOException => () } // released mid-check
       }
     }
     release
   }
+
+  /** Content prefix marking a cleanly-released epoch file (the file stays
+    * so epoch numbers never restart — see [[acquireLease]]). */
+  private val Released = "RELEASED"
 
   /** How many superseded versions survive each swap. A reader must
     * straddle GraceVersions+1 swaps between resolving the pointer and
@@ -355,9 +445,11 @@ private[graft] object VersionedStore {
     // (rename + pointer flip + GC of "superseded" dirs that may be theirs)
     // would maximally deepen the split-brain. Abort BEFORE anything
     // becomes visible: drop the tmp, surface LeaseLostException. A
-    // takeover landing between this check and the flip is the residual
-    // race the lease scaladoc documents (CAS is the real fix). No-op for
-    // sections under the local OS lock (never lost) or unlocked callers.
+    // takeover landing between this check and the flip is the detection-
+    // latency residual the lease scaladoc documents (lease OWNERSHIP is
+    // CAS-protected now; fencing the data plane takes a transactional
+    // commit). No-op for sections under the local OS lock (never lost)
+    // or unlocked callers.
     if (lockLost(storeDir)) {
       StoreFs.deleteRecursively(tmp)
       throw new LeaseLostException(s"store lock on '$storeDir' was taken " +

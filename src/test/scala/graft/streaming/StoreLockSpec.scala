@@ -104,17 +104,34 @@ class StoreLockSpec extends SparkSpec {
     assert(contenderHolds.get(), "contender never acquired after release")
   }
 
+  /** Every `_lock.lease*` file beside `lease` — the epoch chain plus any
+    * legacy bare file. */
+  private def leaseFiles(lease: org.apache.hadoop.fs.Path): Seq[String] =
+    StoreFs.listNames(lease.getParent)
+      .filter(n => n == lease.getName || n.startsWith(lease.getName + ".e"))
+      .sorted
+
+  private def epochPath(lease: org.apache.hadoop.fs.Path, n: Long) =
+    new org.apache.hadoop.fs.Path(lease.getParent, f"${lease.getName}.e$n%019d")
+
   test("lease lock: a dead holder's stale lease is broken after the TTL") {
     val dir = Files.createTempDirectory("graft-lease-stale").toString
     val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
-    // a lease nobody heartbeats (the holder "crashed"): plant the file
-    // directly, older than the TTL by the sleep below
+    // a lease nobody heartbeats (the holder "crashed"): plant a BARE
+    // legacy-protocol file directly, older than the TTL by the sleep
+    // below — it must participate as epoch 0 (TTL-respected, then GC'd),
+    // not linger forever
     StoreFs.writeString(lease, "dead@nowhere", createNew = true)
     Thread.sleep(500)
     // TTL shorter than the file's age: acquisition must break it and win
     val release = VersionedStore.acquireLease(lease, ttlMs = 200, pollMs = 20)
+    assert(!StoreFs.exists(lease), "stale legacy lease not GC'd by the winner")
     release()
-    assert(!StoreFs.exists(lease), "lease not cleaned up on release")
+    // release marks the epoch file RELEASED in place (epoch numbers never
+    // restart); exactly the winner's file remains, and it reads released
+    assert(leaseFiles(lease) == Seq(epochPath(lease, 1L).getName),
+      s"unexpected lease files after release: ${leaseFiles(lease)}")
+    assert(StoreFs.readString(epochPath(lease, 1L)).startsWith("RELEASED"))
   }
 
   test("lease lock: heartbeat keeps a long-held lease from expiring") {
@@ -145,37 +162,91 @@ class StoreLockSpec extends SparkSpec {
   test("lease lock: a taken-over holder is fenced — heartbeat stands down, release spares the new lease") {
     val dir = Files.createTempDirectory("graft-lease-fence").toString
     val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
-    // short TTL so beats come every ~100ms and the fencing read happens
-    // fast; no contender thread — the takeover is simulated directly
+    // short TTL so beats come every ~100ms and detection happens fast;
+    // no contender thread — the takeover is simulated directly
     val release = VersionedStore.acquireLease(lease, ttlMs = 300, pollMs = 20)
-    // simulate a contender that TTL-broke the lease and now holds it:
-    // overwrite with ITS token (what acquireLease's create would leave)
-    StoreFs.writeString(lease, "intruder@elsewhere#new-hold")
-    // give the old holder's heartbeat several beats to notice
-    // (an already-in-flight beat that read the old token BEFORE the
-    // overwrite may land once right after it — re-plant the intruder
-    // token until a full quiet window proves the heartbeat stood down)
+    // simulate a contender that TTL-broke the lease and now holds it: it
+    // created the NEXT epoch file (the CAS protocol's one takeover op) —
+    // a name the old holder never writes
+    val e2 = epochPath(lease, 2L)
+    StoreFs.createExclusive(e2, "intruder@elsewhere#new-hold")
+    // the holder's supersession check must stand down within a few beats
     val deadline = System.currentTimeMillis() + 5000
-    var fenced = false
-    while (!fenced && System.currentTimeMillis() < deadline) {
+    while (!release.lost && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
-      if (StoreFs.readString(lease) != "intruder@elsewhere#new-hold")
-        StoreFs.writeString(lease, "intruder@elsewhere#new-hold")
-      else fenced =
-        System.currentTimeMillis() - StoreFs.modificationTime(lease) > 600
-    }
-    // the heartbeat must NOT have overwritten the new holder's token (it
-    // read a foreign token and stood down — mtime stopped refreshing)
-    assert(StoreFs.readString(lease) == "intruder@elsewhere#new-hold",
-      "old holder's heartbeat hijacked the new holder's lease")
-    // ...the takeover is visible programmatically on the handle, not just
+    // the takeover is visible programmatically on the handle, not just
     // as a stderr WARN — what long writer sections poll to abort early
     assert(release.lost, "LockHandle.lost did not report the takeover")
-    // ...and the old holder's release must NOT delete the new holder's
-    // lease (that would hand a third contender an instant takeover)
+    // the old holder's release must NOT delete the new holder's lease
+    // (that would hand a third contender an instant takeover)
     release()
-    assert(StoreFs.exists(lease), "old holder's release deleted the new holder's lease")
-    assert(StoreFs.readString(lease) == "intruder@elsewhere#new-hold")
+    assert(StoreFs.exists(e2), "old holder's release deleted the new holder's lease")
+    assert(StoreFs.readString(e2) == "intruder@elsewhere#new-hold",
+      "old holder's heartbeat hijacked the new holder's lease")
+    // the stood-down holder's own superseded epoch file is cleaned up —
+    // it must not linger as a fresh-looking highest once e2 releases
+    assert(leaseFiles(lease) == Seq(e2.getName),
+      s"unexpected lease files after the takeover: ${leaseFiles(lease)}")
+  }
+
+  test("CAS lease: a TTL-break cannot be overwritten — the old holder's beats never touch the new epoch") {
+    val dir = Files.createTempDirectory("graft-lease-cas").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    // beats every ~66ms: many beats fire inside the watch window below
+    val release = VersionedStore.acquireLease(lease, ttlMs = 200, pollMs = 10)
+    val breaker = epochPath(lease, 2L)
+    StoreFs.createExclusive(breaker, "breaker@elsewhere#cas")
+    // In the r15 overwrite-in-place protocol the beat/break race had a
+    // write-wins ordering that clobbered the new lease and was
+    // undetectable by content. In the epoch protocol the beat writes only
+    // its OWN file, so the breaker's must stay byte-identical at EVERY
+    // sample while beats are firing — not merely at the end.
+    val until = System.currentTimeMillis() + 1000
+    while (System.currentTimeMillis() < until) {
+      assert(StoreFs.readString(breaker) == "breaker@elsewhere#cas",
+        "old holder's heartbeat overwrote the takeover lease")
+      Thread.sleep(20)
+    }
+    assert(release.lost, "takeover not detected within five TTLs")
+    release()
+    // the stood-down holder re-took nothing: the breaker's epoch is the
+    // one and only lease file left
+    assert(leaseFiles(lease) == Seq(breaker.getName),
+      s"unexpected lease files after the takeover: ${leaseFiles(lease)}")
+    assert(StoreFs.readString(breaker) == "breaker@elsewhere#cas")
+  }
+
+  test("CAS lease: contenders racing to break one expired lease — exactly one ever holds") {
+    val dir = Files.createTempDirectory("graft-lease-race").toString
+    val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
+    // a dead holder's epoch file, expired by 2 TTLs when the racers start:
+    // every racer sees it breakable at once — the double-break shape the
+    // r15 protocol could not arbitrate (its break was check-then-delete)
+    StoreFs.createExclusive(epochPath(lease, 1L), "dead@nowhere")
+    Thread.sleep(400)
+    val inSection = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        val r = VersionedStore.acquireLease(lease, ttlMs = 200, pollMs = 5)
+        if (inSection.incrementAndGet() != 1) overlap.set(true)
+        Thread.sleep(30)
+        if (inSection.decrementAndGet() != 0) overlap.set(true)
+        acquired.incrementAndGet()
+        r()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "a contender hung")
+    assert(!overlap.get(),
+      "two contenders held the lease simultaneously (double break)")
+    assert(acquired.get() == 6, s"only ${acquired.get()} of 6 ever acquired")
+    // each winner GC'd everything below it; the last holder's RELEASED
+    // file is the single survivor (epoch numbers never restart)
+    assert(leaseFiles(lease).size == 1,
+      s"lease files left behind: ${leaseFiles(lease)}")
   }
 
   test("store lock: refuses a store rooted on a non-atomic-rename scheme, override respected") {
@@ -222,7 +293,8 @@ class StoreLockSpec extends SparkSpec {
       var ranBody = false
       VersionedStore.withStoreLock(dir) {
         ranBody = true
-        assert(StoreFs.exists(lease), "remote branch must hold a LEASE file")
+        assert(leaseFiles(lease).exists(_.startsWith("_lock.lease.e")),
+          "remote branch must hold a LEASE epoch file")
         assert(!VersionedStore.lockLost(dir), "fresh hold must not report lost")
         // the pointer-flip op sequence (tmp write + atomic-overwrite
         // rename + read-back) against the mock scheme — what swap() runs
@@ -234,27 +306,33 @@ class StoreLockSpec extends SparkSpec {
         assert(VersionedStore.versionDir(dir) == s"$dir/_v0000000000000000001")
       }
       assert(ranBody, "override did not let the writer section run")
-      assert(!StoreFs.exists(lease), "lease not cleaned up on release")
+      // clean release = the epoch file is RELEASED-marked, not held
+      val after = leaseFiles(lease)
+      assert(after.size == 1 && StoreFs.readString(
+        new org.apache.hadoop.fs.Path(root, after.head)).startsWith("RELEASED"),
+        s"lease not released cleanly: $after")
       // the delegate really is the local FS: the flip is visible there
       assert(Files.exists(local.resolve("store").resolve("_current")))
     } finally System.clearProperty("graft.store.allowNonAtomicRename")
   }
 
-  /** Simulate a TTL takeover inside a held section: plant `intruder` as
-    * the lease content and poll until the holder's heartbeat detects it —
-    * re-planting when an in-flight beat that read the old token BEFORE
-    * the overwrite lands once right after it. Asserts detection. */
+  /** Simulate a TTL takeover inside a held section: create the NEXT epoch
+    * file beside `lease` with `intruder` as its token — exactly what a
+    * contender's break leaves — and poll until the holder's heartbeat
+    * detects the supersession. Returns the intruder's epoch path (the
+    * holder can never write to it). Asserts detection. */
   private def takeOverLease(dir: String, lease: org.apache.hadoop.fs.Path,
-      intruder: String): Unit = {
-    StoreFs.writeString(lease, intruder)
+      intruder: String): org.apache.hadoop.fs.Path = {
+    val held = leaseFiles(lease).filter(_.startsWith(lease.getName + ".e"))
+      .map(_.stripPrefix(lease.getName + ".e").toLong)
+    val p = epochPath(lease, held.max + 1)
+    StoreFs.createExclusive(p, intruder)
     val deadline = System.currentTimeMillis() + 10000
     while (!VersionedStore.lockLost(dir) &&
-        System.currentTimeMillis() < deadline) {
+        System.currentTimeMillis() < deadline)
       Thread.sleep(50)
-      if (StoreFs.readString(lease) != intruder)
-        StoreFs.writeString(lease, intruder)
-    }
     assert(VersionedStore.lockLost(dir), "holder never detected the takeover")
+    p
   }
 
   test("a mid-section lease takeover surfaces programmatically: lockLost polls true, withStoreLock throws") {
@@ -265,16 +343,17 @@ class StoreLockSpec extends SparkSpec {
     System.setProperty("graft.store.allowNonAtomicRename", "true")
     System.setProperty("graft.store.leaseTtlMs", "300") // beats every ~100ms
     try {
+      var intruderLease: org.apache.hadoop.fs.Path = null
       val thrown = intercept[LeaseLostException] {
         VersionedStore.withStoreLock(dir) {
           // the poll a long writer section uses to abort between stages
-          takeOverLease(dir, lease, intruder)
+          intruderLease = takeOverLease(dir, lease, intruder)
           "section-completed"
         }
       }
       assert(thrown.getMessage.contains("taken over"), thrown.getMessage)
-      // release spared the new holder's lease
-      assert(StoreFs.readString(lease) == intruder,
+      // release spared the new holder's (higher-epoch) lease
+      assert(StoreFs.readString(intruderLease) == intruder,
         "release clobbered the new holder's lease")
     } finally {
       System.clearProperty("graft.store.allowNonAtomicRename")

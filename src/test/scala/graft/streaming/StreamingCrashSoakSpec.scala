@@ -1,0 +1,250 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+/** Long-running suites a dev loop may exclude (`testOnly -- -l graft.Slow`);
+  * CI runs everything. */
+object Slow extends Tag("graft.Slow")
+
+/** Crash-injection SOAK over the streaming ingest protocol (50+ epochs,
+  * seeded-random faults): the per-stage specs prove each recovery path
+  * once (IvfLifecycleSpec's replay, StoreLockSpec's swap leftovers); this
+  * suite proves they COMPOSE under repeated, randomly-placed failures —
+  * the shape a real deployment's history takes.
+  *
+  * A unit test cannot kill the JVM, but the protocol's only shared state
+  * is the store directory, so every fault is injected as the exact ON-DISK
+  * STATE the corresponding kill leaves (the commit is a per-cell
+  * delete+rename of `__b=` partition dirs, each atomic, order unspecified
+  * — so "killed mid-X" is precisely "some suffix of X's directory ops
+  * never happened"):
+  *
+  *   - mid-WRITE kill: only `.tmp` partitions on disk (a random subset of
+  *     the batch's cells — the task set died part-way), nothing committed;
+  *   - mid-COMMIT kill: a random subset of the batch's cells committed,
+  *     the rest still `.tmp`;
+  *   - mid-SWAP kill (refit): an orphan `_vN` version dir (renamed in,
+  *     pointer never flipped) and a stale holder-unique `_vN.tmp-` dir
+  *     beside the live version.
+  *
+  * After every fault the epoch REDELIVERS (foreachBatch is at-least-once)
+  * and the invariants are asserted:
+  *   - readers never see a torn batch (the `.tmp` partition filter);
+  *   - raw [[IvfStore.ingest]] is exactly-once per (writer, epoch): after
+  *     redelivery, no loss and no duplicate, whatever the fault;
+  *   - [[SemanticDedupStream.ingestDeduped]] NEVER duplicates; rows may go
+  *     missing ONLY for a mid-commit fault (the documented
+  *     at-least-once-with-dedup residual: committed cells' rows
+  *     self-screen the replay while the uncommitted cells' rows are gone);
+  *   - an exact copy of a stored vector always screens out (quantized
+  *     cosine is exactly 1 on identical codes);
+  *   - refit restores one row per vector, drops every stale tmp, and
+  *     recovers from swap leftovers (allocation skips the orphan).
+  */
+class StreamingCrashSoakSpec extends SparkSpec {
+
+  private val Dim = 16
+
+  /** Deterministic in-bounds vector per id — the soak needs no realism,
+    * only diversity and reproducibility. */
+  private def vec(id: Long): Seq[Float] =
+    (0 until Dim).map(j => (((id * 31 + j * 17) % 101 + 101) % 101 / 101.0f))
+
+  private def batchDf(ids: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    spark.createDataset(ids.map(i => Vec(i, vec(i))).toIndexedSeq).toDF()
+  }
+
+  /** The per-cell `__b=<b>` partition dirs of the CURRENT version. */
+  private def cellBatchDirs(store: String, b: String): Seq[JPath] = {
+    val root = Paths.get(VersionedStore.versionDir(store), "codes")
+    if (!Files.isDirectory(root)) return Seq.empty
+    val cells = Files.list(root)
+    try cells.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell="))
+      .flatMap { c =>
+        val d = c.resolve(s"__b=$b")
+        if (Files.isDirectory(d)) Some(d) else None
+      }.toSeq
+    finally cells.close()
+  }
+
+  /** Turn a COMMITTED epoch into the on-disk state of a kill: rename all
+    * of its partition dirs back to `.tmp`, re-commit `commit` of them
+    * (the cells whose delete+rename pair had completed), drop `drop` of
+    * the rest (cells whose tmp write never ran). */
+  private def injectKill(store: String, b: String,
+      commit: Seq[JPath] => Seq[JPath], drop: Seq[JPath] => Seq[JPath]): Unit = {
+    val dirs = cellBatchDirs(store, b)
+    val tmps = dirs.map { d =>
+      val t = d.resolveSibling(s"__b=$b.tmp")
+      Files.move(d, t); t
+    }
+    commit(tmps).foreach(t => Files.move(t, t.resolveSibling(s"__b=$b")))
+    drop(tmps.filter(Files.isDirectory(_))).foreach { t =>
+      VersionedStore.deleteRecursively(t.toString)
+    }
+  }
+
+  private def storeState(store: String): (Long, Long) = {
+    val c = IvfStore.codes(spark, store)
+    (c.count(), c.select("vec_id").distinct().count())
+  }
+
+  private def noTmpLeaks(store: String): Unit = {
+    val root = Paths.get(VersionedStore.versionDir(store), "codes")
+    val leaked = Files.walk(root)
+    try assert(!leaked.iterator().asScala.exists(
+      _.getFileName.toString.endsWith(".tmp")),
+      "stale .tmp partition leaked into the CURRENT version")
+    finally leaked.close()
+  }
+
+  test("raw ingest soak: 30 epochs of randomized kills, exactly-once after every redelivery", Slow) {
+    val store = Files.createTempDirectory("soak_raw").toString
+    val rng = new scala.util.Random(20260816L)
+    val snapshot = batchDf(0L until 100L)
+    IvfStore.publish(spark, store, snapshot, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    var (v, m) = IvfStore.versionedModel(spark, store)
+    var expected = 100L
+    val writer = "soakraw"
+
+    for (epoch <- 0 until 30) {
+      val ids = (1000L + epoch * 5) until (1000L + epoch * 5 + 5)
+      val assigned = AnnIngest.assignCells(batchDf(ids), "embedding",
+        m.mn, m.mx, m.centroids)
+      def ingest(): Unit =
+        IvfStore.ingest(store, assigned, "vec_id", epoch.toLong, writer, Some(v))
+      val b = s"$writer-$epoch"
+      ingest()
+      expected += 5
+
+      rng.nextInt(4) match {
+        case 0 => // no fault; a spurious redelivery must still be a no-op
+          if (rng.nextBoolean()) ingest()
+        case 1 => // mid-WRITE kill: nothing committed, a random cell subset
+          // of tmps never even written
+          injectKill(store, b, commit = _ => Seq.empty,
+            drop = tmps => tmps.filter(_ => rng.nextBoolean()))
+          val (midN, midU) = storeState(store)
+          assert(midN == expected - 5 && midU == midN,
+            s"torn epoch visible to readers: n=$midN uniq=$midU")
+          ingest() // redelivery
+        case 2 => // mid-COMMIT kill: a random cell subset committed
+          injectKill(store, b,
+            commit = tmps => tmps.filter(_ => rng.nextBoolean()),
+            drop = _ => Seq.empty)
+          val (midN, midU) = storeState(store)
+          assert(midN <= expected && midU == midN,
+            s"partial commit duplicated rows: n=$midN uniq=$midU")
+          ingest() // redelivery
+        case 3 => // mid-SWAP kill during a refit, then the refit redelivers
+          val root = Paths.get(store)
+          val maxV = root.toFile.list().filter(_.matches("_v\\d+"))
+            .map(_.stripPrefix("_v").toLong).max
+          val orphan = root.resolve(f"_v${maxV + 1}%019d")
+          Files.createDirectory(orphan)
+          Files.write(orphan.resolve("junk"), "not parquet".getBytes)
+          val staleTmp = root.resolve(f"_v${maxV + 1}%019d.tmp-cafe01")
+          Files.createDirectory(staleTmp)
+          Files.write(staleTmp.resolve("part-junk"), Array[Byte](1, 2))
+          IvfStore.refit(spark, store, nCells = 4, iters = 1)
+          assert(!Files.exists(orphan), "orphan version not GC'd by the swap")
+          assert(!Files.exists(staleTmp), "stale swap tmp not GC'd")
+          val vm = IvfStore.versionedModel(spark, store)
+          v = vm._1; m = vm._2
+      }
+      val (n, u) = storeState(store)
+      assert(n == expected && u == expected,
+        s"epoch $epoch: expected $expected unique rows, got n=$n uniq=$u")
+    }
+    noTmpLeaks(store)
+    // the store stayed servable, and a stored vector's exact copy is
+    // findable (the existence screen: identical codes cosine to exactly 1;
+    // search's raw-dot RANKING is deliberately not asserted — see
+    // IvfLifecycleSpec on the all-positive code space)
+    assert(IvfStore.search(spark, store, batchDf(Seq(1042L)),
+      "vec_id", "embedding", k = 3).count() == 3)
+    assert(IvfStore.nearDupIds(spark, store, batchDf(Seq(1042L)),
+      "vec_id", "embedding", threshold = 0.9999).count() == 1,
+      "a soaked-in vector's exact copy no longer screens as a near-dup")
+    VersionedStore.deleteRecursively(store)
+  }
+
+  test("semantic-dedup soak: 25 epochs of randomized kills — never a duplicate, loss only in the documented mid-commit window", Slow) {
+    val store = Files.createTempDirectory("soak_sd").toString
+    val rng = new scala.util.Random(816202616L)
+    IvfStore.publish(spark, store, batchDf(0L until 100L), "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    val writer = "soaksd"
+    val threshold = 0.9999 // identical codes dot to exactly 1 (integer dots,
+    // exact sqrt at Dim×255² scale); the screen must catch every true copy
+
+    def ids(store: String): Set[Long] =
+      IvfStore.codes(spark, store).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+
+    for (epoch <- 0 until 25) {
+      val fresh = (5000L + epoch * 4) until (5000L + epoch * 4 + 4)
+      // one exact copy of an already-stored vector under a new id: the
+      // screen must drop it, deterministically, in every epoch
+      val copyId = 9000L + epoch
+      val copyOf = rng.nextInt(100).toLong
+      val s = spark
+      import s.implicits._
+      val batch = batchDf(fresh) unionByName
+        spark.createDataset(Seq(Vec(copyId, vec(copyOf)))).toDF()
+      val before = ids(store)
+      def deliver(): Long = SemanticDedupStream.ingestDeduped(spark, store,
+        batch, "vec_id", "embedding", threshold, epoch.toLong, writer)
+      val n1 = deliver()
+      val after1 = ids(store)
+      assert(!after1.contains(copyId), s"epoch $epoch: exact copy survived the screen")
+      assert((after1 -- before).subsetOf(fresh.toSet),
+        s"epoch $epoch: foreign rows landed: ${(after1 -- before) -- fresh.toSet}")
+      assert((after1 -- before).size.toLong == n1,
+        s"epoch $epoch: ingest return $n1 != rows landed ${(after1 -- before).size}")
+
+      val b = s"$writer-$epoch"
+      rng.nextInt(3) match {
+        case 0 => // clean epoch + a spurious redelivery: every survivor is
+          // its own indexed near-dup now, so the replay self-screens to 0
+          val n2 = deliver()
+          assert(n2 == 0, s"epoch $epoch: replay re-ingested $n2 rows")
+          assert(ids(store) == after1, "spurious redelivery changed the store")
+        case 1 => // mid-COMMIT kill then redelivery: the acknowledged
+          // under-ingest window — never a duplicate, and every missing row
+          // is from THIS epoch's batch
+          injectKill(store, b,
+            commit = tmps => tmps.filter(_ => rng.nextBoolean()),
+            drop = _ => Seq.empty)
+          deliver()
+          val afterR = ids(store)
+          assert(before.subsetOf(afterR), "redelivery lost PRIOR epochs' rows")
+          assert((afterR -- before).subsetOf(fresh.toSet))
+        case 2 => // refit at a clean point: consolidation must preserve ids
+          IvfStore.refit(spark, store, nCells = 4, iters = 1)
+          assert(ids(store) == after1, "refit changed the id set")
+      }
+      val (n, u) = storeState(store)
+      assert(n == u, s"epoch $epoch: store holds duplicates: n=$n uniq=$u")
+    }
+    // final consolidation: one row per vector, no tmp anywhere, servable
+    IvfStore.refit(spark, store, nCells = 4, iters = 1)
+    val (n, u) = storeState(store)
+    assert(n == u)
+    noTmpLeaks(store)
+    assert(IvfStore.nearDupIds(spark, store, batchDf(Seq(7L)),
+      "vec_id", "embedding", threshold).count() == 1,
+      "the consolidated store lost a snapshot vector")
+    VersionedStore.deleteRecursively(store)
+  }
+}
