@@ -137,6 +137,59 @@ object ScaleSmoke {
   /** Fresh SharedCache key per dsir_weights invocation — see that op. */
   private val dsirSmokeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Synthetic PostView wire rows for the standing-query fan-out width
+    * race (SURVEY §7.4#6): one `topic<k>` token per post (k uniform over
+    * 1 200 — at width 1 000 each condition matches ~1/1200 of the
+    * stream), ~8 zipf-ish filler words, 10% replies, 20% non-en langs, 5%
+    * an image with ALT. Typed map: the generator is harness-only;
+    * production rows arrive decoded from the wire. */
+  def postViews(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      def h(salt: Long): Long = {
+        val x = id * 6364136223846793005L + salt * 1442695040888963407L
+        ((x ^ (x >>> 32)) & Long.MaxValue)
+      }
+      val words = (0 until 8).map(j => s"w${(h(j) % 20000)}").mkString(" ")
+      graft.model.PostView(
+        uri = s"at://did:plc:u${h(1) % 100000}/app.bsky.feed.post/$id",
+        cid = s"c$id",
+        author = graft.model.Author(s"did:plc:u${h(1) % 100000}",
+          Some(s"User${h(2) % 1000}"), Some("synthetic profile")),
+        record = graft.model.PostRecord(
+          text = Some(s"$words topic${h(3) % 1200} $words"),
+          createdAt = "2026-01-01T00:00:00.000Z",
+          langs = Some(Seq(if (h(4) % 5 == 0) "es" else "en")),
+          reply = if (h(5) % 10 == 0)
+            Some(graft.model.Reply(graft.model.StrongRef("at://r/root", "cr"),
+              graft.model.StrongRef("at://r/parent", "cp")))
+          else None,
+          embed = if (h(6) % 20 == 0)
+            Some(graft.model.Embed(Some(Seq(graft.model.Image(
+              Some(s"alt topic${h(7) % 1200}"), None, None, None)))))
+          else None),
+        labels = None)
+    }.toDF()
+  }
+
+  /** `width` synthetic standing conditions: every condition an include
+    * regex over its own topic token; every 10th also excludes a word,
+    * every 7th is language-scoped — enough branch diversity to keep the
+    * cascade's short-circuits honest without burying the hot path. */
+  def standingConditions(width: Int): Seq[graft.model.Condition] =
+    (0 until width).map { i =>
+      graft.model.Condition(
+        key = s"feed$i", recordName = s"feed$i", query = s"topic$i",
+        inputRegex = s"topic$i\\b",
+        invertRegex = if (i % 10 == 0) s"w${i % 20000}\\b" else "",
+        refresh = 0,
+        lang = if (i % 7 == 0) Some("en") else None,
+        labelDisable = i % 5 == 0, replyDisable = i % 3 == 0,
+        imageOnly = "all", includeAltText = i % 4 == 0,
+        initPost = 0, limitCount = 100000,
+        pinnedPost = Nil, privateFeed = Nil, profileMatch = None)
+    }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional second arg: substring filter over op labels (focused A/B runs)
@@ -565,6 +618,77 @@ object ScaleSmoke {
       },
     )
 
+    // The per-feed fan-out at width (SURVEY §7.4#6): N standing queries
+    // over one post stream as ONE keyed job — posts × broadcast
+    // conditions. The width sweep (w10/w100/w1000 at fixed n) reads the
+    // per-condition marginal cost directly; the _ab arm is the pre-cache
+    // body (stock column-typed regexp — per-row Pattern.compile) and the
+    // pipeline arm is Ingest.processBatch end-to-end (cascade + anti-join
+    // dedup against an empty store), the LivePipeline drain's keyed job.
+    val fanoutOps: Seq[(String, DataFrame => Long)] = {
+      def fanned(p: DataFrame, width: Int): Long =
+        graft.operators.FilterCascade.fanOut(p,
+          graft.operators.FilterCascade.conditionsDf(spark, standingConditions(width)),
+          None).count()
+      Seq(
+        "feed_fanout_w10" -> (p => fanned(p, 10)),
+        "feed_fanout_w100" -> (p => fanned(p, 100)),
+        "feed_fanout_w1000" -> (p => fanned(p, 1000)),
+        "feed_pipeline_w1000" -> (p =>
+          graft.streaming.Ingest.processBatch(spark,
+            graft.streaming.Ingest.emptyStore(spark), p,
+            standingConditions(1000), None).count()),
+        "feed_fanout_w1000_stock_ab" -> { p =>
+          // the pre-r16 fanOut body: stock regexp over column-typed
+          // patterns — RLike compiles per ROW, RegExpCount's single-entry
+          // lastRegex thrashes under the crossJoin's condition sweep.
+          // Measured losses at 200 k × 1000 (same-session, r16): include
+          // term alone 12.7 vs 9.6 s cached; full cascade 13.6 vs 10.9 s
+          // best-of-4, with a 43.1 s GC-bound outlier in one session —
+          // per-pair compile churns ~1 KB × 200 M allocations, so the
+          // stock form's tail depends on collector luck where the cached
+          // form allocates nothing per pair. (A second r16 trap found
+          // here lives in the production body: m1's pattern was
+          // coalesce(pterm, ''), so no-profileMatch pairs count-walked
+          // every text with the bare zero-width '(?iu)' — 28.7 → 10.3 s
+          // by letting a null pattern null-propagate instead.)
+          val conditions = graft.operators.FilterCascade.conditionsDf(
+            spark, standingConditions(1000))
+          val withProfile = p.withColumn("__profile_text", lit(null).cast("string"))
+          val joined = withProfile.crossJoin(broadcast(conditions.select(
+            col("key").as("__ckey"), col("inputRegex").as("__in"),
+            col("invertRegex").as("__out"), col("lang").as("__lang"),
+            col("labelDisable").as("__nolabel"), col("replyDisable").as("__noreply"),
+            col("imageOnly").as("__img"), col("includeAltText").as("__alt"),
+            col("profileTerm").as("__pterm"), col("profileRegex").as("__pre"))))
+          val stBase = coalesce(col("record.text"), lit(""))
+          val stAlt = concat_ws("\n", stBase,
+            array_join(filter(transform(coalesce(col("record.embed.images"), array()),
+              i => i("alt")), a => a.isNotNull), "\n"))
+          val st = when(col("__alt"), stAlt).otherwise(stBase)
+          val ciCol = (q: org.apache.spark.sql.Column) => concat(lit("(?iu)"), q)
+          val m0 = regexp_count(st, ciCol(col("__in")))
+          val m1 = regexp_count(st, ciCol(coalesce(col("__pterm"), lit(""))))
+          val imageCount = size(coalesce(col("record.embed.images"), array()))
+          val pred =
+            (m0 > 0) &&
+              (col("__out") === "" || !regexp_like(st, ciCol(col("__out")))) &&
+              (when(col("__img") === "imageOnly", imageCount > 0)
+                .when(col("__img") === "textOnly", imageCount === 0)
+                .otherwise(lit(true))) &&
+              (!col("__nolabel") || size(coalesce(col("labels"), array())) === 0) &&
+              (!col("__noreply") || col("record.reply").isNull) &&
+              (col("__lang").isNull ||
+                array_contains(coalesce(col("record.langs"), array()), col("__lang"))) &&
+              (col("__pterm").isNull ||
+                !(m1 > 0 && (m0 - m1) === 0) ||
+                regexp_like(coalesce(col("__profile_text"), lit("")), ciCol(col("__pre"))))
+          joined.filter(pred).select(col("uri"), col("__ckey").as("key")).count()
+        },
+      )
+    }
+
+    runSection("fanout", postViews(spark, _), fanoutOps)
     runSection("text", corpus(spark, _), textOps)
     runSection("fixdup", corpusFixedDup(spark, _), fixDupOps)
     runSection("cliquedup", corpusCliqueDup(spark, _), cliqueOps)

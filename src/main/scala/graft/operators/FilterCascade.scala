@@ -147,11 +147,30 @@ object FilterCascade {
         i => i("alt")), a => a.isNotNull), "\n"))
     val st = when(col("__alt"), stAlt).otherwise(stBase)
     val ciCol = (p: Column) => concat(lit("(?iu)"), p)
-    val m0 = regexp_count(st, ciCol(col("__in")))
-    val m1 = regexp_count(st, ciCol(coalesce(col("__pterm"), lit(""))))
+    // COLUMN-typed patterns (the broadcast conditions side) take the
+    // cached-regex expressions: stock RLike compiles a non-literal pattern
+    // per ROW, and RegExpCount's single-entry lastRegex cache misses on
+    // every evaluation because the crossJoin sweeps the condition side
+    // between consecutive rows — at width (1 000 standing feeds) the
+    // compile cost dominated the whole drain (SCALE.md fanout section).
+    // The include test is EXISTENCE, so it takes the find-first form
+    // directly (what RegexCountToRLike rewrites the literal path to);
+    // the profile gate needs the actual counts.
+    import org.apache.spark.sql.graft.{RegexpCountCached, RLikeCached}
+    // the match COUNTS exist only for the profile gate. m1's pattern is
+    // DELIBERATELY not coalesced: a null __pterm must null-propagate
+    // through the count (zero work) rather than default to "" — with
+    // coalesce(pterm, ''), every no-profileMatch pair that reached the
+    // gate count-walked its whole text against the bare zero-width
+    // '(?iu)' pattern (one find() per character), measured 28.7 → 10.3 s
+    // on the 200 k × 1000 width race (SCALE.md fanout section). The
+    // isNull disjunct below already owns the verdict for those rows, so
+    // the null m1 is never read.
+    val m0 = RegexpCountCached(st, ciCol(col("__in")))
+    val m1 = RegexpCountCached(st, ciCol(col("__pterm")))
     val pred =
-      (m0 > 0) &&
-        (col("__out") === "" || !regexp_like(st, ciCol(col("__out")))) &&
+      RLikeCached(st, ciCol(col("__in"))) &&
+        (col("__out") === "" || !RLikeCached(st, ciCol(col("__out")))) &&
         (when(col("__img") === "imageOnly", imageCount > 0)
           .when(col("__img") === "textOnly", imageCount === 0)
           .otherwise(lit(true))) &&
@@ -161,7 +180,7 @@ object FilterCascade {
           array_contains(coalesce(col("record.langs"), array()), col("__lang"))) &&
         (col("__pterm").isNull ||
           !(m1 > 0 && (m0 - m1) === 0) ||
-          regexp_like(coalesce(col("__profile_text"), lit("")), ciCol(col("__pre"))))
+          RLikeCached(coalesce(col("__profile_text"), lit("")), ciCol(col("__pre"))))
 
     joined.filter(pred).select(
       col("uri"),

@@ -241,6 +241,31 @@ class PlanShapeSpec extends SparkSpec {
       objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
   }
 
+  test("feed fan-out: posts scan-local, conditions broadcast into one nested-loop join, cached regex in the predicate") {
+    // SURVEY §7.4#6's one-keyed-job form at any width: the post stream is
+    // NEVER shuffled — the N standing conditions broadcast into a single
+    // BroadcastNestedLoopJoin whose predicate runs the CACHED regex
+    // expressions (a silent fallback to stock rlike/regexp_count would
+    // reintroduce a Pattern.compile per (post × condition) — the width-
+    // race loss recorded in SCALE.md's fanout section)
+    val s = spark
+    import s.implicits._
+    val posts = graft.domain.Fixtures.posts.toDF()
+    val conds = graft.operators.FilterCascade.conditionsDf(spark,
+      graft.ScaleSmoke.standingConditions(8))
+    val plan = plannedOf(
+      graft.operators.FilterCascade.fanOut(posts, conds, None))
+    assert(shapeOf(plan) == Shape(
+      shuffles = 0, broadcastJoins = 0, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+    assert(plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.size == 1, "conditions must broadcast into one nested-loop join")
+    val txt = plan.toString
+    assert(txt.contains("rlike_cached") && txt.contains("regexp_count_cached"),
+      "fan-out predicate regressed to stock per-row-compile regex")
+  }
+
   test("ns69 knn graph: one block-keyed pair join, per-node top-k through TopKPerKey heaps") {
     import org.apache.spark.sql.graft.TopKPerKeyExec
     // the catalog entry now reads the SharedCache-pinned graph (ns70
