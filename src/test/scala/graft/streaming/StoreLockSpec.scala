@@ -207,7 +207,12 @@ class StoreLockSpec extends SparkSpec {
         "old holder's heartbeat overwrote the takeover lease")
       Thread.sleep(20)
     }
-    assert(release.lost, "takeover not detected within five TTLs")
+    // detection latency is one beat nominally, but a CI-loaded box can
+    // stall the heartbeat thread — poll with a generous deadline
+    val lostBy = System.currentTimeMillis() + 10000
+    while (!release.lost && System.currentTimeMillis() < lostBy)
+      Thread.sleep(20)
+    assert(release.lost, "takeover never detected")
     release()
     // the stood-down holder re-took nothing: the breaker's epoch is the
     // one and only lease file left
@@ -219,17 +224,22 @@ class StoreLockSpec extends SparkSpec {
   test("CAS lease: contenders racing to break one expired lease — exactly one ever holds") {
     val dir = Files.createTempDirectory("graft-lease-race").toString
     val lease = new org.apache.hadoop.fs.Path(dir, "_lock.lease")
-    // a dead holder's epoch file, expired by 2 TTLs when the racers start:
-    // every racer sees it breakable at once — the double-break shape the
-    // r15 protocol could not arbitrate (its break was check-then-delete)
+    // a dead holder's epoch file, expired when the racers start: every
+    // racer sees it breakable at once — the double-break shape the r15
+    // protocol could not arbitrate (its break was check-then-delete).
+    // The TTL is WIDE (the heartbeat-test lesson: a sub-second TTL lets a
+    // CI scheduler stall of a live holder's beat turn into a legitimate
+    // break, which this spec would report as an overlap); only the FIRST
+    // acquisition waits on it — every later handoff takes the RELEASED
+    // fast path, so the storm still runs in seconds
     StoreFs.createExclusive(epochPath(lease, 1L), "dead@nowhere")
-    Thread.sleep(400)
+    Thread.sleep(3300)
     val inSection = new java.util.concurrent.atomic.AtomicInteger(0)
     val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
     val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
     val threads = (1 to 6).map { _ =>
       new Thread(() => {
-        val r = VersionedStore.acquireLease(lease, ttlMs = 200, pollMs = 5)
+        val r = VersionedStore.acquireLease(lease, ttlMs = 3000, pollMs = 5)
         if (inSection.incrementAndGet() != 1) overlap.set(true)
         Thread.sleep(30)
         if (inSection.decrementAndGet() != 0) overlap.set(true)
