@@ -45,6 +45,9 @@ object SharedCache {
   private val entries = scala.collection.mutable.Map[String, DataFrame]()
   private val values = scala.collection.mutable.Map[String, Any]()
   private val protectedRddIds = scala.collection.mutable.Set[Int]()
+  /** The reliableDir value already pushed to setCheckpointDir (guarded by
+    * the object lock like every pin). */
+  private var reliableDirApplied: Option[String] = None
 
   /** Memoized compute: `key` must identify the result uniquely (include the
     * data dir and any parameters). The builder may create its own scratch
@@ -67,7 +70,21 @@ object SharedCache {
         // unpersistScratch/clear simply have no blocks to manage for them
         val pinned = spark.conf.getOption("spark.graft.sharedCache.reliableDir") match {
           case Some(dir) =>
-            if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+            // the conf OWNS the checkpoint dir: silently deferring to a
+            // pre-existing setCheckpointDir (possibly a driver-local /tmp
+            // some user code set) would void the survive-executor-churn
+            // contract this conf exists for — checkpoint files would land
+            // somewhere non-fault-tolerant with no sign the conf was
+            // ignored. Applied once per conf value (getCheckpointDir
+            // returns the QUALIFIED path, so it can't be the idempotence
+            // check), loudly when it overrides someone else's dir.
+            if (!reliableDirApplied.contains(dir)) {
+              sc.getCheckpointDir.foreach(prev => System.err.println(
+                s"[graft] sharedCache.reliableDir=$dir overrides the " +
+                  s"session checkpoint dir '$prev' for pin checkpoints"))
+              sc.setCheckpointDir(dir)
+              reliableDirApplied = Some(dir)
+            }
             computed.checkpoint()
           case None => computed.localCheckpoint()
         }

@@ -177,9 +177,16 @@ object DidResolver {
       guardPrivateRanges: Boolean = true,
       resolve: String => Array[java.net.InetAddress] =
         java.net.InetAddress.getAllByName) extends Fetcher {
+    // redirects are followed MANUALLY (guarded per hop, below): the
+    // JDK's Redirect.NORMAL re-fetches a 3xx Location with no hook to
+    // re-run the private-range guard, so a public host could 302 the
+    // fetch straight into the deployment network — the exact SSRF the
+    // guard exists to block. NORMAL's one hard rule (never follow a
+    // secure origin to an insecure one) is preserved in the manual walk.
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMillis))
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER).build()
+    private val MaxRedirects = 3
     /** Bounded retry on TRANSIENT failures only (connect reset, timeout —
       * i.e. IOException, which HttpTimeoutException extends): a directory
       * blip must not surface as a 401 for a valid token. Permanent
@@ -202,33 +209,54 @@ object DidResolver {
           // The body is streamed with a byte cap AND a wall-clock
           // deadline — the request timeout only covers up to response
           // headers, so a slow-dripped body needs its own bound.
-          if (guardPrivateRanges) {
-            val host = java.net.URI.create(url).getHost
-            if (host == null) return None
-            // UnknownHostException is an IOException: a transient DNS
-            // blip rides the bounded retry like any other connect failure
-            if (resolve(host).exists(DidResolver.isPrivateAddress))
-              return None
-          }
-          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-            .timeout(java.time.Duration.ofMillis(requestTimeoutMillis)).GET().build()
-          val resp = client.send(req,
-            java.net.http.HttpResponse.BodyHandlers.ofInputStream())
-          val in = resp.body()
-          try {
-            if (resp.statusCode() / 100 != 2) return None
-            val deadline = System.currentTimeMillis() + requestTimeoutMillis
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](8192)
-            var n = in.read(chunk)
-            while (n >= 0) {
-              buf.write(chunk, 0, n)
-              if (buf.size() > maxBodyBytes || System.currentTimeMillis() > deadline)
-                return None // oversized or slow-dripped: not a DID document
-              n = in.read(chunk)
+          var uri = java.net.URI.create(url)
+          var hops = 0
+          while (true) {
+            if (guardPrivateRanges) {
+              val host = uri.getHost
+              if (host == null) return None
+              // UnknownHostException is an IOException: a transient DNS
+              // blip rides the bounded retry like any other connect failure
+              if (resolve(host).exists(DidResolver.isPrivateAddress))
+                return None
             }
-            return Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-          } finally in.close()
+            val req = java.net.http.HttpRequest.newBuilder(uri)
+              .timeout(java.time.Duration.ofMillis(requestTimeoutMillis)).GET().build()
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+            val in = resp.body()
+            try {
+              val status = resp.statusCode()
+              if (status / 100 == 3 && hops < MaxRedirects) {
+                // guarded manual follow: the next hop's host re-enters the
+                // private-range check at the top of this loop — a 3xx into
+                // the deployment network dies exactly like a direct fetch
+                val loc = resp.headers().firstValue("location")
+                if (loc.isEmpty) return None
+                val next = uri.resolve(loc.get.trim)
+                val scheme = Option(next.getScheme).map(_.toLowerCase).getOrElse("")
+                if (scheme != "http" && scheme != "https") return None
+                if (uri.getScheme == "https" && scheme != "https")
+                  return None // never follow a secure origin down to http
+                uri = next
+                hops += 1
+              } else if (status / 100 != 2) {
+                return None // 3xx past the hop cap is a miss too
+              } else {
+                val deadline = System.currentTimeMillis() + requestTimeoutMillis
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](8192)
+                var n = in.read(chunk)
+                while (n >= 0) {
+                  buf.write(chunk, 0, n)
+                  if (buf.size() > maxBodyBytes || System.currentTimeMillis() > deadline)
+                    return None // oversized or slow-dripped: not a DID document
+                  n = in.read(chunk)
+                }
+                return Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+              }
+            } finally in.close()
+          }
         } catch {
           case _: java.io.IOException if attempt < retries =>
             attempt += 1

@@ -250,14 +250,37 @@ class HttpPageReader(url: String, p: SearchPagePartition,
     // this Spark task forever — a timeout fails the task instead, and
     // Spark's task retry is the retry policy (same pitfall fixed in
     // DidResolver.HttpFetcher; a page is ≤ limit rows, so 30 s covers
-    // any healthy response)
+    // any healthy response). HttpRequest.timeout only covers up to the
+    // response HEADERS, so the body is streamed under its own wall-clock
+    // deadline and byte cap (a slow-dripped or unbounded body would
+    // otherwise still park the task — DidResolver.HttpFetcher's bound,
+    // applied here too; 32 MB is far above any ≤ limit-row page).
     val resp = HttpPageReader.client.send(
       java.net.http.HttpRequest.newBuilder(uri)
         .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"search endpoint ${resp.statusCode()} for $uri")
-    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val body = {
+      val in = resp.body()
+      try {
+        if (resp.statusCode() != 200)
+          throw new java.io.IOException(s"search endpoint ${resp.statusCode()} for $uri")
+        val deadline = System.currentTimeMillis() + 30000L
+        val maxBodyBytes = 32 * 1024 * 1024
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) {
+          buf.write(chunk, 0, n)
+          if (buf.size() > maxBodyBytes)
+            throw new java.io.IOException(s"search page body exceeded $maxBodyBytes bytes for $uri")
+          if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(s"search page body stalled past the deadline for $uri")
+          n = in.read(chunk)
+        }
+        buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     // field access is validated so one malformed row names itself instead
     // of killing the query with a bare NPE from asText()
     def field(n: com.fasterxml.jackson.databind.JsonNode, i: Int, name: String): String = {

@@ -232,9 +232,14 @@ private[graft] object VersionedStore {
         if (n == base) Some(n -> 0L)
         else if (n.startsWith(base + ".e")) {
           val d = n.substring(base.length + 2)
-          // 19 digits caps the parse inside Long (the writer's %019d)
+          // tolerate foreign junk beside the lease: 19 digits bounds the
+          // LENGTH but not the VALUE (19 nines > Long.MaxValue), and an
+          // uncaught NumberFormatException here would kill the heartbeat
+          // thread — the lease would then silently expire mid-section
+          // with `lost` never set. Unparseable names are simply not
+          // epochs; they are ignored like any other non-lease file.
           if (d.nonEmpty && d.length <= 19 && d.forall(_.isDigit))
-            Some(n -> d.toLong)
+            d.toLongOption.map(n -> _)
           else None
         } else None
       }

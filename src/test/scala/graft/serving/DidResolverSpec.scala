@@ -245,6 +245,45 @@ class DidResolverSpec extends AnyFunSuite {
       .fetch("https://nx.example.com/did.json").isEmpty)
   }
 
+  test("redirects re-enter the private-range guard per hop; a legit redirect is followed; loops cap") {
+    import java.net.InetAddress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def redirectTo(ex: com.sun.net.httpserver.HttpExchange, loc: String): Unit = {
+      ex.getResponseHeaders.add("Location", loc)
+      ex.sendResponseHeaders(302, -1); ex.close()
+    }
+    server.createContext("/doc", ex => {
+      val body = "{\"ok\":true}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/same", ex => redirectTo(ex, "/doc"))
+    server.createContext("/loop", ex => redirectTo(ex, "/loop"))
+    server.createContext("/internal", ex =>
+      // a "public" host 302-ing the fetch into the deployment network —
+      // the SSRF shape Redirect.NORMAL followed blind (r16 review fix)
+      redirectTo(ex, "http://internal-target.example/secret"))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // the guard is ON; the injected resolve paints the fixture server
+      // public and the redirect target private, so only the guard's
+      // verdicts differ per hop (the socket still reaches loopback)
+      val fetcher = new DidResolver.HttpFetcher(retries = 0,
+        resolve = {
+          case "internal-target.example" => Array(InetAddress.getByName("10.0.0.5"))
+          case _ => Array(InetAddress.getByName("93.184.216.34"))
+        })
+      assert(fetcher.fetch(s"$base/same").contains("{\"ok\":true}"),
+        "a legitimate same-host redirect must be followed")
+      assert(fetcher.fetch(s"$base/internal").isEmpty,
+        "a redirect into a private range must be refused at the hop")
+      assert(fetcher.fetch(s"$base/loop").isEmpty,
+        "a redirect loop must cap, not spin")
+    } finally server.stop(0)
+  }
+
   test("isPrivateAddress passes ordinary public unicast addresses") {
     import java.net.InetAddress
     for (ip <- Seq("93.184.216.34", "8.8.8.8", "2606:2800:220:1::1"))
