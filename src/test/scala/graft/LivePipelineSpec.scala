@@ -147,4 +147,39 @@ class LivePipelineSpec extends SparkSpec {
       assert(live.storedRows == 4L)
     } finally { live.stop(); stub.stop() }
   }
+
+  test("1,000 standing conditions drain as one keyed job; metrics land on every feed (width wiring)") {
+    // The WIDTH contract end-to-end at the application layer (SURVEY
+    // §7.4#6; the throughput race lives in ScaleSmoke's fanout section):
+    // a control plane holding 1 000 conditions, wire frames through the
+    // real CBOR decode, ONE drain — no per-feed driver loop — and the
+    // cycle metrics recorded for every standing feed.
+    val conditions = ScaleSmoke.standingConditions(1000)
+    val cfg = FeedServer.Config(
+      serviceDid = "did:web:feeds.example.com",
+      hostname = "feeds.example.com",
+      publisherDid = "did:plc:publisher",
+      keyResolver = Auth.StaticKeyResolver(Map.empty))
+    val live = new LivePipeline(spark, conditions, cfg,
+      service = "ws://127.0.0.1:1") // never started: frames are offered directly
+    try {
+      // 40 frames, each matching exactly ONE feed's include regex
+      // (topic<k>\b; topic1 does not match topic10 — \b sees the digit)
+      (1L to 40L).foreach(i =>
+        live.offer(WireFixtures.commitFrame(i, s"topic${i - 1} width probe")))
+      assert(live.drainBatch() == 40L, "each frame lands on exactly its own feed")
+      assert(live.storedRows == 40L)
+      // the cycle's metrics cover ALL 1 000 conditions (the reference
+      // UPDATEs every feed's row per cycle), with per-feed counts only
+      // where rows landed
+      val snap = live.metrics.snapshot
+      assert(snap.size == 1000, s"metrics rows: ${snap.size}")
+      assert(snap("feed7").recordCount == 1L)
+      assert(snap("feed999").recordCount == 0L)
+      assert(snap.values.forall(_.lastExecTime.endsWith("ms")))
+      // and the control plane serves the width: getQuery state was
+      // published for a feed that captured nothing too
+      assert(live.control.conditions.size == 1000)
+    } finally live.stop()
+  }
 }
