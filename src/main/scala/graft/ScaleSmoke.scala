@@ -175,9 +175,13 @@ object ScaleSmoke {
   /** `width` synthetic standing conditions: every condition an include
     * regex over its own topic token; every 10th also excludes a word,
     * every 7th is language-scoped — enough branch diversity to keep the
-    * cascade's short-circuits honest without burying the hot path. */
-  def standingConditions(width: Int): Seq[graft.model.Condition] =
-    (0 until width).map { i =>
+    * cascade's short-circuits honest without burying the hot path.
+    * `topicBase` shifts the topic ids: a base past [[postViews]]'s 1 200
+    * topics makes every condition a MISS (the sparse standing-query
+    * regime the include prefilter exists for). */
+  def standingConditions(width: Int, topicBase: Int = 0): Seq[graft.model.Condition] =
+    (0 until width).map { j =>
+      val i = topicBase + j
       graft.model.Condition(
         key = s"feed$i", recordName = s"feed$i", query = s"topic$i",
         inputRegex = s"topic$i\\b",
@@ -626,14 +630,32 @@ object ScaleSmoke {
     // pipeline arm is Ingest.processBatch end-to-end (cascade + anti-join
     // dedup against an empty store), the LivePipeline drain's keyed job.
     val fanoutOps: Seq[(String, DataFrame => Long)] = {
-      def fanned(p: DataFrame, width: Int): Long =
+      def fanned(p: DataFrame, width: Int): Long = {
+        // the PRODUCTION form (Ingest.processBatch): includePrefilter on —
+        // in this dense corpus ~82% of posts reach the loop anyway, so
+        // these arms also price the screen's worst-case overhead
+        val cs = standingConditions(width)
         graft.operators.FilterCascade.fanOut(p,
-          graft.operators.FilterCascade.conditionsDf(spark, standingConditions(width)),
-          None).count()
+          graft.operators.FilterCascade.conditionsDf(spark, cs),
+          None, prefilter = graft.operators.FilterCascade.includePrefilter(cs)).count()
+      }
+      def fannedSparse(p: DataFrame, prefilter: Boolean): Long = {
+        // the realistic regime: 1 000 standing feeds, none matching the
+        // current stream (topicBase past the corpus's 1 200 topics). The
+        // prefilter turns |posts|·width include probes into |posts| — one
+        // literal-alternation find per post, zero pairs reaching the loop.
+        val cs = standingConditions(1000, topicBase = 10000)
+        graft.operators.FilterCascade.fanOut(p,
+          graft.operators.FilterCascade.conditionsDf(spark, cs), None,
+          prefilter = if (prefilter)
+            graft.operators.FilterCascade.includePrefilter(cs) else None).count()
+      }
       Seq(
         "feed_fanout_w10" -> (p => fanned(p, 10)),
         "feed_fanout_w100" -> (p => fanned(p, 100)),
         "feed_fanout_w1000" -> (p => fanned(p, 1000)),
+        "feed_fanout_sparse_w1000" -> (p => fannedSparse(p, prefilter = true)),
+        "feed_fanout_sparse_nopre_ab" -> (p => fannedSparse(p, prefilter = false)),
         "feed_pipeline_w1000" -> (p =>
           graft.streaming.Ingest.processBatch(spark,
             graft.streaming.Ingest.emptyStore(spark), p,

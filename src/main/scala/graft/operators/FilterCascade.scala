@@ -119,20 +119,115 @@ object FilterCascade {
         to_timestamp(col("record.createdAt")).as("indexedAt"))
   }
 
+  /** Regex metacharacters a literal run may not contain (and '{' / '}',
+    * whose quantifier-vs-literal status depends on what follows). */
+  private val RegexMeta = "[](){}*+?.^$|\\"
+
+  /** REQUIRED literals of one include regex, one per top-level
+    * alternation branch — strings the regex cannot match a text without
+    * containing (case-insensitively). Conservative by construction: the
+    * pattern must be an alternation of plain sequences of literal chars
+    * and zero-width `\b`/`\B` (which split a branch into runs — each run
+    * is still individually required; the longest is kept). Escaped
+    * punctuation is literal; escaped letters/digits (classes `\d`,
+    * backrefs `\1`, ...) and any metacharacter reject the whole
+    * extraction — a screen that might drop a matchable post is worse
+    * than no screen. Non-ASCII literal chars also split runs: only
+    * ASCII needles are sound under the 4-char fold below (Greek final
+    * sigma and friends fold within Unicode, not into ASCII). Branches
+    * whose longest run is shorter than 2 chars reject too (a 1-char
+    * needle keeps ~every post — the screen would be pure overhead). */
+  private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
+    val branches = Seq.newBuilder[String]
+    var runs = List.empty[String]
+    val cur = new StringBuilder
+    def endRun(): Unit = { if (cur.nonEmpty) runs ::= cur.toString; cur.clear() }
+    def endBranch(): Boolean = {
+      endRun()
+      val best = runs.sortBy(-_.length).headOption.getOrElse("")
+      runs = Nil
+      if (best.length < 2) false
+      else { branches += best.toLowerCase(java.util.Locale.ROOT); true }
+    }
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      val c = pattern.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= n) return None
+        val e = pattern.charAt(i + 1)
+        if (e == 'b' || e == 'B') endRun() // zero-width: splits the run
+        else if (e.isLetterOrDigit) return None // class / backref / \uXXXX
+        else cur.append(e) // escaped punctuation is a literal char
+        i += 2
+      } else if (c == '|') {
+        if (!endBranch()) return None
+        i += 1
+      } else if (RegexMeta.indexOf(c) >= 0) {
+        return None
+      } else {
+        if (c < 0x20 || c > 0x7e) endRun() else cur.append(c)
+        i += 1
+      }
+    }
+    if (!endBranch()) return None
+    Some(branches.result())
+  }
+
+  /** The non-ASCII characters Java's `(?iu)` single-character folding
+    * equates with an ASCII letter — mapped to that letter BEFORE
+    * lowercasing (İ first: `toLowerCase` would explode it into i +
+    * combining dot and break substring adjacency). Exhaustively proven
+    * complete over the BMP by CachedRegexSpec's fold-table test. */
+  private val FoldFrom = "ſKİı" // ſ KELVIN-K İ ı
+  private val FoldTo = "skii"
+
+  /** OR-of-includes PREFILTER for [[fanOut]]: every cascade branch
+    * requires its condition's include regex to match, so a post matching
+    * NONE of them cannot survive any branch — it can skip the width-way
+    * nested loop entirely. The screen is ONE Aho–Corasick pass per post
+    * ([[org.apache.spark.sql.graft.ContainsAnyFolded]]) over the
+    * lowercased (fold-mapped) ALT-EXTENDED text, with one REQUIRED
+    * literal per include-regex branch as the needles — O(|text|) per
+    * post whatever the width, where both the pair loop and a regex
+    * alternation pay O(|text|·width) (the alternation form was measured
+    * barely ahead of the loop it screened — SCALE.md fanout section).
+    * Always a SUPERSET filter: alt-extended text for everyone, and a
+    * needle hit only admits the post into the loop, never past it.
+    *
+    * None (fan-out unchanged) when any condition defeats the
+    * extraction ([[requiredLiterals]]) — soundness over coverage. */
+  def includePrefilter(cs: Seq[Condition]): Option[Column] = {
+    if (cs.isEmpty) return None
+    val perCond = cs.map(c => requiredLiterals(c.inputRegex))
+    if (perCond.exists(_.isEmpty)) None
+    else {
+      val needles = perCond.flatMap(_.get).distinct
+      val folded = lower(translate(
+        searchText(includeAltText = true), FoldFrom, FoldTo))
+      Some(org.apache.spark.sql.graft.ContainsAnyFolded(folded, needles))
+    }
+  }
+
   /** Scale-out fan-out: evaluate ALL conditions in one distributed job —
     * posts × broadcast(conditions) with column-typed regex patterns
     * (SURVEY §7.4#6). One pass over the post stream regardless of the
     * number of standing feeds; no driver loop over conditions.
+    *
+    * `prefilter` (from [[includePrefilter]], when the caller holds the
+    * driver-side condition list) screens posts BEFORE the nested loop.
     */
-  def fanOut(posts: DataFrame, conditions: DataFrame, profiles: Option[DataFrame]): DataFrame = {
+  def fanOut(posts: DataFrame, conditions: DataFrame, profiles: Option[DataFrame],
+      prefilter: Option[Column] = None): DataFrame = {
+    val screened = prefilter.fold(posts)(posts.filter)
     val withProfile = profiles match {
       case Some(pr) =>
         val p = pr.select(col("did").as("__pdid"),
           concat_ws(" ", coalesce(col("displayName"), lit("")),
             coalesce(col("description"), lit(""))).as("__profile_text"))
-        posts.join(broadcast(p), posts("author.did") === col("__pdid"), "left")
+        screened.join(broadcast(p), screened("author.did") === col("__pdid"), "left")
           .drop("__pdid")
-      case None => posts.withColumn("__profile_text", lit(null).cast("string"))
+      case None => screened.withColumn("__profile_text", lit(null).cast("string"))
     }
     val joined = withProfile.crossJoin(broadcast(conditions.select(
       col("key").as("__ckey"), col("inputRegex").as("__in"),

@@ -84,7 +84,8 @@ object Ingest {
   def processBatch(spark: SparkSession, stored: DataFrame, batch: DataFrame,
       conditions: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
     val candidates = FilterCascade.fanOut(
-      batch, FilterCascade.conditionsDf(spark, conditions), profiles)
+      batch, FilterCascade.conditionsDf(spark, conditions), profiles,
+      prefilter = FilterCascade.includePrefilter(conditions))
     Upsert.newRows(stored, candidates, Seq("uri", "key"))
   }
 
@@ -183,7 +184,8 @@ object Ingest {
     val fresh = conditions.filterNot(c => have.contains(c.key))
     if (fresh.isEmpty) return emptyStore(spark)
     val candidates = FilterCascade.fanOut(
-      searchPosts, FilterCascade.conditionsDf(spark, fresh), profiles)
+      searchPosts, FilterCascade.conditionsDf(spark, fresh), profiles,
+      prefilter = FilterCascade.includePrefilter(fresh))
     val limits = fresh.map(c => (c.key, c.initPost)).toDF("key", "__limit")
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("key"))

@@ -103,4 +103,89 @@ class FilterCascadeSpec extends SparkSpec {
     assert(fanned == perCond)
     assert(fanned.nonEmpty)
   }
+
+  test("includePrefilter is a sound superset screen: fanOut output is unchanged") {
+    // branch coverage: alt-only matches (the prefilter deliberately tests
+    // the ALT-EXTENDED text for everyone), a profileMatch condition (its
+    // include regex is still required), and a narrow regex most posts fail
+    val cs = Seq(
+      cond(key = "f1", inputRegex = "spark"),
+      cond(key = "f2", inputRegex = "spark", includeAltText = true),
+      cond(key = "f3", inputRegex = "vector",
+        profileMatch = Some(ProfileMatch("vector", "spark"))),
+      cond(key = "f4", inputRegex = "español", lang = Some("es")),
+    )
+    val pf = FilterCascade.includePrefilter(cs)
+    assert(pf.isDefined, "plain patterns must enable the prefilter")
+    def fanned(p: Option[org.apache.spark.sql.Column]) =
+      FilterCascade.fanOut(postsDf, FilterCascade.conditionsDf(spark, cs),
+          Some(profilesDf), prefilter = p)
+        .select("key", "uri").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val without = fanned(None)
+    assert(fanned(pf) == without)
+    assert(without.exists(_._1 == "f2"), "alt-only match must survive the screen")
+    assert(without.exists(_._1 == "f3"))
+  }
+
+  test("requiredLiterals extracts per-branch needles conservatively") {
+    import FilterCascade.requiredLiterals
+    assert(requiredLiterals("spark|vector") == Some(Seq("spark", "vector")))
+    assert(requiredLiterals("topic7\\b") == Some(Seq("topic7")))
+    // \b splits runs; the LONGEST run is the needle; escaped punctuation
+    // is literal; case is folded
+    assert(requiredLiterals("Foo\\bBarBaz") == Some(Seq("barbaz")))
+    assert(requiredLiterals("c\\+\\+|rust") == Some(Seq("c++", "rust")))
+    // non-ASCII chars split runs (only ASCII needles are fold-sound)
+    assert(requiredLiterals("español") == Some(Seq("espa")))
+    // anything with classes/quantifiers/groups/anchors/backrefs rejects
+    for (p <- Seq("sp.rk", "spark+", "spa(rk)", "^spark", "spark$",
+        "[sz]park", "spark{2}", "\\d+", "(a)\\1", "a|b", "ab|x", "", "x"))
+      assert(requiredLiterals(p).isEmpty, s"'$p' must reject")
+  }
+
+  test("prefilter stays sound on the Unicode→ASCII fold edge (ſpark, KELVIN K, İstanbul)") {
+    val s = spark
+    import s.implicits._
+    // texts Java's (?iu) matches against ASCII patterns through the
+    // 4-char fold — a lowercase-only screen would drop all three
+    val posts = Seq(
+      Fixtures.pv("at://u/1", "k1", "a ſpark of genius", "2024-03-01T10:00:00.000Z"),
+      Fixtures.pv("at://u/2", "k2", "degrees Kelvin here", "2024-03-01T10:01:00.000Z"),
+      Fixtures.pv("at://u/3", "k3", "İstanbul travel notes", "2024-03-01T10:02:00.000Z"),
+      Fixtures.pv("at://u/4", "k4", "nothing relevant", "2024-03-01T10:03:00.000Z"),
+    ).toDF()
+    val cs = Seq(
+      cond(key = "s", inputRegex = "spark"),
+      cond(key = "k", inputRegex = "kelvin"),
+      cond(key = "i", inputRegex = "istanbul"))
+    val pf = FilterCascade.includePrefilter(cs)
+    assert(pf.isDefined)
+    def keys(p: Option[org.apache.spark.sql.Column]) =
+      FilterCascade.fanOut(posts, FilterCascade.conditionsDf(spark, cs), None,
+        prefilter = p).select("key").collect().map(_.getString(0)).toSet
+    val want = keys(None)
+    assert(want == Set("s", "k", "i"), s"fixture regression: $want")
+    assert(keys(pf) == want, "the fold screen dropped a matchable post")
+  }
+
+  test("includePrefilter declines unsound or useless shapes") {
+    // a backreference's group number would renumber across alternation
+    // branches — the prefilter must stand down, not miscompile
+    assert(FilterCascade.includePrefilter(Seq(
+      cond(inputRegex = "(spark)\\s+\\1"), cond(key = "f2"))).isEmpty)
+    // an empty include regex matches everything: the screen keeps all
+    // posts anyway, so it is skipped outright
+    assert(FilterCascade.includePrefilter(Seq(
+      cond(inputRegex = ""), cond(key = "f2"))).isEmpty)
+    assert(FilterCascade.includePrefilter(Nil).isEmpty)
+    // ...and a backreference CONDITION still evaluates correctly through
+    // the unscreened fan-out (its own branch pattern is untouched)
+    val cs = Seq(cond(key = "dup", inputRegex = "(spark)\\s+\\1"), cond(key = "any"))
+    val out = FilterCascade.fanOut(postsDf,
+        FilterCascade.conditionsDf(spark, cs), Some(profilesDf),
+        prefilter = FilterCascade.includePrefilter(cs))
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(out == Set("any"), s"got $out") // no post repeats 'spark spark'
+  }
 }
