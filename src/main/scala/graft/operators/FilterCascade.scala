@@ -209,6 +209,28 @@ object FilterCascade {
     }
   }
 
+  /** [[fanOut]] with the include screen applied PER PARTITION of the
+    * condition set, not all-or-nothing: conditions whose include regex
+    * yields required literals fan out over the screened post stream;
+    * the (typically few) unscreenable ones fan out over the full stream,
+    * and the two result sets union. One unscreenable condition then
+    * costs ONE extra full-stream branch instead of silently disabling
+    * the screen for the other 999 — the mixed standing-query set a real
+    * deployment has. Row-equivalence with the unscreened fan-out is
+    * spec-pinned (FilterCascadeSpec). */
+  def fanOutScreened(spark: org.apache.spark.sql.SparkSession, posts: DataFrame,
+      cs: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
+    val (screenable, rest) = cs.partition(c => requiredLiterals(c.inputRegex).isDefined)
+    if (screenable.isEmpty)
+      fanOut(posts, conditionsDf(spark, cs), profiles)
+    else {
+      val screened = fanOut(posts, conditionsDf(spark, screenable), profiles,
+        prefilter = includePrefilter(screenable))
+      if (rest.isEmpty) screened
+      else screened.unionByName(fanOut(posts, conditionsDf(spark, rest), profiles))
+    }
+  }
+
   /** Scale-out fan-out: evaluate ALL conditions in one distributed job —
     * posts × broadcast(conditions) with column-typed regex patterns
     * (SURVEY §7.4#6). One pass over the post stream regardless of the

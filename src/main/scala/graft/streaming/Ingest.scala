@@ -83,9 +83,7 @@ object Ingest {
     * of the anti-join. */
   def processBatch(spark: SparkSession, stored: DataFrame, batch: DataFrame,
       conditions: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
-    val candidates = FilterCascade.fanOut(
-      batch, FilterCascade.conditionsDf(spark, conditions), profiles,
-      prefilter = FilterCascade.includePrefilter(conditions))
+    val candidates = FilterCascade.fanOutScreened(spark, batch, conditions, profiles)
     Upsert.newRows(stored, candidates, Seq("uri", "key"))
   }
 
@@ -183,9 +181,7 @@ object Ingest {
     val have = stored.select("key").distinct().collect().map(_.getString(0)).toSet
     val fresh = conditions.filterNot(c => have.contains(c.key))
     if (fresh.isEmpty) return emptyStore(spark)
-    val candidates = FilterCascade.fanOut(
-      searchPosts, FilterCascade.conditionsDf(spark, fresh), profiles,
-      prefilter = FilterCascade.includePrefilter(fresh))
+    val candidates = FilterCascade.fanOutScreened(spark, searchPosts, fresh, profiles)
     val limits = fresh.map(c => (c.key, c.initPost)).toDF("key", "__limit")
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("key"))

@@ -188,4 +188,31 @@ class FilterCascadeSpec extends SparkSpec {
       .select("key").collect().map(_.getString(0)).toSet
     assert(out == Set("any"), s"got $out") // no post repeats 'spark spark'
   }
+
+  test("fanOutScreened splits a mixed set: screened + unscreenable branches union to the plain fan-out") {
+    // one unscreenable condition (backreference) must cost one unscreened
+    // branch, not disable the screen for the rest — and the union must be
+    // ROW-equivalent to fanning everything out unscreened
+    val cs = Seq(
+      cond(key = "f1"),
+      cond(key = "f2", inputRegex = "spark", includeAltText = true),
+      cond(key = "f3", inputRegex = "vector",
+        profileMatch = Some(ProfileMatch("vector", "spark"))),
+      cond(key = "dup", inputRegex = "(spark)\\s+\\1"),
+    )
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "uri").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val plain = rows(FilterCascade.fanOut(postsDf,
+      FilterCascade.conditionsDf(spark, cs), Some(profilesDf)))
+    val split = rows(FilterCascade.fanOutScreened(spark, postsDf, cs, Some(profilesDf)))
+    assert(split == plain)
+    assert(plain.exists(_._1 == "f1") && plain.exists(_._1 == "f3"),
+      "fixture regression: screened branches must produce rows")
+    // all-unscreenable and all-screenable sets route through one branch
+    assert(rows(FilterCascade.fanOutScreened(spark, postsDf,
+      cs.take(3), Some(profilesDf))) == plain.filterNot(_._1 == "dup"))
+    assert(rows(FilterCascade.fanOutScreened(spark, postsDf,
+      Seq(cs.last), Some(profilesDf))) == plain.filter(_._1 == "dup"))
+  }
 }
