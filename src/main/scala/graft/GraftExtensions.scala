@@ -96,6 +96,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("dot_longs", cs, 2, "array_a, array_b")
       DotLongs(cs(0), cs(1))
     }, classOf[DotLongs])
+    // rlike_cached(text, pattern) / regexp_count_cached(text, pattern):
+    // stock-identical semantics with a compiled-pattern cache — for
+    // COLUMN-typed patterns (stock compiles those per row); with a
+    // literal pattern stock is already cached, use the builtins
+    register("rlike_cached", cs => {
+      arity("rlike_cached", cs, 2, "text, pattern")
+      RLikeCached(cs(0), cs(1))
+    }, classOf[RLikeCached])
+    register("regexp_count_cached", cs => {
+      arity("regexp_count_cached", cs, 2, "text, pattern")
+      RegexpCountCached(cs(0), cs(1))
+    }, classOf[RegexpCountCached])
+    // contains_any_folded(text, needle, ...) -> boolean: one Aho-Corasick
+    // pass; needles are required-literal strings (foldable)
+    register("contains_any_folded", cs => {
+      if (cs.length < 2) throw new IllegalArgumentException(
+        "contains_any_folded expects (text, needle, ...), got " + cs.length)
+      val needles = cs.tail.map { e =>
+        (if (e.foldable) e.eval() else null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case _ => throw new IllegalArgumentException(
+            "contains_any_folded needles must be foldable strings, got " + e)
+        }
+      }
+      ContainsAnyFolded(cs.head, needles)
+    }, classOf[ContainsAnyFolded])
 
     ext.injectOptimizerRule(_ => RegexCountToRLike)
     ext.injectOptimizerRule(_ => graft.plans.CheapPredicateFirst)

@@ -102,6 +102,21 @@ class FirehoseSpec extends SparkSpec {
     val ar = intercept[Exception](
       spark.sql("SELECT md5_gram_keys(array('a','b'), 2)").head())
     assert(ar.getMessage.contains("expects 3 arguments"))
+    // the cached-regex pair and the include-screen engine (r16)
+    val rc = spark.sql(
+      "SELECT rlike_cached('SPARK flies', '(?iu)spark') AS f," +
+        "       regexp_count_cached('aXaXa', 'a') AS c").head()
+    assert(rc.getBoolean(0) && rc.getInt(1) == 3)
+    // contains_any_folded expects PRE-folded text (the prefilter feeds it
+    // lower(translate(...)) — fold coverage is ContainsAnyFoldedSpec's job)
+    val caf = spark.sql(
+      "SELECT contains_any_folded('a spark flies', 'spark', 'vector') AS hit," +
+        "       contains_any_folded('nothing here', 'spark', 'vector') AS miss")
+      .head()
+    assert(caf.getBoolean(0) && !caf.getBoolean(1))
+    val nf = intercept[Exception](
+      spark.sql("SELECT contains_any_folded('t', lower(rand()))").head())
+    assert(nf.getMessage.contains("foldable strings"))
   }
 
   // ---- real binary wire path: CBOR frames + CAR blocks -----------------
