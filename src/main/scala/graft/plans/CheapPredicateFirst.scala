@@ -56,9 +56,17 @@ object CheapPredicateFirst extends Rule[LogicalPlan] {
     var cls = 0
     e.foreach {
       case _: RLike | _: Like | _: RegExpExtractAll | _: RegExpExtract |
-          _: RegExpReplace | _: RegExpCount | _: RegExpInStr => cls = math.max(cls, 2)
+          _: RegExpReplace | _: RegExpCount | _: RegExpInStr |
+          // the engine's cached-regex pair is the same matching machinery
+          // minus the compile — still a text walk, still class 2 (the
+          // fan-out predicate's include/exclude terms must sort AFTER the
+          // structural enum/null/array checks)
+          _: org.apache.spark.sql.graft.RLikeCached |
+          _: org.apache.spark.sql.graft.RegexpCountCached => cls = math.max(cls, 2)
       case _: StringPredicate | _: StringTrim | _: StringSplit | _: Lower |
-          _: Upper | _: Substring | _: StringInstr | _: ConcatWs | _: Levenshtein =>
+          _: Upper | _: Substring | _: StringInstr | _: ConcatWs | _: Levenshtein |
+          // one linear automaton pass: string-function priced, not regex
+          _: org.apache.spark.sql.graft.ContainsAnyFolded =>
         cls = math.max(cls, 1)
       case _ =>
     }

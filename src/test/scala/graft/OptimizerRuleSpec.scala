@@ -55,4 +55,23 @@ class OptimizerRuleSpec extends SparkSpec {
       col("lang") === "en" && col("n_chars") > 10 && col("text").rlike("spark"))
     assert(f.count() == manual.count())
   }
+
+  test("the cached-regex pair and the screen engine sort like their stock kin") {
+    import org.apache.spark.sql.graft.{ContainsAnyFolded, RegexpCountCached, RLikeCached}
+    // the fan-out predicate's exact hazard: rlike_cached is regex-class
+    // machinery, and an unrecognized class-0 default would sort it BEFORE
+    // the structural checks, undoing the reorder the rule exists for
+    val f = docs.filter(
+      RLikeCached(col("text"), lit("spark")) && col("lang") === "en" &&
+        RegexpCountCached(col("text"), lit("a")) > 2 && col("n_chars") > 10 &&
+        ContainsAnyFolded(lower(col("text")), Seq("spark", "vector")))
+    val line = f.queryExecution.optimizedPlan.toString
+      .linesIterator.find(_.trim.startsWith("Filter")).get
+    val structural = math.max(line.indexOf("n_chars"), line.indexOf("= en"))
+    val screen = line.indexOf("contains_any_folded")
+    val regex = math.min(line.indexOf("rlike_cached"), line.indexOf("regexp_count_cached"))
+    assert(structural >= 0 && screen >= 0 && regex >= 0, line)
+    assert(structural < screen && screen < regex,
+      s"expected structural < screen < cached-regex, got: $line")
+  }
 }
