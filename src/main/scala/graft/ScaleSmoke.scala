@@ -630,32 +630,39 @@ object ScaleSmoke {
     // pipeline arm is Ingest.processBatch end-to-end (cascade + anti-join
     // dedup against an empty store), the LivePipeline drain's keyed job.
     val fanoutOps: Seq[(String, DataFrame => Long)] = {
-      def fanned(p: DataFrame, width: Int): Long = {
-        // the PRODUCTION form (Ingest.processBatch): includePrefilter on —
-        // in this dense corpus ~82% of posts reach the loop anyway, so
-        // these arms also price the screen's worst-case overhead
-        val cs = standingConditions(width)
-        graft.operators.FilterCascade.fanOut(p,
-          graft.operators.FilterCascade.conditionsDf(spark, cs),
-          None, prefilter = graft.operators.FilterCascade.includePrefilter(cs)).count()
-      }
-      def fannedSparse(p: DataFrame, prefilter: Boolean): Long = {
-        // the realistic regime: 1 000 standing feeds, none matching the
-        // current stream (topicBase past the corpus's 1 200 topics). The
-        // prefilter turns |posts|·width include probes into |posts| — one
-        // literal-alternation find per post, zero pairs reaching the loop.
+      def fanned(p: DataFrame, width: Int): Long =
+        // the PRODUCTION form (Ingest.processBatch): fanOutScreened — the
+        // inverted-index candidate join; in this dense corpus ~82% of
+        // posts match SOME feed, but each matches only ~1, so the
+        // candidate pairs are |posts|, not |posts|·width
+        graft.operators.FilterCascade.fanOutScreened(spark, p,
+          standingConditions(width), None).count()
+      def fannedSparse(p: DataFrame, screened: Boolean): Long = {
+        // the no-match regime: 1 000 standing feeds, none matching the
+        // current stream (topicBase past the corpus's 1 200 topics); the
+        // screened form pays one automaton scan per post, zero pairs
         val cs = standingConditions(1000, topicBase = 10000)
-        graft.operators.FilterCascade.fanOut(p,
-          graft.operators.FilterCascade.conditionsDf(spark, cs), None,
-          prefilter = if (prefilter)
-            graft.operators.FilterCascade.includePrefilter(cs) else None).count()
+        if (screened)
+          graft.operators.FilterCascade.fanOutScreened(spark, p, cs, None).count()
+        else
+          graft.operators.FilterCascade.fanOut(p,
+            graft.operators.FilterCascade.conditionsDf(spark, cs), None).count()
       }
       Seq(
         "feed_fanout_w10" -> (p => fanned(p, 10)),
         "feed_fanout_w100" -> (p => fanned(p, 100)),
         "feed_fanout_w1000" -> (p => fanned(p, 1000)),
-        "feed_fanout_sparse_w1000" -> (p => fannedSparse(p, prefilter = true)),
-        "feed_fanout_sparse_nopre_ab" -> (p => fannedSparse(p, prefilter = false)),
+        "feed_fanout_sparse_w1000" -> (p => fannedSparse(p, screened = true)),
+        "feed_fanout_sparse_nopre_ab" -> (p => fannedSparse(p, screened = false)),
+        "feed_fanout_w1000_crossjoin_ab" -> { p =>
+          // the r16-intermediate form: existence prefilter + crossJoin —
+          // still |surviving posts|·width predicate evals; the ledger the
+          // indexed candidate join is measured against
+          val cs = standingConditions(1000)
+          graft.operators.FilterCascade.fanOut(p,
+            graft.operators.FilterCascade.conditionsDf(spark, cs), None,
+            prefilter = graft.operators.FilterCascade.includePrefilter(cs)).count()
+        },
         "feed_pipeline_w1000" -> (p =>
           graft.streaming.Ingest.processBatch(spark,
             graft.streaming.Ingest.emptyStore(spark), p,

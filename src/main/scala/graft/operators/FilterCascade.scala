@@ -224,11 +224,44 @@ object FilterCascade {
     if (screenable.isEmpty)
       fanOut(posts, conditionsDf(spark, cs), profiles)
     else {
-      val screened = fanOut(posts, conditionsDf(spark, screenable), profiles,
-        prefilter = includePrefilter(screenable))
+      val screened = fanOutIndexed(spark, posts, screenable, profiles)
       if (rest.isEmpty) screened
       else screened.unionByName(fanOut(posts, conditionsDf(spark, rest), profiles))
     }
+  }
+
+  /** The INVERTED-INDEX fan-out for a fully screenable condition set:
+    * one [[org.apache.spark.sql.graft.MatchedConditionsFolded]] scan per
+    * post emits the ordinals of the conditions whose required literal
+    * the post contains; the explode + broadcast-HASH-join on that
+    * ordinal then evaluates the full cascade predicate only for the
+    * CANDIDATE pairs. Total work is |posts| + |candidate pairs| in every
+    * match regime — the crossJoin form pays |posts| × width even when a
+    * post can only ever match a handful of feeds (SCALE.md fanout
+    * section: dense width-1000 race 1.1 s vs 9.9 s). Still a superset
+    * funnel: a needle hit only ADMITS a pair to the predicate. */
+  private def fanOutIndexed(spark: org.apache.spark.sql.SparkSession,
+      posts: DataFrame, cs: Seq[Condition],
+      profiles: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val needleTags = cs.zipWithIndex.flatMap { case (c, i) =>
+      requiredLiterals(c.inputRegex).get.map(n => (n, i))
+    }.distinct
+    val folded = lower(translate(
+      searchText(includeAltText = true), FoldFrom, FoldTo))
+    val condIdx = cs.zipWithIndex.map { case (c, i) =>
+      (i, c.key, c.inputRegex, c.invertRegex, c.lang.orNull,
+        c.labelDisable, c.replyDisable, c.imageOnly, c.includeAltText,
+        c.profileMatch.map(_.textTerm).orNull,
+        c.profileMatch.map(_.profileRegex).orNull)
+    }.toDF("__cidx", "__ckey", "__in", "__out", "__lang", "__nolabel",
+      "__noreply", "__img", "__alt", "__pterm", "__pre")
+    val candidates = withProfileText(posts, profiles)
+      .withColumn("__cidx", explode(
+        org.apache.spark.sql.graft.MatchedConditionsFolded(
+          folded, needleTags, cs.size)))
+      .join(broadcast(condIdx), "__cidx")
+    cascadeFinish(candidates)
   }
 
   /** Scale-out fan-out: evaluate ALL conditions in one distributed job —
@@ -242,22 +275,34 @@ object FilterCascade {
   def fanOut(posts: DataFrame, conditions: DataFrame, profiles: Option[DataFrame],
       prefilter: Option[Column] = None): DataFrame = {
     val screened = prefilter.fold(posts)(posts.filter)
-    val withProfile = profiles match {
-      case Some(pr) =>
-        val p = pr.select(col("did").as("__pdid"),
-          concat_ws(" ", coalesce(col("displayName"), lit("")),
-            coalesce(col("description"), lit(""))).as("__profile_text"))
-        screened.join(broadcast(p), screened("author.did") === col("__pdid"), "left")
-          .drop("__pdid")
-      case None => screened.withColumn("__profile_text", lit(null).cast("string"))
-    }
-    val joined = withProfile.crossJoin(broadcast(conditions.select(
-      col("key").as("__ckey"), col("inputRegex").as("__in"),
-      col("invertRegex").as("__out"), col("lang").as("__lang"),
-      col("labelDisable").as("__nolabel"), col("replyDisable").as("__noreply"),
-      col("imageOnly").as("__img"), col("includeAltText").as("__alt"),
-      col("profileTerm").as("__pterm"), col("profileRegex").as("__pre"))))
+    val joined = withProfileText(screened, profiles)
+      .crossJoin(broadcast(conditions.select(
+        col("key").as("__ckey"), col("inputRegex").as("__in"),
+        col("invertRegex").as("__out"), col("lang").as("__lang"),
+        col("labelDisable").as("__nolabel"), col("replyDisable").as("__noreply"),
+        col("imageOnly").as("__img"), col("includeAltText").as("__alt"),
+        col("profileTerm").as("__pterm"), col("profileRegex").as("__pre"))))
+    cascadeFinish(joined)
+  }
 
+  /** Posts plus the broadcast-joined `__profile_text` column (null when
+    * no profile dimension is wired in) — shared by both fan-out forms. */
+  private def withProfileText(posts: DataFrame,
+      profiles: Option[DataFrame]): DataFrame = profiles match {
+    case Some(pr) =>
+      val p = pr.select(col("did").as("__pdid"),
+        concat_ws(" ", coalesce(col("displayName"), lit("")),
+          coalesce(col("description"), lit(""))).as("__profile_text"))
+      posts.join(broadcast(p), posts("author.did") === col("__pdid"), "left")
+        .drop("__pdid")
+    case None => posts.withColumn("__profile_text", lit(null).cast("string"))
+  }
+
+  /** The cascade predicate + stored-Post projection over a frame carrying
+    * the post columns, `__profile_text`, and the `__`-renamed condition
+    * columns — however the condition rows were joined in (crossJoin or
+    * the inverted-index candidate join). */
+  private def cascadeFinish(joined: DataFrame): DataFrame = {
     val stBase = coalesce(col("record.text"), lit(""))
     val stAlt = concat_ws("\n", stBase,
       array_join(filter(transform(coalesce(col("record.embed.images"), array()),

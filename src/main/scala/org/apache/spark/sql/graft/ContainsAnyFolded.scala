@@ -55,63 +55,159 @@ object ContainsAnyFolded {
       ContainsAnyFolded(ExpressionUtils.expression(text), needles))
 }
 
-/** Classic Aho–Corasick existence automaton over chars (goto table as a
-  * per-node sorted char/next pair array — needle alphabets are tiny, and
-  * binary search beats a hash per step at these sizes). Existence-only:
-  * any node flagged terminal (its own needle ends there, or a suffix
-  * link reaches a terminal) short-circuits the scan. */
+/** The INVERTED-INDEX form of the include screen: the distinct ordinals
+  * (`tags`) of the conditions whose required literal occurs in the
+  * (pre-folded) text, ascending — `array<int>`, empty when none. The
+  * fan-out explodes this and broadcast-HASH-joins the condition set on
+  * the ordinal, so a post pays the cascade predicate only for its
+  * CANDIDATE conditions: |posts| + |candidate pairs| total work, in
+  * every match regime, where the crossJoin form pays |posts| × width
+  * ([[graft.operators.FilterCascade.fanOutScreened]]). One automaton
+  * scan per post, exactly like [[ContainsAnyFolded]]. */
+case class MatchedConditionsFolded(child: Expression,
+    needles: Seq[String], tags: Seq[Int], nTags: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(needles.nonEmpty && needles.length == tags.length && nTags > 0,
+    "needles/tags must align and nTags must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "matched_conditions_folded"
+
+  @transient lazy val automaton: AhoCorasick =
+    AhoCorasick.tagged(needles.zip(tags), nTags)
+
+  def matched(t: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(automaton.matchedTags(t.toString))
+
+  override protected def nullSafeEval(input: Any): Any =
+    matched(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matchedConds", this, this.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.matched($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MatchedConditionsFolded {
+  def apply(text: Column, needleTags: Seq[(String, Int)], nTags: Int): Column =
+    ExpressionUtils.column(MatchedConditionsFolded(
+      ExpressionUtils.expression(text),
+      needleTags.map(_._1), needleTags.map(_._2), nTags))
+}
+
+/** Classic Aho–Corasick automaton over chars (goto table as a per-node
+  * sorted char/next pair array — needle alphabets are tiny, and binary
+  * search beats a hash per step at these sizes). Two query modes:
+  * [[containsAny]] (existence; any terminal-reachable node
+  * short-circuits the scan) and [[matchedTags]] (the DISTINCT tags of
+  * every needle occurring in the text — per-state tag sets are
+  * pre-aggregated through the suffix links at build time, so the scan
+  * stays one state-walk with no per-position output-link chasing). */
 final class AhoCorasick private (gotoChars: Array[Array[Char]],
-    gotoNext: Array[Array[Int]], fail: Array[Int], hit: Array[Boolean]) {
+    gotoNext: Array[Array[Int]], fail: Array[Int], hit: Array[Boolean],
+    tags: Array[Array[Int]], nTags: Int) {
+
+  private def step(from: Int, c: Char): Int = {
+    var state = from
+    while (true) {
+      val idx = java.util.Arrays.binarySearch(gotoChars(state), c)
+      if (idx >= 0) return gotoNext(state)(idx)
+      if (state == 0) return 0
+      state = fail(state)
+    }
+    0 // unreachable
+  }
 
   def containsAny(text: String): Boolean = {
     var s = 0
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = text.charAt(i)
-      var state = s
-      var next = -1
-      while (next < 0) {
-        val idx = java.util.Arrays.binarySearch(gotoChars(state), c)
-        if (idx >= 0) next = gotoNext(state)(idx)
-        else if (state == 0) next = 0
-        else state = fail(state)
-      }
-      if (hit(next)) return true
-      s = next
+      s = step(s, text.charAt(i))
+      if (hit(s)) return true
       i += 1
     }
     false
+  }
+
+  /** Distinct tags of every needle present in `text`, ascending. Most
+    * rows hit nothing: the seen-set allocates only on the first hit, and
+    * the scan stops early once every tag has been seen. */
+  def matchedTags(text: String): Array[Int] = {
+    var s = 0
+    var i = 0
+    val n = text.length
+    var seen: java.util.BitSet = null
+    var found = 0
+    while (i < n && found < nTags) {
+      s = step(s, text.charAt(i))
+      if (hit(s)) {
+        if (seen == null) seen = new java.util.BitSet(nTags)
+        val ts = tags(s)
+        var k = 0
+        while (k < ts.length) {
+          if (!seen.get(ts(k))) { seen.set(ts(k)); found += 1 }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (seen == null) AhoCorasick.NoTags
+    else {
+      val out = new Array[Int](found)
+      var b = seen.nextSetBit(0)
+      var k = 0
+      while (b >= 0) { out(k) = b; k += 1; b = seen.nextSetBit(b + 1) }
+      out
+    }
   }
 }
 
 object AhoCorasick {
 
-  def apply(needles: Seq[String]): AhoCorasick = {
+  private[graft] val NoTags = new Array[Int](0)
+
+  /** Existence-only automaton (all needles share tag 0). */
+  def apply(needles: Seq[String]): AhoCorasick =
+    tagged(needles.map(_ -> 0), 1)
+
+  /** Tagged automaton: `needleTags` maps each needle to the tag(s) that
+    * [[AhoCorasick.matchedTags]] reports when it occurs (one needle may
+    * carry several tags — two conditions can share a literal). */
+  def tagged(needleTags: Seq[(String, Int)], nTags: Int): AhoCorasick = {
     // trie build over a growable node list
     val children = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Char, Int])
-    val terminal = scala.collection.mutable.ArrayBuffer(false)
-    needles.foreach { w =>
+    val ownTags = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.SortedSet.empty[Int])
+    needleTags.foreach { case (w, tag) =>
       var s = 0
       w.foreach { c =>
         s = children(s).getOrElseUpdate(c, {
           children += scala.collection.mutable.TreeMap.empty[Char, Int]
-          terminal += false
+          ownTags += scala.collection.mutable.SortedSet.empty[Int]
           children.size - 1
         })
       }
-      terminal(s) = true
+      ownTags(s) += tag
     }
-    // BFS failure links; hit(s) = terminal reachable via suffix links
+    // BFS failure links; tag sets aggregate through the suffix links
+    // (fail(s) is shallower than s, so its set is final when s dequeues)
     val n = children.size
     val fail = new Array[Int](n)
-    val hit = terminal.toArray
     val queue = scala.collection.mutable.Queue.empty[Int]
     children(0).foreach { case (_, s) => fail(s) = 0; queue += s }
     while (queue.nonEmpty) {
       val s = queue.dequeue()
-      hit(s) = hit(s) || hit(fail(s))
+      ownTags(s) ++= ownTags(fail(s))
       children(s).foreach { case (c, t) =>
         var f = fail(s)
         while (f != 0 && !children(f).contains(c)) f = fail(f)
@@ -124,6 +220,8 @@ object AhoCorasick {
     }
     val gotoChars = children.map(_.keysIterator.toArray).toArray
     val gotoNext = children.map(_.valuesIterator.toArray).toArray
-    new AhoCorasick(gotoChars, gotoNext, fail, hit)
+    val tags = ownTags.map(_.toArray).toArray
+    val hit = tags.map(_.nonEmpty)
+    new AhoCorasick(gotoChars, gotoNext, fail, hit, tags, math.max(1, nTags))
   }
 }

@@ -266,6 +266,28 @@ class PlanShapeSpec extends SparkSpec {
       "fan-out predicate regressed to stock per-row-compile regex")
   }
 
+  test("indexed fan-out: candidate ordinals explode into one broadcast HASH join — no nested loop, no shuffle") {
+    // fanOutScreened's screenable branch is the inverted-index form: the
+    // matched_conditions_folded scan emits candidate ordinals, so the
+    // condition join is an EQUI join (BroadcastHashJoin), never the
+    // |posts|×width BroadcastNestedLoopJoin, and the post side still
+    // never shuffles
+    val s = spark
+    import s.implicits._
+    val posts = graft.domain.Fixtures.posts.toDF()
+    val plan = plannedOf(graft.operators.FilterCascade.fanOutScreened(
+      spark, posts, graft.ScaleSmoke.standingConditions(8), None))
+    assert(shapeOf(plan) == Shape(
+      shuffles = 0, broadcastJoins = 1, sortMergeJoins = 0,
+      objectHashAggs = 0, windows = 0, windowGroupLimits = 0, takeOrdered = 0))
+    assert(plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "screenable conditions must take the hash join, not the nested loop")
+    val txt = plan.toString
+    assert(txt.contains("matched_conditions_folded"),
+      "the candidate scan regressed off the tagged automaton")
+  }
+
   test("ns69 knn graph: one block-keyed pair join, per-node top-k through TopKPerKey heaps") {
     import org.apache.spark.sql.graft.TopKPerKeyExec
     // the catalog entry now reads the SharedCache-pinned graph (ns70
