@@ -256,11 +256,16 @@ object FilterCascade {
         c.profileMatch.map(_.profileRegex).orNull)
     }.toDF("__cidx", "__ckey", "__in", "__out", "__lang", "__nolabel",
       "__noreply", "__img", "__alt", "__pterm", "__pre")
-    val candidates = withProfileText(posts, profiles)
-      .withColumn("__cidx", explode(
+    // profiles join AFTER the candidate explode: the screen has already
+    // dropped the no-candidate posts, so the (broadcast, per-row-cheap)
+    // profile probe runs on candidates only — in the sparse regime that
+    // is near-zero rows instead of the whole stream
+    val candidates = withProfileText(
+      posts.withColumn("__cidx", explode(
         org.apache.spark.sql.graft.MatchedConditionsFolded(
           folded, needleTags, cs.size)))
-      .join(broadcast(condIdx), "__cidx")
+        .join(broadcast(condIdx), "__cidx"),
+      profiles)
     cascadeFinish(candidates)
   }
 
