@@ -158,7 +158,8 @@ object FilterCascade {
         val e = pattern.charAt(i + 1)
         if (e == 'b' || e == 'B') endRun() // zero-width: splits the run
         else if (e.isLetterOrDigit) return None // class / backref / \uXXXX
-        else cur.append(e) // escaped punctuation is a literal char
+        else if (e < 0x20 || e > 0x7e) endRun() // ASCII-only needles (fold)
+        else cur.append(e) // escaped ASCII punctuation is a literal char
         i += 2
       } else if (c == '|') {
         if (!endBranch()) return None
@@ -178,7 +179,7 @@ object FilterCascade {
     * equates with an ASCII letter — mapped to that letter BEFORE
     * lowercasing (İ first: `toLowerCase` would explode it into i +
     * combining dot and break substring adjacency). Exhaustively proven
-    * complete over the BMP by CachedRegexSpec's fold-table test. */
+    * complete over the BMP by ContainsAnyFoldedSpec's fold-table test. */
   private val FoldFrom = "ſKİı" // ſ KELVIN-K İ ı
   private val FoldTo = "skii"
 
@@ -220,13 +221,18 @@ object FilterCascade {
     * spec-pinned (FilterCascadeSpec). */
   def fanOutScreened(spark: org.apache.spark.sql.SparkSession, posts: DataFrame,
       cs: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
-    val (screenable, rest) = cs.partition(c => requiredLiterals(c.inputRegex).isDefined)
+    // parse each include ONCE per drain (width × one driver-side parse,
+    // not two) and thread the literals through to the index build
+    val parsed = cs.map(c => c -> requiredLiterals(c.inputRegex))
+    val (screenable, rest) = parsed.partition(_._2.isDefined)
     if (screenable.isEmpty)
       fanOut(posts, conditionsDf(spark, cs), profiles)
     else {
-      val screened = fanOutIndexed(spark, posts, screenable, profiles)
+      val screened = fanOutIndexed(spark, posts,
+        screenable.map { case (c, lits) => (c, lits.get) }, profiles)
       if (rest.isEmpty) screened
-      else screened.unionByName(fanOut(posts, conditionsDf(spark, rest), profiles))
+      else screened.unionByName(
+        fanOut(posts, conditionsDf(spark, rest.map(_._1)), profiles))
     }
   }
 
@@ -241,11 +247,12 @@ object FilterCascade {
     * section: dense width-1000 race 1.1 s vs 9.9 s). Still a superset
     * funnel: a needle hit only ADMITS a pair to the predicate. */
   private def fanOutIndexed(spark: org.apache.spark.sql.SparkSession,
-      posts: DataFrame, cs: Seq[Condition],
+      posts: DataFrame, condLits: Seq[(Condition, Seq[String])],
       profiles: Option[DataFrame]): DataFrame = {
     import spark.implicits._
-    val needleTags = cs.zipWithIndex.flatMap { case (c, i) =>
-      requiredLiterals(c.inputRegex).get.map(n => (n, i))
+    val cs = condLits.map(_._1)
+    val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
+      lits.map(n => (n, i))
     }.distinct
     val folded = lower(translate(
       searchText(includeAltText = true), FoldFrom, FoldTo))

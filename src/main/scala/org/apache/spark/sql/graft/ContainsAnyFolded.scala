@@ -183,6 +183,13 @@ object AhoCorasick {
     * [[AhoCorasick.matchedTags]] reports when it occurs (one needle may
     * carry several tags — two conditions can share a literal). */
   def tagged(needleTags: Seq[(String, Int)], nTags: Int): AhoCorasick = {
+    // an empty needle would land its tag on the ROOT, and the suffix-link
+    // aggregation would then propagate it to EVERY state — all posts
+    // become candidates for that tag, and empty texts inconsistently
+    // emit nothing. requiredLiterals guarantees length ≥ 2; enforce at
+    // the automaton so any future caller fails loudly instead.
+    require(needleTags.nonEmpty && needleTags.forall(_._1.nonEmpty),
+      "needles must be non-empty strings")
     // trie build over a growable node list
     val children = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Char, Int])
