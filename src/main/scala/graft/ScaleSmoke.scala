@@ -654,6 +654,25 @@ object ScaleSmoke {
         "feed_fanout_w1000" -> (p => fanned(p, 1000)),
         "feed_fanout_sparse_w1000" -> (p => fannedSparse(p, screened = true)),
         "feed_fanout_sparse_nopre_ab" -> (p => fannedSparse(p, screened = false)),
+        "feed_fanout_w1000_worstcase_ab" -> { p =>
+          // adversarial ceiling for the INDEXED form: every condition
+          // carries a second branch whose required literal is the
+          // substring 'topic' — present in EVERY post — so every post is
+          // a candidate for ALL 1 000 feeds and the candidate-pair
+          // volume collapses back to |posts|·width (the \b keeps the
+          // REGEX branch itself mostly non-matching: the screen is what
+          // goes all-pass, exactly the adversarial shape). MEASURED
+          // (200 k × 1000, r16): 26.2 s vs the crossJoin arm's ~11.5 s —
+          // the all-match ceiling pays ~2.3× the nested loop (explode +
+          // per-pair hash probe at full pair volume). Accepted: a
+          // condition set with a universal literal means an include
+          // regex that matches every post — a broken feed a deployment
+          // fixes, not a data regime — and every non-degenerate set is
+          // 10–75× ahead (the production arms above).
+          val cs = standingConditions(1000).map(c =>
+            c.copy(inputRegex = s"${c.inputRegex}|topic\\b"))
+          graft.operators.FilterCascade.fanOutScreened(spark, p, cs, None).count()
+        },
         "feed_fanout_w1000_crossjoin_ab" -> { p =>
           // the r16-intermediate form: existence prefilter + crossJoin —
           // still |surviving posts|·width predicate evals; the ledger the
