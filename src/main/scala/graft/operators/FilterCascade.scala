@@ -138,6 +138,58 @@ object FilterCascade {
     * whose longest run is shorter than 2 chars reject too (a 1-char
     * needle keeps ~every post — the screen would be pure overhead). */
   private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
+    // normalize the two super-common wrappers before the strict parse:
+    //  - a LEADING inline-flag group `(?idmsux...)` is dropped — the
+    //    screen matches case-insensitively always, which is a superset of
+    //    every flag combination (a case-SENSITIVE pattern's matches are a
+    //    subset of the CI matches), and the accepted subset contains no
+    //    ^ $ . for m/s to change;
+    //  - a group wrapping the WHOLE pattern (`(a|b)`, `(?:a|b)`) unwraps —
+    //    capturing-group numbering is irrelevant because backreferences
+    //    reject below. Bounded recursion; `(a)(b)`/`(a|b)+` do NOT unwrap
+    //    (the close paren is not the final char) and reject downstream.
+    var p = pattern
+    var normalizing = true
+    var depth = 0
+    while (normalizing && depth < 5) {
+      depth += 1
+      normalizing = false
+      // only flags that cannot change the accepted subset's semantics:
+      // i/u (case — the screen is CI-always, a superset), m/s/d (anchors
+      // and dot, neither of which the parser admits), U (\w-class
+      // unicode, no classes admitted). NOT 'x' (COMMENTS makes literal
+      // whitespace vanish from the pattern — a needle with a space would
+      // go unsound) and nothing unknown.
+      val flags = "^\\(\\?[iumsdU]+\\)".r.findPrefixOf(p)
+      if (flags.isDefined) { p = p.substring(flags.get.length); normalizing = true }
+      else if (p.length >= 2 && p.charAt(0) == '(' && p.last == ')') {
+        // whole-pattern wrap iff the opening paren's match is the LAST char
+        var level = 0
+        var whole = true
+        var i = 0
+        while (i < p.length - 1 && whole) {
+          p.charAt(i) match {
+            case '\\' => i += 1 // skip the escaped char
+            case '(' => level += 1
+            case ')' => level -= 1; if (level == 0) whole = false
+            case _ =>
+          }
+          i += 1
+        }
+        if (whole && level == 1) {
+          val inner = p.substring(1, p.length - 1)
+          val body =
+            if (inner.startsWith("?:")) Some(inner.substring(2))
+            else if (inner.startsWith("?")) None // lookaround/named/atomic: reject
+            else Some(inner)
+          body match {
+            case Some(b) => p = b; normalizing = true
+            case None => return None
+          }
+        }
+      }
+    }
+    val pattern2 = p
     val branches = Seq.newBuilder[String]
     var runs = List.empty[String]
     val cur = new StringBuilder
@@ -150,12 +202,12 @@ object FilterCascade {
       else { branches += best.toLowerCase(java.util.Locale.ROOT); true }
     }
     var i = 0
-    val n = pattern.length
+    val n = pattern2.length
     while (i < n) {
-      val c = pattern.charAt(i)
+      val c = pattern2.charAt(i)
       if (c == '\\') {
         if (i + 1 >= n) return None
-        val e = pattern.charAt(i + 1)
+        val e = pattern2.charAt(i + 1)
         if (e == 'b' || e == 'B') endRun() // zero-width: splits the run
         else if (e.isLetterOrDigit) return None // class / backref / \uXXXX
         else if (e < 0x20 || e > 0x7e) endRun() // ASCII-only needles (fold)

@@ -138,6 +138,16 @@ class FilterCascadeSpec extends SparkSpec {
     assert(requiredLiterals("c\\+\\+|rust") == Some(Seq("c++", "rust")))
     // non-ASCII chars split runs (only ASCII needles are fold-sound)
     assert(requiredLiterals("español") == Some(Seq("espa")))
+    // whole-pattern group wrappers unwrap (capturing or not, nested);
+    // leading safe inline flags strip — the dq02-style keyword shapes
+    assert(requiredLiterals("(spark|vector)") == Some(Seq("spark", "vector")))
+    assert(requiredLiterals("(?:ab|cd)") == Some(Seq("ab", "cd")))
+    assert(requiredLiterals("(?i)spark") == Some(Seq("spark")))
+    assert(requiredLiterals("((aa))") == Some(Seq("aa")))
+    // ...but NOT: adjacent groups, quantified groups, lookaround, or the
+    // COMMENTS flag (x makes literal whitespace vanish — needle unsound)
+    for (q <- Seq("(a|b)(c|d)", "(ab)+", "(?=spark)", "(?x)ab cd"))
+      assert(requiredLiterals(q).isEmpty, s"'$q' must reject")
     // anything with classes/quantifiers/groups/anchors/backrefs rejects
     for (p <- Seq("sp.rk", "spark+", "spa(rk)", "^spark", "spark$",
         "[sz]park", "spark{2}", "\\d+", "(a)\\1", "a|b", "ab|x", "", "x"))

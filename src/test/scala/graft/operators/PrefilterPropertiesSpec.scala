@@ -54,7 +54,11 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
   private val patternGen: Gen[String] = for {
     n <- Gen.choose(1, 4)
     bs <- Gen.listOfN(n, branchGen)
-  } yield bs.mkString("|")
+    core = bs.mkString("|")
+    // the normalizer's accepted wrappers must preserve soundness too
+    wrapped <- Gen.oneOf(core, s"($core)", s"(?:$core)", s"(?i)$core",
+      s"(?iu)($core)")
+  } yield wrapped
 
   // texts biased to collide with the patterns: words drawn from the same
   // alphabet, plus the Unicode fold-edge characters
@@ -79,6 +83,8 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
           val texts = Seq(base,
             base + " " + pattern.split('|').head
               .replace("\\b", "").replace("\\B", "").replace("\\+", "+")
+              .replace("(?iu)", "").replace("(?i)", "")
+              .replace("(?:", "").replace("(", "").replace(")", "")
               .toUpperCase(java.util.Locale.ROOT) + " tail")
           texts.foreach { t =>
             if (p.matcher(t).find()) {
