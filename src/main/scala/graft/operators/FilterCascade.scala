@@ -123,6 +123,11 @@ object FilterCascade {
     * whose quantifier-vs-literal status depends on what follows). */
   private val RegexMeta = "[](){}*+?.^$|\\"
 
+  /** A leading inline-flag group with only screen-invisible flags — see
+    * the normalizer in [[requiredLiterals]]. Compiled once: the
+    * normalizer runs per condition per micro-batch drain. */
+  private val LeadingSafeFlags = "^\\(\\?[iumsdU]+\\)".r
+
   /** REQUIRED literals of one include regex, one per top-level
     * alternation branch — strings the regex cannot match a text without
     * containing (case-insensitively). Conservative by construction: the
@@ -160,7 +165,7 @@ object FilterCascade {
       // unicode, no classes admitted). NOT 'x' (COMMENTS makes literal
       // whitespace vanish from the pattern — a needle with a space would
       // go unsound) and nothing unknown.
-      val flags = "^\\(\\?[iumsdU]+\\)".r.findPrefixOf(p)
+      val flags = if (p.startsWith("(?")) LeadingSafeFlags.findPrefixOf(p) else None
       if (flags.isDefined) { p = p.substring(flags.get.length); normalizing = true }
       else if (p.length >= 2 && p.charAt(0) == '(' && p.last == ')') {
         // whole-pattern wrap iff the opening paren's match is the LAST char
