@@ -45,9 +45,12 @@ object SharedCache {
   private val entries = scala.collection.mutable.Map[String, DataFrame]()
   private val values = scala.collection.mutable.Map[String, Any]()
   private val protectedRddIds = scala.collection.mutable.Set[Int]()
-  /** The reliableDir value already pushed to setCheckpointDir (guarded by
-    * the object lock like every pin). */
-  private var reliableDirApplied: Option[String] = None
+  /** The (applicationId, reliableDir) pair already pushed to
+    * setCheckpointDir (guarded by the object lock like every pin). Keyed to
+    * the live context: a dir-only flag survived a SparkContext
+    * stop/recreate in the same JVM, so the new context never got
+    * setCheckpointDir and checkpoint() threw. */
+  private var reliableDirApplied: Option[(String, String)] = None
 
   /** Memoized compute: `key` must identify the result uniquely (include the
     * data dir and any parameters). The builder may create its own scratch
@@ -78,12 +81,12 @@ object SharedCache {
             // ignored. Applied once per conf value (getCheckpointDir
             // returns the QUALIFIED path, so it can't be the idempotence
             // check), loudly when it overrides someone else's dir.
-            if (!reliableDirApplied.contains(dir)) {
+            if (!reliableDirApplied.contains((sc.applicationId, dir))) {
               sc.getCheckpointDir.foreach(prev => System.err.println(
                 s"[graft] sharedCache.reliableDir=$dir overrides the " +
                   s"session checkpoint dir '$prev' for pin checkpoints"))
               sc.setCheckpointDir(dir)
-              reliableDirApplied = Some(dir)
+              reliableDirApplied = Some((sc.applicationId, dir))
             }
             computed.checkpoint()
           case None => computed.localCheckpoint()

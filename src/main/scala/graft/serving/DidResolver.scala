@@ -236,8 +236,11 @@ object DidResolver {
                 val next = uri.resolve(loc.get.trim)
                 val scheme = Option(next.getScheme).map(_.toLowerCase).getOrElse("")
                 if (scheme != "http" && scheme != "https") return None
-                if (uri.getScheme == "https" && scheme != "https")
+                if ("https".equalsIgnoreCase(uri.getScheme) && scheme != "https")
                   return None // never follow a secure origin down to http
+                  // (case-insensitive on the current hop too: a Location of
+                  // 'HTTPS://…' must still pin later hops to https, matching
+                  // Redirect.NORMAL's case-insensitive rule)
                 uri = next
                 hops += 1
               } else if (status / 100 != 2) {

@@ -360,7 +360,11 @@ private[graft] object VersionedStore {
             case Some(a) if a <= ttlMs => // held and alive: wait
               try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
             case Some(_) => release = tryTake(num + 1).orNull // expired: supersede
-            case None => () // vanished mid-check: re-list immediately
+            case None => // vanished mid-check: brief bounded backoff before
+              // re-listing — an unslept loop busy-spins at full speed on a
+              // remote FS during a release/GC race window
+              try Thread.sleep(math.max(1L, pollMs / 2))
+              catch { case _: InterruptedException => () }
           }
       }
     }

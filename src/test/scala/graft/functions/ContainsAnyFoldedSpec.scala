@@ -43,24 +43,37 @@ class ContainsAnyFoldedSpec extends SparkSpec {
     }
   }
 
-  test("the (?iu)→ASCII fold table is COMPLETE over the BMP: exactly ſ→s K→k İ→i ı→i") {
-    // every non-ASCII BMP char that Java's (?iu) single-char folding
-    // equates with an ASCII letter or digit must be in the prefilter's
-    // translate table, or the literal screen could drop a matchable post
+  test("the (?iu)→ASCII fold table is COMPLETE over ALL of Unicode: exactly ſ→s K→k İ→i ı→i") {
+    // every non-ASCII code point (BMP AND supplementary planes -- Java's
+    // matcher folds by CODE POINT, not UTF-16 unit) that Java's (?iu)
+    // single-char folding equates with an ASCII letter or digit must be in
+    // the prefilter's translate table, or the literal screen could drop a
+    // matchable post. The supplementary sweep adds NOTHING: Unicode simple
+    // folding maps no supplementary code point into ASCII (Deseret, Warang
+    // Citi, Adlam and the other cased supplementary scripts fold within
+    // their own blocks) -- asserted below, not assumed.
     val expected = Map('ſ' -> 's', 'K' -> 'k',
       'İ' -> 'i', 'ı' -> 'i')
     val found = scala.collection.mutable.Map.empty[Char, Char]
+    val foundSupp = scala.collection.mutable.Map.empty[Int, Char]
     for (a <- ('a' to 'z') ++ ('0' to '9')) {
       val p = java.util.regex.Pattern.compile(s"(?iu)$a")
       val m = p.matcher("")
       var c = 0x80
-      while (c <= 0xFFFF) {
-        m.reset(String.valueOf(c.toChar))
-        if (m.find()) found(c.toChar) = a
+      while (c <= 0x10FFFF) {
+        if (c < Character.MIN_SURROGATE || c > Character.MAX_SURROGATE) {
+          m.reset(new String(Character.toChars(c)))
+          if (m.find()) {
+            if (c <= 0xFFFF) found(c.toChar) = a else foundSupp(c) = a
+          }
+        }
         c += 1
       }
     }
     assert(found.toMap == expected,
       s"fold table incomplete or wrong: found=$found expected=$expected")
+    assert(foundSupp.isEmpty, "a supplementary code point folds into ASCII " +
+      s"-- the char-based translate screen cannot map it: ${foundSupp.map {
+        case (k, v) => f"U+$k%06X->$v" }}")
   }
 }
