@@ -194,6 +194,46 @@ object ScaleSmoke {
         pinnedPost = Nil, privateFeed = Nil, profileMatch = None)
     }
 
+  /** `width` REALISTIC standing conditions — the regex shapes public feed
+    * configs actually use (optional plurals, grouped suffix alternations,
+    * hashtags, anchors, digit classes, non-ASCII branches), cycled over
+    * 12 template families and tied to [[postViews]]'s topic tokens so
+    * match selectivity stays realistic. 11 of 12 families are screenable
+    * by the r17 extractor (the emoji-branch family stands down: a
+    * non-ASCII branch has no fold-sound ASCII literal); the r16 extractor
+    * accepted only families 0/3/8/10 (plain literal runs, \b splits,
+    * leading flags, whole-pattern groups) — the widening moves the
+    * screened share from ~33% to ~92% on this corpus
+    * (RealisticCorpusSpec pins the exact counts). */
+  def realisticConditions(width: Int): Seq[graft.model.Condition] =
+    (0 until width).map { j =>
+      val t = s"topic${j % 1200}"
+      val pat = (j % 12) match {
+        case 0 => s"$t\\b" // plain keyword + boundary
+        case 1 => s"${t}s?\\b" // optional plural
+        case 2 => s"($t|topic${(j + 1) % 1200})s?" // grouped alternation + tail
+        case 3 => s"#$t\\b" // hashtag
+        case 4 => s"$t \\d{4}" // keyword + year class
+        case 5 => s"^$t" // anchored
+        case 6 => s"colou?red $t" // optional-letter spelling variant
+        case 7 => s"$t(ly|ness)" // grouped suffix alternation
+        case 8 => s"\\b$t\\b" // boundaries both sides
+        case 9 => s"$t|🧶" // emoji alternation branch: stands down
+        case 10 => s"(?i)${t.toUpperCase(java.util.Locale.ROOT)}\\b" // inline flag
+        case _ => s"w\\d+ $t" // leading token class
+      }
+      graft.model.Condition(
+        key = s"rfeed$j", recordName = s"rfeed$j", query = t,
+        inputRegex = pat,
+        invertRegex = if (j % 10 == 0) "spamword\\b" else "",
+        refresh = 0,
+        lang = if (j % 7 == 0) Some("en") else None,
+        labelDisable = j % 5 == 0, replyDisable = j % 3 == 0,
+        imageOnly = "all", includeAltText = j % 4 == 0,
+        initPost = 0, limitCount = 100000,
+        pinnedPost = Nil, privateFeed = Nil, profileMatch = None)
+    }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional second arg: substring filter over op labels (focused A/B runs)
@@ -655,23 +695,58 @@ object ScaleSmoke {
         "feed_fanout_sparse_w1000" -> (p => fannedSparse(p, screened = true)),
         "feed_fanout_sparse_nopre_ab" -> (p => fannedSparse(p, screened = false)),
         "feed_fanout_w1000_worstcase_ab" -> { p =>
-          // adversarial ceiling for the INDEXED form: every condition
+          // adversarial shape for the INDEXED form: every condition
           // carries a second branch whose required literal is the
-          // substring 'topic' — present in EVERY post — so every post is
-          // a candidate for ALL 1 000 feeds and the candidate-pair
-          // volume collapses back to |posts|·width (the \b keeps the
-          // REGEX branch itself mostly non-matching: the screen is what
-          // goes all-pass, exactly the adversarial shape). MEASURED
-          // (200 k × 1000, r16): 26.2 s vs the crossJoin arm's ~11.5 s —
-          // the all-match ceiling pays ~2.3× the nested loop (explode +
-          // per-pair hash probe at full pair volume). Accepted: a
-          // condition set with a universal literal means an include
-          // regex that matches every post — a broken feed a deployment
-          // fixes, not a data regime — and every non-degenerate set is
-          // 10–75× ahead (the production arms above).
+          // substring 'topic' — present in EVERY post — so without the
+          // density gate every post is a candidate for ALL 1 000 feeds
+          // and the candidate-pair volume collapses back to
+          // |posts|·width (the \b keeps the REGEX branch itself mostly
+          // non-matching: the screen is what goes all-pass). r16
+          // measured that raw ceiling at ~2.3× the crossJoin arm
+          // (26.2 vs ~11.5 s at 200 k × 1000). r17: the DENSITY GATE
+          // demotes every such condition to the crossJoin branch from a
+          // one-time bounded sample probe — this arm now measures the
+          // gate landing the worst case back at crossJoin cost (the
+          // nogate arm below preserves the raw-ceiling measurement).
           val cs = standingConditions(1000).map(c =>
             c.copy(inputRegex = s"${c.inputRegex}|topic\\b"))
           graft.operators.FilterCascade.fanOutScreened(spark, p, cs, None).count()
+        },
+        "feed_fanout_w1000_worstcase_nogate_ab" -> { p =>
+          // the raw adversarial ceiling with the gate disabled — the
+          // indexed form at all-pairs candidate volume
+          val cs = standingConditions(1000).map(c =>
+            c.copy(inputRegex = s"${c.inputRegex}|topic\\b",
+              key = s"${c.key}ng", recordName = s"${c.recordName}ng"))
+          spark.conf.set("spark.graft.fanout.densityGateSample", "0")
+          try graft.operators.FilterCascade.fanOutScreened(spark, p, cs, None).count()
+          finally spark.conf.unset("spark.graft.fanout.densityGateSample")
+        },
+        "feed_fanout_w1000_worstcase_xjoin_ab" -> { p =>
+          // the SAME-SET crossJoin ledger the gate lands on: the honest
+          // denominator for the adversarial ratio (r16 quoted 2.3× against
+          // the PLAIN-condition crossjoin arm — a different, cheaper
+          // condition set whose 1-branch regexes fail fast per pair)
+          val cs = standingConditions(1000).map(c =>
+            c.copy(inputRegex = s"${c.inputRegex}|topic\\b"))
+          graft.operators.FilterCascade.fanOut(p,
+            graft.operators.FilterCascade.conditionsDf(spark, cs), None).count()
+        },
+        "feed_fanout_realistic_w1000" -> { p =>
+          // the r17 coverage question: REAL-WORLD regex shapes (optional
+          // plurals, grouped tails, classes, anchors) riding the indexed
+          // screen — 11/12 template families extract, the emoji-branch
+          // family unions in via the crossJoin branch
+          graft.operators.FilterCascade.fanOutScreened(spark, p,
+            realisticConditions(1000), None).count()
+        },
+        "feed_fanout_realistic_crossjoin_ab" -> { p =>
+          // the same realistic corpus through the prefiltered crossJoin —
+          // the ledger the widened extraction is measured against
+          val cs = realisticConditions(1000)
+          graft.operators.FilterCascade.fanOut(p,
+            graft.operators.FilterCascade.conditionsDf(spark, cs), None,
+            prefilter = graft.operators.FilterCascade.includePrefilter(cs)).count()
         },
         "feed_fanout_w1000_crossjoin_ab" -> { p =>
           // the r16-intermediate form: existence prefilter + crossJoin —

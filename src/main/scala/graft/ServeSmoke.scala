@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.serving.FeedServer
+import org.apache.spark.sql.functions._
+
+/** Serving-plane latency at WIDTH (VERDICT r16 item 7): end-to-end
+  * `getFeedSkeleton` HTTP latency percentiles against a FeedServer over a
+  * key-partitioned parquet store built by the production fan-out —
+  * 1 000 standing feeds, a realistic post table, keyset pagination.
+  *
+  * {{{ sbt "runMain graft.ServeSmoke [nPosts] [width] [requests]" }}}
+  *
+  * The store is written `partitionBy("key")`, the durable pipeline's
+  * layout, so a page is: partition-pruned scan of ONE feed's files →
+  * keyset tuple predicate → TakeOrderedAndProject(limit) — never a
+  * full-table scan (the representative plan is printed and grepped for
+  * the partition filter). Requests walk feeds round-robin; every other
+  * request follows the previous page's cursor, so both first-page and
+  * keyset-cursor paths are in the sample. Sequential client = clean
+  * per-request latency (the 4-thread server pool is not the variable
+  * under test). */
+object ServeSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val nPosts = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val width = args.lift(1).map(_.toInt).getOrElse(1000)
+    val requests = args.lift(2).map(_.toInt).getOrElse(1000)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files.createTempDirectory("servesmoke").toString
+    val cs = ScaleSmoke.standingConditions(width)
+    val posts = ScaleSmoke.postViews(spark, nPosts)
+    val t0 = System.nanoTime()
+    graft.operators.FilterCascade.fanOutScreened(spark, posts, cs, None)
+      .write.mode("overwrite").partitionBy("key").parquet(dir)
+    val store = spark.read.parquet(dir)
+    println(f"[serve] store build+write: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+      s"rows=${store.count()} over $width feeds from $nPosts posts")
+
+    // the representative page plan: partition-pruned scan + top-k
+    val plan = graft.operators.FeedPage.page(spark, store, cs.head, 30, None)
+      .queryExecution.executedPlan.toString
+    println("[serve] page plan (key lines):")
+    plan.linesIterator
+      .filter(l => l.contains("TakeOrdered") || l.contains("PartitionFilters") ||
+        l.contains("Scan parquet"))
+      .take(6).foreach(l => println("[serve]   " + l.trim.take(200)))
+
+    val pub = "did:plc:pub"
+    val server = new FeedServer(spark, () => store, () => cs,
+      FeedServer.Config(serviceDid = "did:web:localhost", hostname = "localhost",
+        publisherDid = pub))
+    val port = server.start()
+    val client = HttpClient.newHttpClient()
+    val cursorRe = java.util.regex.Pattern.compile("\"cursor\"\\s*:\\s*\"([^\"]+)\"")
+    def get(feed: Int, cursor: Option[String]): (Long, Option[String]) = {
+      val uri = s"http://127.0.0.1:$port/xrpc/app.bsky.feed.getFeedSkeleton" +
+        s"?feed=at://$pub/app.bsky.feed.generator/feed$feed&limit=30" +
+        cursor.map(c => s"&cursor=${java.net.URLEncoder.encode(c, "UTF-8")}").getOrElse("")
+      val t = System.nanoTime()
+      val resp = client.send(HttpRequest.newBuilder(URI.create(uri)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val dt = System.nanoTime() - t
+      require(resp.statusCode() == 200, s"feed$feed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+      val m = cursorRe.matcher(resp.body())
+      (dt, if (m.find()) Some(m.group(1)) else None)
+    }
+
+    // warm: JIT + parquet footer caches + first-touch scheduler paths
+    (0 until 50).foreach(i => get(i * 7 % width, None))
+
+    val lat = new Array[Long](requests)
+    var cursor: Option[String] = None
+    var served = 0L
+    val tAll = System.nanoTime()
+    for (r <- 0 until requests) {
+      val feed = (r * 37) % width
+      val (dt, next) = get(feed, if (r % 2 == 1) cursor else None)
+      lat(r) = dt
+      cursor = next
+      served += 1
+    }
+    val wall = (System.nanoTime() - tAll) / 1e9
+    java.util.Arrays.sort(lat)
+    def pct(p: Double): Double = lat(math.min(lat.length - 1,
+      (p * lat.length).toInt)) / 1e6
+    println(f"[serve] $served%d requests over $width%d feeds: " +
+      f"p50=${pct(0.50)}%.1f ms p90=${pct(0.90)}%.1f ms p99=${pct(0.99)}%.1f ms " +
+      f"max=${lat.last / 1e6}%.1f ms, ${served / wall}%.1f req/s sequential")
+    server.stop()
+    spark.stop()
+  }
+}

@@ -119,117 +119,300 @@ object FilterCascade {
         to_timestamp(col("record.createdAt")).as("indexedAt"))
   }
 
-  /** Regex metacharacters a literal run may not contain (and '{' / '}',
-    * whose quantifier-vs-literal status depends on what follows). */
-  private val RegexMeta = "[](){}*+?.^$|\\"
-
-  /** A leading inline-flag group with only screen-invisible flags — see
-    * the normalizer in [[requiredLiterals]]. Compiled once: the
-    * normalizer runs per condition per micro-batch drain. */
-  private val LeadingSafeFlags = "^\\(\\?[iumsdU]+\\)".r
-
-  /** REQUIRED literals of one include regex, one per top-level
-    * alternation branch — strings the regex cannot match a text without
-    * containing (case-insensitively). Conservative by construction: the
-    * pattern must be an alternation of plain sequences of literal chars
-    * and zero-width `\b`/`\B` (which split a branch into runs — each run
-    * is still individually required; the longest is kept). Escaped
-    * punctuation is literal; escaped letters/digits (classes `\d`,
-    * backrefs `\1`, ...) and any metacharacter reject the whole
-    * extraction — a screen that might drop a matchable post is worse
-    * than no screen. Non-ASCII literal chars also split runs: only
-    * ASCII needles are sound under the 4-char fold below (Greek final
-    * sigma and friends fold within Unicode, not into ASCII). Branches
-    * whose longest run is shorter than 2 chars reject too (a 1-char
-    * needle keeps ~every post — the screen would be pure overhead). */
+  /** REQUIRED literals of one include regex — an ANY-OF set: every text
+    * the `(?iu)`-compiled pattern matches must CONTAIN at least one of
+    * the returned (folded, lowercased, ASCII) literals. That is the
+    * contract the include screen and the inverted index need, and it is
+    * weaker than "one literal per branch": a branch may contribute
+    * SEVERAL alternatives (from a non-optional inner group) when it has
+    * no long-enough literal run of its own.
+    *
+    * Conservative recursive-descent extraction ([[LiteralExtractor]]):
+    *  - literal runs accumulate printable-ASCII chars; anything whose
+    *    matched text is unknown (classes `[..]` `\d` `\w`, dot,
+    *    backrefs, groups we can't mine) just SPLITS the run — each side
+    *    remains individually required;
+    *  - quantifiers resolve against the preceding atom: `u?`/`u*`/
+    *    `u{0,n}` retract the char and split (`colou?r` → "colo"),
+    *    `k+`/`k{m,}` keep the first m copies then split, an EXACT
+    *    `k{m}` keeps the run contiguous through all m copies;
+    *  - a non-optional group in a concatenation is mined recursively:
+    *    `foo(s|es)` yields "foo" (the longer guaranteed run wins), and
+    *    `(spark|vector)x` yields {"spark","vector"} when the outer runs
+    *    are too short;
+    *  - zero-width constructs (`\b` `\B` `^` `$` anchors, lookarounds)
+    *    split conservatively; safe inline-flag toggles `(?i)`… are
+    *    no-ops (the screen is CI-always — a superset of every flag
+    *    combination);
+    *  - the extractor STANDS DOWN (None) on anything it cannot bound:
+    *    `(?x)`/COMMENTS (pattern whitespace vanishes — a needle with a
+    *    space would go unsound), `\Q…\E` quoting (defeats the balanced
+    *    scans), `\uXXXX`/`\xXX`/`\cX`/`\p{..}`/`\k<..>` escapes, any
+    *    branch whose best guaranteed literal is shorter than 2 chars
+    *    (a 1-char needle keeps ~every post — pure overhead), and any
+    *    malformed construct. A screen that might drop a matchable post
+    *    is worse than no screen.
+    *
+    * Non-ASCII literal chars split runs: only ASCII needles are sound
+    * under the 4-char fold ([[FoldFrom]]) — Greek final sigma and
+    * friends fold within Unicode, not into ASCII. Soundness over the
+    * whole accepted grammar is property-tested from a generating AST in
+    * PrefilterPropertiesSpec. */
   private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
-    // normalize the two super-common wrappers before the strict parse:
-    //  - a LEADING inline-flag group `(?idmsux...)` is dropped — the
-    //    screen matches case-insensitively always, which is a superset of
-    //    every flag combination (a case-SENSITIVE pattern's matches are a
-    //    subset of the CI matches), and the accepted subset contains no
-    //    ^ $ . for m/s to change;
-    //  - a group wrapping the WHOLE pattern (`(a|b)`, `(?:a|b)`) unwraps —
-    //    capturing-group numbering is irrelevant because backreferences
-    //    reject below. Bounded recursion; `(a)(b)`/`(a|b)+` do NOT unwrap
-    //    (the close paren is not the final char) and reject downstream.
-    var p = pattern
-    var normalizing = true
-    var depth = 0
-    while (normalizing && depth < 5) {
-      depth += 1
-      normalizing = false
-      // only flags that cannot change the accepted subset's semantics:
-      // i/u (case — the screen is CI-always, a superset), m/s/d (anchors
-      // and dot, neither of which the parser admits), U (\w-class
-      // unicode, no classes admitted). NOT 'x' (COMMENTS makes literal
-      // whitespace vanish from the pattern — a needle with a space would
-      // go unsound) and nothing unknown.
-      val flags = if (p.startsWith("(?")) LeadingSafeFlags.findPrefixOf(p) else None
-      if (flags.isDefined) { p = p.substring(flags.get.length); normalizing = true }
-      else if (p.length >= 2 && p.charAt(0) == '(' && p.last == ')') {
-        // whole-pattern wrap iff the opening paren's match is the LAST char
-        var level = 0
-        var whole = true
-        var i = 0
-        while (i < p.length - 1 && whole) {
-          p.charAt(i) match {
-            case '\\' => i += 1 // skip the escaped char
-            case '(' => level += 1
-            case ')' => level -= 1; if (level == 0) whole = false
-            case _ =>
-          }
-          i += 1
+    // \Q…\E quoting regions are opaque to the balanced class/group scans
+    // (a quoted ')' or ']' would mis-bracket them) — stand down outright
+    if (pattern.contains("\\Q") || pattern.contains("\\E")) return None
+    new LiteralExtractor(pattern).alternation(0, pattern.length, 0)
+      .map(_.distinct).filter(_.nonEmpty)
+  }
+
+  /** The recursive-descent worker behind [[requiredLiterals]] — one
+    * instance per pattern parse (driver-side, once per condition per
+    * drain). All region arguments are [start, end) over `p`. */
+  private final class LiteralExtractor(p: String) {
+    private val MaxDepth = 6 // nested-group mining bound
+    private val MaxNeedles = 64 // any-of set bound (screen stays selective)
+    private val MaxReps = 16 // materialized copies of an exact repetition
+
+    /** Any-of literal set for the alternation spanning [s,e): every
+      * (?iu) match of the region contains ≥1 returned literal. None =
+      * stand down (some branch has no guaranteed literal). */
+    def alternation(s: Int, e: Int, depth: Int): Option[Seq[String]] = {
+      if (depth > MaxDepth) return None
+      // split on top-level '|' honoring escapes, classes, groups
+      val parts = Seq.newBuilder[(Int, Int)]
+      var start = s
+      var i = s
+      while (i < e) {
+        p.charAt(i) match {
+          case '\\' => i += 2
+          case '[' => val j = skipClass(i); if (j < 0 || j > e) return None; i = j
+          case '(' => val j = skipGroup(i); if (j < 0 || j > e) return None; i = j
+          case '|' => parts += ((start, i)); start = i + 1; i += 1
+          case _ => i += 1
         }
-        if (whole && level == 1) {
-          val inner = p.substring(1, p.length - 1)
-          val body =
-            if (inner.startsWith("?:")) Some(inner.substring(2))
-            else if (inner.startsWith("?")) None // lookaround/named/atomic: reject
-            else Some(inner)
-          body match {
-            case Some(b) => p = b; normalizing = true
-            case None => return None
+      }
+      if (i > e) return None // trailing '\' ran past the region
+      parts += ((start, e))
+      val sets = parts.result().map { case (a, b) => branch(a, b, depth) }
+      if (sets.exists(_.isEmpty)) None
+      else {
+        val all = sets.flatMap(_.get).distinct
+        if (all.isEmpty || all.size > MaxNeedles) None else Some(all)
+      }
+    }
+
+    /** The best any-of set for ONE concatenation branch: the longest
+      * guaranteed literal run if one exists, else the strongest set
+      * mined from a non-optional inner group. */
+    private def branch(s: Int, e: Int, depth: Int): Option[Seq[String]] = {
+      val cur = new java.lang.StringBuilder
+      // (minLen, count, -totalLen, lits): pick max minLen, then fewest
+      // needles, then longest total — a long single run beats a group set
+      var candidates = List.empty[(Int, Int, Int, Seq[String])]
+      var i = s
+      var failed = false
+      def endRun(): Unit = {
+        if (cur.length >= 2) {
+          val lit = cur.toString.toLowerCase(java.util.Locale.ROOT)
+          candidates ::= ((lit.length, 1, -lit.length, Seq(lit)))
+        }
+        cur.setLength(0)
+      }
+      /** Quantifier after an atom: Some((min, exactCount)); None = no
+        * quantifier. Malformed `{…` sets `failed`. Also consumes a
+        * trailing reluctant/possessive modifier. */
+      def quant(): Option[(Int, Boolean)] = {
+        def mod(): Unit =
+          if (i < e && (p.charAt(i) == '?' || p.charAt(i) == '+')) i += 1
+        if (i >= e) None
+        else p.charAt(i) match {
+          case '?' => i += 1; mod(); Some((0, false))
+          case '*' => i += 1; mod(); Some((0, false))
+          case '+' => i += 1; mod(); Some((1, false))
+          case '{' =>
+            var j = i + 1; var m = 0; var anyM = false
+            while (j < e && p.charAt(j).isDigit && m <= 1000000) {
+              m = m * 10 + (p.charAt(j) - '0'); anyM = true; j += 1
+            }
+            if (!anyM || j >= e || m > 1000000) { failed = true; None }
+            else if (p.charAt(j) == '}') { i = j + 1; mod(); Some((m, true)) }
+            else if (p.charAt(j) == ',') {
+              var k = j + 1; var n2 = 0; var anyN = false
+              while (k < e && p.charAt(k).isDigit && n2 <= 1000000) {
+                n2 = n2 * 10 + (p.charAt(k) - '0'); anyN = true; k += 1
+              }
+              if (k < e && p.charAt(k) == '}' && n2 <= 1000000) {
+                i = k + 1; mod(); Some((m, anyN && n2 == m))
+              } else { failed = true; None }
+            } else { failed = true; None }
+          case _ => None
+        }
+      }
+      /** A literal printable-ASCII char, then its quantifier. */
+      def literalChar(ch: Char): Unit = {
+        cur.append(ch)
+        quant() match {
+          case None => ()
+          case Some((0, _)) => // optional: retract, split (colou?r → colo, r)
+            cur.setLength(cur.length - 1); endRun()
+          case Some((m, true)) if m <= MaxReps => // exact: run stays contiguous
+            var k = 1; while (k < m) { cur.append(ch); k += 1 }
+          case Some((m, _)) => // at-least-m (or huge exact): the FIRST m
+            // copies are adjacent to the prefix; what follows them is not
+            val reps = math.min(m, MaxReps)
+            var k = 1; while (k < reps) { cur.append(ch); k += 1 }
+            endRun()
+        }
+      }
+      /** A consuming atom whose matched text is unknown: split the run,
+        * swallow any quantifier (whatever the count, we claim nothing). */
+      def breaker(): Unit = { endRun(); quant(); () }
+      /** One group atom at `i`: classify `(?...)` forms, skip or mine. */
+      def group(): Unit = {
+        val close = skipGroup(i) // index AFTER ')'
+        if (close < 0 || close > e) { failed = true; return }
+        val gClose = close - 1 // the ')' itself
+        var bodyStart = i + 1
+        var recursable = true
+        var noop = false // a safe inline-flag toggle: zero-width, run continues
+        if (bodyStart < gClose && p.charAt(bodyStart) == '?') {
+          val c2 = if (bodyStart + 1 < gClose) p.charAt(bodyStart + 1) else ')'
+          c2 match {
+            case ':' => bodyStart += 2
+            case '=' | '!' | '>' => recursable = false // lookaround / atomic
+            case '<' =>
+              val c3 = if (bodyStart + 2 < gClose) p.charAt(bodyStart + 2) else ')'
+              if (c3 == '=' || c3 == '!') recursable = false // lookbehind
+              else { // named capture (?<name>…)
+                val gt = p.indexOf('>', bodyStart + 2)
+                if (gt < 0 || gt >= gClose) { failed = true; return }
+                bodyStart = gt + 1
+              }
+            case f if f.isLetter || f == '-' =>
+              // inline flags: scan to ':' (scoped) or the ')' (toggle).
+              // ON-flags must be screen-invisible — i/u (case: the screen
+              // is CI-always, a superset), m/s/d (anchors and dot are
+              // breakers anyway), U (class semantics; classes are
+              // breakers). 'x' (COMMENTS erases pattern whitespace) or an
+              // unknown ON-flag poisons literal extraction. OFF-flags
+              // (after '-') only shrink the language — any are safe.
+              var j = bodyStart + 1
+              var off = false
+              var safe = true
+              while (j < gClose && p.charAt(j) != ':') {
+                val fl = p.charAt(j)
+                if (fl == '-') off = true
+                else if (!off && "idmsuU".indexOf(fl.toInt) < 0) safe = false
+                else if (off && !fl.isLetter) safe = false
+                j += 1
+              }
+              if (j >= gClose) { // toggle `(?flags)` — applies to the REST
+                if (safe) noop = true else { failed = true; return }
+              } else { // scoped `(?flags:body)`
+                if (safe) bodyStart = j + 1
+                else recursable = false // x-scoped: skip the body (sound)
+              }
+            case _ => failed = true; return // `(?)`, `(?P<…` and friends
+          }
+        }
+        if (noop) { i = close } // zero-width no-op: the run continues THROUGH it
+        else {
+          endRun() // the group's matched text intervenes
+          i = close
+          val minQ = quant().map(_._1).getOrElse(1)
+          if (!failed && recursable && minQ >= 1 && depth < MaxDepth &&
+              bodyStart < gClose) {
+            // non-optional group: every match contains a match of the
+            // body, so the body's any-of set serves the whole branch
+            alternation(bodyStart, gClose, depth + 1).foreach { lits =>
+              candidates ::=
+                ((lits.map(_.length).min, lits.size, -lits.map(_.length).sum, lits))
+            }
           }
         }
       }
-    }
-    val pattern2 = p
-    val branches = Seq.newBuilder[String]
-    var runs = List.empty[String]
-    val cur = new StringBuilder
-    def endRun(): Unit = { if (cur.nonEmpty) runs ::= cur.toString; cur.clear() }
-    def endBranch(): Boolean = {
-      endRun()
-      val best = runs.sortBy(-_.length).headOption.getOrElse("")
-      runs = Nil
-      if (best.length < 2) false
-      else { branches += best.toLowerCase(java.util.Locale.ROOT); true }
-    }
-    var i = 0
-    val n = pattern2.length
-    while (i < n) {
-      val c = pattern2.charAt(i)
-      if (c == '\\') {
-        if (i + 1 >= n) return None
-        val e = pattern2.charAt(i + 1)
-        if (e == 'b' || e == 'B') endRun() // zero-width: splits the run
-        else if (e.isLetterOrDigit) return None // class / backref / \uXXXX
-        else if (e < 0x20 || e > 0x7e) endRun() // ASCII-only needles (fold)
-        else cur.append(e) // escaped ASCII punctuation is a literal char
-        i += 2
-      } else if (c == '|') {
-        if (!endBranch()) return None
-        i += 1
-      } else if (RegexMeta.indexOf(c) >= 0) {
-        return None
-      } else {
-        if (c < 0x20 || c > 0x7e) endRun() else cur.append(c)
-        i += 1
+      while (i < e && !failed) {
+        val c = p.charAt(i)
+        c match {
+          case '\\' =>
+            if (i + 1 >= e) failed = true
+            else {
+              val esc = p.charAt(i + 1)
+              i += 2
+              if (esc == 'b' || esc == 'B' || esc == 'A' || esc == 'G' ||
+                  esc == 'z' || esc == 'Z') breaker() // zero-width: conservative split
+              else if ("dDsSwWhHvVRX".indexOf(esc.toInt) >= 0) breaker() // class
+              else if (esc.isDigit) { // backref / octal: consume the digits
+                while (i < e && p.charAt(i).isDigit) i += 1
+                breaker()
+              } else if (esc == 'n' || esc == 't' || esc == 'r' || esc == 'f' ||
+                  esc == 'a' || esc == 'e') breaker() // control-char literal
+              else if (esc.isLetter) failed = true // \u \x \c \p \k \N …
+              else if (esc >= 0x20 && esc <= 0x7e) literalChar(esc) // escaped punct
+              else breaker() // escaped non-ASCII char
+            }
+          case '[' =>
+            val j = skipClass(i)
+            if (j < 0 || j > e) failed = true
+            else { endRun(); i = j; quant(); () }
+          case '(' => group()
+          case '.' => endRun(); i += 1; quant(); () // any-char: splits the run
+          case '^' | '$' => endRun(); i += 1; quant(); () // zero-width anchors
+          case '*' | '+' | '?' | '{' | '}' | ')' => failed = true // stray
+          case ch if ch >= 0x20 && ch <= 0x7e => i += 1; literalChar(ch)
+          case _ => i += 1; breaker() // control / non-ASCII: ASCII-only needles
+        }
+      }
+      if (failed) None
+      else {
+        endRun()
+        if (candidates.isEmpty) None
+        else Some(candidates.minBy { case (minLen, count, negTotal, _) =>
+          (-minLen, count, negTotal)
+        }._4)
       }
     }
-    if (!endBranch()) return None
-    Some(branches.result())
+
+    /** Index after the `]` closing the class opened at `open`, or -1.
+      * Tracks Java's nested-class unions `[a[b]]`; a `]` directly after
+      * `[` or `[^` is dialect-ambiguous (POSIX literal-]) → -1. */
+    private def skipClass(open: Int): Int = {
+      var i = open + 1
+      var depth = 1
+      var atStart = true
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\\') { i += 2; atStart = false }
+        else if (c == '^' && atStart) i += 1 // negation marker: still "at start"
+        else if (c == ']') {
+          if (atStart) return -1
+          depth -= 1; i += 1
+          if (depth == 0) return i
+          atStart = false
+        } else if (c == '[') { depth += 1; i += 1; atStart = true }
+        else { i += 1; atStart = false }
+      }
+      -1
+    }
+
+    /** Index after the `)` closing the group opened at `open`, or -1.
+      * Routes classes through [[skipClass]] — `(` `)` `|` inside a class
+      * are literals and must not bracket. */
+    private def skipGroup(open: Int): Int = {
+      var i = open + 1
+      var level = 1
+      while (i < p.length) {
+        p.charAt(i) match {
+          case '\\' => i += 2
+          case '[' => val j = skipClass(i); if (j < 0) return -1; i = j
+          case '(' => level += 1; i += 1
+          case ')' => level -= 1; i += 1; if (level == 0) return i
+          case _ => i += 1
+        }
+      }
+      -1
+    }
   }
 
   /** The non-ASCII characters Java's `(?iu)` single-character folding
@@ -275,13 +458,33 @@ object FilterCascade {
     * costs ONE extra full-stream branch instead of silently disabling
     * the screen for the other 999 — the mixed standing-query set a real
     * deployment has. Row-equivalence with the unscreened fan-out is
-    * spec-pinned (FilterCascadeSpec). */
+    * spec-pinned (FilterCascadeSpec).
+    *
+    * CANDIDATE-DENSITY GATE (r17): a condition whose needle is
+    * ultra-common (a universal literal — the misconfigured-feed regime)
+    * makes ~every post a candidate, and the indexed form then pays the
+    * explode+join overhead on the SAME pair volume the crossJoin handles
+    * more cheaply (measured ~2.3× — SCALE.md worstcase row). A one-time
+    * per-condition-set probe estimates each screenable condition's
+    * document frequency on a bounded sample of the stream (one
+    * `limit(n)` scan, one tagged-automaton pass per sampled text,
+    * memoized JVM-wide by condition-set identity so steady-state drains
+    * pay nothing) and DEMOTES conditions above
+    * `spark.graft.fanout.densityGateThreshold` (default 0.5) to the
+    * full-stream crossJoin branch the mixed-set split already has.
+    * `spark.graft.fanout.densityGateSample` (default 2048) bounds the
+    * probe; 0 disables the gate. */
   def fanOutScreened(spark: org.apache.spark.sql.SparkSession, posts: DataFrame,
       cs: Seq[Condition], profiles: Option[DataFrame]): DataFrame = {
     // parse each include ONCE per drain (width × one driver-side parse,
     // not two) and thread the literals through to the index build
     val parsed = cs.map(c => c -> requiredLiterals(c.inputRegex))
-    val (screenable, rest) = parsed.partition(_._2.isDefined)
+    val (screenable0, rest0) = parsed.partition(_._2.isDefined)
+    val demotedKeys = densityDemoted(spark, posts,
+      screenable0.map { case (c, lits) => (c, lits.get) })
+    val (demoted, screenable) =
+      screenable0.partition(p => demotedKeys.contains(p._1.key))
+    val rest = rest0 ++ demoted
     if (screenable.isEmpty)
       fanOut(posts, conditionsDf(spark, cs), profiles)
     else {
@@ -291,6 +494,50 @@ object FilterCascade {
       else screened.unionByName(
         fanOut(posts, conditionsDf(spark, rest.map(_._1)), profiles))
     }
+  }
+
+  /** JVM-wide memo for the density gate's probe verdicts: standing-query
+    * sets are stable across micro-batch drains, so the (bounded) sample
+    * scan runs once per distinct condition set, not once per drain. */
+  private val densityMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Condition keys whose estimated candidate density exceeds the gate
+    * threshold — see [[fanOutScreened]]. Empty when the gate is off, the
+    * set is empty, or the sample is too small to judge. */
+  private[graft] def densityDemoted(spark: org.apache.spark.sql.SparkSession,
+      posts: DataFrame, condLits: Seq[(Condition, Seq[String])]): Set[String] = {
+    if (condLits.isEmpty) return Set.empty
+    val sampleN = spark.conf.getOption("spark.graft.fanout.densityGateSample")
+      .map(_.toInt).getOrElse(2048)
+    if (sampleN <= 0) return Set.empty
+    val threshold = spark.conf.getOption("spark.graft.fanout.densityGateThreshold")
+      .map(_.toDouble).getOrElse(0.5)
+    val memoKey = condLits.iterator
+      .map { case (c, _) => c.key + "\u0000" + c.inputRegex }
+      .mkString("\u0001") + s"|$sampleN|$threshold"
+    densityMemo.computeIfAbsent(memoKey, { _ =>
+      val folded = lower(translate(
+        searchText(includeAltText = true), FoldFrom, FoldTo))
+      val texts = posts.select(folded.as("__t")).limit(sampleN)
+        .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
+      // a tiny batch can't estimate density — and doesn't need the gate:
+      // at that size either plan form finishes instantly
+      if (texts.length < 256) Set.empty
+      else {
+        val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
+          lits.map(n => (n, i))
+        }.distinct
+        val ac = org.apache.spark.sql.graft.AhoCorasick
+          .tagged(needleTags, condLits.size)
+        val hits = new Array[Int](condLits.size)
+        texts.foreach(t => ac.matchedTags(t).foreach(i => hits(i) += 1))
+        val cut = threshold * texts.length
+        condLits.iterator.zipWithIndex.collect {
+          case ((c, _), i) if hits(i) > cut => c.key
+        }.toSet
+      }
+    })
   }
 
   /** The INVERTED-INDEX fan-out for a fully screenable condition set:

@@ -68,20 +68,31 @@ object SemanticDedupStream {
   }
 
   /** Screen + ingest: the foreachBatch body. Returns the survivor count
-    * (what the stream's progress metrics report). Idempotent per
-    * (writerId, batchId), but by SELF-SCREENING, not by rewriting: on a
-    * redelivered epoch the screen runs against the CURRENT store, which
-    * already contains this batch's committed survivors — each survivor is
-    * its own indexed near-dup, so it screens itself out, n == 0, and the
-    * `n > 0` guard skips the ingest entirely. Prior state is preserved by
-    * that skip. The residual: if the previous attempt crashed MID-commit
-    * (some cell partitions renamed, some still `.tmp`), survivors that
-    * are near-dups of a committed cell's rows self-screen out while their
-    * own tmp-cell copies are gone — those rows are dropped, so the
-    * end-to-end contract is at-least-once-with-dedup (never a duplicate
-    * in the store; a partial-commit crash can under-ingest), not
-    * exactly-once. [[IvfStore.ingest]]'s per-epoch partition protocol
-    * still makes the WRITE side replay-safe whenever n > 0. */
+    * (what the stream's progress metrics report). EXACTLY-ONCE per
+    * (writerId, batchId) since r17, by STAGING THE SCREEN VERDICT: the
+    * survivor set (with its assigned codes) is written under
+    * `<store>/_screen/<writer>-<epoch>/` and fenced with a `_VERDICT`
+    * marker (recording the model version) BEFORE the store ingest runs.
+    * A redelivered epoch whose marker matches the current model version
+    * replays the STAGED survivors through [[IvfStore.ingest]] (itself
+    * idempotent per epoch — partial commits are replaced cell by cell)
+    * instead of re-screening. Re-screening was the r16 loss window: a
+    * crash MID-commit left some cells committed, and the redelivery's
+    * screen then dropped the uncommitted survivors as near-dups of their
+    * committed batch-mates (at-least-once-with-dedup, under-ingesting).
+    * With the verdict staged, every kill state replays to the identical
+    * survivor set — never a duplicate AND never a loss
+    * (StreamingCrashSoakSpec asserts zero loss across all kill states).
+    *
+    * Staging lifecycle: one dir per writer at steady state — staging
+    * epoch N deletes the writer's older epochs' dirs (foreachBatch
+    * epochs are sequential, so an older epoch can no longer redeliver
+    * once N is being processed). A marker whose recorded model version
+    * no longer matches (a refit landed since) invalidates the staging
+    * and the batch re-screens against the new model. Crash placement is
+    * covered in every gap: before the marker → no verdict, re-screen
+    * (store untouched, same verdict recomputes); after the marker,
+    * anywhere in ingest's per-cell commit → staged replay completes it. */
   def ingestDeduped(spark: SparkSession, storeDir: String, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double, batchId: Long,
       writerId: String = "semdedup", nProbe: Int = 1): Long = {
@@ -95,15 +106,41 @@ object SemanticDedupStream {
     // too); the per-(writer, epoch) ingest protocol makes the retry
     // replay-safe. Bounded: versions flip at refit cadence (minutes),
     // so two consecutive flips mid-batch already means operator error.
+    val screenRoot = StoreFs.path(storeDir, "_screen")
+    val stageDir = StoreFs.path(storeDir, "_screen", s"$writerId-$batchId")
+    val marker = StoreFs.path(stageDir.toString, "_VERDICT")
+    val dataDir = StoreFs.path(stageDir.toString, "data")
     val maxAttempts = 3
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val (mv, m) = IvfStore.versionedModel(spark, storeDir)
-      val survivors = screen(spark, storeDir, batch, idCol, vecCol, threshold, nProbe)
-      val assigned = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
-        .select(col(idCol), col("__q"), col("cell"))
-        .localCheckpoint() // count + ingest: one materialization, two consumers
+      val stagedValid =
+        try StoreFs.exists(marker) && StoreFs.readString(marker) == mv
+        catch { case _: java.io.IOException => false }
+      val assigned =
+        if (stagedValid) spark.read.parquet(dataDir.toString)
+        else {
+          val survivors = screen(spark, storeDir, batch, idCol, vecCol,
+            threshold, nProbe)
+          val fresh = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
+            .select(col(idCol), col("__q"), col("cell"))
+            .localCheckpoint() // count + stage + ingest: one materialization
+          if (fresh.count() > 0) {
+            // older epochs can no longer redeliver — reclaim their staging
+            if (StoreFs.isDirectory(screenRoot))
+              StoreFs.listNames(screenRoot)
+                .filter(n => n.startsWith(s"$writerId-") && n != s"$writerId-$batchId")
+                .foreach(n => StoreFs.deleteRecursively(
+                  StoreFs.path(screenRoot.toString, n)))
+            // data first, marker last: a crash mid-stage leaves either no
+            // marker or a stale-version marker — both re-screen cleanly
+            StoreFs.deleteRecursively(stageDir)
+            fresh.write.mode("overwrite").parquet(dataDir.toString)
+            StoreFs.writeString(marker, mv)
+          }
+          fresh
+        }
       val n = assigned.count()
       try {
         if (n > 0)

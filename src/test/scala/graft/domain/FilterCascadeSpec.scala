@@ -144,14 +144,40 @@ class FilterCascadeSpec extends SparkSpec {
     assert(requiredLiterals("(?:ab|cd)") == Some(Seq("ab", "cd")))
     assert(requiredLiterals("(?i)spark") == Some(Seq("spark")))
     assert(requiredLiterals("((aa))") == Some(Seq("aa")))
-    // ...but NOT: adjacent groups, quantified groups, lookaround, or the
-    // COMMENTS flag (x makes literal whitespace vanish — needle unsound)
-    for (q <- Seq("(a|b)(c|d)", "(ab)+", "(?=spark)", "(?x)ab cd"))
+    // the r17 widening — real-world feed-regex shapes now extract:
+    // optional tails retract the optional char and split the run
+    assert(requiredLiterals("colou?r") == Some(Seq("colo")))
+    // a grouped suffix alternation: the longer outer run wins
+    assert(requiredLiterals("foo(s|es)") == Some(Seq("foo")))
+    // ...and when the outer runs are too short, the branch rides the
+    // group's OWN any-of set (every match contains one of these)
+    assert(requiredLiterals("(spark|vector)s") == Some(Seq("spark", "vector")))
+    // classes / predefined classes / dot / backrefs split runs
+    assert(requiredLiterals("\\d{4} launch") == Some(Seq(" launch")))
+    assert(requiredLiterals("[sz]park") == Some(Seq("park")))
+    assert(requiredLiterals("sp.rk").exists(_.forall(_.length == 2)))
+    // quantifiers: + keeps the char, exact {m} keeps the run contiguous,
+    // {m,} keeps the first m copies then splits
+    assert(requiredLiterals("spark+") == Some(Seq("spark")))
+    assert(requiredLiterals("spark{2}") == Some(Seq("sparkk")))
+    assert(requiredLiterals("ab{2,}c") == Some(Seq("abb")))
+    // anchors and word boundaries split conservatively
+    assert(requiredLiterals("^spark") == Some(Seq("spark")))
+    assert(requiredLiterals("spark$") == Some(Seq("spark")))
+    // quantified groups with min>=1 mine the body; optional groups skip
+    assert(requiredLiterals("(ab)+") == Some(Seq("ab")))
+    assert(requiredLiterals("(ab)?cde") == Some(Seq("cde")))
+    assert(requiredLiterals("spa(rk)") == Some(Seq("spa")))
+    // lookarounds / named groups / scoped safe flags
+    assert(requiredLiterals("foo(?=bar)") == Some(Seq("foo")))
+    assert(requiredLiterals("(?<tag>spark)") == Some(Seq("spark")))
+    assert(requiredLiterals("(?i:Spark)") == Some(Seq("spark")))
+    // STANDS DOWN: COMMENTS mode (pattern whitespace vanishes), \Q
+    // quoting, exotic escapes, and any branch with no >=2-char literal
+    for (q <- Seq("(?x)ab cd", "\\Qspark\\E", "sp\\u0061rk", "\\p{L}+",
+        "(?=spark)", "(a|b)(c|d)", "\\d+", "(a)\\1", "a|b", "ab|x",
+        "", "x", ".*", "a?b?"))
       assert(requiredLiterals(q).isEmpty, s"'$q' must reject")
-    // anything with classes/quantifiers/groups/anchors/backrefs rejects
-    for (p <- Seq("sp.rk", "spark+", "spa(rk)", "^spark", "spark$",
-        "[sz]park", "spark{2}", "\\d+", "(a)\\1", "a|b", "ab|x", "", "x"))
-      assert(requiredLiterals(p).isEmpty, s"'$p' must reject")
   }
 
   test("prefilter stays sound on the Unicode→ASCII fold edge (ſpark, KELVIN K, İstanbul)") {
@@ -180,35 +206,38 @@ class FilterCascadeSpec extends SparkSpec {
   }
 
   test("includePrefilter declines unsound or useless shapes") {
-    // a backreference's group number would renumber across alternation
-    // branches — the prefilter must stand down, not miscompile
+    // a \p{..} property class (exotic escape the extractor stands down
+    // on) must disable the whole-set screen, not miscompile
     assert(FilterCascade.includePrefilter(Seq(
-      cond(inputRegex = "(spark)\\s+\\1"), cond(key = "f2"))).isEmpty)
+      cond(inputRegex = "\\p{L}park"), cond(key = "f2"))).isEmpty)
     // an empty include regex matches everything: the screen keeps all
     // posts anyway, so it is skipped outright
     assert(FilterCascade.includePrefilter(Seq(
       cond(inputRegex = ""), cond(key = "f2"))).isEmpty)
     assert(FilterCascade.includePrefilter(Nil).isEmpty)
-    // ...and a backreference CONDITION still evaluates correctly through
-    // the unscreened fan-out (its own branch pattern is untouched)
+    // a backreference pattern IS screenable since r17 — group 1's body is
+    // a required literal, and the pattern itself is never rewritten
     val cs = Seq(cond(key = "dup", inputRegex = "(spark)\\s+\\1"), cond(key = "any"))
+    val pf = FilterCascade.includePrefilter(cs)
+    assert(pf.isDefined, "backref pattern must extract its group-1 literal")
     val out = FilterCascade.fanOut(postsDf,
         FilterCascade.conditionsDf(spark, cs), Some(profilesDf),
-        prefilter = FilterCascade.includePrefilter(cs))
+        prefilter = pf)
       .select("key").collect().map(_.getString(0)).toSet
     assert(out == Set("any"), s"got $out") // no post repeats 'spark spark'
   }
 
   test("fanOutScreened splits a mixed set: screened + unscreenable branches union to the plain fan-out") {
-    // one unscreenable condition (backreference) must cost one unscreened
-    // branch, not disable the screen for the rest — and the union must be
-    // ROW-equivalent to fanning everything out unscreened
+    // one unscreenable condition (a \p{..} property class defeats the
+    // extractor) must cost one unscreened branch, not disable the screen
+    // for the rest — and the union must be ROW-equivalent to fanning
+    // everything out unscreened
     val cs = Seq(
       cond(key = "f1"),
       cond(key = "f2", inputRegex = "spark", includeAltText = true),
       cond(key = "f3", inputRegex = "vector",
         profileMatch = Some(ProfileMatch("vector", "spark"))),
-      cond(key = "dup", inputRegex = "(spark)\\s+\\1"),
+      cond(key = "dup", inputRegex = "\\p{L}+ spark"),
     )
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("key", "uri").collect()
@@ -224,5 +253,40 @@ class FilterCascadeSpec extends SparkSpec {
       cs.take(3), Some(profilesDf))) == plain.filterNot(_._1 == "dup"))
     assert(rows(FilterCascade.fanOutScreened(spark, postsDf,
       Seq(cs.last), Some(profilesDf))) == plain.filter(_._1 == "dup"))
+  }
+
+  test("density gate demotes ultra-common needles and preserves row-equivalence") {
+    val s = spark
+    import s.implicits._
+    // 600 posts (past the gate's 256-row minimum): every text carries the
+    // universal token; ~1% carry the rare one
+    val posts = (0 until 600).map { i =>
+      Fixtures.pv(s"at://g/$i", s"c$i",
+        if (i % 100 == 0) s"common raretok post $i" else s"common post $i",
+        "2024-03-01T10:00:00.000Z")
+    }.toDF()
+    val cs = Seq(
+      cond(key = "broad", inputRegex = "common"), // ~100% of the stream
+      cond(key = "narrow", inputRegex = "raretok")) // ~1%
+    val parsed = cs.map(c =>
+      c -> FilterCascade.requiredLiterals(c.inputRegex).get)
+    val demoted = FilterCascade.densityDemoted(spark, posts, parsed)
+    assert(demoted == Set("broad"),
+      s"the universal-literal condition must demote to the crossJoin branch: $demoted")
+    // the demotion is a pure plan-routing decision: outputs stay identical
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "uri").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val screened = rows(FilterCascade.fanOutScreened(spark, posts, cs, None))
+    val plain = rows(FilterCascade.fanOut(posts,
+      FilterCascade.conditionsDf(spark, cs), None))
+    assert(screened == plain)
+    assert(plain.count(_._1 == "broad") == 600 && plain.count(_._1 == "narrow") == 6)
+    // the gate stands down on tiny batches (density unjudgeable, and
+    // either plan form is instant there) — probed with a FRESH condition
+    // set, since verdicts are memoized by condition-set identity
+    val parsed2 = Seq(cond(key = "tiny", inputRegex = "common")).map(c =>
+      c -> FilterCascade.requiredLiterals(c.inputRegex).get)
+    assert(FilterCascade.densityDemoted(spark, posts.limit(10), parsed2).isEmpty)
   }
 }

@@ -100,6 +100,124 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
     assert(checked > 300, s"only $checked matching cases exercised — generator drifted")
   }
 
+  test("property: widened grammar — AST-generated patterns with derived matching texts stay sound") {
+    // r17 widening: quantifiers, classes, groups (plain/?:/named), nested
+    // quantified alternations, inline-flag toggles. Patterns are grown
+    // from an AST that can also SAMPLE a guaranteed-matching string, so
+    // every accepted pattern is exercised with texts the regex provably
+    // matches — no reliance on random collisions.
+    import scala.util.Random
+
+    sealed trait Node { def pat: String; def sample(rnd: Random): String }
+    final case class Lit(s: String) extends Node {
+      def pat: String = s.flatMap(c =>
+        if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) "\\" + c else c.toString)
+      def sample(rnd: Random): String = s
+    }
+    final case class Cat(ns: List[Node]) extends Node {
+      def pat: String = ns.map(_.pat).mkString
+      def sample(rnd: Random): String = ns.map(_.sample(rnd)).mkString
+    }
+    final case class Alt(ns: List[Node], wrap: String) extends Node {
+      def pat: String = wrap + ns.map(_.pat).mkString("|") + ")"
+      def sample(rnd: Random): String = ns(rnd.nextInt(ns.size)).sample(rnd)
+    }
+    // q must follow an ATOM (1-char literal or a parenthesized group)
+    final case class Quant(n: Node, q: String, min: Int, max: Int) extends Node {
+      def pat: String = n.pat + q
+      def sample(rnd: Random): String =
+        (0 until (min + rnd.nextInt(max - min + 1))).map(_ => n.sample(rnd)).mkString
+    }
+    final case class Cls(cpat: String, opts: Seq[Char]) extends Node {
+      def pat: String = cpat
+      def sample(rnd: Random): String = opts(rnd.nextInt(opts.size)).toString
+    }
+    final case class FlagNoop(f: String) extends Node {
+      def pat: String = f
+      def sample(rnd: Random): String = ""
+    }
+
+    def word(rnd: Random): String = {
+      val alpha = "abcdefgh xyz059"
+      val n = 2 + rnd.nextInt(5)
+      val base = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // occasionally seed a fold-edge char into a literal: the extractor
+      // must break the run and the fold must keep the needle live
+      if (rnd.nextInt(8) == 0) base + "ſK" else base
+    }
+    var named = 0
+    def gen(rnd: Random, depth: Int): Node = {
+      val r = rnd.nextInt(12)
+      if (depth >= 3 || r < 4) Lit(word(rnd))
+      else r match {
+        case 4 | 5 => Cat(List.fill(2 + rnd.nextInt(2))(gen(rnd, depth + 1)))
+        case 6 | 7 =>
+          val wrap = rnd.nextInt(3) match {
+            case 0 => "("
+            case 1 => "(?:"
+            case 2 => named += 1; s"(?<g$named>"
+          }
+          val alt = Alt(List.fill(2 + rnd.nextInt(2))(gen(rnd, depth + 1)), wrap)
+          if (rnd.nextInt(3) == 0) { // adversarial: quantified nested group
+            val (q, mn, mx) = Seq(("+", 1, 3), ("?", 0, 1), ("{1,3}", 1, 3),
+              ("{2}", 2, 2))(rnd.nextInt(4))
+            Quant(alt, q, mn, mx)
+          } else alt
+        case 8 =>
+          val c = ('a' + rnd.nextInt(6)).toChar
+          val (q, mn, mx) = Seq(("?", 0, 1), ("*", 0, 2), ("+", 1, 3),
+            ("{2}", 2, 2), ("{2,}", 2, 4), ("{2,4}", 2, 4), ("??", 0, 1),
+            ("+?", 1, 2))(rnd.nextInt(8))
+          Cat(List(Lit(word(rnd)), Quant(Lit(c.toString), q, mn, mx), Lit(word(rnd))))
+        case 9 =>
+          val (cp, opts) = Seq(
+            ("[abc]", Seq('a', 'b', 'c')), ("[a-f]", Seq('a', 'c', 'f')),
+            ("\\d", Seq('0', '7')), ("\\w", Seq('q', '4')),
+            (".", Seq('z', '!', ' ')))(rnd.nextInt(5))
+          Cat(List(Lit(word(rnd)), Cls(cp, opts), Lit(word(rnd))))
+        case 10 => Cat(List(FlagNoop(Seq("(?i)", "(?u)", "(?m)")(rnd.nextInt(3))),
+          gen(rnd, depth + 1)))
+        case _ => Alt(List.fill(2)(gen(rnd, depth + 1)), "(")
+      }
+    }
+
+    def flipCase(s: String, rnd: Random): String =
+      s.map(c => if (c.isLetter && c <= 'z' && rnd.nextBoolean())
+        (if (c.isUpper) c.toLower else c.toUpper) else c)
+
+    var accepted = 0
+    var checked = 0
+    for (i <- 1 to 500) {
+      named = 0
+      val rnd = new Random(i.toLong * 7919)
+      val node = gen(rnd, 0)
+      val pattern = node.pat
+      FilterCascade.requiredLiterals(pattern).foreach { needles =>
+        accepted += 1
+        assert(needles.forall(n => n.length >= 2 && n == n.toLowerCase &&
+          n.forall(c => c >= 0x20 && c <= 0x7e)),
+          s"needle contract violated for '$pattern': $needles")
+        val p = java.util.regex.Pattern.compile(s"(?iu)$pattern")
+        val ac = AhoCorasick(needles)
+        for (j <- 1 to 6) {
+          val trnd = new Random(i.toLong * 100003 + j)
+          val embedded = "pre " + flipCase(node.sample(trnd), trnd) + " post"
+          val random = flipCase(word(trnd) + word(trnd), trnd)
+          for (t <- Seq(embedded, random)) {
+            if (p.matcher(t).find()) {
+              checked += 1
+              assert(ac.containsAny(fold(t)),
+                s"UNSOUND screen: pattern '$pattern' matches '$t' but needles " +
+                  s"$needles miss the folded text '${fold(t)}'")
+            }
+          }
+        }
+      }
+    }
+    assert(accepted > 150, s"only $accepted/500 AST patterns extracted — coverage collapsed")
+    assert(checked > 800, s"only $checked matching cases exercised — generator drifted")
+  }
+
   test("property: automaton == naive multi-contains on random overlapping needle sets") {
     val needleGen = for {
       n <- Gen.choose(1, 8)

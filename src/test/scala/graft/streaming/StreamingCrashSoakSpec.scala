@@ -38,10 +38,10 @@ object Slow extends Tag("graft.Slow")
   *   - readers never see a torn batch (the `.tmp` partition filter);
   *   - raw [[IvfStore.ingest]] is exactly-once per (writer, epoch): after
   *     redelivery, no loss and no duplicate, whatever the fault;
-  *   - [[SemanticDedupStream.ingestDeduped]] NEVER duplicates; rows may go
-  *     missing ONLY for a mid-commit fault (the documented
-  *     at-least-once-with-dedup residual: committed cells' rows
-  *     self-screen the replay while the uncommitted cells' rows are gone);
+  *   - [[SemanticDedupStream.ingestDeduped]] is exactly-once too (r17):
+  *     the staged screen verdict makes every redelivery re-land the
+  *     IDENTICAL survivor set — never a duplicate, never a loss, in
+  *     every kill state (the r16 mid-commit under-ingest window closed);
   *   - an exact copy of a stored vector always screens out (quantized
   *     cosine is exactly 1 on identical codes);
   *   - refit restores one row per vector, drops every stale tmp, and
@@ -179,7 +179,7 @@ class StreamingCrashSoakSpec extends SparkSpec {
     VersionedStore.deleteRecursively(store)
   }
 
-  test("semantic-dedup soak: 25 epochs of randomized kills — never a duplicate, loss only in the documented mid-commit window", Slow) {
+  test("semantic-dedup soak: 25 epochs of randomized kills — never a duplicate, never a loss (staged verdict)", Slow) {
     val store = Files.createTempDirectory("soak_sd").toString
     val rng = new scala.util.Random(816202616L)
     IvfStore.publish(spark, store, batchDf(0L until 100L), "vec_id", "embedding",
@@ -214,25 +214,34 @@ class StreamingCrashSoakSpec extends SparkSpec {
         s"epoch $epoch: ingest return $n1 != rows landed ${(after1 -- before).size}")
 
       val b = s"$writer-$epoch"
-      rng.nextInt(3) match {
-        case 0 => // clean epoch + a spurious redelivery: every survivor is
-          // its own indexed near-dup now, so the replay self-screens to 0
+      rng.nextInt(4) match {
+        case 0 => // clean epoch + a spurious redelivery: the STAGED
+          // verdict replays the identical survivor set through the
+          // idempotent per-epoch ingest — same count, store unchanged
           val n2 = deliver()
-          assert(n2 == 0, s"epoch $epoch: replay re-ingested $n2 rows")
+          assert(n2 == n1, s"epoch $epoch: replay count drifted: $n2 != $n1")
           assert(ids(store) == after1, "spurious redelivery changed the store")
-        case 1 => // mid-COMMIT kill then redelivery: the acknowledged
-          // under-ingest window — never a duplicate, and every missing row
-          // is from THIS epoch's batch
+        case 1 => // mid-COMMIT kill then redelivery: the r16 under-ingest
+          // window, CLOSED by the staged verdict — the replay must restore
+          // the FULL survivor set (zero loss), never a duplicate
           injectKill(store, b,
             commit = tmps => tmps.filter(_ => rng.nextBoolean()),
             drop = _ => Seq.empty)
           deliver()
           val afterR = ids(store)
-          assert(before.subsetOf(afterR), "redelivery lost PRIOR epochs' rows")
-          assert((afterR -- before).subsetOf(fresh.toSet))
+          assert(afterR == after1,
+            s"epoch $epoch: mid-commit redelivery lost or invented rows — " +
+              s"missing=${after1 -- afterR} extra=${afterR -- after1}")
         case 2 => // refit at a clean point: consolidation must preserve ids
           IvfStore.refit(spark, store, nCells = 4, iters = 1)
           assert(ids(store) == after1, "refit changed the id set")
+        case 3 => // mid-WRITE kill: nothing committed, a random tmp subset
+          // never written — the staged verdict restores everything
+          injectKill(store, b, commit = _ => Seq.empty,
+            drop = tmps => tmps.filter(_ => rng.nextBoolean()))
+          deliver()
+          assert(ids(store) == after1,
+            s"epoch $epoch: mid-write redelivery diverged from the survivor set")
       }
       val (n, u) = storeState(store)
       assert(n == u, s"epoch $epoch: store holds duplicates: n=$n uniq=$u")
