@@ -28,18 +28,22 @@ object ServeSmoke {
     val nPosts = args.headOption.map(_.toLong).getOrElse(2000000L)
     val width = args.lift(1).map(_.toInt).getOrElse(1000)
     val requests = args.lift(2).map(_.toInt).getOrElse(1000)
+    // optional fixed store dir: reuse an already-built store across runs
+    val dir = args.lift(3).getOrElse(
+      java.nio.file.Files.createTempDirectory("servesmoke").toString)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = java.nio.file.Files.createTempDirectory("servesmoke").toString
     val cs = ScaleSmoke.standingConditions(width)
-    val posts = ScaleSmoke.postViews(spark, nPosts)
-    val t0 = System.nanoTime()
-    graft.operators.FilterCascade.fanOutScreened(spark, posts, cs, None)
-      .write.mode("overwrite").partitionBy("key").parquet(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      val posts = ScaleSmoke.postViews(spark, nPosts)
+      val t0 = System.nanoTime()
+      graft.operators.FilterCascade.fanOutScreened(spark, posts, cs, None)
+        .write.mode("overwrite").partitionBy("key").parquet(dir)
+      println(f"[serve] store build+write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val store = spark.read.parquet(dir)
-    println(f"[serve] store build+write: ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
-      s"rows=${store.count()} over $width feeds from $nPosts posts")
+    println(s"[serve] store rows=${store.count()} over $width feeds from $nPosts posts")
 
     // the representative page plan: partition-pruned scan + top-k
     val plan = graft.operators.FeedPage.page(spark, store, cs.head, 30, None)
@@ -91,6 +95,27 @@ object ServeSmoke {
     println(f"[serve] $served%d requests over $width%d feeds: " +
       f"p50=${pct(0.50)}%.1f ms p90=${pct(0.90)}%.1f ms p99=${pct(0.99)}%.1f ms " +
       f"max=${lat.last / 1e6}%.1f ms, ${served / wall}%.1f req/s sequential")
+
+    // throughput at the server pool's width: 4 concurrent clients
+    // (first-page requests; throughput is the replica-scaling number)
+    val conc = 4
+    val per = requests / conc
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+    val tC = System.nanoTime()
+    val futs = (0 until conc).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var n = 0L
+          for (r <- 0 until per) { get((t * per + r * 41) % width, None); n += 1 }
+          n
+        }
+      })
+    }
+    val total = futs.map(_.get()).sum
+    val wallC = (System.nanoTime() - tC) / 1e9
+    pool.shutdown()
+    println(f"[serve] concurrency $conc: $total%d requests in $wallC%.1f s = " +
+      f"${total / wallC}%.1f req/s")
     server.stop()
     spark.stop()
   }

@@ -45,6 +45,45 @@ object FeedPage {
     else assemble(spark, pageRows(store, c, limit, cursor), c,
       firstPage = cursor.isEmpty)
 
+  /** The serving HOT PATH: one page in ONE Spark action. Collects the
+    * page's ≤limit (uri, ts, cid) rows — already top-k'd by
+    * [[Paging.page]]'s TakeOrderedAndProject/TopKPerKey over the
+    * partition-pruned scan — and derives the ordinals, the pinned
+    * prepend, AND the keyset cursor DRIVER-SIDE from the collected rows.
+    * [[pageWithCursor]] pays a second action for the cursor encode (plus
+    * a ≤k-row ordinal window); at serving latency those are pure
+    * overhead — ServeSmoke measured the two-action path at ~2× the
+    * per-request wall. Ordering and cursor are identical by
+    * construction: rows sort by the same (ts DESC, cid DESC) key, and
+    * the cursor is the last (smallest-ranked) row's `<ts>::<cid>` —
+    * equivalence with the DataFrame path is spec-pinned
+    * (FeedServerSpec). */
+  def pageCollected(spark: SparkSession, store: DataFrame, c: Condition,
+      limit: Int, cursor: Option[String], requesterDid: Option[String] = None)
+      : (Seq[(Long, String)], Option[String]) = {
+    if (!allowed(c, requesterDid)) return (Nil, None)
+    val rows = pageRows(store, c, limit, cursor)
+      .select(col("uri"), col("__ts_us"), col("cid")).collect()
+    def ts(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
+    val sorted = rows.sortWith { (a, b) =>
+      ts(a) > ts(b) || (ts(a) == ts(b) && a.getString(2) > b.getString(2))
+    }
+    val firstPage = cursor.isEmpty
+    val startAt = if (firstPage) c.pinnedPost.size.toLong else 0L
+    val pinned =
+      if (firstPage) c.pinnedPost.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      else Nil
+    val paged = sorted.zipWithIndex.map { case (r, i) =>
+      (startAt + i, r.getString(0))
+    }
+    // null ts rows sort last either way (desc = nulls-last) and never
+    // produce a cursor — the encodeCursor contract
+    val next = sorted.lastOption.filter(r => !r.isNullAt(1)).map(r =>
+      s"${r.getLong(1)}${Paging.CursorSep}${r.getString(2)}")
+    (pinned ++ paged, next)
+  }
+
   private def pageRows(store: DataFrame, c: Condition, limit: Int,
       cursor: Option[String]): DataFrame =
     Paging.page(

@@ -83,7 +83,16 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    val ex = server.getExecutor
+    server.stop(0)
+    // the fixed pool from start() is non-daemon: leaking it keeps an
+    // embedding JVM alive after stop()
+    ex match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   private final case class Reply(status: Int, body: ObjectNode)
 
@@ -153,14 +162,16 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
           cfg.serviceDid, cfg.keyResolver, cfg.verifier))
       else None
 
-    val (page, nextCursor) = FeedPage.pageWithCursor(
+    // ONE Spark action per request (rows + cursor from one collect) —
+    // the two-action pageWithCursor path measured ~2× the request wall
+    val (page, nextCursor) = FeedPage.pageCollected(
       spark, store(), c, limit, cursor, requesterDid)
     val body = mapper.createObjectNode()
     nextCursor.foreach(body.put("cursor", _))
     val feed = body.putArray("feed")
-    page.orderBy(org.apache.spark.sql.functions.col("ord"))
-      .select("post").collect()
-      .foreach(r => feed.addObject().put("post", r.getString(0)))
+    page.sortBy(_._1).foreach { case (_, post) =>
+      feed.addObject().put("post", post)
+    }
     Reply(200, body)
   }
 

@@ -210,6 +210,32 @@ class IngestServeSpec extends SparkSpec {
       pageB.orderBy(col("ord")).collect().toSeq)
   }
 
+  test("pageCollected ≡ pageWithCursor: rows, ordinals, cursor chain (serving hot path)") {
+    // the single-action serving path must be indistinguishable from the
+    // two-action DataFrame path across a full cursor walk, including the
+    // first-page pinned prepend and the private-feed gate
+    val c = cond(key = "f1", pinnedPost = Seq("at://pin/1", "at://pin/2"))
+    val stored = FilterCascadeFixtureStore.build(spark, Seq(c))
+    var cur: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done && pages < 10) {
+      val (dfPage, nA) = FeedPage.pageWithCursor(spark, stored, c, 3, cur)
+      val a = dfPage.orderBy(col("ord")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b, nB) = FeedPage.pageCollected(spark, stored, c, 3, cur)
+      assert(a == b, s"page $pages rows diverge: df=$a collected=$b")
+      assert(nA == nB, s"page $pages cursor diverges: $nA vs $nB")
+      pages += 1
+      if (nA.isEmpty || a.isEmpty) done = true else cur = nA
+    }
+    assert(pages >= 2, "fixture too small to exercise the cursor chain")
+    // private gate parity
+    val priv = cond(key = "f1", privateFeed = Seq("did:plc:ok"))
+    assert(FeedPage.pageCollected(spark, stored, priv, 3, None, None) ==
+      ((Nil, None)))
+  }
+
   test("retention compact keeps each feed's newest limitCount rows") {
     val s = spark
     import s.implicits._
