@@ -198,13 +198,13 @@ object ScaleSmoke {
     * configs actually use (optional plurals, grouped suffix alternations,
     * hashtags, anchors, digit classes, non-ASCII branches), cycled over
     * 12 template families and tied to [[postViews]]'s topic tokens so
-    * match selectivity stays realistic. 11 of 12 families are screenable
-    * by the r17 extractor (the emoji-branch family stands down: a
-    * non-ASCII branch has no fold-sound ASCII literal); the r16 extractor
-    * accepted only families 0/3/8/10 (plain literal runs, \b splits,
-    * leading flags, whole-pattern groups) — the widening moves the
-    * screened share from ~33% to ~92% on this corpus
-    * (RealisticCorpusSpec pins the exact counts). */
+    * match selectivity stays realistic. ALL 12 families are screenable by
+    * the r17 extractor (the emoji branch contributes its own
+    * caseless-safe needle); the r16 extractor accepted only families
+    * 0/3/8/10 (plain literal runs, \b splits, leading flags,
+    * whole-pattern groups) — the widening moves the screened share from
+    * ~33% to 100% on this corpus (RealisticCorpusSpec pins the exact
+    * counts: 334 → 917 by grammar, → 1000 by caseless needles). */
   def realisticConditions(width: Int): Seq[graft.model.Condition] =
     (0 until width).map { j =>
       val t = s"topic${j % 1200}"

@@ -153,17 +153,72 @@ object FilterCascade {
     *    malformed construct. A screen that might drop a matchable post
     *    is worse than no screen.
     *
-    * Non-ASCII literal chars split runs: only ASCII needles are sound
-    * under the 4-char fold ([[FoldFrom]]) — Greek final sigma and
-    * friends fold within Unicode, not into ASCII. Soundness over the
-    * whole accepted grammar is property-tested from a generating AST in
-    * PrefilterPropertiesSpec. */
+    * Non-ASCII literal chars: a CASED (or case-targeted) char splits the
+    * run — only ASCII is sound under the 4-char fold ([[FoldFrom]]);
+    * Greek final sigma and friends fold within Unicode, not into ASCII.
+    * But a CASELESS, FOLD-ISOLATED code point (emoji, symbols — see
+    * [[CaselessSafe]]) is its own 1-element fold class under `(?iu)` and
+    * survives the screen's `lower(translate(...))` untouched, so it IS a
+    * sound needle char — `topic|🧶` extracts {"topic", "🧶"}. A run
+    * containing one is accepted even below the 2-char minimum (a single
+    * symbol is highly selective, unlike a single ASCII letter).
+    * Soundness over the whole accepted grammar is property-tested from a
+    * generating AST in PrefilterPropertiesSpec; the caseless-safe table
+    * is proven against Java's own matcher in CaselessSafeSpec. */
   private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
     // \Q…\E quoting regions are opaque to the balanced class/group scans
     // (a quoted ')' or ']' would mis-bracket them) — stand down outright
     if (pattern.contains("\\Q") || pattern.contains("\\E")) return None
     new LiteralExtractor(pattern).alternation(0, pattern.length, 0)
       .map(_.distinct).filter(_.nonEmpty)
+  }
+
+  /** Code points that are sound NEEDLE chars despite being non-ASCII:
+    * caseless (upper == lower == title == self) AND fold-isolated (no
+    * OTHER code point reaches them through any of Java's case mappings —
+    * the regex engine's `lower(upper(d))` single-char fold, the int
+    * toLowerCase/toUpperCase maps, or String.toLowerCase's expansion
+    * sequences). For such a char c, `(?iu)c` matches exactly {c} and
+    * `lower(translate(text))` preserves every occurrence, so substring
+    * containment on the folded text is exact — emoji and symbols
+    * qualify; every cased letter (and case-target like the Kelvin sign)
+    * is excluded. Built once per JVM (~1.1 M code points, tens of ms);
+    * proven against Java's own matcher in CaselessSafeSpec. */
+  private[graft] object CaselessSafe {
+    private lazy val safe: java.util.BitSet = {
+      val targeted = new java.util.BitSet(0x110000)
+      var d = 0
+      while (d <= 0x10FFFF) {
+        if (Character.isValidCodePoint(d) &&
+            !(d >= Character.MIN_SURROGATE && d <= Character.MAX_SURROGATE)) {
+          val up = Character.toUpperCase(d)
+          val lo = Character.toLowerCase(d)
+          val foldTo = Character.toLowerCase(up) // the regex engine's fold
+          if (up != d) targeted.set(up)
+          if (lo != d) targeted.set(lo)
+          if (foldTo != d) targeted.set(foldTo)
+          // String lowercasing can EXPAND (İ → i + combining dot): any
+          // code point such an expansion produces can be INTRODUCED into
+          // the folded text by a different source char — not isolated
+          val s = new String(Character.toChars(d))
+          val ls = s.toLowerCase(java.util.Locale.ROOT)
+          if (ls != s) ls.codePoints().forEach(cp => if (cp != d) targeted.set(cp))
+        }
+        d += 1
+      }
+      val out = new java.util.BitSet(0x110000)
+      var c = 0x80
+      while (c <= 0x10FFFF) {
+        if (Character.isValidCodePoint(c) &&
+            !(c >= Character.MIN_SURROGATE && c <= Character.MAX_SURROGATE) &&
+            Character.toUpperCase(c) == c && Character.toLowerCase(c) == c &&
+            Character.toTitleCase(c) == c && !targeted.get(c))
+          out.set(c)
+        c += 1
+      }
+      out
+    }
+    def isSafe(cp: Int): Boolean = cp > 0x7f && safe.get(cp)
   }
 
   /** The recursive-descent worker behind [[requiredLiterals]] — one
@@ -213,7 +268,12 @@ object FilterCascade {
       var i = s
       var failed = false
       def endRun(): Unit = {
-        if (cur.length >= 2) {
+        // a 1-char ASCII run is unselective (pure screen overhead), but a
+        // single caseless symbol/emoji IS selective — accept runs of >= 2
+        // UTF-16 units or any run carrying a non-ASCII (CaselessSafe) char
+        val selective = cur.length >= 2 ||
+          (cur.length == 1 && cur.charAt(0) > 0x7f)
+        if (cur.length > 0 && selective) {
           val lit = cur.toString.toLowerCase(java.util.Locale.ROOT)
           candidates ::= ((lit.length, 1, -lit.length, Seq(lit)))
         }
@@ -249,22 +309,24 @@ object FilterCascade {
           case _ => None
         }
       }
-      /** A literal printable-ASCII char, then its quantifier. */
-      def literalChar(ch: Char): Unit = {
-        cur.append(ch)
+      /** A literal token (one ASCII char, or one caseless-safe non-ASCII
+        * code point as 1–2 UTF-16 units), then its quantifier. */
+      def literalTok(tok: String): Unit = {
+        cur.append(tok)
         quant() match {
           case None => ()
           case Some((0, _)) => // optional: retract, split (colou?r → colo, r)
-            cur.setLength(cur.length - 1); endRun()
+            cur.setLength(cur.length - tok.length); endRun()
           case Some((m, true)) if m <= MaxReps => // exact: run stays contiguous
-            var k = 1; while (k < m) { cur.append(ch); k += 1 }
+            var k = 1; while (k < m) { cur.append(tok); k += 1 }
           case Some((m, _)) => // at-least-m (or huge exact): the FIRST m
             // copies are adjacent to the prefix; what follows them is not
             val reps = math.min(m, MaxReps)
-            var k = 1; while (k < reps) { cur.append(ch); k += 1 }
+            var k = 1; while (k < reps) { cur.append(tok); k += 1 }
             endRun()
         }
       }
+      def literalChar(ch: Char): Unit = literalTok(String.valueOf(ch))
       /** A consuming atom whose matched text is unknown: split the run,
         * swallow any quantifier (whatever the count, we claim nothing). */
       def breaker(): Unit = { endRun(); quant(); () }
@@ -361,7 +423,17 @@ object FilterCascade {
           case '^' | '$' => endRun(); i += 1; quant(); () // zero-width anchors
           case '*' | '+' | '?' | '{' | '}' | ')' => failed = true // stray
           case ch if ch >= 0x20 && ch <= 0x7e => i += 1; literalChar(ch)
-          case _ => i += 1; breaker() // control / non-ASCII: ASCII-only needles
+          case ch if ch > 0x7f =>
+            // non-ASCII literal: a CASELESS FOLD-ISOLATED code point
+            // (emoji, symbols) is a sound needle char; cased/targeted
+            // chars split the run (fold-unsound under (?iu))
+            val cp = p.codePointAt(i)
+            val cs = Character.charCount(cp)
+            i += cs
+            if (i <= e && CaselessSafe.isSafe(cp))
+              literalTok(new String(Character.toChars(cp)))
+            else breaker()
+          case _ => i += 1; breaker() // control chars
         }
       }
       if (failed) None

@@ -190,19 +190,29 @@ class FilterCascadeSpec extends SparkSpec {
       Fixtures.pv("at://u/2", "k2", "degrees Kelvin here", "2024-03-01T10:01:00.000Z"),
       Fixtures.pv("at://u/3", "k3", "İstanbul travel notes", "2024-03-01T10:02:00.000Z"),
       Fixtures.pv("at://u/4", "k4", "nothing relevant", "2024-03-01T10:03:00.000Z"),
+      Fixtures.pv("at://u/5", "k5", "made with 🧶 today", "2024-03-01T10:04:00.000Z"),
+      Fixtures.pv("at://u/6", "k6", "日本語の投稿です", "2024-03-01T10:05:00.000Z"),
     ).toDF()
     val cs = Seq(
       cond(key = "s", inputRegex = "spark"),
       cond(key = "k", inputRegex = "kelvin"),
-      cond(key = "i", inputRegex = "istanbul"))
+      cond(key = "i", inputRegex = "istanbul"),
+      // caseless-safe non-ASCII needles ride the screen end-to-end
+      // (the emoji is astral: surrogate-pair automaton + screen text)
+      cond(key = "y", inputRegex = "knitting|🧶"),
+      cond(key = "j", inputRegex = "日本語"))
     val pf = FilterCascade.includePrefilter(cs)
     assert(pf.isDefined)
     def keys(p: Option[org.apache.spark.sql.Column]) =
       FilterCascade.fanOut(posts, FilterCascade.conditionsDf(spark, cs), None,
         prefilter = p).select("key").collect().map(_.getString(0)).toSet
     val want = keys(None)
-    assert(want == Set("s", "k", "i"), s"fixture regression: $want")
+    assert(want == Set("s", "k", "i", "y", "j"), s"fixture regression: $want")
     assert(keys(pf) == want, "the fold screen dropped a matchable post")
+    // and through the INDEXED production form too
+    val idx = FilterCascade.fanOutScreened(spark, posts, cs, None)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(idx == want, "the indexed fan-out diverged on the fold edge")
   }
 
   test("includePrefilter declines unsound or useless shapes") {

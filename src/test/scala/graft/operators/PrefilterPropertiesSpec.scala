@@ -141,9 +141,15 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
       val alpha = "abcdefgh xyz059"
       val n = 2 + rnd.nextInt(5)
       val base = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-      // occasionally seed a fold-edge char into a literal: the extractor
-      // must break the run and the fold must keep the needle live
-      if (rnd.nextInt(8) == 0) base + "ſK" else base
+      // occasionally seed a fold-edge char (extractor must break the run,
+      // fold must keep the needle live) or a caseless-safe emoji/CJK char
+      // (now a literal needle char in its own right) into a literal
+      rnd.nextInt(12) match {
+        case 0 => base + "ſK"
+        case 1 => base + "🧶"
+        case 2 => base + "中文"
+        case _ => base
+      }
     }
     var named = 0
     def gen(rnd: Random, depth: Int): Node = {
@@ -194,9 +200,13 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
       val pattern = node.pat
       FilterCascade.requiredLiterals(pattern).foreach { needles =>
         accepted += 1
-        assert(needles.forall(n => n.length >= 2 && n == n.toLowerCase &&
-          n.forall(c => c >= 0x20 && c <= 0x7e)),
-          s"needle contract violated for '$pattern': $needles")
+        assert(needles.forall { n =>
+          val cps = n.codePoints().toArray
+          n.nonEmpty && n == n.toLowerCase &&
+            (n.length >= 2 || cps.exists(_ > 0x7f)) &&
+            cps.forall(cp => (cp >= 0x20 && cp <= 0x7e) ||
+              FilterCascade.CaselessSafe.isSafe(cp))
+        }, s"needle contract violated for '$pattern': $needles")
         val p = java.util.regex.Pattern.compile(s"(?iu)$pattern")
         val ac = AhoCorasick(needles)
         for (j <- 1 to 6) {

@@ -20,29 +20,27 @@ class RealisticCorpusSpec extends AnyFunSuite {
       case c => c
     }.mkString.toLowerCase(java.util.Locale.ROOT)
 
-  test("screened share: 917/1000 realistic conditions extract (r16 shapes: 334)") {
+  test("screened share: 1000/1000 realistic conditions extract (r16 shapes: 334)") {
     val cs = graft.ScaleSmoke.realisticConditions(1000)
     val parsed = cs.map(c => FilterCascade.requiredLiterals(c.inputRegex))
     val screenable = parsed.count(_.isDefined)
     // 1000 = 83*12 + 4, so families 0..3 have 84 members, 4..11 have 83.
-    // Only family 9 (emoji alternation branch — no fold-sound ASCII
-    // literal) stands down: 1000 - 83 = 917.
-    assert(screenable == 917, s"screened share drifted: $screenable/1000")
+    // ALL families extract since the caseless-safe widening: the emoji
+    // branch contributes its own (fold-isolated) needle.
+    assert(screenable == 1000, s"screened share drifted: $screenable/1000")
     // the pre-r17 extractor accepted only plain runs, \b splits, leading
     // safe flags and whole-pattern groups — families 0 (84), 3 (84),
-    // 8 (83), 10 (83) = 334. The widening is 334 → 917 (33% → 92%).
+    // 8 (83), 10 (83) = 334. The r17 widening is two steps: grammar
+    // (334 → 917) then caseless-safe non-ASCII needles (917 → 1000).
     val r16Families = Set(0, 3, 8, 10)
     val r16Share = cs.zipWithIndex.count { case (_, j) => r16Families(j % 12) }
     assert(r16Share == 334, s"baseline-family count drifted: $r16Share")
-    // every family that extracts must do so for ALL its members
-    for (f <- 0 until 12 if f != 9) {
+    // every family must extract for ALL its members
+    for (f <- 0 until 12) {
       val fam = cs.zipWithIndex.filter(_._2 % 12 == f)
       assert(fam.forall(p => FilterCascade.requiredLiterals(p._1.inputRegex).isDefined),
         s"family $f has non-extracting members")
     }
-    assert(cs.zipWithIndex.filter(_._2 % 12 == 9)
-      .forall(p => FilterCascade.requiredLiterals(p._1.inputRegex).isEmpty),
-      "the emoji family must stand down")
   }
 
   test("per-family soundness: a matching text always contains an extracted needle") {
@@ -59,6 +57,7 @@ class RealisticCorpusSpec extends AnyFunSuite {
       6 -> "coloured topic18 yarn", // colou?red topic18
       7 -> "topic19ness abounds", // topic19(ly|ness)
       8 -> "a topic20 b", // \btopic20\b
+      9 -> "knitting \uD83E\uDDF6 content", // topic21|\uD83E\uDDF6 (emoji branch)
       10 -> "TOPIC22 spotted", // (?i)TOPIC22\b
       11 -> "w77 topic23 tail") // w\d+ topic23
     for ((f, text) <- matchingText) {
