@@ -570,7 +570,11 @@ object FilterCascade {
 
   /** JVM-wide memo for the density gate's probe verdicts: standing-query
     * sets are stable across micro-batch drains, so the (bounded) sample
-    * scan runs once per distinct condition set, not once per drain. */
+    * scan runs once per distinct condition set, not once per drain.
+    * Bounded: a long-lived process whose condition sets churn (admin
+    * CRUD) must not grow this without limit — past [[DensityMemoMax]]
+    * entries the map resets (worst case: one extra probe per live set). */
+  private val DensityMemoMax = 64
   private val densityMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
@@ -588,6 +592,8 @@ object FilterCascade {
     val memoKey = condLits.iterator
       .map { case (c, _) => c.key + "\u0000" + c.inputRegex }
       .mkString("\u0001") + s"|$sampleN|$threshold"
+    if (densityMemo.size > DensityMemoMax && !densityMemo.containsKey(memoKey))
+      densityMemo.clear()
     densityMemo.computeIfAbsent(memoKey, { _ =>
       val folded = lower(translate(
         searchText(includeAltText = true), FoldFrom, FoldTo))

@@ -228,6 +228,91 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
     assert(checked > 800, s"only $checked matching cases exercised — generator drifted")
   }
 
+  test("exhaustive differential: every <=4-token pattern vs every <=4-char text") {
+    // the strongest soundness net for the extractor: enumerate ALL
+    // patterns built from 4 metachar-heavy tokens, and for each one that
+    // compiles AND extracts, check EVERY string over a small alphabet —
+    // regex find ⇒ needle hit. No generator luck involved; subtle
+    // quantifier/group/class interactions are all in the cross-product.
+    val tokens = Array("a", "b", "ab", "?", "*", "+", "|", "(", ")", ".",
+      "^", "$", "[ab]", "\\d", "{2}", "\\b")
+    val chars = Array('a', 'b', 'B', '0')
+    val texts = {
+      val b = Seq.newBuilder[String]
+      b += ""
+      var level = Seq("")
+      for (_ <- 1 to 4) {
+        level = level.flatMap(s => chars.map(c => s + c))
+        b ++= level
+      }
+      b.result()
+    }
+    var accepted = 0
+    var checkedPairs = 0L
+    def walk(depth: Int, pat: String): Unit = {
+      if (depth > 0) tokens.foreach(t => walk(depth - 1, pat + t))
+      if (pat.nonEmpty) {
+        FilterCascade.requiredLiterals(pat).foreach { needles =>
+          val p =
+            try Some(java.util.regex.Pattern.compile(s"(?iu)$pat"))
+            catch { case _: Exception => None }
+          p.foreach { rx =>
+            accepted += 1
+            val ac = AhoCorasick(needles)
+            val m = rx.matcher("")
+            texts.foreach { t =>
+              if (m.reset(t).find()) {
+                checkedPairs += 1
+                assert(ac.containsAny(fold(t)),
+                  s"UNSOUND: '$pat' matches '$t' but needles $needles miss it")
+              }
+            }
+          }
+        }
+      }
+    }
+    walk(3, "") // 16^1 + 16^2 + 16^3 = 4 368 patterns
+    // one extra layer for the pure-literal-ish prefixes (full 16^4 is
+    // ~70 k patterns x 341 texts — too slow for the suite; the 3-token
+    // universe already crosses every pairwise construct interaction)
+    tokens.take(8).foreach(t0 => walk(3, t0))
+    assert(accepted > 400, s"only $accepted patterns extracted — coverage collapsed")
+    assert(checkedPairs > 10000L, s"only $checkedPairs matching pairs checked")
+  }
+
+  test("fuzz: requiredLiterals never throws and stays sound on random metachar soup") {
+    val alphabet = "ab01?*+|()[]{}.^$\\dwbQEksu-:<>=!,ſ🧶 "
+    var soundChecks = 0
+    for (i <- 1 to 10000) {
+      val rnd = new scala.util.Random(i * 2654435761L)
+      val n = 1 + rnd.nextInt(12)
+      val pat = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val lits = FilterCascade.requiredLiterals(pat) // must never throw
+      lits.foreach { needles =>
+        val rx =
+          try Some(java.util.regex.Pattern.compile(s"(?iu)$pat"))
+          catch { case _: Exception => None }
+        rx.foreach { p =>
+          val ac = AhoCorasick(needles)
+          val m = p.matcher("")
+          for (j <- 1 to 20) {
+            val trnd = new scala.util.Random(i * 100000L + j)
+            val t = (0 until trnd.nextInt(10)).map(_ =>
+              "abB01 🧶ſ" (trnd.nextInt(8))).mkString
+            if (m.reset(t).find()) {
+              soundChecks += 1
+              assert(ac.containsAny(fold(t)),
+                s"UNSOUND: '$pat' matches '$t' but needles $needles miss it")
+            }
+          }
+        }
+      }
+    }
+    // random soup rarely both extracts and matches random text — the
+    // real assertions here are never-throws and the fired sound-checks
+    assert(soundChecks > 40, s"only $soundChecks sound-checks fired")
+  }
+
   test("property: automaton == naive multi-contains on random overlapping needle sets") {
     val needleGen = for {
       n <- Gen.choose(1, 8)
