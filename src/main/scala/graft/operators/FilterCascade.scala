@@ -144,14 +144,18 @@ object FilterCascade {
     *    split conservatively; safe inline-flag toggles `(?i)`… are
     *    no-ops (the screen is CI-always — a superset of every flag
     *    combination);
+    *  - `\uXXXX`/`\xXX`/`\x{h…h}` hex escapes resolve to their code
+    *    point (surrogate pairs combine, mirroring Java's parse) and are
+    *    admitted under the same rule as raw chars — a JSON-escaped emoji
+    *    (`🧶` = 🧶, or `\x{1F9F6}`) is a literal needle;
     *  - the extractor STANDS DOWN (None) on anything it cannot bound:
     *    `(?x)`/COMMENTS (pattern whitespace vanishes — a needle with a
     *    space would go unsound), `\Q…\E` quoting (defeats the balanced
-    *    scans), `\uXXXX`/`\xXX`/`\cX`/`\p{..}`/`\k<..>` escapes, any
-    *    branch whose best guaranteed literal is shorter than 2 chars
-    *    (a 1-char needle keeps ~every post — pure overhead), and any
-    *    malformed construct. A screen that might drop a matchable post
-    *    is worse than no screen.
+    *    scans), `\cX`/`\p{..}`/`\k<..>` escapes, any branch whose best
+    *    guaranteed literal is shorter than 2 chars (a 1-char ASCII
+    *    needle keeps ~every post — pure overhead), and any malformed
+    *    construct. A screen that might drop a matchable post is worse
+    *    than no screen.
     *
     * Non-ASCII literal chars: a CASED (or case-targeted) char splits the
     * run — only ASCII is sound under the 4-char fold ([[FoldFrom]]);
@@ -330,6 +334,53 @@ object FilterCascade {
       /** A consuming atom whose matched text is unknown: split the run,
         * swallow any quantifier (whatever the count, we claim nothing). */
       def breaker(): Unit = { endRun(); quant(); () }
+      /** Parse the hex payload of a `\ uXXXX` / `\ xXX` / `\ x{h…h}`
+        * escape with `i` just past the 'u'/'x'; returns the code point and
+        * advances `i`, or -1 (malformed → the caller stands down; Java
+        * would reject the pattern too). For `\ uXXXX` yielding a HIGH
+        * surrogate, a directly following `\ uXXXX` low surrogate combines
+        * into the supplementary code point, mirroring Java's parse. */
+      def hexEscape(kind: Char): Int = {
+        def hex(len: Int): Int = {
+          if (i + len > e) return -1
+          var v = 0
+          var k = 0
+          while (k < len) {
+            val d = Character.digit(p.charAt(i + k), 16)
+            if (d < 0) return -1
+            v = v * 16 + d
+            k += 1
+          }
+          i += len
+          v
+        }
+        if (kind == 'u') {
+          val v = hex(4)
+          if (v >= 0 && Character.isHighSurrogate(v.toChar) && i + 6 <= e &&
+              p.charAt(i) == '\\' && p.charAt(i + 1) == 'u') {
+            val save = i
+            i += 2
+            val lo = hex(4)
+            if (lo >= 0 && Character.isLowSurrogate(lo.toChar))
+              Character.toCodePoint(v.toChar, lo.toChar)
+            else { i = save; v } // unpaired high surrogate: caller breakers
+          } else v
+        } else if (i < e && p.charAt(i) == '{') {
+          val close = p.indexOf('}', i + 1)
+          if (close < 0 || close >= e || close == i + 1) -1
+          else {
+            var v = 0
+            var k = i + 1
+            while (k < close && v >= 0) {
+              val d = Character.digit(p.charAt(k), 16)
+              v = if (d < 0 || v > 0x10FFFF) -1 else v * 16 + d
+              k += 1
+            }
+            i = close + 1
+            if (v > 0x10FFFF) -1 else v
+          }
+        } else hex(2)
+      }
       /** One group atom at `i`: classify `(?...)` forms, skip or mine. */
       def group(): Unit = {
         val close = skipGroup(i) // index AFTER ')'
@@ -410,7 +461,19 @@ object FilterCascade {
                 breaker()
               } else if (esc == 'n' || esc == 't' || esc == 'r' || esc == 'f' ||
                   esc == 'a' || esc == 'e') breaker() // control-char literal
-              else if (esc.isLetter) failed = true // \u \x \c \p \k \N …
+              else if (esc == 'u' || esc == 'x') {
+                // hex escape: a JSON-escaped emoji (`🧶`) or
+                // `\x{1F9F6}` is a literal code point — same admission
+                // rule as a raw char (printable ASCII or caseless-safe)
+                val cp = hexEscape(esc)
+                if (cp < 0) failed = true
+                else if (cp >= 0x20 && cp <= 0x7e)
+                  literalTok(String.valueOf(cp.toChar))
+                else if (CaselessSafe.isSafe(cp) &&
+                    !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+                  literalTok(new String(Character.toChars(cp)))
+                else breaker() // cased / control / unpaired surrogate
+              } else if (esc.isLetter) failed = true // \c \p \k \N …
               else if (esc >= 0x20 && esc <= 0x7e) literalChar(esc) // escaped punct
               else breaker() // escaped non-ASCII char
             }

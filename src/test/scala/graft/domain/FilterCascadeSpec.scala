@@ -172,9 +172,11 @@ class FilterCascadeSpec extends SparkSpec {
     assert(requiredLiterals("foo(?=bar)") == Some(Seq("foo")))
     assert(requiredLiterals("(?<tag>spark)") == Some(Seq("spark")))
     assert(requiredLiterals("(?i:Spark)") == Some(Seq("spark")))
+    // hex escapes resolve to their code point (r17): a is 'a'
+    assert(requiredLiterals("sp\\u0061rk") == Some(Seq("spark")))
     // STANDS DOWN: COMMENTS mode (pattern whitespace vanishes), \Q
     // quoting, exotic escapes, and any branch with no >=2-char literal
-    for (q <- Seq("(?x)ab cd", "\\Qspark\\E", "sp\\u0061rk", "\\p{L}+",
+    for (q <- Seq("(?x)ab cd", "\\Qspark\\E", "\\p{L}+",
         "(?=spark)", "(a|b)(c|d)", "\\d+", "(a)\\1", "a|b", "ab|x",
         "", "x", ".*", "a?b?"))
       assert(requiredLiterals(q).isEmpty, s"'$q' must reject")

@@ -52,7 +52,20 @@ class CaselessSafeSpec extends AnyFunSuite {
     import FilterCascade.requiredLiterals
     assert(requiredLiterals("topic1|🧶") == Some(Seq("topic1", "🧶")))
     assert(requiredLiterals("日本語") == Some(Seq("日本語")))
-    assert(requiredLiterals("chess|♟\\uFE0F").isEmpty) // \\u escape still rejects
+    // hex escapes resolve to their code point (the JSON-escaped-emoji
+    // shape real feed configs carry): surrogate pairs combine, \x{...}
+    // takes a code point directly, and VS-16 is caseless-safe too
+    assert(requiredLiterals("knit|\\uD83E\\uDDF6") == Some(Seq("knit", "🧶")))
+    assert(requiredLiterals("knit|\\x{1F9F6}") == Some(Seq("knit", "🧶")))
+    assert(requiredLiterals("chess|♟\\uFE0F") == Some(Seq("chess", "♟️")))
+    // ASCII hex escapes join the run like raw chars (lowercased needle)
+    assert(requiredLiterals("\\u0073park") == Some(Seq("spark")))
+    assert(requiredLiterals("\\u004Bpark") == Some(Seq("kpark")))
+    // a CASED non-ASCII escape splits the run exactly like its raw form
+    assert(requiredLiterals("\\u017Fpark") == Some(Seq("park"))) // ſ
+    // malformed hex stands down (Java rejects the pattern too)
+    assert(requiredLiterals("a\\uZZZZb").isEmpty)
+    assert(requiredLiterals("a\\x{}b").isEmpty)
     assert(requiredLiterals("chess|♟") == Some(Seq("chess", "♟")))
     // cased non-ASCII splits the run exactly as before
     assert(requiredLiterals("Σpark") == Some(Seq("park")))
