@@ -78,14 +78,19 @@ object ServeSmoke {
     (0 until 50).foreach(i => get(i * 7 % width, None))
 
     val lat = new Array[Long](requests)
-    var cursor: Option[String] = None
+    // per-FEED cursor chain: every other request to a feed is a true
+    // second/third page of THAT feed (a cursor applied to a different
+    // feed would exercise the keyset predicate but never a real
+    // cursor-chained walk of one feed's partition)
+    val cursors = Array.fill[Option[String]](width)(None)
     var served = 0L
     val tAll = System.nanoTime()
     for (r <- 0 until requests) {
       val feed = (r * 37) % width
-      val (dt, next) = get(feed, if (r % 2 == 1) cursor else None)
+      val useCursor = r % 2 == 1
+      val (dt, next) = get(feed, if (useCursor) cursors(feed) else None)
       lat(r) = dt
-      cursor = next
+      cursors(feed) = next
       served += 1
     }
     val wall = (System.nanoTime() - tAll) / 1e9

@@ -147,7 +147,8 @@ object FilterCascade {
     *  - `\uXXXX`/`\xXX`/`\x{h…h}` hex escapes resolve to their code
     *    point (surrogate pairs combine, mirroring Java's parse) and are
     *    admitted under the same rule as raw chars — a JSON-escaped emoji
-    *    (`🧶` = 🧶, or `\x{1F9F6}`) is a literal needle;
+    *    (backslash-uD83E backslash-uDDF6 = 🧶, or `\x{1F9F6}`) is a
+    *    literal needle;
     *  - the extractor STANDS DOWN (None) on anything it cannot bound:
     *    `(?x)`/COMMENTS (pattern whitespace vanishes — a needle with a
     *    space would go unsound), `\Q…\E` quoting (defeats the balanced
@@ -655,15 +656,26 @@ object FilterCascade {
     val memoKey = condLits.iterator
       .map { case (c, _) => c.key + "\u0000" + c.inputRegex }
       .mkString("\u0001") + s"|$sampleN|$threshold"
-    if (densityMemo.size > DensityMemoMax && !densityMemo.containsKey(memoKey))
-      densityMemo.clear()
-    densityMemo.computeIfAbsent(memoKey, { _ =>
-      val folded = lower(translate(
-        searchText(includeAltText = true), FoldFrom, FoldTo))
-      val texts = posts.select(folded.as("__t")).limit(sampleN)
-        .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
-      // a tiny batch can't estimate density — and doesn't need the gate:
-      // at that size either plan form finishes instantly
+    // probe OUTSIDE the map (a Spark collect inside computeIfAbsent would
+    // hold the bin lock for the job's duration, blocking sibling sets)
+    val cached = densityMemo.get(memoKey)
+    if (cached != null) return cached
+    val folded = lower(translate(
+      searchText(includeAltText = true), FoldFrom, FoldTo))
+    val texts = posts.select(folded.as("__t")).limit(sampleN)
+      .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
+    // ONE probe per condition set, ever — including the tiny-sample case.
+    // A sub-256-row sample cannot estimate density, so the verdict is
+    // "demote nothing" and it is MEMOIZED: the probe re-executes the
+    // batch's source plan, and probing every drain of a standing stream
+    // would tax the hot ingest path (and double streaming source metrics)
+    // for a gate whose absence is just the r16 plan (~1x the same-set
+    // crossJoin at the adversarial ceiling — SCALE.md). A set first seen
+    // on a bootstrap-tiny drain therefore keeps the gate off until the
+    // conditions change, the sample conf changes, or the process
+    // restarts; real firehose drains are thousands of rows, so the
+    // bootstrap window is the rare case, and its cost is bounded.
+    val verdict: Set[String] =
       if (texts.length < 256) Set.empty
       else {
         val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
@@ -678,7 +690,9 @@ object FilterCascade {
           case ((c, _), i) if hits(i) > cut => c.key
         }.toSet
       }
-    })
+    if (densityMemo.size > DensityMemoMax) densityMemo.clear()
+    densityMemo.putIfAbsent(memoKey, verdict) // duplicate-probe races are harmless
+    verdict
   }
 
   /** The INVERTED-INDEX fan-out for a fully screenable condition set:

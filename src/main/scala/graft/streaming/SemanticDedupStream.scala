@@ -87,12 +87,28 @@ object SemanticDedupStream {
     * Staging lifecycle: one dir per writer at steady state — staging
     * epoch N deletes the writer's older epochs' dirs (foreachBatch
     * epochs are sequential, so an older epoch can no longer redeliver
-    * once N is being processed). A marker whose recorded model version
-    * no longer matches (a refit landed since) invalidates the staging
-    * and the batch re-screens against the new model. Crash placement is
-    * covered in every gap: before the marker → no verdict, re-screen
-    * (store untouched, same verdict recomputes); after the marker,
-    * anywhere in ingest's per-cell commit → staged replay completes it. */
+    * once N is being processed; only dirs matching `<writerId>-<digits>`
+    * exactly are touched, so a sibling writer whose id shares a dash
+    * prefix is never collateral). The marker fences on THREE things:
+    *
+    *   - the BATCH FINGERPRINT (row count + xor of id hashes, one tiny
+    *     agg per drain): a batchId redelivered with DIFFERENT data — a
+    *     wiped stream checkpoint with a surviving store, a writerId
+    *     collision — re-screens the new data instead of silently
+    *     replaying a stale survivor set;
+    *   - the model version: when a refit landed since staging, the
+    *     survivor VERDICT still stands (ids are stable across refit) but
+    *     the staged cell assignments are stale — the staged ids
+    *     semi-join back to the batch's vectors and re-assign under the
+    *     new model, then restage. This keeps zero-loss even for a refit
+    *     landing between a mid-commit crash and the redelivery
+    *     (re-screening there was the loss window);
+    *   - existence: no marker (crash before it) → full re-screen, store
+    *     untouched by this epoch, same verdict recomputes.
+    *
+    * After the marker, anywhere in ingest's per-cell commit → the staged
+    * replay completes it. StreamingCrashSoakSpec asserts zero loss
+    * across all kill states. */
   def ingestDeduped(spark: SparkSession, storeDir: String, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double, batchId: Long,
       writerId: String = "semdedup", nProbe: Int = 1): Long = {
@@ -110,37 +126,64 @@ object SemanticDedupStream {
     val stageDir = StoreFs.path(storeDir, "_screen", s"$writerId-$batchId")
     val marker = StoreFs.path(stageDir.toString, "_VERDICT")
     val dataDir = StoreFs.path(stageDir.toString, "data")
+    // batch fingerprint: identifies the DATA this epoch carries, so a
+    // redelivered batchId with different rows can never replay a stale
+    // staged verdict (checkpoint wiped, writerId reused)
+    val fpRow = batch.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr(s"bit_xor(xxhash64($idCol))"), lit(0L)).as("h")).collect()(0)
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    def writeStage(frame: DataFrame, mv: String): Unit = {
+      // older epochs can no longer redeliver — reclaim their staging
+      // (EXACT `<writerId>-<digits>` names only: "ingest-eu-7" must not
+      // match writer "ingest")
+      val own = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(writerId) + "-\\d+")
+      if (StoreFs.isDirectory(screenRoot))
+        StoreFs.listNames(screenRoot)
+          .filter(n => own.matcher(n).matches() && n != s"$writerId-$batchId")
+          .foreach(n => StoreFs.deleteRecursively(
+            StoreFs.path(screenRoot.toString, n)))
+      // data first, marker last: a crash mid-stage leaves either no
+      // marker or a stale marker — both re-screen cleanly
+      StoreFs.deleteRecursively(stageDir)
+      frame.write.mode("overwrite").parquet(dataDir.toString)
+      StoreFs.writeString(marker, s"$mv $fingerprint")
+    }
     val maxAttempts = 3
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val (mv, m) = IvfStore.versionedModel(spark, storeDir)
-      val stagedValid =
-        try StoreFs.exists(marker) && StoreFs.readString(marker) == mv
-        catch { case _: java.io.IOException => false }
-      val assigned =
-        if (stagedValid) spark.read.parquet(dataDir.toString)
-        else {
+      val markerFields: Option[Array[String]] =
+        try {
+          if (StoreFs.exists(marker)) Some(StoreFs.readString(marker).split(' '))
+          else None
+        } catch { case _: java.io.IOException => None }
+      val staged = markerFields.filter(f => f.length == 2 && f(1) == fingerprint)
+      val assigned = staged match {
+        case Some(f) if f(0) == mv => // clean replay: codes still valid
+          spark.read.parquet(dataDir.toString)
+        case Some(_) => // a refit landed since staging: the survivor
+          // VERDICT stands (re-screening would drop survivors whose
+          // batch-mates committed before the crash), but cells must be
+          // re-assigned under the new model from the batch's vectors
+          val ids = spark.read.parquet(dataDir.toString).select(col(idCol))
+          val survivors = batch.join(ids, Seq(idCol), "semi")
+          val re = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
+            .select(col(idCol), col("__q"), col("cell"))
+            .localCheckpoint()
+          writeStage(re, mv)
+          re
+        case None => // no / foreign staging: screen this batch's data
           val survivors = screen(spark, storeDir, batch, idCol, vecCol,
             threshold, nProbe)
           val fresh = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
             .select(col(idCol), col("__q"), col("cell"))
             .localCheckpoint() // count + stage + ingest: one materialization
-          if (fresh.count() > 0) {
-            // older epochs can no longer redeliver — reclaim their staging
-            if (StoreFs.isDirectory(screenRoot))
-              StoreFs.listNames(screenRoot)
-                .filter(n => n.startsWith(s"$writerId-") && n != s"$writerId-$batchId")
-                .foreach(n => StoreFs.deleteRecursively(
-                  StoreFs.path(screenRoot.toString, n)))
-            // data first, marker last: a crash mid-stage leaves either no
-            // marker or a stale-version marker — both re-screen cleanly
-            StoreFs.deleteRecursively(stageDir)
-            fresh.write.mode("overwrite").parquet(dataDir.toString)
-            StoreFs.writeString(marker, mv)
-          }
+          if (fresh.count() > 0) writeStage(fresh, mv)
           fresh
-        }
+      }
       val n = assigned.count()
       try {
         if (n > 0)

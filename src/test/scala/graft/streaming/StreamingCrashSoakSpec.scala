@@ -179,6 +179,41 @@ class StreamingCrashSoakSpec extends SparkSpec {
     VersionedStore.deleteRecursively(store)
   }
 
+  test("staged verdict fences on batch CONTENT: a reused epoch with different data re-screens") {
+    // a wiped stream checkpoint (epochs restart at 0) over a surviving
+    // store, same writerId: the marker for epoch 0 still exists, but the
+    // batch fingerprint differs — the new data must be screened and
+    // ingested, never silently substituted by the stale staged survivors
+    val store = Files.createTempDirectory("soak_fp").toString
+    IvfStore.publish(spark, store, batchDf(0L until 50L), "vec_id", "embedding",
+      nCells = 2, iters = 2)
+    def ids(): Set[Long] = IvfStore.codes(spark, store).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // one-hot vectors on distinct axes: orthogonal to each other and far
+    // from every dense snapshot vector, so nothing screens out and the
+    // survivor counts are deterministic
+    val s = spark
+    import s.implicits._
+    def oneHots(idsHots: Seq[(Long, Int)]) = spark.createDataset(
+      idsHots.map { case (id, h) =>
+        Vec(id, (0 until Dim).map(j => if (j == h) 1f else 0f))
+      }.toIndexedSeq).toDF()
+    val n1 = SemanticDedupStream.ingestDeduped(spark, store,
+      oneHots(Seq(7020L -> 0, 7021L -> 1, 7022L -> 2, 7023L -> 3)),
+      "vec_id", "embedding", 0.9999, 0L, "fpw")
+    assert(n1 == 4 && (7020L until 7024L).forall(ids().contains), s"n1=$n1 ${ids()}")
+    // epoch 0 again, DIFFERENT rows (the reused-epoch misuse): ingest's
+    // per-epoch partition replace may evict the first incarnation's rows
+    // from shared cells — the fix's contract is that the NEW data lands
+    val n2 = SemanticDedupStream.ingestDeduped(spark, store,
+      oneHots(Seq(7024L -> 4, 7025L -> 5, 7026L -> 6)),
+      "vec_id", "embedding", 0.9999, 0L, "fpw")
+    assert(n2 == 3, s"new data was not re-screened: n2=$n2")
+    assert((7024L until 7027L).forall(ids().contains),
+      s"reused epoch silently replayed the stale staged survivors: ${ids()}")
+    VersionedStore.deleteRecursively(store)
+  }
+
   test("semantic-dedup soak: 25 epochs of randomized kills — never a duplicate, never a loss (staged verdict)", Slow) {
     val store = Files.createTempDirectory("soak_sd").toString
     val rng = new scala.util.Random(816202616L)
@@ -214,7 +249,29 @@ class StreamingCrashSoakSpec extends SparkSpec {
         s"epoch $epoch: ingest return $n1 != rows landed ${(after1 -- before).size}")
 
       val b = s"$writer-$epoch"
-      rng.nextInt(4) match {
+      rng.nextInt(5) match {
+        case 4 => // the r17-closed interleaving: mid-COMMIT crash, then a
+          // REFIT lands BEFORE the redelivery. The staged verdict's model
+          // version no longer matches, but the survivor id set stands —
+          // the replay re-assigns the staged ids under the new model
+          // (re-screening here was the r16 loss window: committed
+          // batch-mates would screen out the uncommitted survivors).
+          // Residual: rows whose cells committed before the crash were
+          // consolidated by the refit (__b=fit) and the replay re-lands
+          // them in its own epoch partition — the documented
+          // replay-straddles-refit duplicate window, healed by the next
+          // refit's vec_id dedup. Zero LOSS is the invariant under test.
+          injectKill(store, b,
+            commit = tmps => tmps.filter(_ => rng.nextBoolean()),
+            drop = _ => Seq.empty)
+          IvfStore.refit(spark, store, nCells = 4, iters = 1)
+          deliver()
+          assert(ids(store) == after1,
+            s"epoch $epoch: refit-straddling redelivery lost rows: " +
+              s"missing=${after1 -- ids(store)}")
+          // heal the straddle duplicates before the epoch-end n==u check
+          IvfStore.refit(spark, store, nCells = 4, iters = 1)
+          assert(ids(store) == after1, "healing refit changed the id set")
         case 0 => // clean epoch + a spurious redelivery: the STAGED
           // verdict replays the identical survivor set through the
           // idempotent per-epoch ingest — same count, store unchanged
