@@ -38,7 +38,11 @@ object ServeSmoke {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
       val posts = ScaleSmoke.postViews(spark, nPosts)
       val t0 = System.nanoTime()
+      // repartition by key before the partitioned write = ONE file per
+      // key dir (the layout retentionCompact maintains): a 32-writer-task
+      // layout left 32 tiny files per key and doubled page latency
       graft.operators.FilterCascade.fanOutScreened(spark, posts, cs, None)
+        .repartition(org.apache.spark.sql.functions.col("key"))
         .write.mode("overwrite").partitionBy("key").parquet(dir)
       println(f"[serve] store build+write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
