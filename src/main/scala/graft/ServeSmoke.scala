@@ -82,26 +82,36 @@ object ServeSmoke {
     (0 until 50).foreach(i => get(i * 7 % width, None))
 
     val lat = new Array[Long](requests)
-    // per-FEED cursor chain: every other request to a feed is a true
-    // second/third page of THAT feed (a cursor applied to a different
-    // feed would exercise the keyset predicate but never a real
-    // cursor-chained walk of one feed's partition)
+    // per-FEED cursor chain keyed to the feed's own VISIT count: the
+    // first visit to a feed is a first page, every later visit follows
+    // that feed's previous cursor — a true page walk of one feed's
+    // partition. (A global request-parity rule degenerated: with
+    // requests == width every feed is visited once and NO request was
+    // cursored; per-visit parity fixes the mix for any request count.)
     val cursors = Array.fill[Option[String]](width)(None)
+    val visits = new Array[Int](width)
+    var cursored = 0
     var served = 0L
     val tAll = System.nanoTime()
+    // walk a quarter of the feeds ~4 visits each, so roughly 3/4 of the
+    // requests are genuine cursored follow-up pages
+    val walked = math.max(1, width / 4)
     for (r <- 0 until requests) {
-      val feed = (r * 37) % width
-      val useCursor = r % 2 == 1
+      val feed = (r * 37) % walked
+      val useCursor = visits(feed) > 0 && cursors(feed).isDefined
+      if (useCursor) cursored += 1
       val (dt, next) = get(feed, if (useCursor) cursors(feed) else None)
       lat(r) = dt
       cursors(feed) = next
+      visits(feed) += 1
       served += 1
     }
     val wall = (System.nanoTime() - tAll) / 1e9
     java.util.Arrays.sort(lat)
     def pct(p: Double): Double = lat(math.min(lat.length - 1,
       (p * lat.length).toInt)) / 1e6
-    println(f"[serve] $served%d requests over $width%d feeds: " +
+    println(f"[serve] $served%d requests over $walked%d of $width%d feeds " +
+      f"($cursored%d cursored): " +
       f"p50=${pct(0.50)}%.1f ms p90=${pct(0.90)}%.1f ms p99=${pct(0.99)}%.1f ms " +
       f"max=${lat.last / 1e6}%.1f ms, ${served / wall}%.1f req/s sequential")
 

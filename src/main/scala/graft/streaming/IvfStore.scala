@@ -73,7 +73,7 @@ object IvfStore {
       SQ8PackRaw(col(vecCol), typedlit(model0.mn.toSeq),
         typedlit(model0.mx.toSeq)).as("__q"))
     VersionedStore.withStoreLock(storeDir) {
-      swapFit(spark, storeDir, codes, model0, nCells, iters)
+      swapFit(spark, storeDir, codes, model0, nCells, iters, parent = None)
     }
   }
 
@@ -104,8 +104,30 @@ object IvfStore {
           .groupBy(col("vec_id"))
           .agg(max(struct(col("__b"), col("__q"))).as("__w"))
           .select(col("vec_id"), col("__w.__q").as("__q")),
-        modelAt(spark, v), nCells, iters)
+        modelAt(spark, v), nCells, iters, parent = Some(new HPath(v).getName))
     }
+
+  /** True iff version `to` is reachable from version `from` through the
+    * refit lineage chain (each refit records its parent in a `_parent`
+    * file; publish starts a new chain). Conservative: a missing or
+    * GC'd link, an IO error, or a >32-hop walk all return false — the
+    * caller then treats the flip as a new corpus. */
+  def refitDescends(storeDir: String, from: String, to: String): Boolean = {
+    var cur = to
+    var hops = 0
+    while (hops < 32) {
+      if (cur == from) return true
+      val p = StoreFs.path(storeDir, cur, "_parent")
+      val parent =
+        try { if (StoreFs.exists(p)) Some(StoreFs.readString(p)) else None }
+        catch { case _: java.io.IOException => None }
+      parent match {
+        case Some(pp) if pp.nonEmpty => cur = pp; hops += 1
+        case _ => return false
+      }
+    }
+    false
+  }
 
   /** Fit cells on `codes`, then write (model, assigned codes) as the next
     * version and flip the pointer. Caller holds the store lock. The swap
@@ -113,7 +135,7 @@ object IvfStore {
     * feeding the fit resolve the old version's files — which survive the
     * flip by the grace window — so refit-from-self is safe. */
   private def swapFit(spark: SparkSession, storeDir: String, codes: DataFrame,
-      m: Model, nCells: Int, iters: Int): Model = {
+      m: Model, nCells: Int, iters: Int, parent: Option[String]): Model = {
     val (assignments, centroids) =
       KMeansIvf.fitCodes(codes, "vec_id", "__q", nCells, iters)
     val assigned = codes.join(assignments, "vec_id")
@@ -126,6 +148,13 @@ object IvfStore {
         .coalesce(1).write.parquet(modelDir(tmp.toString))
       assigned.withColumn("__b", lit("fit"))
         .write.partitionBy("cell", "__b").parquet(codesDir(tmp.toString))
+      // refit LINEAGE: the new version descends from the one it
+      // consolidated — publish() passes None (a fresh corpus). Consumers
+      // that pinned a verdict against an ancestor use this to tell
+      // "same corpus, re-clustered" (ids carried forward) from "a new
+      // snapshot entirely" ([[refitDescends]]).
+      parent.foreach(pn =>
+        StoreFs.writeString(StoreFs.path(tmp.toString, "_parent"), pn))
     })
     next
   }

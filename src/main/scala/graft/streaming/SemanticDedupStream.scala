@@ -96,13 +96,17 @@ object SemanticDedupStream {
     *     wiped stream checkpoint with a surviving store, a writerId
     *     collision — re-screens the new data instead of silently
     *     replaying a stale survivor set;
-    *   - the model version: when a refit landed since staging, the
-    *     survivor VERDICT still stands (ids are stable across refit) but
-    *     the staged cell assignments are stale — the staged ids
-    *     semi-join back to the batch's vectors and re-assign under the
-    *     new model, then restage. This keeps zero-loss even for a refit
-    *     landing between a mid-commit crash and the redelivery
-    *     (re-screening there was the loss window);
+    *   - the model version, with REFIT/PUBLISH told apart by the
+    *     store's lineage chain ([[IvfStore.refitDescends]]): when a
+    *     refit landed since staging the survivor VERDICT still stands
+    *     (same corpus re-clustered; ids stable) and only the cell
+    *     assignments recompute — the staged ids semi-join back to the
+    *     batch's vectors and re-assign under the new model, then
+    *     restage. That keeps zero-loss even for a refit landing between
+    *     a mid-commit crash and the redelivery (re-screening there was
+    *     the loss window). A PUBLISH (new corpus, no lineage) instead
+    *     forces a full re-screen: the new snapshot's rows matter for
+    *     the verdicts, so a stale verdict must not replay;
     *   - existence: no marker (crash before it) → full re-screen, store
     *     untouched by this epoch, same verdict recomputes.
     *
@@ -117,22 +121,31 @@ object SemanticDedupStream {
     // to silently land stale-cell/stale-bounds rows in the new version
     // (wrong cells → probes miss them; stale-bounds __q bytes are
     // permanently incomparable — refit carries bounds forward). The
-    // fence rejection re-runs the batch here against the new model
-    // (screen included: the new version's rows matter for the verdicts
-    // too); the per-(writer, epoch) ingest protocol makes the retry
-    // replay-safe. Bounded: versions flip at refit cadence (minutes),
-    // so two consecutive flips mid-batch already means operator error.
+    // fence rejection retries here against the new model: a REFIT flip
+    // keeps the staged verdict and re-assigns cells; a PUBLISH flip
+    // re-screens outright (the lineage dispatch below). The per-(writer,
+    // epoch) ingest protocol makes the retry replay-safe. Bounded:
+    // versions flip at refit cadence (minutes), so two consecutive
+    // flips mid-batch already means operator error.
     val screenRoot = StoreFs.path(storeDir, "_screen")
     val stageDir = StoreFs.path(storeDir, "_screen", s"$writerId-$batchId")
     val marker = StoreFs.path(stageDir.toString, "_VERDICT")
-    val dataDir = StoreFs.path(stageDir.toString, "data")
+    def dataDirFor(mv: String) = StoreFs.path(stageDir.toString, s"data-$mv")
     // batch fingerprint: identifies the DATA this epoch carries, so a
     // redelivered batchId with different rows can never replay a stale
-    // staged verdict (checkpoint wiped, writerId reused)
-    val fpRow = batch.agg(
-      count(lit(1)).as("c"),
-      coalesce(expr(s"bit_xor(xxhash64($idCol))"), lit(0L)).as("h")).collect()(0)
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // staged verdict (checkpoint wiped, writerId reused). Count + xor of
+    // (id, vector) hashes + a sum-moment: the xor alone cancels pairs of
+    // identical rows ({a,a,b} vs {c,c,b} xor to the same value), the sum
+    // breaks that; pmod keeps the summands small so ANSI sum can't
+    // overflow. Vectors are hashed too — same ids with updated
+    // embeddings must re-screen, not replay stale codes.
+    val fpRow = batch
+      .select(xxhash64(col(idCol), col(vecCol)).as("__h"))
+      .agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("x"),
+        coalesce(sum(pmod(col("__h"), lit(1000003L))), lit(0L)).as("s"))
+      .collect()(0)
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}:${fpRow.getLong(2)}"
     def writeStage(frame: DataFrame, mv: String): Unit = {
       // older epochs can no longer redeliver — reclaim their staging
       // (EXACT `<writerId>-<digits>` names only: "ingest-eu-7" must not
@@ -144,11 +157,19 @@ object SemanticDedupStream {
           .filter(n => own.matcher(n).matches() && n != s"$writerId-$batchId")
           .foreach(n => StoreFs.deleteRecursively(
             StoreFs.path(screenRoot.toString, n)))
-      // data first, marker last: a crash mid-stage leaves either no
-      // marker or a stale marker — both re-screen cleanly
-      StoreFs.deleteRecursively(stageDir)
-      frame.write.mode("overwrite").parquet(dataDir.toString)
-      StoreFs.writeString(marker, s"$mv $fingerprint")
+      // never destroy the PREVIOUS verdict before the new one is durable:
+      // new data dir (version-keyed, so a restage never overwrites the
+      // old generation in place) → ATOMIC marker flip (tmp + rename) →
+      // best-effort sweep of superseded data dirs. A kill anywhere
+      // leaves a marker that points at a complete data dir.
+      frame.write.mode("overwrite").parquet(dataDirFor(mv).toString)
+      val tmpM = StoreFs.path(stageDir.toString, "_VERDICT.tmp")
+      StoreFs.writeString(tmpM, s"$mv $fingerprint")
+      StoreFs.rename(tmpM, marker, overwrite = true)
+      StoreFs.listNames(stageDir)
+        .filter(n => n.startsWith("data-") && n != s"data-$mv")
+        .foreach(n => StoreFs.deleteRecursively(
+          StoreFs.path(stageDir.toString, n)))
     }
     val maxAttempts = 3
     var attempt = 0
@@ -163,19 +184,26 @@ object SemanticDedupStream {
       val staged = markerFields.filter(f => f.length == 2 && f(1) == fingerprint)
       val assigned = staged match {
         case Some(f) if f(0) == mv => // clean replay: codes still valid
-          spark.read.parquet(dataDir.toString)
-        case Some(_) => // a refit landed since staging: the survivor
-          // VERDICT stands (re-screening would drop survivors whose
-          // batch-mates committed before the crash), but cells must be
-          // re-assigned under the new model from the batch's vectors
-          val ids = spark.read.parquet(dataDir.toString).select(col(idCol))
+          spark.read.parquet(dataDirFor(mv).toString)
+        case Some(f) if IvfStore.refitDescends(storeDir, f(0), mv) =>
+          // a REFIT chain landed since staging (same corpus,
+          // re-clustered): the survivor VERDICT stands — re-screening
+          // would drop survivors whose batch-mates committed before the
+          // crash — but cells must be re-assigned under the new model
+          // from the batch's vectors. One row per id (redelivered exact
+          // copies collapse like the fresh path's __ck window).
+          val ids = spark.read.parquet(dataDirFor(f(0)).toString).select(col(idCol))
           val survivors = batch.join(ids, Seq(idCol), "semi")
+            .dropDuplicates(idCol)
           val re = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
             .select(col(idCol), col("__q"), col("cell"))
             .localCheckpoint()
           writeStage(re, mv)
           re
-        case None => // no / foreign staging: screen this batch's data
+        case _ => // no / foreign staging, or a PUBLISH replaced the
+          // corpus (not a refit descendant): screen this batch against
+          // the store as it now stands — a new snapshot's rows matter
+          // for the verdicts, so a stale verdict must NOT replay
           val survivors = screen(spark, storeDir, batch, idCol, vecCol,
             threshold, nProbe)
           val fresh = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)

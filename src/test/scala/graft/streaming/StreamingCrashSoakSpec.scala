@@ -214,6 +214,43 @@ class StreamingCrashSoakSpec extends SparkSpec {
     VersionedStore.deleteRecursively(store)
   }
 
+  test("staged verdict distinguishes PUBLISH from refit: a new corpus forces a re-screen") {
+    // refit = same corpus re-clustered → the staged verdict stands
+    // (soak case 4); publish = a NEW snapshot → the verdict must NOT
+    // replay, because the new corpus' rows matter for the near-dup
+    // decisions (IvfStore.refitDescends is the dispatch)
+    val store = Files.createTempDirectory("soak_pub").toString
+    val s = spark
+    import s.implicits._
+    def oneHot(id: Long, h: Int) = Vec(id, (0 until Dim).map(j => if (j == h) 1f else 0f))
+    def ids(): Set[Long] = IvfStore.codes(spark, store).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    IvfStore.publish(spark, store, batchDf(0L until 40L), "vec_id", "embedding",
+      nCells = 2, iters = 2)
+    val batch = spark.createDataset(Seq(
+      oneHot(8001, 1), oneHot(8002, 2), oneHot(8003, 3), oneHot(8004, 4))).toDF()
+    val n1 = SemanticDedupStream.ingestDeduped(spark, store, batch,
+      "vec_id", "embedding", 0.9999, 0L, "pubw")
+    assert(n1 == 4, s"fixture: all one-hots must survive the first screen, got $n1")
+    // a NEW corpus replaces the store: it contains exact copies of the
+    // first two one-hots under different ids
+    IvfStore.publish(spark, store,
+      spark.createDataset(
+        (0L until 20L).map(i => Vec(i, vec(i))) ++ Seq(oneHot(900, 1), oneHot(901, 2))
+      ).toDF(), "vec_id", "embedding", nCells = 2, iters = 2)
+    // redeliver the SAME epoch (fingerprint matches, version mismatch,
+    // NO refit lineage): must re-screen — 8001/8002 are near-dups of the
+    // new snapshot's 900/901 and drop; 8003/8004 land
+    val n2 = SemanticDedupStream.ingestDeduped(spark, store, batch,
+      "vec_id", "embedding", 0.9999, 0L, "pubw")
+    assert(n2 == 2, s"publish must force a re-screen, got n2=$n2")
+    val after = ids()
+    assert(after.contains(8003L) && after.contains(8004L), s"survivors lost: $after")
+    assert(!after.contains(8001L) && !after.contains(8002L),
+      s"stale verdict replayed across a publish: $after")
+    VersionedStore.deleteRecursively(store)
+  }
+
   test("semantic-dedup soak: 25 epochs of randomized kills — never a duplicate, never a loss (staged verdict)", Slow) {
     val store = Files.createTempDirectory("soak_sd").toString
     val rng = new scala.util.Random(816202616L)
