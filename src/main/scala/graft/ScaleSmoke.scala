@@ -196,19 +196,21 @@ object ScaleSmoke {
 
   /** `width` REALISTIC standing conditions — the regex shapes public feed
     * configs actually use (optional plurals, grouped suffix alternations,
-    * hashtags, anchors, digit classes, non-ASCII branches), cycled over
-    * 12 template families and tied to [[postViews]]'s topic tokens so
-    * match selectivity stays realistic. ALL 12 families are screenable by
-    * the r17 extractor (the emoji branch contributes its own
-    * caseless-safe needle); the r16 extractor accepted only families
-    * 0/3/8/10 (plain literal runs, \b splits, leading flags,
-    * whole-pattern groups) — the widening moves the screened share from
-    * ~33% to 100% on this corpus (RealisticCorpusSpec pins the exact
-    * counts: 334 → 917 by grammar, → 1000 by caseless needles). */
+    * hashtags, anchors, digit classes, non-ASCII branches, quoted exact
+    * phrases), cycled over 13 template families and tied to
+    * [[postViews]]'s topic tokens so match selectivity stays realistic.
+    * ALL 13 families are screenable by the r18 extractor (the emoji
+    * branch contributes its own caseless-safe needle; the `\Q…\E` family
+    * resolves to its raw phrase); the r16 extractor accepted only
+    * families 0/3/8/10 (plain literal runs, \b splits, leading flags,
+    * whole-pattern groups) — RealisticCorpusSpec pins the per-family
+    * counts on this corpus. (History on the pre-r18 12-family corpus:
+    * 334 → 917 by the r17 grammar widening, → 1000 by caseless
+    * needles; the 13th family was added with `\Q…\E` mining in r18.) */
   def realisticConditions(width: Int): Seq[graft.model.Condition] =
     (0 until width).map { j =>
       val t = s"topic${j % 1200}"
-      val pat = (j % 12) match {
+      val pat = (j % 13) match {
         case 0 => s"$t\\b" // plain keyword + boundary
         case 1 => s"${t}s?\\b" // optional plural
         case 2 => s"($t|topic${(j + 1) % 1200})s?" // grouped alternation + tail
@@ -218,9 +220,10 @@ object ScaleSmoke {
         case 6 => s"colou?red $t" // optional-letter spelling variant
         case 7 => s"$t(ly|ness)" // grouped suffix alternation
         case 8 => s"\\b$t\\b" // boundaries both sides
-        case 9 => s"$t|🧶" // emoji alternation branch: stands down
+        case 9 => s"$t|🧶" // emoji branch: extracts a caseless-safe needle
         case 10 => s"(?i)${t.toUpperCase(java.util.Locale.ROOT)}\\b" // inline flag
-        case _ => s"w\\d+ $t" // leading token class
+        case 11 => s"w\\d+ $t" // leading token class
+        case _ => s"\\Q$t (c++)\\E" // quoted exact phrase (the CRUD paste path)
       }
       graft.model.Condition(
         key = s"rfeed$j", recordName = s"rfeed$j", query = t,
@@ -733,10 +736,11 @@ object ScaleSmoke {
             graft.operators.FilterCascade.conditionsDf(spark, cs), None).count()
         },
         "feed_fanout_realistic_w1000" -> { p =>
-          // the r17 coverage question: REAL-WORLD regex shapes (optional
-          // plurals, grouped tails, classes, anchors) riding the indexed
-          // screen — 11/12 template families extract, the emoji-branch
-          // family unions in via the crossJoin branch
+          // the coverage question: REAL-WORLD regex shapes (optional
+          // plurals, grouped tails, classes, anchors, emoji branches,
+          // quoted phrases) riding the indexed screen — ALL 13 template
+          // families extract (emoji via caseless-safe needles, \Q…\E via
+          // quote resolution), so nothing rides the crossJoin branch
           graft.operators.FilterCascade.fanOutScreened(spark, p,
             realisticConditions(1000), None).count()
         },

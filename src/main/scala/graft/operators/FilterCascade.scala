@@ -149,10 +149,18 @@ object FilterCascade {
     *    admitted under the same rule as raw chars — a JSON-escaped emoji
     *    (backslash-uD83E backslash-uDDF6 = 🧶, or `\x{1F9F6}`) is a
     *    literal needle;
+    *  - `\Q…\E` quote regions are resolved FIRST ([[resolveQuotes]]):
+    *    a quoted region is a guaranteed literal run — the easiest
+    *    needles there are (users pasting exact phrases through the CRUD
+    *    surface quote) — rewritten into per-character escaped literals
+    *    so the balanced scans and the quantifier scoping both see
+    *    exactly what Java's parser sees (a quantifier after `\E`
+    *    applies to the LAST quoted code point in both forms);
     *  - the extractor STANDS DOWN (None) on anything it cannot bound:
     *    `(?x)`/COMMENTS (pattern whitespace vanishes — a needle with a
-    *    space would go unsound), `\Q…\E` quoting (defeats the balanced
-    *    scans), `\cX`/`\p{..}`/`\k<..>` escapes, any branch whose best
+    *    space would go unsound), a stray `\E` outside any quote (Java
+    *    rejects the pattern too), `\cX`/`\p{..}`/`\k<..>` escapes, any
+    *    branch whose best
     *    guaranteed literal is shorter than 2 chars (a 1-char ASCII
     *    needle keeps ~every post — pure overhead), and any malformed
     *    construct. A screen that might drop a matchable post is worse
@@ -171,11 +179,55 @@ object FilterCascade {
     * generating AST in PrefilterPropertiesSpec; the caseless-safe table
     * is proven against Java's own matcher in CaselessSafeSpec. */
   private[graft] def requiredLiterals(pattern: String): Option[Seq[String]] = {
-    // \Q…\E quoting regions are opaque to the balanced class/group scans
-    // (a quoted ')' or ']' would mis-bracket them) — stand down outright
-    if (pattern.contains("\\Q") || pattern.contains("\\E")) return None
-    new LiteralExtractor(pattern).alternation(0, pattern.length, 0)
-      .map(_.distinct).filter(_.nonEmpty)
+    // resolve \Q…\E quote regions BEFORE the balanced class/group scans
+    // (a quoted ')' or ']' would mis-bracket them raw) — a quoted region
+    // is a guaranteed literal run, the strongest needle source there is
+    resolveQuotes(pattern).flatMap { p =>
+      new LiteralExtractor(p).alternation(0, p.length, 0)
+        .map(_.distinct).filter(_.nonEmpty)
+    }
+  }
+
+  /** Rewrite `\Q…\E` quote regions into per-character escaped literals so
+    * [[LiteralExtractor]] can mine them. The rewrite is match-equivalent
+    * to Java's own parse: a quoted region is a SEQUENCE of single-char
+    * atoms (not one big atom), so a quantifier following `\E` applies to
+    * the last quoted code point in both forms (`\Qab\E+` ≡ `ab+`), an
+    * empty `\Q\E` vanishes and a following quantifier binds the atom
+    * before the quote (`a\Q\E+` ≡ `a+`), and an unterminated `\Q` quotes
+    * to the end of the pattern — all probed against Java's matcher in
+    * PrefilterPropertiesSpec's quoted shapes. Only ASCII
+    * non-alphanumerics get the backslash (escaping a letter/digit would
+    * CREATE an escape sequence: `\d`, `\1`); non-ASCII passes through
+    * raw, where the parser's own code-point walk applies the
+    * caseless-safe admission rule. None on a stray `\E` outside any
+    * quote — Java rejects such a pattern outright. */
+  private[graft] def resolveQuotes(pattern: String): Option[String] = {
+    if (!pattern.contains("\\Q") && !pattern.contains("\\E")) return Some(pattern)
+    val out = new java.lang.StringBuilder(pattern.length + 16)
+    var i = 0
+    var quoted = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (quoted) {
+        if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == 'E') {
+          quoted = false; i += 2
+        } else {
+          val asciiAlnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9')
+          if (c < 0x80 && !asciiAlnum) out.append('\\')
+          out.append(c)
+          i += 1
+        }
+      } else if (c == '\\' && i + 1 < pattern.length) {
+        pattern.charAt(i + 1) match {
+          case 'Q' => quoted = true; i += 2
+          case 'E' => return None // stray \E: Java rejects the pattern too
+          case e => out.append(c).append(e); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    Some(out.toString)
   }
 
   /** Code points that are sound NEEDLE chars despite being non-ASCII:

@@ -174,9 +174,13 @@ class FilterCascadeSpec extends SparkSpec {
     assert(requiredLiterals("(?i:Spark)") == Some(Seq("spark")))
     // hex escapes resolve to their code point (r17): a is 'a'
     assert(requiredLiterals("sp\\u0061rk") == Some(Seq("spark")))
-    // STANDS DOWN: COMMENTS mode (pattern whitespace vanishes), \Q
-    // quoting, exotic escapes, and any branch with no >=2-char literal
-    for (q <- Seq("(?x)ab cd", "\\Qspark\\E", "\\p{L}+",
+    // \Q…\E quote regions resolve to their raw phrase (r18): a quoted
+    // region is a guaranteed literal run, metachars and all
+    assert(requiredLiterals("\\Qspark\\E") == Some(Seq("spark")))
+    assert(requiredLiterals("\\Qa.b(c)\\E") == Some(Seq("a.b(c)")))
+    // STANDS DOWN: COMMENTS mode (pattern whitespace vanishes), stray
+    // \E, exotic escapes, and any branch with no >=2-char literal
+    for (q <- Seq("(?x)ab cd", "ab\\Ecd", "\\p{L}+",
         "(?=spark)", "(a|b)(c|d)", "\\d+", "(a)\\1", "a|b", "ab|x",
         "", "x", ".*", "a?b?"))
       assert(requiredLiterals(q).isEmpty, s"'$q' must reject")
@@ -249,6 +253,7 @@ class FilterCascadeSpec extends SparkSpec {
       cond(key = "f2", inputRegex = "spark", includeAltText = true),
       cond(key = "f3", inputRegex = "vector",
         profileMatch = Some(ProfileMatch("vector", "spark"))),
+      cond(key = "f4", inputRegex = "\\Qspark\\E"), // quoted phrase: screened (r18)
       cond(key = "dup", inputRegex = "\\p{L}+ spark"),
     )
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -260,9 +265,11 @@ class FilterCascadeSpec extends SparkSpec {
     assert(split == plain)
     assert(plain.exists(_._1 == "f1") && plain.exists(_._1 == "f3"),
       "fixture regression: screened branches must produce rows")
+    assert(plain.exists(_._1 == "f4"),
+      "fixture regression: the quoted condition must produce rows")
     // all-unscreenable and all-screenable sets route through one branch
     assert(rows(FilterCascade.fanOutScreened(spark, postsDf,
-      cs.take(3), Some(profilesDf))) == plain.filterNot(_._1 == "dup"))
+      cs.take(4), Some(profilesDf))) == plain.filterNot(_._1 == "dup"))
     assert(rows(FilterCascade.fanOutScreened(spark, postsDf,
       Seq(cs.last), Some(profilesDf))) == plain.filter(_._1 == "dup"))
   }

@@ -136,6 +136,21 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
       def pat: String = f
       def sample(rnd: Random): String = ""
     }
+    // \Q…\E quoted region: a sequence of literal atoms in Java's parse
+    final case class QLit(s: String) extends Node {
+      def pat: String = "\\Q" + s + "\\E"
+      def sample(rnd: Random): String = s
+    }
+    // quantifier AFTER \E binds the LAST quoted code point only
+    // (\Qab\E+ ≡ ab+) — the sample must repeat just that code point
+    final case class QuantLastCp(n: QLit, q: String, min: Int, max: Int) extends Node {
+      def pat: String = n.pat + q
+      def sample(rnd: Random): String = {
+        val last = new String(Character.toChars(n.s.codePointBefore(n.s.length)))
+        val reps = min + rnd.nextInt(max - min + 1)
+        n.s.dropRight(last.length) + (last * reps)
+      }
+    }
 
     def word(rnd: Random): String = {
       val alpha = "abcdefgh xyz059"
@@ -153,7 +168,7 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
     }
     var named = 0
     def gen(rnd: Random, depth: Int): Node = {
-      val r = rnd.nextInt(12)
+      val r = rnd.nextInt(13)
       if (depth >= 3 || r < 4) Lit(word(rnd))
       else r match {
         case 4 | 5 => Cat(List.fill(2 + rnd.nextInt(2))(gen(rnd, depth + 1)))
@@ -183,6 +198,22 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
           Cat(List(Lit(word(rnd)), Cls(cp, opts), Lit(word(rnd))))
         case 10 => Cat(List(FlagNoop(Seq("(?i)", "(?u)", "(?m)")(rnd.nextInt(3))),
           gen(rnd, depth + 1)))
+        case 11 =>
+          // quoted region carrying metachars (the exact-phrase paste
+          // path), sometimes quantified (binds the last quoted cp only),
+          // sometimes concatenated with unquoted atoms on either side
+          val meta = "+?*.()[]{}|^$ \\"
+          val body = word(rnd) + meta(rnd.nextInt(meta.length)) + word(rnd)
+          val ql = QLit(body)
+          rnd.nextInt(4) match {
+            case 0 =>
+              val (q, mn, mx) = Seq(("+", 1, 3), ("{2}", 2, 2),
+                ("{1,3}", 1, 3))(rnd.nextInt(3))
+              QuantLastCp(ql, q, mn, mx)
+            case 1 => Cat(List(Lit(word(rnd)), ql))
+            case 2 => Cat(List(ql, gen(rnd, depth + 1)))
+            case _ => ql
+          }
         case _ => Alt(List.fill(2)(gen(rnd, depth + 1)), "(")
       }
     }
@@ -226,6 +257,60 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
     }
     assert(accepted > 150, s"only $accepted/500 AST patterns extracted — coverage collapsed")
     assert(checked > 800, s"only $checked matching cases exercised — generator drifted")
+  }
+
+  test("quoted regions: \\Q…\\E shapes mine their raw phrase and match Java's parse exactly") {
+    def lits(pat: String): Option[Seq[String]] = FilterCascade.requiredLiterals(pat)
+    // exact extraction on the canonical shapes
+    assert(lits("\\Qspark sql\\E") == Some(Seq("spark sql")))
+    assert(lits("\\Qa+b(c)\\E") == Some(Seq("a+b(c)")))
+    assert(lits("\\Qa|b\\E") == Some(Seq("a|b"))) // quoted '|' is NOT an alternation
+    assert(lits("\\Qtail") == Some(Seq("tail"))) // \E-less: quotes to the end
+    assert(lits("foo\\Q.*\\E") == Some(Seq("foo.*")))
+    assert(lits("\\Qc++\\E|\\Qc#\\E") == Some(Seq("c++", "c#")))
+    assert(lits("\\Qback\\slash\\E") == Some(Seq("back\\slash")))
+    // quantifier after \E binds the LAST quoted char: \Qab\E+ ≡ ab+,
+    // so "ab" is still the guaranteed literal
+    assert(lits("\\Qab\\E+") == Some(Seq("ab")))
+    assert(lits("\\Qab\\E{3}") == Some(Seq("abbb")))
+    // optional last char retracts it: \Qab\E? guarantees only "a" (1-char
+    // ASCII → unselective → stand down)
+    assert(lits("\\Qab\\E?").isEmpty)
+    assert(lits("xy\\Qab\\E?") == Some(Seq("xya"))) // prefix keeps it selective
+    // empty quote vanishes; a following quantifier binds the PRIOR atom
+    assert(lits("ab\\Q\\E+") == Some(Seq("ab")))
+    // stray \E outside any quote: Java rejects the pattern — stand down
+    assert(lits("ab\\Ecd").isEmpty)
+    // \\Q is an escaped backslash + literal Q, NOT a quote opener
+    assert(lits("\\\\Qab") == Some(Seq("\\qab")))
+    // quoted region inside a class stays a class (breaker), brackets sanely
+    assert(lits("xy[\\Qa-z\\E]") == Some(Seq("xy")))
+    // quoted metachars never unbalance the group/class scans
+    assert(lits("(\\Qa)b\\E|cd)x").isDefined)
+
+    // differential vs Java: every shape above (plus supplementary-char
+    // quotes) — matching texts hit a needle, and the rewrite's language
+    // agrees with Java's on a probe set
+    val shapes = Seq(
+      "\\Qspark sql\\E" -> Seq("use Spark SQL now"),
+      "\\Qa+b(c)\\E" -> Seq("xA+B(C)y"),
+      "\\Qab\\E+" -> Seq("zab", "zabbb", "zaab"),
+      "\\Qab\\E{2}" -> Seq("abb"),
+      "\\Qtail" -> Seq("the TAIL"),
+      "foo\\Q.*\\E" -> Seq("foo.*"),
+      "\\Qc++\\E|\\Qc#\\E" -> Seq("i like c++", "and C# too"),
+      "\\Qback\\slash\\E" -> Seq("a back\\slash b"),
+      "xy\\Qab\\E?" -> Seq("xya", "xyab"),
+      "ab\\Q\\E+" -> Seq("dabble"),
+      "\\Q🧶+1\\E" -> Seq("yarn 🧶+1 fan"),
+      "\\Q🧶\\E+" -> Seq("a🧶", "a🧶🧶"))
+    for ((pat, texts) <- shapes; t <- texts) {
+      val p = java.util.regex.Pattern.compile(s"(?iu)$pat")
+      assert(p.matcher(t).find(), s"probe drifted: '$pat' should match '$t'")
+      val needles = lits(pat).getOrElse(fail(s"'$pat' must extract"))
+      assert(AhoCorasick(needles).containsAny(fold(t)),
+        s"UNSOUND: '$pat' matches '$t' but needles $needles miss it")
+    }
   }
 
   test("exhaustive differential: every <=4-token pattern vs every <=4-char text") {

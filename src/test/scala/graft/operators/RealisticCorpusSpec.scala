@@ -4,62 +4,68 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.graft.AhoCorasick
 
-/** Pins the r17 widening's coverage claim on the REALISTIC standing-query
-  * corpus (ScaleSmoke.realisticConditions): how many of 1 000 real-world
-  * regex shapes ride the inverted-index screen, and that every extracted
-  * needle set is sound on a constructed matching text per template
-  * family. Pure JVM — no Spark session. */
+/** Pins the extractor-widening coverage claims on the REALISTIC
+  * standing-query corpus (ScaleSmoke.realisticConditions): how many of
+  * 1 000 real-world regex shapes ride the inverted-index screen, and that
+  * every extracted needle set is sound on a constructed matching text per
+  * template family. The corpus has 13 families since r18 (the `\Q…\E`
+  * quoted-phrase family joined when quote mining landed); the r16
+  * extractor accepted only families 0/3/8/10. Pure JVM — no Spark
+  * session. */
 class RealisticCorpusSpec extends AnyFunSuite {
 
   private def fold(text: String): String =
     text.map {
       case 'ſ' => 's'
-      case 'K' => 'k'
+      case 'K' => 'k'
       case 'İ' => 'i'
       case 'ı' => 'i'
       case c => c
     }.mkString.toLowerCase(java.util.Locale.ROOT)
 
-  test("screened share: 1000/1000 realistic conditions extract (r16 shapes: 334)") {
+  test("screened share: 1000/1000 realistic conditions extract (r16 extractor: 308)") {
     val cs = graft.ScaleSmoke.realisticConditions(1000)
     val parsed = cs.map(c => FilterCascade.requiredLiterals(c.inputRegex))
     val screenable = parsed.count(_.isDefined)
-    // 1000 = 83*12 + 4, so families 0..3 have 84 members, 4..11 have 83.
-    // ALL families extract since the caseless-safe widening: the emoji
-    // branch contributes its own (fold-isolated) needle.
+    // 1000 = 76*13 + 12, so families 0..11 have 77 members, family 12
+    // has 76. ALL families extract: the emoji branch contributes its own
+    // (fold-isolated) needle since the r17 caseless widening, and the
+    // \Q…\E family resolves to its raw phrase since r18.
     assert(screenable == 1000, s"screened share drifted: $screenable/1000")
     // the pre-r17 extractor accepted only plain runs, \b splits, leading
-    // safe flags and whole-pattern groups — families 0 (84), 3 (84),
-    // 8 (83), 10 (83) = 334. The r17 widening is two steps: grammar
-    // (334 → 917) then caseless-safe non-ASCII needles (917 → 1000).
+    // safe flags and whole-pattern groups — families 0, 3, 8, 10, which
+    // under the 13-family cycle hold 77 members each = 308 (~31%). The
+    // widenings: grammar (r17), caseless-safe needles (r17), quote
+    // mining (r18) take the rest to 100%.
     val r16Families = Set(0, 3, 8, 10)
-    val r16Share = cs.zipWithIndex.count { case (_, j) => r16Families(j % 12) }
-    assert(r16Share == 334, s"baseline-family count drifted: $r16Share")
+    val r16Share = cs.zipWithIndex.count { case (_, j) => r16Families(j % 13) }
+    assert(r16Share == 308, s"baseline-family count drifted: $r16Share")
     // every family must extract for ALL its members
-    for (f <- 0 until 12) {
-      val fam = cs.zipWithIndex.filter(_._2 % 12 == f)
+    for (f <- 0 until 13) {
+      val fam = cs.zipWithIndex.filter(_._2 % 13 == f)
       assert(fam.forall(p => FilterCascade.requiredLiterals(p._1.inputRegex).isDefined),
         s"family $f has non-extracting members")
     }
   }
 
   test("per-family soundness: a matching text always contains an extracted needle") {
-    // one constructed matching text per screenable template family,
-    // exercised against the family's j=12..23 member (topic12..topic23)
-    val cs = graft.ScaleSmoke.realisticConditions(24).drop(12)
+    // one constructed matching text per template family, exercised
+    // against the family's j=13..25 member (topic13..topic25)
+    val cs = graft.ScaleSmoke.realisticConditions(26).drop(13)
     val matchingText: Map[Int, String] = Map(
-      0 -> "saw topic12 today", // topic12\b
-      1 -> "many topic13s!", // topic13s?\b
-      2 -> "re topic15s here", // (topic14|topic15)s? — second branch
-      3 -> "tag #topic15 x", // #topic15\b
-      4 -> "topic16 2026 launch", // topic16 \d{4}
-      5 -> "topic17 leads the text", // ^topic17
-      6 -> "coloured topic18 yarn", // colou?red topic18
-      7 -> "topic19ness abounds", // topic19(ly|ness)
-      8 -> "a topic20 b", // \btopic20\b
-      9 -> "knitting \uD83E\uDDF6 content", // topic21|\uD83E\uDDF6 (emoji branch)
-      10 -> "TOPIC22 spotted", // (?i)TOPIC22\b
-      11 -> "w77 topic23 tail") // w\d+ topic23
+      0 -> "saw topic13 today", // topic13\b
+      1 -> "many topic14s!", // topic14s?\b
+      2 -> "re topic16s here", // (topic15|topic16)s? — second branch
+      3 -> "tag #topic16 x", // #topic16\b
+      4 -> "topic17 2026 launch", // topic17 \d{4}
+      5 -> "topic18 leads the text", // ^topic18
+      6 -> "coloured topic19 yarn", // colou?red topic19
+      7 -> "topic20ness abounds", // topic20(ly|ness)
+      8 -> "a topic21 b", // \btopic21\b
+      9 -> "knitting 🧶 content", // topic22|🧶 (emoji branch)
+      10 -> "TOPIC23 spotted", // (?i)TOPIC23\b
+      11 -> "w77 topic24 tail", // w\d+ topic24
+      12 -> "ship Topic25 (C++) soon") // \Qtopic25 (c++)\E — quoted phrase
     for ((f, text) <- matchingText) {
       val c = cs(f)
       val needles = FilterCascade.requiredLiterals(c.inputRegex)
