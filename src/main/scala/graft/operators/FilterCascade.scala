@@ -660,6 +660,9 @@ object FilterCascade {
     * pay nothing) and DEMOTES conditions above
     * `spark.graft.fanout.densityGateThreshold` (default 0.5) to the
     * full-stream crossJoin branch the mixed-set split already has.
+    * A set first sighted on a drain too small to judge arms LATER from
+    * accumulator counters the indexed scan itself feeds — no per-drain
+    * re-probe, no source re-execution ([[densityDemoted]]).
     * `spark.graft.fanout.densityGateSample` (default 2048) bounds the
     * probe; 0 disables the gate. */
   def fanOutScreened(spark: org.apache.spark.sql.SparkSession, posts: DataFrame,
@@ -668,7 +671,7 @@ object FilterCascade {
     // not two) and thread the literals through to the index build
     val parsed = cs.map(c => c -> requiredLiterals(c.inputRegex))
     val (screenable0, rest0) = parsed.partition(_._2.isDefined)
-    val demotedKeys = densityDemoted(spark, posts,
+    val (demotedKeys, probe) = densityDemoted(spark, posts,
       screenable0.map { case (c, lits) => (c, lits.get) })
     val (demoted, screenable) =
       screenable0.partition(p => demotedKeys.contains(p._1.key))
@@ -677,7 +680,7 @@ object FilterCascade {
       fanOut(posts, conditionsDf(spark, cs), profiles)
     else {
       val screened = fanOutIndexed(spark, posts,
-        screenable.map { case (c, lits) => (c, lits.get) }, profiles)
+        screenable.map { case (c, lits) => (c, lits.get) }, profiles, probe)
       if (rest.isEmpty) screened
       else screened.unionByName(
         fanOut(posts, conditionsDf(spark, rest.map(_._1)), profiles))
@@ -692,60 +695,108 @@ object FilterCascade {
     * entries the map resets (worst case: one extra probe per live set). */
   private val DensityMemoMax = 64
   private val densityMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, GateState]()
+
+  /** Gate state per condition set: armed with a verdict, or still
+    * accumulating the bootstrap-window scan counters. */
+  private sealed trait GateState
+  private final case class GateArmed(demoted: Set[String]) extends GateState
+  private final class GateProbing(
+      val probe: org.apache.spark.sql.graft.DensityProbe) extends GateState
+
+  /** Minimum rows before a density verdict is trusted — below this a
+    * sample cannot distinguish a universal literal from a merely common
+    * one. */
+  private val GateMinRows = 256
 
   /** Condition keys whose estimated candidate density exceeds the gate
-    * threshold — see [[fanOutScreened]]. Empty when the gate is off, the
-    * set is empty, or the sample is too small to judge. */
+    * threshold, plus — while the set is still in its bootstrap window —
+    * the scan-side probe [[fanOutScreened]] must thread into the indexed
+    * pass. Empty verdict when the gate is off or the set is empty.
+    *
+    * Arming protocol: the FIRST sighting of a condition set pays one
+    * bounded `limit(n)` sample scan (memoized — steady-state drains pay
+    * nothing). If that drain is too small to judge (< [[GateMinRows]]
+    * rows — the bootstrap-tiny window), the gate does NOT freeze an
+    * unarmed verdict forever (the r17 behavior): it registers
+    * accumulator-backed counters that the
+    * [[org.apache.spark.sql.graft.MatchedConditionsFolded]] scan — which
+    * already runs every drain — feeds as a side-output, with no extra
+    * job and no source re-execution (per-drain re-probes double
+    * streaming source metrics; see DurablePipelineSpec). Once the
+    * cumulative scanned rows cross the floor, the NEXT drain flips the
+    * memo to an armed verdict computed from those counters. Until then
+    * the set rides ungated — the r16 plan, ~1× the same-set crossJoin
+    * at the adversarial ceiling. */
   private[graft] def densityDemoted(spark: org.apache.spark.sql.SparkSession,
-      posts: DataFrame, condLits: Seq[(Condition, Seq[String])]): Set[String] = {
-    if (condLits.isEmpty) return Set.empty
+      posts: DataFrame, condLits: Seq[(Condition, Seq[String])])
+      : (Set[String], Option[org.apache.spark.sql.graft.DensityProbe]) = {
+    if (condLits.isEmpty) return (Set.empty, None)
     val sampleN = spark.conf.getOption("spark.graft.fanout.densityGateSample")
       .map(_.toInt).getOrElse(2048)
-    if (sampleN <= 0) return Set.empty
+    if (sampleN <= 0) return (Set.empty, None)
     val threshold = spark.conf.getOption("spark.graft.fanout.densityGateThreshold")
       .map(_.toDouble).getOrElse(0.5)
+    // applicationId-keyed: accumulators die with their SparkContext, so a
+    // probing state must never outlive the context that registered it
     val memoKey = condLits.iterator
       .map { case (c, _) => c.key + "\u0000" + c.inputRegex }
-      .mkString("\u0001") + s"|$sampleN|$threshold"
+      .mkString("\u0001") + s"|$sampleN|$threshold|" +
+      spark.sparkContext.applicationId
+    def verdictFrom(hits: IndexedSeq[Long], rows: Long): Set[String] = {
+      val cut = threshold * rows
+      condLits.iterator.zipWithIndex.collect {
+        case ((c, _), i) if hits(i) > cut => c.key
+      }.toSet
+    }
     // probe OUTSIDE the map (a Spark collect inside computeIfAbsent would
     // hold the bin lock for the job's duration, blocking sibling sets)
-    val cached = densityMemo.get(memoKey)
-    if (cached != null) return cached
-    val folded = lower(translate(
-      searchText(includeAltText = true), FoldFrom, FoldTo))
-    val texts = posts.select(folded.as("__t")).limit(sampleN)
-      .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
-    // ONE probe per condition set, ever — including the tiny-sample case.
-    // A sub-256-row sample cannot estimate density, so the verdict is
-    // "demote nothing" and it is MEMOIZED: the probe re-executes the
-    // batch's source plan, and probing every drain of a standing stream
-    // would tax the hot ingest path (and double streaming source metrics)
-    // for a gate whose absence is just the r16 plan (~1x the same-set
-    // crossJoin at the adversarial ceiling — SCALE.md). A set first seen
-    // on a bootstrap-tiny drain therefore keeps the gate off until the
-    // conditions change, the sample conf changes, or the process
-    // restarts; real firehose drains are thousands of rows, so the
-    // bootstrap window is the rare case, and its cost is bounded.
-    val verdict: Set[String] =
-      if (texts.length < 256) Set.empty
-      else {
-        val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
-          lits.map(n => (n, i))
-        }.distinct
-        val ac = org.apache.spark.sql.graft.AhoCorasick
-          .tagged(needleTags, condLits.size)
-        val hits = new Array[Int](condLits.size)
-        texts.foreach(t => ac.matchedTags(t).foreach(i => hits(i) += 1))
-        val cut = threshold * texts.length
-        condLits.iterator.zipWithIndex.collect {
-          case ((c, _), i) if hits(i) > cut => c.key
-        }.toSet
-      }
-    if (densityMemo.size > DensityMemoMax) densityMemo.clear()
-    densityMemo.putIfAbsent(memoKey, verdict) // duplicate-probe races are harmless
-    verdict
+    densityMemo.get(memoKey) match {
+      case GateArmed(demoted) => (demoted, None)
+      case probing: GateProbing =>
+        val rows = probing.probe.rows.value
+        if (rows >= GateMinRows) {
+          // enough rows accumulated across the drains since bootstrap —
+          // arm the gate (racing drains both compute a verdict from the
+          // same monotone counters; last write wins, both sound)
+          val verdict = verdictFrom(
+            probing.probe.hits.value.toIndexedSeq, rows)
+          densityMemo.put(memoKey, GateArmed(verdict))
+          (verdict, None)
+        } else (Set.empty, Some(probing.probe)) // keep counting this drain
+      case null =>
+        val folded = lower(translate(
+          searchText(includeAltText = true), FoldFrom, FoldTo))
+        val texts = posts.select(folded.as("__t")).limit(sampleN)
+          .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0))
+        if (densityMemo.size > DensityMemoMax) densityMemo.clear()
+        if (texts.length >= GateMinRows) {
+          val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
+            lits.map(n => (n, i))
+          }.distinct
+          val ac = org.apache.spark.sql.graft.AhoCorasick
+            .tagged(needleTags, condLits.size)
+          val hits = new Array[Long](condLits.size)
+          texts.foreach(t => ac.matchedTags(t).foreach(i => hits(i) += 1))
+          val verdict = verdictFrom(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(hits),
+            texts.length.toLong)
+          densityMemo.putIfAbsent(memoKey, GateArmed(verdict))
+          (verdict, None)
+        } else {
+          // bootstrap-tiny: arm later from the scan's own counters
+          val probe = org.apache.spark.sql.graft.DensityProbe
+            .register(spark.sparkContext, condLits.size)
+          val prior = densityMemo.putIfAbsent(memoKey, new GateProbing(probe))
+          val shared = prior match {
+            case p: GateProbing => p.probe // a racing drain won: share its counters
+            case _ => probe
+          }
+          (Set.empty, Some(shared))
+        }
+    }
   }
+
 
   /** The INVERTED-INDEX fan-out for a fully screenable condition set:
     * one [[org.apache.spark.sql.graft.MatchedConditionsFolded]] scan per
@@ -756,10 +807,14 @@ object FilterCascade {
     * match regime — the crossJoin form pays |posts| × width even when a
     * post can only ever match a handful of feeds (SCALE.md fanout
     * section: dense width-1000 race 1.1 s vs 9.9 s). Still a superset
-    * funnel: a needle hit only ADMITS a pair to the predicate. */
+    * funnel: a needle hit only ADMITS a pair to the predicate.
+    *
+    * `probe` (bootstrap window only) rides the scan as the density
+    * gate's arming side-output — see [[densityDemoted]]. */
   private def fanOutIndexed(spark: org.apache.spark.sql.SparkSession,
       posts: DataFrame, condLits: Seq[(Condition, Seq[String])],
-      profiles: Option[DataFrame]): DataFrame = {
+      profiles: Option[DataFrame],
+      probe: Option[org.apache.spark.sql.graft.DensityProbe] = None): DataFrame = {
     import spark.implicits._
     val cs = condLits.map(_._1)
     val needleTags = condLits.zipWithIndex.flatMap { case ((_, lits), i) =>
@@ -781,7 +836,7 @@ object FilterCascade {
     val candidates = withProfileText(
       posts.withColumn("__cidx", explode(
         org.apache.spark.sql.graft.MatchedConditionsFolded(
-          folded, needleTags, cs.size)))
+          folded, needleTags, cs.size, probe)))
         .join(broadcast(condIdx), "__cidx"),
       profiles)
     cascadeFinish(candidates)

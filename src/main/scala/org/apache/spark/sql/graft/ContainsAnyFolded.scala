@@ -63,9 +63,19 @@ object ContainsAnyFolded {
   * CANDIDATE conditions: |posts| + |candidate pairs| total work, in
   * every match regime, where the crossJoin form pays |posts| × width
   * ([[graft.operators.FilterCascade.fanOutScreened]]). One automaton
-  * scan per post, exactly like [[ContainsAnyFolded]]. */
+  * scan per post, exactly like [[ContainsAnyFolded]].
+  *
+  * `probe` (optional) is the density gate's arming side-output: while a
+  * condition set is still in its bootstrap window (first sighted on a
+  * drain too small to estimate candidate density), the scan that ALREADY
+  * runs every drain also feeds per-condition document-frequency counters
+  * through the accumulator channel — no extra job, no source
+  * re-execution, and correct across executor JVMs. Task retries and
+  * speculation can re-count rows, but rows and hits inflate together, so
+  * the density RATIO the gate reads stays unbiased. */
 case class MatchedConditionsFolded(child: Expression,
-    needles: Seq[String], tags: Seq[Int], nTags: Int)
+    needles: Seq[String], tags: Seq[Int], nTags: Int,
+    probe: Option[DensityProbe] = None)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(needles.nonEmpty && needles.length == tags.length && nTags > 0,
@@ -80,9 +90,12 @@ case class MatchedConditionsFolded(child: Expression,
   @transient lazy val automaton: AhoCorasick =
     AhoCorasick.tagged(needles.zip(tags), nTags)
 
-  def matched(t: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+  def matched(t: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = automaton.matchedTags(t.toString)
+    probe.foreach(_.record(out))
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(automaton.matchedTags(t.toString))
+      .fromPrimitiveArray(out)
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     matched(input.asInstanceOf[UTF8String])
@@ -98,9 +111,72 @@ case class MatchedConditionsFolded(child: Expression,
 
 object MatchedConditionsFolded {
   def apply(text: Column, needleTags: Seq[(String, Int)], nTags: Int): Column =
+    apply(text, needleTags, nTags, None)
+
+  def apply(text: Column, needleTags: Seq[(String, Int)], nTags: Int,
+      probe: Option[DensityProbe]): Column =
     ExpressionUtils.column(MatchedConditionsFolded(
       ExpressionUtils.expression(text),
-      needleTags.map(_._1), needleTags.map(_._2), nTags))
+      needleTags.map(_._1), needleTags.map(_._2), nTags, probe))
+}
+
+/** The density gate's arming side-output (see
+  * [[graft.operators.FilterCascade.densityDemoted]]): one row counter
+  * plus per-condition hit counters, fed from inside the
+  * [[MatchedConditionsFolded]] scan and read back on the driver through
+  * Spark's accumulator channel. Plain class — expression-tree equality
+  * stays reference-based, which is what a mutable side-channel wants. */
+final class DensityProbe(val rows: org.apache.spark.util.LongAccumulator,
+    val hits: TagHitsAccumulator) extends Serializable {
+  def record(matchedTags: Array[Int]): Unit = {
+    rows.add(1L)
+    if (matchedTags.length > 0) hits.add(matchedTags)
+  }
+}
+
+object DensityProbe {
+  /** Fresh probe registered on `sc` (unnamed: these are transient
+    * bootstrap-window counters, not user-facing metrics). */
+  def register(sc: org.apache.spark.SparkContext, nTags: Int): DensityProbe = {
+    val rows = sc.longAccumulator
+    val hits = new TagHitsAccumulator(nTags)
+    sc.register(hits)
+    new DensityProbe(rows, hits)
+  }
+}
+
+/** Long counters indexed by tag ordinal: `add` takes one row's DISTINCT
+  * matched tags (what [[AhoCorasick.matchedTags]] emits) and bumps each
+  * — so `value(i)` is condition i's document frequency over the scanned
+  * rows. */
+final class TagHitsAccumulator(n: Int)
+    extends org.apache.spark.util.AccumulatorV2[Array[Int], Array[Long]] {
+  private var counts = new Array[Long](n)
+  override def isZero: Boolean = {
+    var i = 0
+    while (i < counts.length) { if (counts(i) != 0L) return false; i += 1 }
+    true
+  }
+  override def copy(): TagHitsAccumulator = {
+    val c = new TagHitsAccumulator(n)
+    System.arraycopy(counts, 0, c.counts, 0, n)
+    c
+  }
+  override def reset(): Unit = counts = new Array[Long](n)
+  override def add(v: Array[Int]): Unit = {
+    var i = 0
+    while (i < v.length) { counts(v(i)) += 1L; i += 1 }
+  }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Array[Int], Array[Long]]): Unit =
+    other match {
+      case o: TagHitsAccumulator =>
+        val ov = o.counts
+        var i = 0
+        while (i < ov.length) { counts(i) += ov(i); i += 1 }
+      case _ => throw new UnsupportedOperationException(
+        s"cannot merge ${other.getClass.getName} into TagHitsAccumulator")
+    }
+  override def value: Array[Long] = counts.clone()
 }
 
 /** Classic Aho–Corasick automaton over chars (goto table as a per-node

@@ -289,9 +289,10 @@ class FilterCascadeSpec extends SparkSpec {
       cond(key = "narrow", inputRegex = "raretok")) // ~1%
     val parsed = cs.map(c =>
       c -> FilterCascade.requiredLiterals(c.inputRegex).get)
-    val demoted = FilterCascade.densityDemoted(spark, posts, parsed)
+    val (demoted, probe0) = FilterCascade.densityDemoted(spark, posts, parsed)
     assert(demoted == Set("broad"),
       s"the universal-literal condition must demote to the crossJoin branch: $demoted")
+    assert(probe0.isEmpty, "a judgeable first drain arms immediately — no probe")
     // the demotion is a pure plan-routing decision: outputs stay identical
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("key", "uri").collect()
@@ -306,6 +307,55 @@ class FilterCascadeSpec extends SparkSpec {
     // set, since verdicts are memoized by condition-set identity
     val parsed2 = Seq(cond(key = "tiny", inputRegex = "common")).map(c =>
       c -> FilterCascade.requiredLiterals(c.inputRegex).get)
-    assert(FilterCascade.densityDemoted(spark, posts.limit(10), parsed2).isEmpty)
+    val (d2, p2) = FilterCascade.densityDemoted(spark, posts.limit(10), parsed2)
+    assert(d2.isEmpty)
+    assert(p2.isDefined, "a bootstrap-tiny drain must hand back arming counters")
+  }
+
+  test("density gate arms out of the bootstrap-tiny window from the scan's own counters") {
+    val s = spark
+    import s.implicits._
+    def drain(n: Int, from: Int = 0) = (from until from + n).map { i =>
+      Fixtures.pv(s"at://arm/$i", s"c$i",
+        if (i % 100 == 1) s"evrywun raretok2 post $i" else s"evrywun post $i",
+        "2024-03-01T10:00:00.000Z")
+    }.toDF()
+    // a UNIQUE condition set (memo is keyed by set identity)
+    val cs = Seq(
+      cond(key = "armbroad", inputRegex = "evrywun"), // universal literal
+      cond(key = "armnarrow", inputRegex = "raretok2"))
+    val parsed = cs.map(c =>
+      c -> FilterCascade.requiredLiterals(c.inputRegex).get)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "uri").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // drain 1: 40 rows — too small to judge; the sample probe must NOT
+    // freeze an unarmed verdict, and the drain itself runs ungated but
+    // feeds the counters through the indexed scan
+    val d1 = drain(40)
+    val out1 = rows(FilterCascade.fanOutScreened(spark, d1, cs, None))
+    assert(out1 == rows(FilterCascade.fanOut(d1,
+      FilterCascade.conditionsDf(spark, cs), None)))
+    val (v1, p1) = FilterCascade.densityDemoted(spark, d1, parsed)
+    assert(v1.isEmpty && p1.isDefined, "still probing after a tiny drain")
+    assert(p1.get.rows.value == 40L,
+      s"drain 1's scan must have fed the counters: ${p1.get.rows.value}")
+    // drain 2: 300 more rows — crosses the 256-row floor
+    val d2 = drain(300, from = 40)
+    val out2 = rows(FilterCascade.fanOutScreened(spark, d2, cs, None))
+    assert(out2 == rows(FilterCascade.fanOut(d2,
+      FilterCascade.conditionsDf(spark, cs), None)))
+    // drain 3: the gate must now be ARMED with the universal literal
+    // demoted — computed from the accumulated scan counters, with no
+    // extra probe job
+    val d3 = drain(10, from = 340)
+    val (v3, p3) = FilterCascade.densityDemoted(spark, d3, parsed)
+    assert(v3 == Set("armbroad"),
+      s"gate must arm once cumulative rows cross the floor: $v3")
+    assert(p3.isEmpty, "armed verdicts carry no probe")
+    // and row-equivalence holds through the armed (demoted) routing too
+    val out3 = rows(FilterCascade.fanOutScreened(spark, d3, cs, None))
+    assert(out3 == rows(FilterCascade.fanOut(d3,
+      FilterCascade.conditionsDf(spark, cs), None)))
   }
 }
