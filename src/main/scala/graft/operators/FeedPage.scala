@@ -66,8 +66,16 @@ object FeedPage {
       .select(col("uri"), col("__ts_us"), col("cid")).collect()
     def ts(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
+    // cid ties break by UTF-8 BYTE order (UTF8String.compareTo), the
+    // same comparator the Spark-side top-k sort and the keyset-cursor
+    // predicate use — Java's String '>' (UTF-16 code units) disagrees
+    // with it when U+E000–U+FFFF chars mix with supplementary code
+    // points, which would emit a cursor inconsistent with the filter
+    def cidGt(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.getString(2))
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(2))) > 0
     val sorted = rows.sortWith { (a, b) =>
-      ts(a) > ts(b) || (ts(a) == ts(b) && a.getString(2) > b.getString(2))
+      ts(a) > ts(b) || (ts(a) == ts(b) && cidGt(a, b))
     }
     val firstPage = cursor.isEmpty
     val startAt = if (firstPage) c.pinnedPost.size.toLong else 0L

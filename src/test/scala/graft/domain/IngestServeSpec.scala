@@ -236,6 +236,40 @@ class IngestServeSpec extends SparkSpec {
       ((Nil, None)))
   }
 
+  test("pageCollected cid tie-break matches Spark's UTF-8 byte order on non-ASCII cids") {
+    val s = spark
+    import s.implicits._
+    // same ts; cids where UTF-16 and UTF-8 orders DISAGREE: U+F000
+    // (private use, 3 UTF-8 bytes EF.. but UTF-16 unit 0xF000) vs
+    // U+1F9F6 (supplementary, 4 bytes F0.., UTF-16 lead 0xD83E).
+    // Java String '>' puts U+F000 first under DESC; UTF8String (and the
+    // Spark-side sort + keyset predicate) puts U+1F9F6 first.
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:00:00Z"))
+    val stored = Seq(
+      ("f1", "at://u/bmp", "a", t),
+      ("f1", "at://u/supp", "🧶a", t),
+      ("f1", "at://u/plain", "aa", t))
+      .toDF("key", "uri", "cid", "indexedAt")
+    val c = cond(key = "f1")
+    // full-walk parity with the DataFrame path at page size 1: any
+    // comparator divergence reorders rows or derails the cursor chain
+    var cur: Option[String] = None
+    val seen = Seq.newBuilder[String]
+    for (_ <- 0 until 3) {
+      val (dfPage, nA) = FeedPage.pageWithCursor(spark, stored, c, 1, cur)
+      val a = dfPage.orderBy(col("ord")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b, nB) = FeedPage.pageCollected(spark, stored, c, 1, cur)
+      assert(a == b, s"rows diverge at cursor $cur: df=$a collected=$b")
+      assert(nA == nB, s"cursor diverges at $cur: $nA vs $nB")
+      seen ++= b.map(_._2)
+      cur = nA
+    }
+    // DESC UTF-8 byte order: supplementary > private-use BMP > ascii
+    assert(seen.result() == Seq("at://u/supp", "at://u/bmp", "at://u/plain"),
+      s"walk order drifted: ${seen.result()}")
+  }
+
   test("retention compact keeps each feed's newest limitCount rows") {
     val s = spark
     import s.implicits._
