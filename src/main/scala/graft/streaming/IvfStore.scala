@@ -199,6 +199,20 @@ object IvfStore {
   def codes(spark: SparkSession, storeDir: String): DataFrame =
     codesAt(spark, VersionedStore.versionDir(storeDir))
 
+  /** DISTINCT vec_ids in the CURRENT version (committed partitions
+    * only) — one column-pruned scan, no code bytes read. This is the
+    * straddle-replay IDENTITY check ([[SemanticDedupStream
+    * .ingestDeduped]]): rows a refit already consolidated must be
+    * recognized by id, never by the near-dup screen (which would also
+    * drop uncommitted survivors near their committed batch-mates — the
+    * r16 loss window). Cell pruning is deliberately NOT applied: the
+    * refit assigns cells from SQ8-decoded vectors while the replay
+    * re-assigns from full-precision ones, and a near-tied vector can
+    * land one cell over — an id-presence check must not miss it. */
+  def presentIds(spark: SparkSession, storeDir: String): DataFrame =
+    rawCodesAt(spark, VersionedStore.versionDir(storeDir))
+      .select("vec_id").distinct()
+
   /** Land a streamed micro-batch of assigned codes — the output shape of
     * [[AnnIngest.assignCells]] plus the id column — in the CURRENT
     * version. Serialized with publish/refit by the store lock, so an
@@ -216,8 +230,11 @@ object IvfStore {
     * at 0 — gets a fresh query id and therefore a fresh idempotence
     * scope instead of silently overwriting an earlier incarnation's
     * batches. A replay that straddles a [[refit]] is the one window this
-    * cannot cover (its first attempt was consolidated under `__b=fit`);
-    * refit's vec_id dedup restores the invariant at the next swap.
+    * protocol alone cannot cover (its first attempt was consolidated
+    * under `__b=fit`); refit's vec_id dedup restores the invariant at
+    * the next swap for RAW callers, and [[SemanticDedupStream
+    * .ingestDeduped]] closes it up front with an identity anti-join
+    * against [[presentIds]].
     *
     * Write protocol: the batch lands under `__b=<writer>-<epoch>.tmp`
     * partitions — INVISIBLE to readers (the `.tmp` partition filter in

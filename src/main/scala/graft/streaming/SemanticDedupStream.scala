@@ -101,10 +101,14 @@ object SemanticDedupStream {
     *     refit landed since staging the survivor VERDICT still stands
     *     (same corpus re-clustered; ids stable) and only the cell
     *     assignments recompute — the staged ids semi-join back to the
-    *     batch's vectors and re-assign under the new model, then
-    *     restage. That keeps zero-loss even for a refit landing between
+    *     batch's vectors, re-assign under the new model, drop the ids
+    *     the refit already CONSOLIDATED (identity anti-join against
+    *     [[IvfStore.presentIds]] — never the near-dup screen, which
+    *     would re-open the r16 loss window), then restage. That keeps
+    *     zero-loss AND zero-duplicates even for a refit landing between
     *     a mid-commit crash and the redelivery (re-screening there was
-    *     the loss window). A PUBLISH (new corpus, no lineage) instead
+    *     the loss window; re-landing consolidated rows was the r17
+    *     duplicate window). A PUBLISH (new corpus, no lineage) instead
     *     forces a full re-screen: the new snapshot's rows matter for
     *     the verdicts, so a stale verdict must not replay;
     *   - existence: no marker (crash before it) → full re-screen, store
@@ -195,8 +199,22 @@ object SemanticDedupStream {
           val ids = spark.read.parquet(dataDirFor(f(0)).toString).select(col(idCol))
           val survivors = batch.join(ids, Seq(idCol), "semi")
             .dropDuplicates(idCol)
-          val re = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
+          val re0 = AnnIngest.assignCells(survivors, vecCol, m.mn, m.mx, m.centroids)
             .select(col(idCol), col("__q"), col("cell"))
+          // survivors whose cells COMMITTED before the crash were
+          // consolidated by the refit (__b=fit in the new version) —
+          // re-landing them in this epoch's partition would duplicate
+          // their vec_ids until the next refit (the r17 residual). Drop
+          // them by IDENTITY against the post-refit store; the near-dup
+          // screen is the wrong tool here (it would also drop the
+          // UNCOMMITTED survivors as near-dups of their committed
+          // batch-mates — the r16 loss window this branch exists to
+          // avoid). Uncommitted survivors are absent from the store, so
+          // they pass the anti-join and re-ingest: zero loss AND zero
+          // duplicates across the straddle.
+          val present = IvfStore.presentIds(spark, storeDir)
+          val re = re0.join(present,
+            re0(idCol).cast("long") === present("vec_id"), "left_anti")
             .localCheckpoint()
           writeStage(re, mv)
           re

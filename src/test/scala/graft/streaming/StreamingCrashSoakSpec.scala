@@ -292,12 +292,12 @@ class StreamingCrashSoakSpec extends SparkSpec {
           // version no longer matches, but the survivor id set stands —
           // the replay re-assigns the staged ids under the new model
           // (re-screening here was the r16 loss window: committed
-          // batch-mates would screen out the uncommitted survivors).
-          // Residual: rows whose cells committed before the crash were
-          // consolidated by the refit (__b=fit) and the replay re-lands
-          // them in its own epoch partition — the documented
-          // replay-straddles-refit duplicate window, healed by the next
-          // refit's vec_id dedup. Zero LOSS is the invariant under test.
+          // batch-mates would screen out the uncommitted survivors) and
+          // drops the ids the refit already consolidated (identity
+          // anti-join against presentIds — re-landing them was the r17
+          // duplicate window, closed in r18). Zero LOSS and zero
+          // DUPLICATES, with NO healing refit: the epoch-end n==u check
+          // below sees the store exactly as the redelivery left it.
           injectKill(store, b,
             commit = tmps => tmps.filter(_ => rng.nextBoolean()),
             drop = _ => Seq.empty)
@@ -306,9 +306,10 @@ class StreamingCrashSoakSpec extends SparkSpec {
           assert(ids(store) == after1,
             s"epoch $epoch: refit-straddling redelivery lost rows: " +
               s"missing=${after1 -- ids(store)}")
-          // heal the straddle duplicates before the epoch-end n==u check
-          IvfStore.refit(spark, store, nCells = 4, iters = 1)
-          assert(ids(store) == after1, "healing refit changed the id set")
+          val (nS, uS) = storeState(store)
+          assert(nS == uS,
+            s"epoch $epoch: straddling redelivery re-landed consolidated " +
+              s"rows: n=$nS uniq=$uS")
         case 0 => // clean epoch + a spurious redelivery: the STAGED
           // verdict replays the identical survivor set through the
           // idempotent per-epoch ingest — same count, store unchanged
