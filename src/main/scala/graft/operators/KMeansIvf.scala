@@ -422,4 +422,52 @@ object KMeansIvf {
           "queries are corpus-drawn by id here; use searchVectors for " +
           "external query vectors")
   }
+
+  /** RECALL-TARGETED nProbe auto-calibration for the SQ8 IVF family:
+    * runs the ns63-shaped recall@k evaluation at every nProbe in
+    * 1..maxProbe over a QUERY SAMPLE against brute-force truth, and
+    * reports the smallest nProbe whose sampled mean recall meets
+    * `target` — the knob ns62/ns68 took as manual input. Output: one row
+    * per probed setting `(n_probe, mean_recall, chosen)`, ascending;
+    * exactly one row is chosen (maxProbe when no setting reaches the
+    * target, so the caller still gets the best available).
+    *
+    * Cost model: ONE brute-force truth pass over (sample × corpus) —
+    * the price every recall harness pays, bounded by the sample size —
+    * plus maxProbe cell-pruned searches that all reuse the cached fit
+    * and pinned cells frame (the searches differ only in the broadcast
+    * query fan-out). Driver-side state: maxProbe hit counters. mean
+    * recall is a single double division of exact integer counts, so the
+    * DuckDB oracle reproduces it bit-for-bit. */
+  def calibrateNProbeSq8(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, iters: Int,
+      maxProbe: Int, target: Double,
+      boundsCacheKey: Option[String] = None,
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= nCells,
+      s"maxProbe must be in 1..nCells, got $maxProbe (nCells=$nCells)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("q_id"), col("cand_id"))
+      .localCheckpoint() // truth is reused by all maxProbe evaluations
+    val nq = brute.select("q_id").distinct().count()
+    val evaluated = (1 to maxProbe).map { p =>
+      val ivf = searchSq8MultiProbe(queries, candidates, idCol, vecCol,
+        k, nCells, nProbe = p, iters = iters,
+        boundsCacheKey = boundsCacheKey, cacheKey = cacheKey,
+        corpusKey = corpusKey)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      // one tiny agg per setting: total truth neighbors retrieved
+      val hits = brute.join(ivf, Seq("q_id", "cand_id"), "left")
+        .agg(coalesce(sum(col("__hit")), lit(0L)))
+        .collect()(0).getLong(0)
+      (p.toLong, hits.toDouble / (k * nq))
+    }
+    val chosen = evaluated.find(_._2 >= target).map(_._1)
+      .getOrElse(maxProbe.toLong)
+    evaluated.map { case (p, r) => (p, r, p == chosen) }
+      .toDF("n_probe", "mean_recall", "chosen")
+  }
 }

@@ -890,7 +890,67 @@ object SimilarityQueries extends QueryModule {
     headline = true,
   )
 
+  /** Recall-targeted nProbe AUTO-CALIBRATION (r18): the multi-probe
+    * entries (ns62/ns68) take nProbe as a manual knob; this harness picks
+    * it — the ns63 recall evaluation run at every nProbe in 1..maxProbe
+    * over the query sample, choosing the smallest setting whose sampled
+    * mean recall@5 meets the target (maxProbe when none does). The mean
+    * is one double division of exact integer counts, so the oracle
+    * replays the whole adaptive decision bit-for-bit: per-p top-k from a
+    * probe-rank join, hit counts against brute truth, the same
+    * threshold pick. */
+  private val ns74 = QueryEntry(
+    "ns74_ann_probe_calibration",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.KMeansIvf.calibrateNProbeSq8(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+          maxProbe = 4, target = 0.95,
+          boundsCacheKey = Some(s"sq8bounds:$dir:embedding:64"),
+          cacheKey = Some(s"kmeanssq8:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings:sq8"))
+        .orderBy(col("n_probe"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |${sq8Sql("qn")},
+         |${kmeansChainSql(8, 2, "qn")},
+         |probes AS (SELECT unnest(range(1, 5)) AS p),
+         |qp AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad),
+         |scored AS (
+         |  SELECT pr.p, q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(list_zip(q.fe, c.fe), z -> z[1] * z[2])) AS BIGINT) AS qsim
+         |  FROM qn q
+         |  JOIN qp ON qp.vec_id = q.vec_id AND q.vec_id < 5
+         |  JOIN probes pr ON qp.rn <= pr.p
+         |  JOIN af ca ON ca.cluster = qp.cluster
+         |  JOIN qn c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id),
+         |ivfk AS (SELECT p, q_id, cand_id FROM (
+         |  SELECT p, q_id, cand_id,
+         |    row_number() OVER (PARTITION BY p, q_id ORDER BY qsim DESC, cand_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         |brute5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT pr.p,
+         |    CAST(sum(CASE WHEN iv.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM probes pr CROSS JOIN brute5 br
+         |  LEFT JOIN ivfk iv ON iv.p = pr.p AND iv.q_id = br.q_id AND iv.cand_id = br.cand_id
+         |  GROUP BY pr.p),
+         |rec AS (SELECT p,
+         |    CAST(s AS DOUBLE) / (5 * (SELECT count(DISTINCT q_id) FROM brute5)) AS mean_recall
+         |  FROM hits),
+         |sel AS (SELECT COALESCE(MIN(CASE WHEN mean_recall >= 0.95 THEN p END), 4) AS cp FROM rec)
+         |SELECT CAST(p AS BIGINT) AS n_probe, mean_recall,
+         |  p = (SELECT cp FROM sel) AS chosen
+         |FROM rec ORDER BY n_probe""".stripMargin),
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62,
-      ns63, ns65, ns66, ns67, ns68, ns69, ns70)
+      ns63, ns65, ns66, ns67, ns68, ns69, ns70, ns74)
 }
