@@ -59,9 +59,19 @@ object ServeSmoke {
       .take(6).foreach(l => println("[serve]   " + l.trim.take(200)))
 
     val pub = "did:plc:pub"
+    // 5th arg "cache": serve through the per-feed head-block cache (the
+    // r18 planning-floor answer) — the smoke store is immutable, so a
+    // static version pins every head for the run; production wires the
+    // versioned store's pointer instead
+    val headCache =
+      if (args.lift(4).contains("cache"))
+        Some(new graft.serving.FeedHeadCache(spark, () => store,
+          () => Some("smoke-static"), headSize = 400))
+      else None
+    println(s"[serve] head cache: ${if (headCache.isDefined) "ON (headSize=400)" else "off"}")
     val server = new FeedServer(spark, () => store, () => cs,
       FeedServer.Config(serviceDid = "did:web:localhost", hostname = "localhost",
-        publisherDid = pub))
+        publisherDid = pub), None, headCache)
     val port = server.start()
     val client = HttpClient.newHttpClient()
     val cursorRe = java.util.regex.Pattern.compile("\"cursor\"\\s*:\\s*\"([^\"]+)\"")
@@ -135,6 +145,10 @@ object ServeSmoke {
     pool.shutdown()
     println(f"[serve] concurrency $conc: $total%d requests in $wallC%.1f s = " +
       f"${total / wallC}%.1f req/s")
+    headCache.foreach { hc =>
+      val (hits, builds, fallbacks) = hc.stats
+      println(s"[serve] head cache stats: hits=$hits builds=$builds fallbacks=$fallbacks")
+    }
     server.stop()
     spark.stop()
   }

@@ -62,33 +62,55 @@ object FeedPage {
       limit: Int, cursor: Option[String], requesterDid: Option[String] = None)
       : (Seq[(Long, String)], Option[String]) = {
     if (!allowed(c, requesterDid)) return (Nil, None)
+    assembleCollected(c, firstPage = cursor.isEmpty,
+      collectSorted(store, c, limit, cursor))
+  }
+
+  /** cid comparator shared by the driver-side sorts and the head cache's
+    * keyset slice: UTF-8 BYTE order (UTF8String.compareTo), the same
+    * comparator the Spark-side top-k sort and the keyset-cursor
+    * predicate use — Java's String '>' (UTF-16 code units) disagrees
+    * with it when U+E000–U+FFFF chars mix with supplementary code
+    * points, which would emit a cursor inconsistent with the filter. */
+  private[graft] def cidUtf8Gt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
+
+  /** The collected, driver-sorted (uri, tsUs, cid) rows of one page
+    * query — ≤ limit rows, (ts DESC nulls-last, cid DESC UTF-8) order.
+    * Shared by [[pageCollected]] (per request) and
+    * [[graft.serving.FeedHeadCache]] (once per feed per store version,
+    * with `limit` = the head size). */
+  private[graft] def collectSorted(store: DataFrame, c: Condition, limit: Int,
+      cursor: Option[String]): Vector[(String, Option[Long], String)] = {
     val rows = pageRows(store, c, limit, cursor)
       .select(col("uri"), col("__ts_us"), col("cid")).collect()
     def ts(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
-    // cid ties break by UTF-8 BYTE order (UTF8String.compareTo), the
-    // same comparator the Spark-side top-k sort and the keyset-cursor
-    // predicate use — Java's String '>' (UTF-16 code units) disagrees
-    // with it when U+E000–U+FFFF chars mix with supplementary code
-    // points, which would emit a cursor inconsistent with the filter
-    def cidGt(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Boolean =
-      org.apache.spark.unsafe.types.UTF8String.fromString(a.getString(2))
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(2))) > 0
-    val sorted = rows.sortWith { (a, b) =>
-      ts(a) > ts(b) || (ts(a) == ts(b) && cidGt(a, b))
-    }
-    val firstPage = cursor.isEmpty
+    rows.sortWith { (a, b) =>
+      ts(a) > ts(b) || (ts(a) == ts(b) && cidUtf8Gt(a.getString(2), b.getString(2)))
+    }.iterator.map { r =>
+      (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))
+    }.toVector
+  }
+
+  /** Driver-side page assembly — pinned prepend, ordinals, cursor emit —
+    * over rows already capped and sorted ([[collectSorted]] order).
+    * Null-ts rows sort last and never produce a cursor (the
+    * encodeCursor contract). */
+  private[graft] def assembleCollected(c: Condition, firstPage: Boolean,
+      sorted: Seq[(String, Option[Long], String)])
+      : (Seq[(Long, String)], Option[String]) = {
     val startAt = if (firstPage) c.pinnedPost.size.toLong else 0L
     val pinned =
       if (firstPage) c.pinnedPost.zipWithIndex.map { case (u, i) => (i.toLong, u) }
       else Nil
-    val paged = sorted.zipWithIndex.map { case (r, i) =>
-      (startAt + i, r.getString(0))
+    val paged = sorted.zipWithIndex.map { case ((uri, _, _), i) =>
+      (startAt + i, uri)
     }
-    // null ts rows sort last either way (desc = nulls-last) and never
-    // produce a cursor — the encodeCursor contract
-    val next = sorted.lastOption.filter(r => !r.isNullAt(1)).map(r =>
-      s"${r.getLong(1)}${Paging.CursorSep}${r.getString(2)}")
+    val next = sorted.lastOption.collect { case (_, Some(t), cid) =>
+      s"$t${Paging.CursorSep}$cid"
+    }
     (pinned ++ paged, next)
   }
 

@@ -57,7 +57,8 @@ import java.nio.charset.StandardCharsets
   */
 final class FeedServer(spark: SparkSession, store: () => DataFrame,
     conditions: () => Seq[Condition], cfg: FeedServer.Config,
-    admin: Option[FeedServer.Admin] = None) {
+    admin: Option[FeedServer.Admin] = None,
+    headCache: Option[FeedHeadCache] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -163,9 +164,13 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
       else None
 
     // ONE Spark action per request (rows + cursor from one collect) —
-    // the two-action pageWithCursor path measured ~2× the request wall
-    val (page, nextCursor) = FeedPage.pageCollected(
-      spark, store(), c, limit, cursor, requesterDid)
+    // the two-action pageWithCursor path measured ~2× the request wall.
+    // With a head cache wired in, in-head pages take ZERO Spark actions
+    // (the per-request Catalyst planning floor was the residual cost)
+    val (page, nextCursor) = headCache match {
+      case Some(hc) => hc.page(c, limit, cursor, requesterDid)
+      case None => FeedPage.pageCollected(spark, store(), c, limit, cursor, requesterDid)
+    }
     val body = mapper.createObjectNode()
     nextCursor.foreach(body.put("cursor", _))
     val feed = body.putArray("feed")
