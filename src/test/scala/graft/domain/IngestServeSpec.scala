@@ -355,6 +355,81 @@ class IngestServeSpec extends SparkSpec {
     assert(seen == full)
   }
 
+  test("cursor walk interleaved with compaction pointer flips: zero dup, zero loss (snapshot isolation)") {
+    // retentionCompactLocked rewrites the whole store and flips the
+    // version pointer WHILE FeedServer pages concurrently from the same
+    // store. Isolation mechanism under test: every page request resolves
+    // the pointer once and reads ONE immutable version dir; superseded
+    // versions survive a GraceVersions window for in-flight readers; the
+    // keyset cursor is position-based (ts, cid), so a pointer flip
+    // between pages can never re-serve rows above the cursor (no dups)
+    // nor skip surviving rows below it (no loss).
+    val s = spark
+    import s.implicits._
+    val store = tmpDir("graft-race")
+    def post(i: Int) = graft.model.Post(s"at://r/$i", "f1", f"c$i%03d",
+      None, None, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(i * 60L)))
+    val all = (1 to 24).map(post) // newest = r/24, oldest = r/1
+    all.toDF().write.mode("overwrite").partitionBy("key").parquet(store)
+    val noCap = Seq(cond(key = "f1", limitCount = 100000))
+    val c = noCap.head
+
+    // phase 1: pure-rewrite compaction (cap keeps everything) AFTER EVERY
+    // page — six pointer flips inside one cursor walk
+    var cur: Option[String] = None
+    val seen = Seq.newBuilder[String]
+    for (_ <- 0 until 6) {
+      val (rows, next) = FeedPage.pageCollected(
+        spark, Ingest.readStore(spark, store), c, 4, cur)
+      seen ++= rows.map(_._2)
+      cur = next
+      Ingest.retentionCompact(spark, store, noCap) // rewrite + pointer flip
+    }
+    assert(seen.result() == (24 to 1 by -1).map(i => s"at://r/$i"),
+      s"walk across 6 compactions lost or duplicated rows: ${seen.result()}")
+
+    // phase 2: a RETENTION compaction (cap 12) lands after page 1 of a
+    // fresh walk, plus an APPEND of a newer row mid-walk. Keyset
+    // contract: no duplicates ever; the walk sees exactly the newest 12
+    // (deleted tail rows rank below the final cursor; the appended row
+    // ranks ABOVE the cursor so it is next-first-page material, never a
+    // mid-walk dup)
+    val cap12 = Seq(cond(key = "f1", limitCount = 12))
+    var cur2: Option[String] = None
+    val seen2 = Seq.newBuilder[String]
+    def page2(): Boolean = {
+      val (rows, next) = FeedPage.pageCollected(
+        spark, Ingest.readStore(spark, store), cap12.head, 4, cur2)
+      seen2 ++= rows.map(_._2)
+      cur2 = next
+      rows.nonEmpty && next.isDefined
+    }
+    page2() // rows 24..21 from the full store
+    Ingest.retentionCompact(spark, store, cap12) // keep newest 12 (24..13)
+    page2() // rows 20..17
+    Seq(post(99)).toDF().write.mode("append").partitionBy("key")
+      .parquet(graft.streaming.VersionedStore.versionDir(store)) // newer row lands mid-walk
+    var pages = 2
+    while (page2() && pages < 10) pages += 1
+    val walked = seen2.result()
+    assert(walked == (24 to 13 by -1).map(i => s"at://r/$i"),
+      s"retention mid-walk broke the keyset contract: $walked")
+    assert(walked.distinct == walked, "a pointer flip re-served rows")
+    // the appended row is first-page material for the NEXT walk
+    val (fresh, _) = FeedPage.pageCollected(
+      spark, Ingest.readStore(spark, store), cap12.head, 1, None)
+    assert(fresh.map(_._2) == Seq("at://r/99"))
+
+    // phase 3: the grace window — a reader that resolved the pointer
+    // BEFORE a compaction still collects its snapshot afterwards
+    val snapshot = Ingest.readStore(spark, store)
+    val before = snapshot.count()
+    Ingest.retentionCompact(spark, store, cap12)
+    assert(snapshot.count() == before,
+      "an in-flight snapshot must survive the swap (GraceVersions window)")
+  }
+
   test("condition normalization: string-bools, defaults, splits (B3)") {
     val raw = ConditionRaw("k1", "my-feed", "q", "spark", Some(""), None,
       Some(""), Some("true"), Some("false"), Some("imageOnly"), None,
