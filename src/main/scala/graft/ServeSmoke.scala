@@ -148,6 +148,14 @@ object ServeSmoke {
     headCache.foreach { hc =>
       val (hits, builds, fallbacks) = hc.stats
       println(s"[serve] head cache stats: hits=$hits builds=$builds fallbacks=$fallbacks")
+      // in-process hit latency (no HTTP): isolates the cache's own cost
+      // from the network stack's
+      val c0 = cs(1)
+      hc.page(c0, 30, None)
+      val tIn = System.nanoTime()
+      var i = 0
+      while (i < 1000) { hc.page(c0, 30, None); i += 1 }
+      println(f"[serve] in-process head-hit: ${(System.nanoTime() - tIn) / 1e6 / 1000}%.3f ms/page")
     }
     server.stop()
     spark.stop()

@@ -64,6 +64,19 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
+    // TCP_NODELAY on the server's sockets: the JDK HttpServer writes
+    // headers and body as separate segments, and with Nagle on (the
+    // default) the body write stalls behind the peer's delayed ACK —
+    // a flat ~40 ms added to EVERY response, which dwarfed the actual
+    // page cost once the head cache removed the per-request Spark
+    // action (ServeSmoke at width: p50 112 ms → 70.7 with this flag →
+    // 4.8 with flag + head cache; the in-process head hit is ~4 µs).
+    // ServerConfig reads the property once in a
+    // static initializer, so set it before the first create(); if
+    // another HttpServer loaded the class earlier this is a no-op and
+    // the deployment must pass -Dsun.net.httpserver.nodelay=true.
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/xrpc/app.bsky.feed.getFeedSkeleton", exchange =>
       handle(exchange)(getFeedSkeleton))
