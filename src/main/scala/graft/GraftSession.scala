@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(threads: Int = 32, shufflePartitions: Int = 32): SparkSession = {
-    val b = SparkSession
+    // every main honors SPARK_GRAFT_MASTER (e.g. local-cluster[4,8,4096]
+    // for multi-executor sittings) — the smokes used to pin local[n] and
+    // needed their own plumbing for the multi-JVM proofs
+    val b0 = SparkSession
       .builder()
-      .master(s"local[$threads]")
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -23,7 +25,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.driver.host", "127.0.0.1")
-    b.getOrCreate()
+    withMaster(b0, s"local[$threads]").getOrCreate()
   }
 
   /** Resolve the harness master and apply the executor-side config a
