@@ -434,11 +434,17 @@ object KMeansIvf {
     *
     * Cost model: ONE brute-force truth pass over (sample × corpus) —
     * the price every recall harness pays, bounded by the sample size —
-    * plus maxProbe cell-pruned searches that all reuse the cached fit
-    * and pinned cells frame (the searches differ only in the broadcast
-    * query fan-out). Driver-side state: maxProbe hit counters. mean
-    * recall is a single double division of exact integer counts, so the
-    * DuckDB oracle reproduces it bit-for-bit. */
+    * plus ONE cell-pruned evaluation pipeline covering ALL maxProbe
+    * settings at once: each (query, candidate) pair is tagged with the
+    * probe rank that first admits it (a candidate's unique cell matches
+    * at most one of the query's ranked cells), exploded into every
+    * setting ≥ that rank, and ranked per (setting, query) in one window
+    * — the looped form paid maxProbe full search+join jobs for the same
+    * numbers (A/B at sf0.1: 1.60 s → one-pass form, same hash-green
+    * oracle row, which replays exactly this probe-rank shape).
+    * Driver-side state: maxProbe hit counters. mean recall is a single
+    * double division of exact integer counts, so the DuckDB oracle
+    * reproduces it bit-for-bit. */
   def calibrateNProbeSq8(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int, iters: Int,
       maxProbe: Int, target: Double,
@@ -449,21 +455,46 @@ object KMeansIvf {
       s"maxProbe must be in 1..nCells, got $maxProbe (nCells=$nCells)")
     val spark = queries.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{DotCodes, NearestCellsCodes}
     val brute = Similarity.bruteForceTopK(queries, candidates, idCol, vecCol, k)
       .select(col("q_id"), col("cand_id"))
-      .localCheckpoint() // truth is reused by all maxProbe evaluations
+      .localCheckpoint() // truth is reused by every setting's hit count
     val nq = brute.select("q_id").distinct().count()
+    val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
+    val (assignments, centroids) =
+      fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
+    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
+    // queries with their maxProbe-ranked cells; posexplode position =
+    // probe rank − 1 (the same (distance, cell) order the assignment
+    // and searchSq8MultiProbe use)
+    val qs = broadcast(cands.drop("cluster")
+      .join(queries.select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("__id"), col("__q"),
+        posexplode(NearestCellsCodes(col("__q"), centroids, maxProbe))))
+      .withColumnRenamed("pos", "__prank0")
+      .withColumnRenamed("col", "cluster")
+    val cs = cands.withColumnRenamed(idCol, "__cid")
+    // each pair joins through the candidate's UNIQUE cell, so it carries
+    // exactly one first-admitting probe rank — explode it into every
+    // setting from that rank up, then one ranking window per (setting,
+    // query) yields all maxProbe top-k lists in a single pipeline
+    val perP = qs.as("q").join(cs.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.__id") =!= col("c.__cid"))
+      .select(col("q.__id").as("q_id"), col("c.__cid").as("cand_id"),
+        DotCodes(col("q.__q"), col("c.__q")).as("qsim"),
+        (col("q.__prank0") + 1).as("__minp"))
+      .withColumn("p", explode(sequence(col("__minp"), lit(maxProbe))))
+    val w = Window.partitionBy(col("p"), col("q_id"))
+      .orderBy(col("qsim").desc, col("cand_id"))
+    val topk = perP.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select(col("p"), col("q_id"), col("cand_id"))
+    val hitRows = brute.join(topk, Seq("q_id", "cand_id"))
+      .groupBy(col("p")).agg(count(lit(1)).as("s"))
+      .collect().map(r => r.getAs[Any]("p").toString.toLong -> r.getLong(1)).toMap
     val evaluated = (1 to maxProbe).map { p =>
-      val ivf = searchSq8MultiProbe(queries, candidates, idCol, vecCol,
-        k, nCells, nProbe = p, iters = iters,
-        boundsCacheKey = boundsCacheKey, cacheKey = cacheKey,
-        corpusKey = corpusKey)
-        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
-      // one tiny agg per setting: total truth neighbors retrieved
-      val hits = brute.join(ivf, Seq("q_id", "cand_id"), "left")
-        .agg(coalesce(sum(col("__hit")), lit(0L)))
-        .collect()(0).getLong(0)
-      (p.toLong, hits.toDouble / (k * nq))
+      (p.toLong, hitRows.getOrElse(p.toLong, 0L).toDouble / (k * nq))
     }
     val chosen = evaluated.find(_._2 >= target).map(_._1)
       .getOrElse(maxProbe.toLong)
