@@ -145,12 +145,28 @@ final class DurablePipeline(
   val control = new graft.model.ControlPlane(conditions)
   metrics.attach(control) // getQuery reports each cycle's metrics
 
+  /** Serving head cache (see [[graft.serving.FeedHeadCache]]): in-head
+    * pages take zero Spark actions. The version token is the versioned
+    * store's pointer PLUS the metrics cycle counter — appends land in
+    * the current version dir without flipping the pointer, so the
+    * counter (bumped once per recorded micro-batch) is what invalidates
+    * heads after a drain; compaction and admin deletes flip the pointer
+    * itself. Feeds with no traffic never rebuild. */
+  val headCache = new graft.serving.FeedHeadCache(spark,
+    () => Ingest.readStore(spark, storeDir.toString),
+    // "_root" = the never-swapped fresh store (appends land at the root
+    // until the first compaction creates a version)
+    () => Some(graft.streaming.VersionedStore
+      .currentVersion(new org.apache.hadoop.fs.Path(storeDir.toString))
+      .getOrElse("_root") + ":" + metrics.cycles.get))
+
   val server: FeedServer =
     new FeedServer(spark, () => Ingest.readStore(spark, storeDir.toString),
       () => control.conditions, cfg,
       admin = Some(FeedServer.Admin(control,
         deletePosts = key => Ingest.deleteKey(spark, storeDir.toString, key),
-        passkey = adminPasskey)))
+        passkey = adminPasskey)),
+      headCache = Some(headCache))
 
   @volatile private var queryOpt: Option[StreamingQuery] = None
   def query: StreamingQuery = queryOpt.getOrElse(

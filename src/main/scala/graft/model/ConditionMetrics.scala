@@ -22,6 +22,13 @@ final class ConditionMetrics {
 
   private val m = TrieMap.empty[String, FeedMetrics]
 
+  /** Monotone completed-cycle counter — one bump per recorded
+    * micro-batch. The serving head cache folds it into its version
+    * token so a drained batch invalidates cached feed heads without a
+    * store-pointer flip (appends don't flip the pointer; only
+    * compaction/delete swaps do). */
+  val cycles = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Record one completed cycle: every condition gets the cycle wall time
     * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
     * accumulate by the new rows captured for that feed and clamp to the
@@ -34,6 +41,7 @@ final class ConditionMetrics {
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
       m.put(c.key, FeedMetrics(s"${execMs}ms", total))
     }
+    cycles.incrementAndGet()
     attached.foreach(publishTo)
   }
 

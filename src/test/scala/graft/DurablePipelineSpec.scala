@@ -55,6 +55,18 @@ class DurablePipelineSpec extends SparkSpec {
     try {
       val port = p2.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
       assert(p2.storedRows == 6L, "restart must see the phase-1 store immediately")
+      // serve BEFORE the drain: this populates the head cache with the
+      // 6-row snapshot — the post-drain request below then proves a
+      // recorded micro-batch invalidates cached heads (the pointer does
+      // not flip on appends; the metrics cycle counter is the token)
+      val feedUri = java.net.URLEncoder.encode(
+        s"at://${cfg.publisherDid}/app.bsky.feed.generator/dur1", "UTF-8")
+      val early = http.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/xrpc/app.bsky.feed.getFeedSkeleton?feed=$feedUri&limit=50"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(early.statusCode() == 200)
+      assert(mapper.readTree(early.body()).get("feed").size() == 6, early.body())
+      assert(p2.headCache.stats._2 >= 1, "the early page must have built a head")
       assert(p2.client.awaitStopped(120000), "phase-2 subscription did not finish")
       assert(stub2.connections.head.contains(4L), "redial must carry the persisted cursor")
       p2.flushSpool()
@@ -71,8 +83,8 @@ class DurablePipelineSpec extends SparkSpec {
       assert(inputRows == 6L, s"checkpoint resume must not re-read old spool files (read $inputRows)")
 
       // and the feed serves all 10 over real XRPC from the durable store
-      val feedUri = java.net.URLEncoder.encode(
-        s"at://${cfg.publisherDid}/app.bsky.feed.generator/dur1", "UTF-8")
+      // — through the head cache, whose 6-row snapshot the drain above
+      // must have invalidated
       val resp = http.send(HttpRequest.newBuilder(URI.create(
           s"http://127.0.0.1:$port/xrpc/app.bsky.feed.getFeedSkeleton?feed=$feedUri&limit=50"))
         .GET().build(), HttpResponse.BodyHandlers.ofString())

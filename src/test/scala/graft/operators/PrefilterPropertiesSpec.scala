@@ -319,8 +319,11 @@ class PrefilterPropertiesSpec extends AnyFunSuite {
     // compiles AND extracts, check EVERY string over a small alphabet —
     // regex find ⇒ needle hit. No generator luck involved; subtle
     // quantifier/group/class interactions are all in the cross-product.
+    // \Q / \E as bare tokens: the cross-product then covers quote
+    // regions swallowing metachars, \E-less tails, quantifiers after
+    // \E, stray \E (must stand down), and quotes inside classes
     val tokens = Array("a", "b", "ab", "?", "*", "+", "|", "(", ")", ".",
-      "^", "$", "[ab]", "\\d", "{2}", "\\b")
+      "^", "$", "[ab]", "\\d", "{2}", "\\b", "\\Q", "\\E")
     val chars = Array('a', 'b', 'B', '0')
     val texts = {
       val b = Seq.newBuilder[String]
