@@ -146,19 +146,21 @@ final class DurablePipeline(
   metrics.attach(control) // getQuery reports each cycle's metrics
 
   /** Serving head cache (see [[graft.serving.FeedHeadCache]]): in-head
-    * pages take zero Spark actions. The version token is the versioned
-    * store's pointer PLUS the metrics cycle counter — appends land in
-    * the current version dir without flipping the pointer, so the
-    * counter (bumped once per recorded micro-batch) is what invalidates
-    * heads after a drain; compaction and admin deletes flip the pointer
-    * itself. Feeds with no traffic never rebuild. */
+    * pages take zero Spark actions. The per-feed version token is the
+    * versioned store's pointer PLUS the feed's landed-batch counter —
+    * appends land in the current version dir without flipping the
+    * pointer, so the counter (bumped per recorded micro-batch, only for
+    * the feeds it landed rows for, search backfills included) is what
+    * invalidates a feed's head after a drain; compaction and admin
+    * deletes flip the pointer itself. Feeds a drain did not touch keep
+    * their heads. */
   val headCache = new graft.serving.FeedHeadCache(spark,
     () => Ingest.readStore(spark, storeDir.toString),
     // "_root" = the never-swapped fresh store (appends land at the root
     // until the first compaction creates a version)
-    () => Some(graft.streaming.VersionedStore
+    key => Some(graft.streaming.VersionedStore
       .currentVersion(new org.apache.hadoop.fs.Path(storeDir.toString))
-      .getOrElse("_root") + ":" + metrics.cycles.get))
+      .getOrElse("_root") + ":" + metrics.keyCycle(key)))
 
   val server: FeedServer =
     new FeedServer(spark, () => Ingest.readStore(spark, storeDir.toString),

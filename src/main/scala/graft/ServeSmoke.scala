@@ -66,7 +66,7 @@ object ServeSmoke {
     val headCache =
       if (args.lift(4).contains("cache"))
         Some(new graft.serving.FeedHeadCache(spark, () => store,
-          () => Some("smoke-static"), headSize = 400))
+          _ => Some("smoke-static"), headSize = 400))
       else None
     println(s"[serve] head cache: ${if (headCache.isDefined) "ON (headSize=400)" else "off"}")
     val server = new FeedServer(spark, () => store, () => cs,

@@ -22,12 +22,16 @@ final class ConditionMetrics {
 
   private val m = TrieMap.empty[String, FeedMetrics]
 
-  /** Monotone completed-cycle counter — one bump per recorded
-    * micro-batch. The serving head cache folds it into its version
-    * token so a drained batch invalidates cached feed heads without a
-    * store-pointer flip (appends don't flip the pointer; only
-    * compaction/delete swaps do). */
-  val cycles = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-feed landed-batch counters — bumped only for feeds a recorded
+    * micro-batch actually landed rows for. The serving head cache folds
+    * a feed's counter into its version token, so a drain invalidates
+    * ONLY the feeds it touched (appends don't flip the store pointer;
+    * only compaction/delete swaps do) — a global counter would force a
+    * full head rebuild per drain per active feed, degenerating to
+    * worse-than-uncached whenever a feed's request rate is below the
+    * drain rate. */
+  private val keyCyclesM = TrieMap.empty[String, Long]
+  def keyCycle(key: String): Long = keyCyclesM.getOrElse(key, 0L)
 
   /** Record one completed cycle: every condition gets the cycle wall time
     * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
@@ -41,7 +45,9 @@ final class ConditionMetrics {
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
       m.put(c.key, FeedMetrics(s"${execMs}ms", total))
     }
-    cycles.incrementAndGet()
+    newRowsByKey.foreach { case (k, n) =>
+      if (n > 0) keyCyclesM.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
+    }
     attached.foreach(publishTo)
   }
 

@@ -204,6 +204,16 @@ object FilterCascade {
     * quote — Java rejects such a pattern outright. */
   private[graft] def resolveQuotes(pattern: String): Option[String] = {
     if (!pattern.contains("\\Q") && !pattern.contains("\\E")) return Some(pattern)
+    // the rewrite must never LEGALIZE a pattern Java rejects: a quote
+    // region opening mid-escape splices quoted chars onto the malformed
+    // escape (`ab\u00e` + `\Q9\E` rewrites to the VALID `abé`), and
+    // the extractor would then screen for a pattern the cascade's own
+    // compile throws on — divergent branch behavior for one bad
+    // condition. Quoted patterns are rare and this is driver-side, once
+    // per condition per drain: one compile check keeps the documented
+    // "Java-invalid ⇒ stand down" contract airtight.
+    try java.util.regex.Pattern.compile(pattern)
+    catch { case _: RuntimeException => return None }
     val out = new java.lang.StringBuilder(pattern.length + 16)
     var i = 0
     var quoted = false

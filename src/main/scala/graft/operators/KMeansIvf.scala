@@ -461,6 +461,9 @@ object KMeansIvf {
       .select(col("q_id"), col("cand_id"))
       .localCheckpoint() // truth is reused by every setting's hit count
     val nq = brute.select("q_id").distinct().count()
+    require(nq > 0, "calibrateNProbeSq8: the query sample produced no " +
+      "brute-force truth rows (empty sample, or every query id is absent " +
+      "from the corpus) — a recall target over zero queries is undefined")
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
     val (assignments, centroids) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)

@@ -30,23 +30,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * head, or a limit above headSize — falls back to the per-request
   * Spark query, unchanged semantics.
   *
-  * Invalidation: `version()` is the versioned store's current pointer
-  * ([[graft.streaming.VersionedStore.currentVersion]]); ingest,
-  * retention and compaction all flip it, so a head never outlives the
-  * snapshot it was built from. `None` (no versioned store wired in)
-  * disables caching outright — every request takes the fallback path.
-  * A pointer flip between the `version()` read and the head build
-  * labels a newer snapshot with the older version name; the head is
-  * still internally consistent (one snapshot, one sort), and the next
-  * request under the new pointer rebuilds — the same read-your-writes
-  * bound two back-to-back uncached requests already have.
+  * Invalidation: `version(feedKey)` is a PER-FEED token — the versioned
+  * store's current pointer ([[graft.streaming.VersionedStore
+  * .currentVersion]], which retention/compaction/delete swaps flip),
+  * composed by the durable pipeline with the feed's landed-batch
+  * counter ([[graft.model.ConditionMetrics.keyCycle]]) because
+  * streaming appends do NOT flip the pointer. Per-feed matters: a
+  * global drain counter would invalidate every feed's head on every
+  * drain, forcing a full rebuild per request whenever a feed's request
+  * rate is below the drain rate — worse than the uncached path. `None`
+  * (no version source wired in) disables caching outright — every
+  * request takes the fallback path. A token flip between the `version`
+  * read and the head build labels a newer snapshot with the older
+  * token; the head is still internally consistent (one snapshot, one
+  * sort), and the next request under the new token rebuilds — the same
+  * read-your-writes bound two back-to-back uncached requests already
+  * have.
   *
   * Memory: headSize=400 × ~120 B × maxFeeds=4096 ≈ 200 MB worst case on
   * the driver; the map clears wholesale past `maxFeeds` (condition-set
   * churn is admin-CRUD-rare). At 100 TB this cache is per serving
   * replica and scales with feed count, not corpus size. */
 final class FeedHeadCache(spark: SparkSession, store: () => DataFrame,
-    version: () => Option[String], headSize: Int = 400, maxFeeds: Int = 4096) {
+    version: String => Option[String], headSize: Int = 400, maxFeeds: Int = 4096) {
 
   require(headSize > 0 && maxFeeds > 0, "headSize and maxFeeds must be positive")
 
@@ -71,7 +77,7 @@ final class FeedHeadCache(spark: SparkSession, store: () => DataFrame,
       requesterDid: Option[String] = None)
       : (Seq[(Long, String)], Option[String]) = {
     if (!FeedPage.allowed(c, requesterDid)) return (Nil, None)
-    version() match {
+    version(c.key) match {
       case Some(v) if limit <= headSize =>
         serveFromHead(headFor(c, v), c, limit, cursor).getOrElse {
           // the walk ran past a truncated head: per-request Spark query

@@ -50,8 +50,12 @@ class DurablePipelineSpec extends SparkSpec {
     // the SAME data dir must dial with the persisted cursor (server
     // replays seq > 4) and end with exactly the 10 unique posts.
     val stub2 = new SubscribeReposStub(all)
+    // cursorEvery past the replay: phase 2 must not auto-flush the spool
+    // mid-stream (seq 8 % 4 == 0 would), or the early 6-row snapshot
+    // request below races a concurrent drain — frames publish only at
+    // the explicit flushSpool() after the subscription settles
     val p2 = new DurablePipeline(spark, conditions, cfg,
-      s"ws://127.0.0.1:${stub2.port}", dir, cursorEvery = 4)
+      s"ws://127.0.0.1:${stub2.port}", dir, cursorEvery = 1000)
     try {
       val port = p2.start(reconnectDelayMs = 100, maxRestarts = 3, idleTimeoutMs = 5000)
       assert(p2.storedRows == 6L, "restart must see the phase-1 store immediately")

@@ -55,7 +55,7 @@ class FeedHeadCacheSpec extends SparkSpec {
     val df = storeDf.cache()
     val c = Fixtures.cond(key = "f1", pinnedPost = Seq("at://pin/1"))
     for (headSize <- Seq(7, 31, 400); limit <- Seq(3, 10)) {
-      val hc = new FeedHeadCache(spark, () => df, () => Some("v1"), headSize)
+      val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize)
       val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, limit)
       val direct = walk((cc, l, cur) =>
         FeedPage.pageCollected(spark, df, cc, l, cur), c, limit)
@@ -69,7 +69,7 @@ class FeedHeadCacheSpec extends SparkSpec {
     val c = Fixtures.cond(key = "f1")
     // head of 7 over a 31-row feed: pages 1-2 (limit 3) are in-head, the
     // walk past row 7 must fall back — and stay correct
-    val hc = new FeedHeadCache(spark, () => df, () => Some("v1"), headSize = 7)
+    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize = 7)
     val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, 3)
     val direct = walk((cc, l, cur) =>
       FeedPage.pageCollected(spark, df, cc, l, cur), c, 3)
@@ -87,7 +87,7 @@ class FeedHeadCacheSpec extends SparkSpec {
   test("complete tiny feed serves end-of-feed pages from the head (no fallback)") {
     val df = storeDf.cache()
     val c = Fixtures.cond(key = "f2")
-    val hc = new FeedHeadCache(spark, () => df, () => Some("v1"), headSize = 50)
+    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize = 50)
     val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, 2)
     val direct = walk((cc, l, cur) =>
       FeedPage.pageCollected(spark, df, cc, l, cur), c, 2)
@@ -102,7 +102,7 @@ class FeedHeadCacheSpec extends SparkSpec {
     var rows = Seq(("f1", "at://u/1", "c1", ts("2024-03-01T10:00:00Z")))
     var v = "v1"
     def df = rows.toDF("key", "uri", "cid", "indexedAt")
-    val hc = new FeedHeadCache(spark, () => df, () => Some(v), headSize = 50)
+    val hc = new FeedHeadCache(spark, () => df, _ => Some(v), headSize = 50)
     val c = Fixtures.cond(key = "f1")
     assert(hc.page(c, 10, None)._1.map(_._2) == Seq("at://u/1"))
     // store grows but the pointer has not flipped: cached head serves
@@ -113,14 +113,14 @@ class FeedHeadCacheSpec extends SparkSpec {
     v = "v2"
     assert(hc.page(c, 10, None)._1.map(_._2) == Seq("at://u/2", "at://u/1"))
     // no version source wired in -> always the Spark path
-    val hcOff = new FeedHeadCache(spark, () => df, () => None, headSize = 50)
+    val hcOff = new FeedHeadCache(spark, () => df, _ => None, headSize = 50)
     assert(hcOff.page(c, 10, None)._1.nonEmpty && hcOff.stats._2 == 0)
   }
 
   test("private gate applies before any head work") {
     val df = storeDf.cache()
     val priv = Fixtures.cond(key = "f1", privateFeed = Seq("did:plc:ok"))
-    val hc = new FeedHeadCache(spark, () => df, () => Some("v1"))
+    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"))
     assert(hc.page(priv, 10, None, None) == ((Nil, None)))
     assert(hc.stats == ((0L, 0L, 0L)), "a gated request must touch nothing")
     assert(hc.page(priv, 10, None, Some("did:plc:ok"))._1.nonEmpty)
