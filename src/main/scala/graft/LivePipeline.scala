@@ -59,6 +59,23 @@ final class LivePipeline(
     * reload-per-cycle semantics (subscription.ts:133-137, 409-412). */
   val control = new graft.model.ControlPlane(conditions)
 
+  /** Per-feed cycle metrics (S12/F9): every drain records its wall time
+    * and captured counts, the reference's lastExecTime/recordCount row. */
+  val metrics = new graft.model.ConditionMetrics
+  metrics.attach(control) // getQuery reports each cycle's metrics
+
+  /** Whole-store generation: bumped by the swaps [[metrics]] does not
+    * see per-key (admin delete, search backfill). */
+  @volatile private var storeGen = 0L
+
+  /** Serving head cache, the live shape's token mirroring the durable
+    * pipeline's: whole-store generation + the feed's landed-batch
+    * counter, so a drain invalidates only the feeds it touched.
+    * [[drainBatch]] records metrics AFTER the snapshot swap so a token
+    * can never precede the data it names. */
+  val headCache = new graft.serving.FeedHeadCache(spark, () => store,
+    key => Some(s"g$storeGen:${metrics.keyCycle(key)}"))
+
   val server: FeedServer = new FeedServer(spark, () => store,
     () => control.conditions, cfg,
     admin = Some(FeedServer.Admin(control,
@@ -66,8 +83,10 @@ final class LivePipeline(
         store = store.filter(org.apache.spark.sql.functions.col("key") =!= key)
           .localCheckpoint()
         storeRows = store.count()
+        storeGen += 1
       },
-      passkey = adminPasskey)))
+      passkey = adminPasskey)),
+    headCache = Some(headCache))
 
   /** Start subscription + HTTP serving; returns the bound HTTP port. */
   def start(reconnectDelayMs: Long = 3000, maxRestarts: Int = Int.MaxValue,
@@ -88,11 +107,6 @@ final class LivePipeline(
   /** Drain the buffer into one micro-batch; returns rows newly stored.
     * Replayed frames fall out of the dedup anti-join (effectively-once,
     * T8), so at-least-once delivery upstream is fine. */
-  /** Per-feed cycle metrics (S12/F9): every drain records its wall time
-    * and captured counts, the reference's lastExecTime/recordCount row. */
-  val metrics = new graft.model.ConditionMetrics
-  metrics.attach(control) // getQuery reports each cycle's metrics
-
   def drainBatch(): Long = synchronized {
     val t0 = System.nanoTime()
     val buf = Iterator.continually(frames.poll()).takeWhile(_ != null).toVector
@@ -107,9 +121,12 @@ final class LivePipeline(
     val next = store.unionByName(fresh).localCheckpoint() // eager: serving sees a stable snapshot
     val n = next.count()
     fresh.unpersist(blocking = false)
+    store = next
+    // record (and bump the per-feed head-cache tokens) only AFTER the
+    // snapshot swap: a request between the two would otherwise cache the
+    // OLD snapshot under the NEW token — a stale head that never heals
     metrics.record(conditions, perKey,
       math.max(1L, (System.nanoTime() - t0) / 1000000L))
-    store = next
     // the PREVIOUS snapshot is NOT unpersisted here: a concurrent HTTP
     // request may still be paging it, and a localCheckpoint whose blocks
     // are dropped cannot recompute (truncated lineage). Once unreachable
@@ -132,6 +149,7 @@ final class LivePipeline(
     val next = store.unionByName(fresh).localCheckpoint()
     val n = next.count()
     store = next
+    storeGen += 1 // backfill lands rows metrics does not see per-key
     val added = n - storeRows
     storeRows = n
     added
