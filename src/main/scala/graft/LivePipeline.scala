@@ -64,8 +64,8 @@ final class LivePipeline(
   val metrics = new graft.model.ConditionMetrics
   metrics.attach(control) // getQuery reports each cycle's metrics
 
-  /** Whole-store generation: bumped by the swaps [[metrics]] does not
-    * see per-key (admin delete, search backfill). */
+  /** Whole-store generation: bumped by the one swap [[metrics]] does
+    * not see per-key (admin delete). */
   @volatile private var storeGen = 0L
 
   /** Serving head cache, the live shape's token mirroring the durable
@@ -144,15 +144,28 @@ final class LivePipeline(
     * setQuery (or at startup) with a batch read of the `graft-search`
     * source; feeds that already hold rows are untouched. */
   def backfillFromSearch(searchHits: DataFrame): Long = synchronized {
+    val t0 = System.nanoTime()
     val posts = Firehose.searchHitsAsPostViews(searchHits)
     val fresh = Ingest.backfill(spark, store, posts, control.conditions, profiles)
-    val next = store.unionByName(fresh).localCheckpoint()
-    val n = next.count()
-    store = next
-    storeGen += 1 // backfill lands rows metrics does not see per-key
-    val added = n - storeRows
-    storeRows = n
-    added
+      .persist()
+    try {
+      val perKey = fresh.groupBy("key").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val next = store.unionByName(fresh).localCheckpoint()
+      val n = next.count()
+      store = next
+      // per-key metrics AFTER the swap (the token-ordering rule), same
+      // as the durable shape: backfilled feeds report lastExecTime/
+      // recordCount immediately and invalidate ONLY their own heads —
+      // a whole-store generation bump here rebuilt every cached head
+      val touched = control.conditions.filter(c => perKey.contains(c.key))
+      if (touched.nonEmpty)
+        metrics.record(touched, perKey,
+          math.max(1L, (System.nanoTime() - t0) / 1000000L))
+      val added = n - storeRows
+      storeRows = n
+      added
+    } finally fresh.unpersist(blocking = false)
   }
 
   def storedCursor: Long = cursor.get()

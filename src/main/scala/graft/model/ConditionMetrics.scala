@@ -31,7 +31,10 @@ final class ConditionMetrics {
     * worse-than-uncached whenever a feed's request rate is below the
     * drain rate. */
   private val keyCyclesM = TrieMap.empty[String, Long]
-  def keyCycle(key: String): Long = keyCyclesM.getOrElse(key, 0L)
+  private val keyCyclesGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val KeyCyclesMax = 8192
+  def keyCycle(key: String): String =
+    s"${keyCyclesGen.get}:${keyCyclesM.getOrElse(key, 0L)}"
 
   /** Record one completed cycle: every condition gets the cycle wall time
     * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
@@ -44,6 +47,15 @@ final class ConditionMetrics {
       val prev = m.get(c.key).map(_.recordCount).getOrElse(0L)
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
       m.put(c.key, FeedMetrics(s"${execMs}ms", total))
+    }
+    // bounded against admin key churn: past the cap the map resets, and
+    // the GENERATION prefix in [[keyCycle]] bumps so a re-climbing
+    // counter can never collide with a token cached before the reset (a
+    // bare clear would eventually re-produce "ptr:5" and serve a stale
+    // head as current; a reset only ever forces rebuilds)
+    if (keyCyclesM.size > KeyCyclesMax) {
+      keyCyclesGen.incrementAndGet()
+      keyCyclesM.clear()
     }
     newRowsByKey.foreach { case (k, n) =>
       if (n > 0) keyCyclesM.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))

@@ -213,7 +213,7 @@ object FilterCascade {
     // per condition per drain: one compile check keeps the documented
     // "Java-invalid ⇒ stand down" contract airtight.
     try java.util.regex.Pattern.compile(pattern)
-    catch { case _: RuntimeException => return None }
+    catch { case _: java.util.regex.PatternSyntaxException => return None }
     val out = new java.lang.StringBuilder(pattern.length + 16)
     var i = 0
     var quoted = false
