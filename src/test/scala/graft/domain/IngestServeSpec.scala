@@ -125,6 +125,63 @@ class IngestServeSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("density gate arms through the REAL streaming ingest path (tiny first drain)") {
+    // End-to-end variant of FilterCascadeSpec's arming test: the
+    // counters must flow through foreachBatch → processBatch →
+    // fanOutScreened → MatchedConditionsFolded on the actual streaming
+    // source, not just direct batch calls — and the ingest must never
+    // re-execute the source for the gate (numInputRows stays exact).
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val store = tmpDir("graft-gate-arm")
+    val ckpt = tmpDir("graft-gate-arm-ckpt")
+    // unique regexes: the gate memo is keyed by condition-set identity
+    val conditions = Seq(
+      cond(key = "sgbroad", inputRegex = "omnitok"), // in every post
+      cond(key = "sgnarrow", inputRegex = "seldomtok"))
+    def pv(i: Int) = Fixtures.pv(s"at://sg/$i", s"c$i",
+      if (i % 97 == 1) s"omnitok seldomtok post $i" else s"omnitok post $i",
+      "2024-03-01T10:00:00.000Z")
+    val stream = MemoryStream[PostView]
+    val q = Ingest.start(spark, stream.toDF(), conditions, None, store, ckpt)
+    // drain 1: 40 rows — bootstrap-tiny, gate must start counting
+    stream.addData((0 until 40).map(pv))
+    q.processAllAvailable()
+    // drain 2: 300 rows — cumulative scanned rows cross the floor
+    stream.addData((40 until 340).map(pv))
+    q.processAllAvailable()
+    // drain 3: any drain after the floor arms the memo
+    stream.addData((340 until 350).map(pv))
+    q.processAllAvailable()
+    // source-metrics contract, pinned EXACTLY: 350 data rows, + 40 for
+    // the ONE-TIME first-sighting sample probe (re-reads drain 1 once —
+    // the documented r17 trade; the accumulator counting on drains 2-3
+    // adds NOTHING, where a per-drain probe would re-read every drain),
+    // + 10 for drain 3's second branch (once armed, the demoted
+    // condition rides the full-stream crossJoin branch, so the mixed
+    // split scans that drain twice — the "one extra full-stream branch"
+    // cost fanOutScreened documents)
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows == 350L + 40L + 10L,
+      s"gate source-metrics contract drifted: read $inputRows (expect 400)")
+    q.stop()
+    // the memo (same set, same session) must now hold an ARMED verdict
+    // demoting the universal literal — no probe handed back
+    val parsed = conditions.map(c =>
+      c -> graft.operators.FilterCascade.requiredLiterals(c.inputRegex).get)
+    val probeDf = Seq(pv(9999)).toDF()
+    val (verdict, probe) =
+      graft.operators.FilterCascade.densityDemoted(spark, probeDf, parsed)
+    assert(verdict == Set("sgbroad"),
+      s"streaming drains must arm the gate: $verdict")
+    assert(probe.isEmpty, "armed verdicts carry no probe")
+    // and the store is exactly right (the gate is plan routing only)
+    val stored = Ingest.readStore(spark, store)
+    assert(stored.filter(col("key") === "sgbroad").count() == 350L)
+    assert(stored.filter(col("key") === "sgnarrow").count() == 4L)
+  }
+
   test("supervised stream auto-restarts from the checkpoint after a failure (T5 reconnect)") {
     val s = spark
     import s.implicits._
