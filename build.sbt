@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // lets FeedServer.noDelayStatus verify the Nagle fix took (prod JVMs
+  // without this open just get the "could not verify" info log)
+  "--add-opens", "jdk.httpserver/sun.net.httpserver=ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -30,11 +30,23 @@ final class ConditionMetrics {
     * full head rebuild per drain per active feed, degenerating to
     * worse-than-uncached whenever a feed's request rate is below the
     * drain rate. */
-  private val keyCyclesM = TrieMap.empty[String, Long]
-  private val keyCyclesGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** One generation's counters. The generation and its map travel as a
+    * SINGLE immutable pair behind one volatile reference, so a reader
+    * always sees a (gen, count) that actually existed: with gen and map
+    * stored separately, a [[keyCycle]] racing a reset could read the
+    * post-bump generation but the pre-clear count — "newGen:oldCount" —
+    * and once the fresh counter re-climbed to oldCount the head cache
+    * would serve that stale head as current until the feed's next
+    * landed batch. */
+  private final class KeyCycles(val gen: Long) {
+    val m = TrieMap.empty[String, Long]
+  }
+  @volatile private var keyCycles = new KeyCycles(0L)
   private val KeyCyclesMax = 8192
-  def keyCycle(key: String): String =
-    s"${keyCyclesGen.get}:${keyCyclesM.getOrElse(key, 0L)}"
+  def keyCycle(key: String): String = {
+    val c = keyCycles // one volatile read: gen and counts are the same snapshot
+    s"${c.gen}:${c.m.getOrElse(key, 0L)}"
+  }
 
   /** Record one completed cycle: every condition gets the cycle wall time
     * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
@@ -48,17 +60,18 @@ final class ConditionMetrics {
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
       m.put(c.key, FeedMetrics(s"${execMs}ms", total))
     }
-    // bounded against admin key churn: past the cap the map resets, and
-    // the GENERATION prefix in [[keyCycle]] bumps so a re-climbing
+    // bounded against admin key churn: past the cap a FRESH (gen+1, map)
+    // pair replaces the reference in one volatile write, so a re-climbing
     // counter can never collide with a token cached before the reset (a
     // bare clear would eventually re-produce "ptr:5" and serve a stale
-    // head as current; a reset only ever forces rebuilds)
-    if (keyCyclesM.size > KeyCyclesMax) {
-      keyCyclesGen.incrementAndGet()
-      keyCyclesM.clear()
-    }
+    // head as current; a reset only ever forces rebuilds). A record()
+    // racing the swap may bump the OLD pair's map — those bumps are
+    // moot, because the gen flip already invalidates every feed's token.
+    if (keyCycles.m.size > KeyCyclesMax)
+      keyCycles = new KeyCycles(keyCycles.gen + 1)
+    val kc = keyCycles
     newRowsByKey.foreach { case (k, n) =>
-      if (n > 0) keyCyclesM.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
+      if (n > 0) kc.m.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
     }
     attached.foreach(publishTo)
   }

@@ -764,13 +764,27 @@ object FilterCascade {
     densityMemo.get(memoKey) match {
       case GateArmed(demoted) => (demoted, None)
       case probing: GateProbing =>
-        val rows = probing.probe.rows.value
-        if (rows >= GateMinRows) {
+        if (probing.probe.rows.value >= GateMinRows) {
           // enough rows accumulated across the drains since bootstrap —
           // arm the gate (racing drains both compute a verdict from the
-          // same monotone counters; last write wins, both sound)
-          val verdict = verdictFrom(
-            probing.probe.hits.value.toIndexedSeq, rows)
+          // same monotone counters; last write wins, both sound). The
+          // verdict is FROZEN, so the (hits, rows) pair it divides must
+          // be consistent even while a sibling drain's tasks are still
+          // merging accumulator updates: read hits BEFORE rows and
+          // require rows unchanged across a re-read, retrying while it
+          // moves. If the counters never settle, the final pair still
+          // has denominator ≥ the rows the numerator saw — the ratio
+          // UNDERestimates density, biased toward not demoting
+          // (routing-only: demotion is row-equivalent).
+          var hits = probing.probe.hits.value
+          var rows = probing.probe.rows.value
+          var tries = 0
+          while (probing.probe.rows.value != rows && tries < 8) {
+            hits = probing.probe.hits.value
+            rows = probing.probe.rows.value
+            tries += 1
+          }
+          val verdict = verdictFrom(hits.toIndexedSeq, rows)
           densityMemo.put(memoKey, GateArmed(verdict))
           (verdict, None)
         } else (Set.empty, Some(probing.probe)) // keep counting this drain

@@ -460,6 +460,7 @@ object KMeansIvf {
     val brute = Similarity.bruteForceTopK(queries, candidates, idCol, vecCol, k)
       .select(col("q_id"), col("cand_id"))
       .localCheckpoint() // truth is reused by every setting's hit count
+    try {
     val nq = brute.select("q_id").distinct().count()
     require(nq > 0, "calibrateNProbeSq8: the query sample produced no " +
       "brute-force truth rows (empty sample, or every query id is absent " +
@@ -503,5 +504,10 @@ object KMeansIvf {
       .getOrElse(maxProbe.toLong)
     evaluated.map { case (p, r) => (p, r, p == chosen) }
       .toDF("n_probe", "mean_recall", "chosen")
+    // the returned frame is built from driver-side counts — no lineage
+    // on `brute` — so the checkpoint blocks can be dropped here instead
+    // of leaking block-manager storage on every calibration in a
+    // long-lived session
+    } finally brute.unpersist(blocking = false)
   }
 }

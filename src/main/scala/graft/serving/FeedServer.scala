@@ -78,6 +78,10 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
     if (System.getProperty("sun.net.httpserver.nodelay") == null)
       System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // ...and verify it TOOK: the set above is a silent no-op if any
+    // HttpServer class loaded earlier in this JVM (the static init
+    // already froze noDelay=false), leaving the stall with no signal.
+    FeedServer.verifyNoDelay()
     server.createContext("/xrpc/app.bsky.feed.getFeedSkeleton", exchange =>
       handle(exchange)(getFeedSkeleton))
     server.createContext("/xrpc/app.bsky.feed.describeFeedGenerator", exchange =>
@@ -395,6 +399,42 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
 }
 
 object FeedServer {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[FeedServer])
+
+  /** What `sun.net.httpserver.ServerConfig` actually latched for
+    * noDelay, read reflectively — `None` when the jdk.httpserver
+    * internals aren't opened to us (the default outside our own test
+    * JVMs, which pass `--add-opens jdk.httpserver/sun.net.httpserver`).
+    * Package-visible for FeedServerSpec. */
+  private[serving] def noDelayStatus(): Option[Boolean] =
+    try {
+      val m = Class.forName("sun.net.httpserver.ServerConfig")
+        .getDeclaredMethod("noDelay")
+      m.setAccessible(true)
+      Some(m.invoke(null).asInstanceOf[Boolean])
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** start() sets `sun.net.httpserver.nodelay`, but ServerConfig reads
+    * it ONCE in a static initializer — if another HttpServer class
+    * loaded first, the set is silently ineffective and every response
+    * pays the ~40 ms Nagle stall (headers and body are two TCP
+    * segments; the body write stalls behind the peer's delayed ACK).
+    * Surface that instead of leaving deployments to rediscover it with
+    * a profiler. */
+  private def verifyNoDelay(): Unit = noDelayStatus() match {
+    case Some(false) => log.warn(
+      "sun.net.httpserver.nodelay was set too late — ServerConfig's " +
+      "static initializer already ran without it, so every response " +
+      "pays a ~40 ms Nagle stall; pass -Dsun.net.httpserver.nodelay=true " +
+      "on the JVM command line")
+    case None => log.info(
+      "could not verify sun.net.httpserver.nodelay took effect " +
+      "(jdk.httpserver internals not opened to reflection); if feed " +
+      "responses stall ~40 ms, pass -Dsun.net.httpserver.nodelay=true " +
+      "at JVM start")
+    case Some(true) => ()
+  }
 
   /** Reported as `queryEngineVersion` by getQuery, the analog of the
     * reference's package.json version (subscription.ts:9-11). */

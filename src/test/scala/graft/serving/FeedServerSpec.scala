@@ -45,6 +45,18 @@ class FeedServerSpec extends SparkSpec {
     try body(port) finally server.stop()
   }
 
+  test("start() actually latched sun.net.httpserver.nodelay (the ~40 ms Nagle fix)") {
+    // this JVM opens jdk.httpserver internals (build.sbt add-opens), so
+    // the reflective check must be conclusive — Some(true). A None here
+    // means the verification silently stopped working; Some(false) means
+    // a server class loaded before FeedServer.start() set the property
+    // and every response pays the Nagle stall the flag exists to kill.
+    withServer(Seq(Fixtures.cond(key = "feed1"))) { _ =>
+      assert(FeedServer.noDelayStatus() == Some(true),
+        "ServerConfig.noDelay must be verifiably latched in the test JVM")
+    }
+  }
+
   test("getFeedSkeleton serves pages with cursors over HTTP; unknown feed is 400") {
     val conditions = Seq(Fixtures.cond(key = "f1"))
     withServer(conditions) { port =>
