@@ -138,6 +138,13 @@ final class DurablePipeline(
     * time and captured counts — the reference's lastExecTime/recordCount
     * columns on the conditions row. */
   val metrics = new graft.model.ConditionMetrics
+  // Publish the per-feed landed-batch counters to the store after every
+  // recorded micro-batch ([[graft.streaming.CycleManifest]]): serving
+  // replicas that don't run this drain read them back through
+  // CycleManifest.replicaVersion, so their head caches invalidate
+  // per-feed exactly like this process's in-process token does.
+  private val cycleWriter = new graft.streaming.CycleManifest.Writer(storeDir.toString)
+  metrics.persistWith(cycleWriter.persist)
 
   /** LIVE control plane: the serving tier's admin CRUD mutates it and the
     * NEXT micro-batch picks the change up, the reference's
@@ -155,7 +162,11 @@ final class DurablePipeline(
     * deletes flip the pointer itself. Feeds a drain did not touch keep
     * their heads. */
   val headCache = new graft.serving.FeedHeadCache(spark,
-    () => Ingest.readStore(spark, storeDir.toString),
+    // per-feed-scoped read: a head (re)build lists ONE key= directory,
+    // not the whole store root (whose listing grows with feed count and
+    // straggler append files — the replica sitting measured ~1.6 s per
+    // whole-root build over 1000 feeds vs milliseconds scoped)
+    key => Ingest.readStoreKey(spark, storeDir.toString, key),
     // "_root" = the never-swapped fresh store (appends land at the root
     // until the first compaction creates a version)
     key => Some(graft.streaming.VersionedStore

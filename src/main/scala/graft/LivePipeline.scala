@@ -73,7 +73,7 @@ final class LivePipeline(
     * counter, so a drain invalidates only the feeds it touched.
     * [[drainBatch]] records metrics AFTER the snapshot swap so a token
     * can never precede the data it names. */
-  val headCache = new graft.serving.FeedHeadCache(spark, () => store,
+  val headCache = new graft.serving.FeedHeadCache(spark, _ => store,
     key => Some(s"g$storeGen:${metrics.keyCycle(key)}"))
 
   val server: FeedServer = new FeedServer(spark, () => store,

@@ -65,7 +65,7 @@ object ServeSmoke {
     // versioned store's pointer instead
     val headCache =
       if (args.lift(4).contains("cache"))
-        Some(new graft.serving.FeedHeadCache(spark, () => store,
+        Some(new graft.serving.FeedHeadCache(spark, _ => store,
           _ => Some("smoke-static"), headSize = 400))
       else None
     println(s"[serve] head cache: ${if (headCache.isDefined) "ON (headSize=400)" else "off"}")
@@ -147,7 +147,8 @@ object ServeSmoke {
       f"${total / wallC}%.1f req/s")
     headCache.foreach { hc =>
       val (hits, builds, fallbacks) = hc.stats
-      println(s"[serve] head cache stats: hits=$hits builds=$builds fallbacks=$fallbacks")
+      println(s"[serve] head cache stats: hits=$hits builds=$builds " +
+        s"fallbacks=$fallbacks extensions=${hc.extensions}")
       // in-process hit latency (no HTTP): isolates the cache's own cost
       // from the network stack's
       val c0 = cs(1)

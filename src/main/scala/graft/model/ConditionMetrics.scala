@@ -48,6 +48,21 @@ final class ConditionMetrics {
     s"${c.gen}:${c.m.getOrElse(key, 0L)}"
   }
 
+  /** (generation, per-feed landed-batch counts) as one consistent pair —
+    * what the persist hook publishes for serving replicas. */
+  def keyCyclesSnapshot: (Long, Map[String, Long]) = {
+    val c = keyCycles
+    (c.gen, c.m.readOnlySnapshot().toMap)
+  }
+
+  /** Persist hook ([[graft.streaming.CycleManifest.Writer]] in the
+    * durable deployment): called at the END of every [[record]] — after
+    * the batch's rows are visible AND the in-process counters are bumped
+    * — so a store-routed reader can never observe a fresher token than
+    * the drain process itself. */
+  @volatile private var persist: Option[(Long, Map[String, Long]) => Unit] = None
+  def persistWith(f: (Long, Map[String, Long]) => Unit): Unit = persist = Some(f)
+
   /** Record one completed cycle: every condition gets the cycle wall time
     * (subscription.ts:374 `(endTime - startTime) + 'ms'`); counts
     * accumulate by the new rows captured for that feed and clamp to the
@@ -74,6 +89,10 @@ final class ConditionMetrics {
       if (n > 0) kc.m.updateWith(k)(c => Some(c.getOrElse(0L) + 1L))
     }
     attached.foreach(publishTo)
+    persist.foreach { f =>
+      val (g, counts) = keyCyclesSnapshot
+      f(g, counts)
+    }
   }
 
   def lastExecTime(key: String): Option[String] = m.get(key).map(_.lastExecTime)

@@ -357,4 +357,120 @@ object ProductQuantizer {
         .orderBy(col("pq_dist").asc, col("cand_id"))).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Recall-targeted nProbe auto-calibration for the COMPOSED IVF-PQ
+    * index — [[KMeansIvf.calibrateNProbeSq8]]'s ADC counterpart, closing
+    * the last manual knob (ns68 hard-coded nProbe = 2): evaluate EVERY
+    * setting in 1..maxProbe against exact integer L2 truth (the ns67
+    * metric — recall isolates what the index loses, not a metric
+    * mismatch) and choose the smallest whose mean recall@k reaches
+    * `target` (maxProbe when none does). Output: one row per setting
+    * `(n_probe, mean_recall, chosen)`, ascending. Note ADC recall is NOT
+    * guaranteed monotone in nProbe (a newly probed cell's
+    * ADC-closer-but-wrong candidate can displace a true hit from the
+    * top-k), so "smallest setting meeting target" is the pick rule, not
+    * a binary-search bound — KMeansIvfSpec pins an observed dip.
+    *
+    * Same one-pass shape as the SQ8 calibration: the query side explodes
+    * its maxProbe-ranked cells ONCE (posexplode position = probe rank −
+    * 1), each (query, candidate) pair joins through the candidate's
+    * UNIQUE cell so it carries exactly one first-admitting rank, the
+    * pair fans out to every setting ≥ that rank, and one ADC ranking
+    * window per (setting, query) yields all maxProbe top-k lists in a
+    * single pipeline — never maxProbe separate search jobs. Driver-side
+    * state: maxProbe hit counters; mean recall is one double division of
+    * exact integer counts, so the DuckDB oracle replays the adaptive
+    * pick bit-for-bit. Codebook/cell fits ride SharedCache exactly like
+    * ns66/ns68 — calibration reuses the deployed index's models. */
+  def calibrateNProbePq(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nCells: Int,
+      m: Int = 4, ks: Int = 16, iters: Int = 2, cellIters: Int = 2,
+      maxProbe: Int, target: Double, cacheKey: Option[String] = None,
+      cellCacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(maxProbe >= 1 && maxProbe <= nCells,
+      s"maxProbe must be in 1..nCells, got $maxProbe (nCells=$nCells)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // exact integer L2 truth over (query sample × corpus) — the bounded
+    // calibration-harness pass every recall evaluation pays
+    val n = candidates.select(col(idCol),
+        Similarity.fixedPoint(col(vecCol)).as("fe"))
+      .withColumn("nsq", Similarity.dotFp(col("fe"), col("fe")))
+    val truth = broadcast(n.join(queries.select(col(idCol)), Seq(idCol))
+        .select(col(idCol).as("q_id"), col("fe").as("qfe"), col("nsq").as("qnsq")))
+      .join(n.as("c"), col("q_id") =!= col(s"c.$idCol"))
+      .select(col("q_id"), col(s"c.$idCol").as("cand_id"),
+        (col("qnsq") - lit(2L) * Similarity.dotFp(col("qfe"), col("c.fe")) +
+          col("c.nsq")).as("__d"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cand_id"))))
+      .filter(col("__rnk") <= k)
+      .select(col("q_id"), col("cand_id"))
+      .localCheckpoint() // truth is reused by every setting's hit count
+    try {
+      val nq = truth.select("q_id").distinct().count()
+      require(nq > 0, "calibrateNProbePq: the query sample produced no " +
+        "exact-L2 truth rows (empty sample, or every query id is absent " +
+        "from the corpus) — a recall target over zero queries is undefined")
+      val books = cacheKey match {
+        case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
+          trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
+        case None => trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey)
+      }
+      val (_, cc) = KMeansIvf.fitCached(
+        candidates, idCol, vecCol, nCells, cellIters, cellCacheKey, corpusKey)
+      val fe = Similarity.fixedPoint(col(vecCol))
+      val sub = dim / m
+      val codeCols = (0 until m).map(j =>
+        org.apache.spark.sql.graft.NearestCells.nearest(
+          Similarity.fixedPoint(slice(col(vecCol), j * sub + 1, sub)), books(j))
+          .as(s"__c$j"))
+      val coded = candidates.select(
+        col(idCol).as("__pqid") +:
+          org.apache.spark.sql.graft.NearestCells.nearest(fe, cc).as("__cell") +:
+          codeCols: _*)
+      val qcand = candidates.join(broadcast(queries.select(col(idCol))), idCol)
+      val cents = centroidFrame(candidates, books)
+      val tabAggs = (0 until m).map(j =>
+        transform(array_sort(collect_list(
+            when(col("ss") === j, struct(col("cl"), col("d"))))),
+          x => x.getField("d")).as(s"__dt$j"))
+      // maxProbe-ranked query cells; posexplode position = probe rank − 1
+      // (the same (distance, cell) ascending order the assignment uses)
+      val qcells = qcand.select(col(idCol).as("__pqid"),
+          posexplode(org.apache.spark.sql.graft.NearestCells(fe, cc, maxProbe)))
+        .withColumnRenamed("pos", "__prank0")
+        .withColumnRenamed("col", "__cell")
+      val qtabs = memberRows(qcand, idCol, vecCol, dim, m)
+        .join(broadcast(cents), "ss")
+        .select(col("__pqid"), col("ss"), col("cl"), distExpr.as("d"))
+        .groupBy(col("__pqid")).agg(tabAggs.head, tabAggs.tail: _*)
+        .join(broadcast(qcells), "__pqid")
+      val dist = (0 until m).map(j =>
+        element_at(col(s"q.__dt$j"), col(s"c.__c$j") + 1)).reduce(_ + _)
+      val perP = broadcast(qtabs).as("q")
+        .join(coded.as("c"),
+          col("q.__cell") === col("c.__cell") && col("q.__pqid") =!= col("c.__pqid"))
+        .select(col("q.__pqid").as("q_id"), col("c.__pqid").as("cand_id"),
+          dist.as("pq_dist"), (col("q.__prank0") + 1).as("__minp"))
+        .withColumn("p", explode(sequence(col("__minp"), lit(maxProbe))))
+      val w = Window.partitionBy(col("p"), col("q_id"))
+        .orderBy(col("pq_dist").asc, col("cand_id"))
+      val topk = perP.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k)
+        .select(col("p"), col("q_id"), col("cand_id"))
+      val hitRows = truth.join(topk, Seq("q_id", "cand_id"))
+        .groupBy(col("p")).agg(count(lit(1)).as("s"))
+        .collect().map(r => r.getAs[Any]("p").toString.toLong -> r.getLong(1)).toMap
+      val evaluated = (1 to maxProbe).map { p =>
+        (p.toLong, hitRows.getOrElse(p.toLong, 0L).toDouble / (k * nq))
+      }
+      val chosen = evaluated.find(_._2 >= target).map(_._1)
+        .getOrElse(maxProbe.toLong)
+      evaluated.map { case (p, r) => (p, r, p == chosen) }
+        .toDF("n_probe", "mean_recall", "chosen")
+    } finally truth.unpersist(blocking = false)
+  }
 }

@@ -22,13 +22,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * FeedHeadCacheSpec pins full-walk parity).
   *
   * Correctness of the truncation boundary: the head holds the feed's
-  * TOP-headSize rows, so every row beyond it ranks strictly below
-  * `rows.last`. A cursored request answered from the head is therefore
-  * exact whenever the in-head remainder covers the page
-  * (`remainder.size >= limit`) or the head is COMPLETE (the feed has
-  * fewer than headSize rows). Anything else — a walk past a truncated
-  * head, or a limit above headSize — falls back to the per-request
-  * Spark query, unchanged semantics.
+  * TOP rows in contiguous blocks, so every row beyond it ranks strictly
+  * below `rows.last`. A cursored request answered from the head is
+  * therefore exact whenever the in-head remainder covers the page
+  * (`remainder.size >= limit`) or the head is COMPLETE (the chain
+  * reached the feed's end). A walk that runs past the cached chain
+  * EXTENDS it — one Spark job collects the NEXT `headSize` rows keyed
+  * on the chain's last (ts, cid) boundary (exactly the fallback query,
+  * but its result is cached, so one job serves the next ~headSize/limit
+  * deep pages instead of one) — up to `maxBlocks` blocks per feed.
+  * Extension under an unchanged token is sound for the same reason the
+  * head itself is: any landed drain or pointer flip changes the token
+  * BEFORE the next request, so all blocks of one chain describe one
+  * store state. Past maxBlocks, or for a limit above headSize, requests
+  * fall back to the per-request Spark query, unchanged semantics. A
+  * chain whose last row has a null ts is complete for cursored
+  * purposes: null-ts rows sort last and cursored pages exclude them.
   *
   * Invalidation: `version(feedKey)` is a PER-FEED token — the versioned
   * store's current pointer ([[graft.streaming.VersionedStore
@@ -47,27 +56,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * read-your-writes bound two back-to-back uncached requests already
   * have.
   *
-  * Memory: headSize=400 × ~120 B × maxFeeds=4096 ≈ 200 MB worst case on
-  * the driver; the map clears wholesale past `maxFeeds` (condition-set
-  * churn is admin-CRUD-rare). At 100 TB this cache is per serving
-  * replica and scales with feed count, not corpus size. */
-final class FeedHeadCache(spark: SparkSession, store: () => DataFrame,
-    version: String => Option[String], headSize: Int = 400, maxFeeds: Int = 4096) {
+  * Memory: block 0 only (the overwhelming case — chains grow only for
+  * feeds actually deep-walked) is headSize=400 × ~120 B × maxFeeds=4096
+  * ≈ 200 MB worst case on the driver; a fully-extended chain is
+  * maxBlocks=8 × that per walked feed (every-feed-fully-walked worst
+  * case ≈ 1.6 GB — cap maxBlocks or headSize down if a tenant's
+  * traffic is all deep scrolls). Past `maxFeeds` ONE least-recently-used
+  * entry is evicted
+  * per insert (an O(size) scan over ≤4097 driver-side entries, only on
+  * the already-Spark-job-paying build path) — a wholesale clear() would
+  * stampede every hot feed into a ~70 ms rebuild whenever a tenant
+  * crosses the bound. At 100 TB this cache is per serving replica and
+  * scales with feed count, not corpus size.
+  *
+  * Replicas: a serving process that does NOT run the drain wires
+  * `version` to [[graft.streaming.CycleManifest.replicaVersion]], which
+  * reads the drain's persisted per-feed landed-batch counters from the
+  * store — same per-feed invalidation, no shared process state. */
+final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
+    version: String => Option[String], headSize: Int = 400, maxFeeds: Int = 4096,
+    maxBlocks: Int = 8) {
 
-  require(headSize > 0 && maxFeeds > 0, "headSize and maxFeeds must be positive")
+  require(headSize > 0 && maxFeeds > 0 && maxBlocks > 0,
+    "headSize, maxFeeds and maxBlocks must be positive")
 
   private final case class Head(version: String,
-      rows: Vector[(String, Option[Long], String)]) {
-    def complete: Boolean = rows.length < headSize
+      rows: Vector[(String, Option[Long], String)], complete: Boolean) {
+    // eviction recency — mutable on purpose: touching it must not copy
+    // the row vector, and it carries no page semantics
+    val lastAccess = new java.util.concurrent.atomic.AtomicLong(tick.incrementAndGet())
+    def touch(): Unit = lastAccess.set(tick.incrementAndGet())
   }
 
+  // a logical clock, not wall time: System.nanoTime ties under burst
+  // traffic would make LRU victim choice nondeterministic in specs
+  private val tick = new java.util.concurrent.atomic.AtomicLong
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Head]()
   private val hitsN = new java.util.concurrent.atomic.AtomicLong
   private val buildsN = new java.util.concurrent.atomic.AtomicLong
   private val fallbacksN = new java.util.concurrent.atomic.AtomicLong
+  private val evictionsN = new java.util.concurrent.atomic.AtomicLong
 
   /** (head hits, head builds, Spark fallbacks) — for specs and smokes. */
   def stats: (Long, Long, Long) = (hitsN.get, buildsN.get, fallbacksN.get)
+
+  /** LRU evictions performed past `maxFeeds` — each one is O(1) entries
+    * dropped, never a wholesale clear. */
+  def evictions: Long = evictionsN.get
+
+  private val extensionsN = new java.util.concurrent.atomic.AtomicLong
+
+  /** Chain extensions: deep-walk block builds past block 0 — each is one
+    * Spark job amortized over the next ~headSize/limit deep pages. */
+  def extensions: Long = extensionsN.get
 
   /** Drop every cached head (tests; production relies on `version()`). */
   def invalidateAll(): Unit = cache.clear()
@@ -79,30 +120,80 @@ final class FeedHeadCache(spark: SparkSession, store: () => DataFrame,
     if (!FeedPage.allowed(c, requesterDid)) return (Nil, None)
     version(c.key) match {
       case Some(v) if limit <= headSize =>
-        serveFromHead(headFor(c, v), c, limit, cursor).getOrElse {
-          // the walk ran past a truncated head: per-request Spark query
+        var head = headFor(c, v)
+        var served = serveFromHead(head, c, limit, cursor)
+        // deep walk past the cached chain: EXTEND block by block (each
+        // extension is the fallback query, cached) until the page is
+        // covered, the feed ends, or the maxBlocks memory bound
+        while (served.isEmpty && !head.complete &&
+            head.rows.length < headSize.toLong * maxBlocks) {
+          head = extend(c, head)
+          served = serveFromHead(head, c, limit, cursor)
+        }
+        served.getOrElse {
+          // past the maxBlocks bound: per-request Spark query
           fallbacksN.incrementAndGet()
-          FeedPage.pageCollected(spark, store(), c, limit, cursor, requesterDid)
+          FeedPage.pageCollected(spark, store(c.key), c, limit, cursor, requesterDid)
         }
       case _ =>
         fallbacksN.incrementAndGet()
-        FeedPage.pageCollected(spark, store(), c, limit, cursor, requesterDid)
+        FeedPage.pageCollected(spark, store(c.key), c, limit, cursor, requesterDid)
     }
   }
 
   private def headFor(c: Condition, v: String): Head = {
     val cur = cache.get(c.key)
-    if (cur != null && cur.version == v) { hitsN.incrementAndGet(); cur }
+    if (cur != null && cur.version == v) { hitsN.incrementAndGet(); cur.touch(); cur }
     else {
       // build OUTSIDE any map lock (it runs a Spark job); a racing
       // request for the same feed builds a duplicate head — harmless,
       // last write wins, both are snapshots of the same version
       buildsN.incrementAndGet()
-      if (cache.size > maxFeeds) cache.clear()
-      val head = Head(v, FeedPage.collectSorted(store(), c, headSize, None))
+      // past the bound: evict the LEAST-RECENTLY-USED entry, one per
+      // insert — hot feeds keep their heads (a wholesale clear()
+      // stampeded ~70 ms rebuilds of EVERY hot head whenever a tenant
+      // crossed maxFeeds). The O(size) min-scan is driver-local over
+      // ≤ maxFeeds+1 entries, on a path already paying a Spark job.
+      // cur != null means we REPLACE our own stale entry — no growth,
+      // no eviction needed.
+      if (cur == null && cache.size >= maxFeeds) {
+        var victim: java.util.Map.Entry[String, Head] = null
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (victim == null ||
+              e.getValue.lastAccess.get < victim.getValue.lastAccess.get)
+            victim = e
+        }
+        if (victim != null && cache.remove(victim.getKey, victim.getValue))
+          evictionsN.incrementAndGet()
+      }
+      val rows = FeedPage.collectSorted(store(c.key), c, headSize, None)
+      val head = Head(v, rows, complete = rows.length < headSize)
       cache.put(c.key, head)
       head
     }
+  }
+
+  /** Grow a feed's chain by one block: the next `headSize` rows strictly
+    * after the chain's last (ts, cid) boundary — the fallback query, but
+    * cached under the same version token. A short block means the feed
+    * is exhausted; a null-ts tail row means everything beyond is null-ts
+    * too (they sort last) and cursored pages exclude those, so the chain
+    * is complete for every page a cursor can reach. */
+  private def extend(c: Condition, head: Head): Head = {
+    extensionsN.incrementAndGet()
+    val grown = head.rows.lastOption match {
+      case Some((_, Some(t), cid)) =>
+        val block = FeedPage.collectSorted(store(c.key), c, headSize,
+          Some(s"$t${Paging.CursorSep}$cid"))
+        Head(head.version, head.rows ++ block,
+          complete = block.length < headSize)
+      case _ => // empty head is already complete at build; null-ts tail
+        Head(head.version, head.rows, complete = true)
+    }
+    cache.put(c.key, grown)
+    grown
   }
 
   private def serveFromHead(head: Head, c: Condition, limit: Int,

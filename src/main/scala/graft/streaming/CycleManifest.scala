@@ -1,0 +1,148 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+
+/** The per-feed landed-batch counters, persisted NEXT TO the versioned
+  * store's `_current` pointer — the piece that makes head-block-cache
+  * invalidation visible to serving replicas that do NOT run the drain.
+  *
+  * Why it exists: [[graft.serving.FeedHeadCache]]'s invalidation token
+  * composes the store pointer (flipped only by compaction/deletes) with
+  * the feed's landed-batch counter, because streaming appends do not
+  * flip the pointer. In-process that counter is
+  * [[graft.model.ConditionMetrics.keyCycle]] — but the stated
+  * deployment form is N stateless serving replicas over one store, and
+  * a replica that isn't the drain process never sees the in-process
+  * bumps, so it had to run with caching disabled and pay the ~70–130 ms
+  * per-request planning floor. The manifest routes the same counters
+  * through the store: the drain persists them after every recorded
+  * micro-batch (temp + atomic rename, same publish discipline as the
+  * pointer), and replicas fold the persisted (gen, count) into their
+  * version tokens.
+  *
+  * Ordering: the drain records metrics AFTER a batch's rows are visible
+  * (the r18 token-ordering rule), and the manifest write happens inside
+  * that record — so a replica can at worst serve the previous head for
+  * the instant between rows-visible and manifest-landed, the same
+  * read-your-writes bound two back-to-back uncached requests already
+  * have. It can never serve a token-fresh head built from pre-drain
+  * rows.
+  *
+  * Restart safety: tokens must stay unique across drain-process
+  * incarnations — a fresh process's in-memory counters restart at
+  * (gen 0, count 0), and a replica still holds tokens from the previous
+  * incarnation, so a re-climbing counter would collide ("0:5" naming
+  * two different stores). [[Writer]] therefore resumes generations
+  * MONOTONE across restarts: baseGen = previous manifest's gen + 1.
+  *
+  * Scale: one tiny driver-side file per drain (≤ the metrics map's
+  * 8192-key bound, ~300 KB worst case, typically bytes); replicas stat
+  * it per request and re-parse only when (mtime, length) changes.
+  */
+object CycleManifest {
+
+  private val Name = "_graft_cycles"
+
+  def manifestPath(storeDir: String): Path = StoreFs.path(storeDir, Name)
+
+  private def parse(s: String): (Long, Map[String, Long]) = {
+    val node = new ObjectMapper().readTree(s)
+    val counts = Map.newBuilder[String, Long]
+    val it = node.get("counts").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      counts += e.getKey -> e.getValue.asLong()
+    }
+    (node.get("gen").asLong(), counts.result())
+  }
+
+  /** Current persisted (generation, per-feed landed-batch counts), or
+    * None when no drain has ever persisted one. */
+  def read(storeDir: String): Option[(Long, Map[String, Long])] = {
+    val p = manifestPath(storeDir)
+    if (StoreFs.exists(p)) Some(parse(StoreFs.readString(p))) else None
+  }
+
+  /** Drain-side writer: wire it as the [[graft.model.ConditionMetrics]]
+    * persist hook so every recorded micro-batch publishes its counters.
+    * One instance per drain process — construction reads the previous
+    * incarnation's manifest to resume generations monotone. */
+  final class Writer(storeDir: String) {
+    private val baseGen: Long = read(storeDir).map(_._1 + 1L).getOrElse(0L)
+
+    def persist(gen: Long, counts: Map[String, Long]): Unit = {
+      val om = new ObjectMapper()
+      val root = om.createObjectNode()
+      root.put("gen", baseGen + gen)
+      val c = root.putObject("counts")
+      counts.foreach { case (k, v) => c.put(k, v) }
+      val tmp = StoreFs.path(storeDir, Name + ".tmp")
+      StoreFs.writeString(tmp, om.writeValueAsString(root))
+      // readers see the whole old manifest or the whole new one
+      StoreFs.rename(tmp, manifestPath(storeDir), overwrite = true)
+    }
+  }
+
+  /** Replica-side reader: per call it STATS the manifest and re-parses
+    * only when (mtime, length) changed — a namespace op, not a read, on
+    * the head-cache hot path. Caveat: two manifests landing within the
+    * same millisecond with identical byte length are indistinguishable
+    * to the stat; drains are seconds apart in production and the next
+    * drain heals a missed one, so the exposure is the same
+    * read-your-writes bound the token already carries. `statIntervalMs`
+    * optionally throttles the stat itself (bounded staleness for
+    * deployments where a namespace RPC per request matters); 0 = stat
+    * every call. */
+  final class Reader(storeDir: String, statIntervalMs: Long = 0L) {
+    private final case class Cached(mtime: Long, len: Long, gen: Long,
+        counts: Map[String, Long])
+    @volatile private var cached: Cached = _
+    @volatile private var lastStat = 0L
+
+    def snapshot(): Option[(Long, Map[String, Long])] = {
+      val c = cached
+      if (c != null && statIntervalMs > 0 &&
+          System.currentTimeMillis() - lastStat < statIntervalMs)
+        return Some((c.gen, c.counts))
+      val p = manifestPath(storeDir)
+      StoreFs.statOf(p) match {
+        case None => None // no manifest yet: replica cannot cache
+        case Some((mtime, len)) =>
+          lastStat = System.currentTimeMillis()
+          if (c != null && c.mtime == mtime && c.len == len)
+            Some((c.gen, c.counts))
+          else {
+            // a concurrent rename between the stat and this read just
+            // means we parse the NEWER manifest under the older stat;
+            // the next change re-parses (counters are monotone)
+            val (gen, counts) = parse(StoreFs.readString(p))
+            cached = Cached(mtime, len, gen, counts)
+            Some((gen, counts))
+          }
+      }
+    }
+
+    /** The replica's equivalent of [[graft.model.ConditionMetrics
+      * .keyCycle]], from the persisted counters. None = no manifest. */
+    def keyCycle(key: String): Option[String] =
+      snapshot().map { case (g, m) => s"$g:${m.getOrElse(key, 0L)}" }
+  }
+
+  /** The complete replica-side version source for a
+    * [[graft.serving.FeedHeadCache]] over `storeDir`: store pointer +
+    * persisted per-feed landed-batch counter — token-compatible in
+    * STRUCTURE with the drain process's in-process source (pointer +
+    * keyCycle), but routed entirely through the store. Returns None
+    * (caching disabled) until the first drain persists a manifest, so a
+    * replica over a store whose drain predates the manifest never
+    * serves a stale head. */
+  def replicaVersion(storeDir: String, statIntervalMs: Long = 0L)
+      : String => Option[String] = {
+    val reader = new Reader(storeDir, statIntervalMs)
+    val root = new Path(storeDir)
+    key => reader.keyCycle(key).map { kc =>
+      VersionedStore.currentVersion(root).getOrElse("_root") + ":" + kc
+    }
+  }
+}

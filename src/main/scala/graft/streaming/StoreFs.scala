@@ -134,6 +134,14 @@ private[graft] object StoreFs {
 
   def modificationTime(p: Path): Long = fc(p).getFileStatus(p).getModificationTime
 
+  /** (modification time ms, byte length) for a change-detection stat, or
+    * None when the file does not exist — one namespace RPC, no read. */
+  def statOf(p: Path): Option[(Long, Long)] =
+    try {
+      val st = fc(p).getFileStatus(p)
+      Some((st.getModificationTime, st.getLen))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Schemes whose Hadoop `rename` is copy+delete emulation, not an
     * atomic namespace op — the pointer flip and version/epoch commits are
     * UNSOUND there (see the atomicity contract in the object scaladoc). */

@@ -487,6 +487,78 @@ class IngestServeSpec extends SparkSpec {
       "an in-flight snapshot must survive the swap (GraceVersions window)")
   }
 
+  test("head-cached walk interleaved with drains AND compactions: zero dup, zero loss, " +
+      "both serving paths exercised") {
+    // All three actors at once (the r18 race spec covered walks vs
+    // compaction on the DIRECT path only): a cursor walk served partly
+    // from the head cache and partly from the fallback query, while
+    // drains bump the feed's keyCycle (token flip without a pointer
+    // flip) and a retention compaction flips the pointer itself.
+    // Contract: the position-based keyset makes the walk exact — rows
+    // landed mid-walk rank ABOVE the cursor (next-walk material, never
+    // a mid-walk dup), retention-deleted tail rows rank below the final
+    // cursor, and every token flip rebuilds an internally-consistent
+    // head snapshot.
+    val s = spark
+    import s.implicits._
+    val store = tmpDir("graft-race3")
+    def post(i: Int) = graft.model.Post(s"at://r/$i", "f1", f"c$i%03d",
+      None, None, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(i * 60L)))
+    (1 to 24).map(post).toDF().write.mode("overwrite")
+      .partitionBy("key").parquet(store)
+    val c = cond(key = "f1", limitCount = 100000)
+
+    // production token wiring, exactly like DurablePipeline: pointer +
+    // in-process keyCycle (the cross-process manifest variant is pinned
+    // in FeedHeadCacheSpec)
+    val metrics = new ConditionMetrics
+    val root = new org.apache.hadoop.fs.Path(store)
+    val hc = new graft.serving.FeedHeadCache(spark,
+      key => Ingest.readStoreKey(spark, store, key),
+      key => Some(graft.streaming.VersionedStore.currentVersion(root)
+        .getOrElse("_root") + ":" + metrics.keyCycle(key)),
+      // maxBlocks=1 pins the fallback path INTO the interleave: with
+      // chaining on, the whole walk stays in-head (FeedHeadCacheSpec
+      // covers chained walks) and the fallback leg would go untested
+      headSize = 10, maxBlocks = 1)
+    def drain(i: Int): Unit = {
+      Seq(post(i)).toDF().write.mode("append").partitionBy("key")
+        .parquet(graft.streaming.VersionedStore.versionDir(store))
+      metrics.record(Seq(c), Map("f1" -> 1L), 1L)
+    }
+
+    val seen = Seq.newBuilder[String]
+    var cur: Option[String] = None
+    def page(): Boolean = {
+      val (rows, next) = hc.page(c, 4, cur)
+      seen ++= rows.map(_._2)
+      cur = next
+      rows.nonEmpty && next.isDefined
+    }
+
+    page() // 24..21 in-head
+    drain(25) // token flip WITHOUT a pointer flip
+    page() // 20..17 from the rebuilt head
+    // pointer flip: keep the newest 16 (25, 24..10)
+    Ingest.retentionCompact(spark, store, Seq(cond(key = "f1", limitCount = 16)))
+    page() // cursor at 17: in-head remainder too thin -> fallback, 16..13
+    drain(26) // second drain lands mid-deep-walk
+    var pages = 3
+    while (page() && pages < 10) pages += 1
+
+    val walked = seen.result()
+    assert(walked == (24 to 10 by -1).map(i => s"at://r/$i"),
+      s"three-actor interleave broke the keyset contract: $walked")
+    assert(walked.distinct == walked, "a token/pointer flip re-served rows")
+    val (hits, builds, fallbacks) = hc.stats
+    assert(hits > 0, "part of the walk must have served from the head")
+    assert(fallbacks > 0, "part of the walk must have taken the fallback")
+    assert(builds >= 3, s"each token flip must rebuild, got builds=$builds")
+    // the mid-walk rows are exactly the next walk's first-page material
+    assert(hc.page(c, 2, None)._1.map(_._2) == Seq("at://r/26", "at://r/25"))
+  }
+
   test("condition normalization: string-bools, defaults, splits (B3)") {
     val raw = ConditionRaw("k1", "my-feed", "q", "spark", Some(""), None,
       Some(""), Some("true"), Some("false"), Some("imageOnly"), None,

@@ -177,6 +177,61 @@ class KMeansIvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ nProbe calibration: recall monotone, full probe ≡ flat ADC recall, pick rules") {
+    val queries = emb.filter(col("vec_id") < 5)
+    // unreachable target: the pick must degrade to maxProbe, never fail
+    val rows = graft.operators.ProductQuantizer.calibrateNProbePq(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64, nCells = 4, maxProbe = 4,
+        target = 2.0)
+      .orderBy(col("n_probe")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.count(_.getBoolean(2)) == 1 && rows.last.getBoolean(2),
+      "an unreachable target must choose maxProbe")
+    // probing EVERY cell removes pruning: recall@nCells must equal flat
+    // ADC's recall against the same exact integer L2 truth
+    val flat = graft.operators.ProductQuantizer.pqTopK(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val truth = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, l2(vecs(q), vecs(c)))).sortBy { case (c, d) => (d, c) }
+        .take(5).map { case (c, _) => (q, c) }
+    }.toSet
+    val flatRecall = truth.count(flat.contains).toDouble / (5 * 5)
+    assert(rows.last.getDouble(1) == flatRecall,
+      s"recall@nCells=${rows.last.getDouble(1)} must equal flat ADC recall $flatRecall")
+    // the ONE-PASS probe-rank pipeline must reproduce the per-setting
+    // search exactly: recall(p) == ivfPqTopK(nProbe = p)'s recall vs the
+    // same truth for EVERY setting. (Recall is NOT asserted monotone —
+    // ADC is approximate, so a newly probed cell's ADC-closer-but-wrong
+    // candidate can displace a true hit; the observed sf0.001 readings
+    // do dip: 0.2, 0.24, 0.2, 0.2.)
+    (1 to 4).foreach { p =>
+      val hits = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+          "vec_id", "embedding", k = 5, dim = 64, nCells = 4, nProbe = p)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = truth.count(hits.contains).toDouble / (5 * 5)
+      assert(rows(p - 1).getDouble(1) == expect,
+        s"one-pass recall at p=$p (${rows(p - 1).getDouble(1)}) diverged from " +
+          s"the per-setting search ($expect)")
+    }
+    // a trivially-met target picks the SMALLEST setting
+    val easy = graft.operators.ProductQuantizer.calibrateNProbePq(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64, nCells = 4, maxProbe = 4,
+        target = 0.0)
+      .orderBy(col("n_probe")).collect()
+    assert(easy.head.getBoolean(2) && easy.count(_.getBoolean(2)) == 1,
+      "a target of 0 must choose n_probe = 1")
+  }
+
   test("PQ leaves no persistent RDDs behind (training cache self-releases)") {
     val queries = emb.filter(col("vec_id") < 3)
     // no SharedCache / Verify sweep involved: run the full query and check

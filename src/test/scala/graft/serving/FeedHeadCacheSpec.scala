@@ -55,7 +55,7 @@ class FeedHeadCacheSpec extends SparkSpec {
     val df = storeDf.cache()
     val c = Fixtures.cond(key = "f1", pinnedPost = Seq("at://pin/1"))
     for (headSize <- Seq(7, 31, 400); limit <- Seq(3, 10)) {
-      val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize)
+      val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"), headSize)
       val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, limit)
       val direct = walk((cc, l, cur) =>
         FeedPage.pageCollected(spark, df, cc, l, cur), c, limit)
@@ -64,12 +64,14 @@ class FeedHeadCacheSpec extends SparkSpec {
     }
   }
 
-  test("truncated head falls back to Spark exactly when the walk runs past it") {
+  test("truncated head (maxBlocks=1) falls back to Spark exactly when the walk runs past it") {
     val df = storeDf.cache()
     val c = Fixtures.cond(key = "f1")
-    // head of 7 over a 31-row feed: pages 1-2 (limit 3) are in-head, the
-    // walk past row 7 must fall back — and stay correct
-    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize = 7)
+    // head of 7 over a 31-row feed with chaining DISABLED: pages 1-2
+    // (limit 3) are in-head, the walk past row 7 must fall back — and
+    // stay correct
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"), headSize = 7,
+      maxBlocks = 1)
     val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, 3)
     val direct = walk((cc, l, cur) =>
       FeedPage.pageCollected(spark, df, cc, l, cur), c, 3)
@@ -78,16 +80,48 @@ class FeedHeadCacheSpec extends SparkSpec {
     assert(builds == 1, s"one head build expected, got $builds")
     assert(fallbacks > 0, "the deep walk must have taken the fallback path")
     assert(hits > 0, "the early pages must have served from the head")
+    assert(hc.extensions == 0, "maxBlocks=1 must never extend")
     // a limit above headSize never consults the head
     val before = hc.stats._3
     hc.page(c, 8, None)
     assert(hc.stats._3 == before + 1, "limit > headSize must fall back")
   }
 
+  test("deep walk extends the chain block-by-block: zero fallbacks inside maxBlocks, " +
+      "fallback only past the bound") {
+    val df = storeDf.cache()
+    val c = Fixtures.cond(key = "f1")
+    // 31 f1 rows (incl. null-ts): headSize 7 × maxBlocks 5 = 35 covers
+    // the feed, so the FULL walk must stay in-head — extensions replace
+    // what used to be per-page fallbacks
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"), headSize = 7,
+      maxBlocks = 5)
+    val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, 3)
+    val direct = walk((cc, l, cur) =>
+      FeedPage.pageCollected(spark, df, cc, l, cur), c, 3)
+    assert(cached == direct, "chained walk must be request-indistinguishable")
+    assert(hc.stats._3 == 0, "no page inside the chain bound may fall back")
+    assert(hc.stats._2 == 1 && hc.extensions >= 3,
+      s"one build + block extensions expected, got ${hc.stats._2}/${hc.extensions}")
+    // a second full walk re-serves the whole chain with ZERO new jobs
+    val (_, builds0, _) = hc.stats
+    val ext0 = hc.extensions
+    assert(walk((cc, l, cur) => hc.page(cc, l, cur), c, 3) == direct)
+    assert(hc.stats._2 == builds0 && hc.extensions == ext0 && hc.stats._3 == 0,
+      "a re-walk over an unchanged token must be fully cached")
+    // maxBlocks=2 (14 rows) over the same feed: the walk is exact but
+    // must fall back once past row 14
+    val hc2 = new FeedHeadCache(spark, _ => df, _ => Some("v1"), headSize = 7,
+      maxBlocks = 2)
+    assert(walk((cc, l, cur) => hc2.page(cc, l, cur), c, 3) == direct)
+    assert(hc2.stats._3 > 0, "past maxBlocks the walk must fall back")
+    assert(hc2.extensions == 1, "the chain must stop at maxBlocks-1 extensions")
+  }
+
   test("complete tiny feed serves end-of-feed pages from the head (no fallback)") {
     val df = storeDf.cache()
     val c = Fixtures.cond(key = "f2")
-    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"), headSize = 50)
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"), headSize = 50)
     val cached = walk((cc, l, cur) => hc.page(cc, l, cur), c, 2)
     val direct = walk((cc, l, cur) =>
       FeedPage.pageCollected(spark, df, cc, l, cur), c, 2)
@@ -102,7 +136,7 @@ class FeedHeadCacheSpec extends SparkSpec {
     var rows = Seq(("f1", "at://u/1", "c1", ts("2024-03-01T10:00:00Z")))
     var v = "v1"
     def df = rows.toDF("key", "uri", "cid", "indexedAt")
-    val hc = new FeedHeadCache(spark, () => df, _ => Some(v), headSize = 50)
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some(v), headSize = 50)
     val c = Fixtures.cond(key = "f1")
     assert(hc.page(c, 10, None)._1.map(_._2) == Seq("at://u/1"))
     // store grows but the pointer has not flipped: cached head serves
@@ -113,14 +147,114 @@ class FeedHeadCacheSpec extends SparkSpec {
     v = "v2"
     assert(hc.page(c, 10, None)._1.map(_._2) == Seq("at://u/2", "at://u/1"))
     // no version source wired in -> always the Spark path
-    val hcOff = new FeedHeadCache(spark, () => df, _ => None, headSize = 50)
+    val hcOff = new FeedHeadCache(spark, _ => df, _ => None, headSize = 50)
     assert(hcOff.page(c, 10, None)._1.nonEmpty && hcOff.stats._2 == 0)
+  }
+
+  test("past maxFeeds, ONE least-recently-used head is evicted — hot feeds keep theirs") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 4).flatMap { f =>
+      (0 until 5).map(i => (s"f$f", s"at://u/$f/$i", s"c$i",
+        ts(f"2024-03-01T10:0$i%d:00Z")))
+    }.toDF("key", "uri", "cid", "indexedAt").cache()
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"),
+      headSize = 50, maxFeeds = 3)
+    def page(k: String) = hc.page(Fixtures.cond(key = k), 3, None)
+    page("f1"); page("f2"); page("f3")
+    assert(hc.stats._2 == 3 && hc.evictions == 0)
+    // touch f1 and f3 so f2 is the LRU victim
+    page("f1"); page("f3")
+    assert(hc.stats == ((2L, 3L, 0L)))
+    // the 4th feed crosses the bound: exactly ONE eviction, not a clear
+    page("f4")
+    assert(hc.stats._2 == 4 && hc.evictions == 1)
+    // hot feeds survived — both serve from cache with zero new builds
+    page("f1"); page("f3"); page("f4")
+    assert(hc.stats == ((5L, 4L, 0L)) && hc.evictions == 1,
+      "hot heads must survive an eviction (a wholesale clear would rebuild them)")
+    // only the cold victim rebuilds (evicting the next LRU, f1)
+    page("f2")
+    assert(hc.stats._2 == 5 && hc.evictions == 2)
+  }
+
+  test("cross-process invalidation: a replica cache over the store sees drains " +
+      "through the persisted cycle manifest (no shared process state)") {
+    import graft.streaming.CycleManifest
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replica").toString
+    def append(rows: Seq[(String, String, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("key", "uri", "cid", "indexedAt")
+        .write.mode("append").parquet(dir)
+    def store() = spark.read.parquet(dir)
+
+    // ---- "drain process": in-process metrics + the manifest writer ----
+    val drainMetrics = new graft.model.ConditionMetrics
+    drainMetrics.persistWith(new CycleManifest.Writer(dir).persist)
+    val conds = Seq(Fixtures.cond(key = "f1"), Fixtures.cond(key = "f2"))
+    def drain(key: String, rows: Seq[(String, String, String, java.sql.Timestamp)]): Unit = {
+      append(rows)
+      Thread.sleep(5) // distinct manifest mtimes for the stat-check
+      drainMetrics.record(conds.filter(_.key == key), Map(key -> rows.size.toLong), 1L)
+    }
+
+    // ---- "serving replica": fresh objects, version routed via the store ----
+    val hc = new FeedHeadCache(spark, _ => store(),
+      CycleManifest.replicaVersion(dir), headSize = 50)
+    val c1 = Fixtures.cond(key = "f1")
+
+    // no manifest yet: the replica must not cache (fallback path only)
+    append(Seq(("f1", "at://u/0", "c0", ts("2024-03-01T09:00:00Z"))))
+    assert(hc.page(c1, 10, None)._1.map(_._2) == Seq("at://u/0"))
+    assert(hc.stats._2 == 0 && hc.stats._3 == 1,
+      "without a persisted manifest a replica cannot cache")
+
+    // first recorded drain: replica builds a head and serves from it
+    drain("f1", Seq(("f1", "at://u/1", "c1", ts("2024-03-01T10:00:00Z"))))
+    assert(hc.page(c1, 10, None)._1.map(_._2) == Seq("at://u/1", "at://u/0"))
+    assert(hc.page(c1, 10, None)._1.map(_._2) == Seq("at://u/1", "at://u/0"))
+    assert(hc.stats._1 == 1 && hc.stats._2 == 1)
+
+    // a drain for f1 invalidates ONLY f1's head — and the replica's very
+    // next page shows the new row (no stale page)
+    drain("f2", Seq(("f2", "at://v/1", "d1", ts("2024-03-01T10:00:00Z"))))
+    assert(hc.page(c1, 10, None)._1.map(_._2) == Seq("at://u/1", "at://u/0"),
+      "a drain that landed nothing for f1 must keep f1's head")
+    assert(hc.stats._1 == 2 && hc.stats._2 == 1, "f1 must have HIT, not rebuilt")
+    drain("f1", Seq(("f1", "at://u/2", "c2", ts("2024-03-01T11:00:00Z"))))
+    assert(hc.page(c1, 10, None)._1.map(_._2) ==
+      Seq("at://u/2", "at://u/1", "at://u/0"),
+      "the first page after a drain must include the drained row")
+    assert(hc.stats._2 == 2)
+
+    // cursor walk straddling a drain: keyset contract — rows landed
+    // mid-walk are NEWER than the cursor, so the continuation is exact
+    val (p1, cur1) = hc.page(c1, 2, None)
+    assert(p1.map(_._2) == Seq("at://u/2", "at://u/1") && cur1.isDefined)
+    drain("f1", Seq(("f1", "at://u/3", "c3", ts("2024-03-01T12:00:00Z"))))
+    val (p2, _) = hc.page(c1, 2, cur1)
+    assert(p2.map(_._2) == Seq("at://u/0"),
+      "a continuation across a drain must neither duplicate nor lose rows")
+
+    // "drain process restart": fresh metrics (counters re-climb from 0)
+    // + fresh writer — the generation resumes MONOTONE, so the replica
+    // rebuilds instead of trusting a colliding re-climbed token
+    val restarted = new graft.model.ConditionMetrics
+    restarted.persistWith(new CycleManifest.Writer(dir).persist)
+    val buildsBefore = hc.stats._2
+    append(Seq(("f1", "at://u/4", "c4", ts("2024-03-01T13:00:00Z"))))
+    Thread.sleep(5)
+    restarted.record(Seq(c1), Map("f1" -> 1L), 1L)
+    assert(hc.page(c1, 10, None)._1.head._2 == "at://u/4",
+      "post-restart drains must be visible to the replica")
+    assert(hc.stats._2 == buildsBefore + 1)
   }
 
   test("private gate applies before any head work") {
     val df = storeDf.cache()
     val priv = Fixtures.cond(key = "f1", privateFeed = Seq("did:plc:ok"))
-    val hc = new FeedHeadCache(spark, () => df, _ => Some("v1"))
+    val hc = new FeedHeadCache(spark, _ => df, _ => Some("v1"))
     assert(hc.page(priv, 10, None, None) == ((Nil, None)))
     assert(hc.stats == ((0L, 0L, 0L)), "a gated request must touch nothing")
     assert(hc.page(priv, 10, None, Some("did:plc:ok"))._1.nonEmpty)
