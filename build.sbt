@@ -27,6 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // lets FeedServer.noDelayStatus verify the Nagle fix took (prod JVMs
   // without this open just get the "could not verify" info log)
   "--add-opens", "jdk.httpserver/sun.net.httpserver=ALL-UNNAMED",
+  // the deployment-documented way to kill the ~40 ms Nagle stall:
+  // ServerConfig latches this ONCE at first server-class load, and in a
+  // multi-suite JVM some other HttpServer (e.g. a test DID directory)
+  // loads it before FeedServer.start() could set it lazily
+  "-Dsun.net.httpserver.nodelay=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -148,7 +148,7 @@ object ServeSmoke {
     headCache.foreach { hc =>
       val (hits, builds, fallbacks) = hc.stats
       println(s"[serve] head cache stats: hits=$hits builds=$builds " +
-        s"fallbacks=$fallbacks extensions=${hc.extensions}")
+        s"fallbacks=$fallbacks extensions=${hc.extensions} coalesced=${hc.coalesced}")
       // in-process hit latency (no HTTP): isolates the cache's own cost
       // from the network stack's
       val c0 = cs(1)

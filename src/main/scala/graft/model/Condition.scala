@@ -62,8 +62,85 @@ object Condition {
     },
   )
 
+  /** General-category property names — the ONLY `\p{...}` spellings that
+    * compile in BOTH dialects with identical semantics (Java and JS each
+    * accept the short Unicode category forms; everything else Java
+    * accepts is Java-only: POSIX classes like `\p{Alpha}` are ASCII-only
+    * in Java and a SyntaxError in JS, `Is`/`In`/`java` prefixes are
+    * Java-only, and JS long names like `\p{Letter}` don't compile in
+    * Java at all — those the compile gate already rejects). */
+  private val PortableCategories = Set(
+    "L", "Lu", "Ll", "Lt", "Lm", "Lo", "M", "Mn", "Mc", "Me",
+    "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po",
+    "S", "Sm", "Sc", "Sk", "So", "Z", "Zs", "Zl", "Zp",
+    "C", "Cc", "Cf", "Co", "Cn")
+
+  /** RegexDialectSpec's documented residuals: constructs that COMPILE
+    * under Java but the reference's `new RegExp(p, "is")` would reject —
+    * so a pattern slipping through the compile gate would silently run
+    * with Java-only semantics the user never tested. Scans a
+    * Java-COMPILABLE pattern (call after the compile gate) for:
+    *
+    *  - possessive quantifiers (`*+` `++` `?+` `{m,n}+`) — JS
+    *    SyntaxError, Java silently never backtracks;
+    *  - `\p`/`\P` property names outside the general-category set
+    *    (`\p{Alpha}` is ASCII-only POSIX in Java, an error in JS), and
+    *    the brace-less Java shorthand `\pL`.
+    *
+    * Quoted `\Q…\E` regions and character classes are skipped — their
+    * contents are literal/member chars, never quantifiers. Returns the
+    * offending construct for a pointed CRUD error. */
+  private[model] def javaOnlyConstruct(p: String): Option[String] = {
+    var i = 0
+    var inClass = false
+    var prevQuant = false
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' if i + 1 < p.length =>
+          val n = p.charAt(i + 1)
+          if (n == 'Q') {
+            val end = p.indexOf("\\E", i + 2)
+            i = if (end < 0) p.length else end + 2
+          } else if (!inClass && (n == 'p' || n == 'P')) {
+            if (i + 2 >= p.length || p.charAt(i + 2) != '{')
+              return Some(s"\\$n without braces — Java-only shorthand, " +
+                s"the reference's JS dialect requires \\$n{...}")
+            val end = p.indexOf('}', i + 3)
+            val name = if (end < 0) "" else p.substring(i + 3, end)
+            if (!PortableCategories.contains(name))
+              return Some(s"\\$n{$name} — Java-only property name " +
+                "(only general-category names like \\p{L} mean the same " +
+                "in the reference's JS dialect)")
+            i = end + 1
+          } else i += 2
+          prevQuant = false
+        case ']' if inClass => inClass = false; i += 1
+        case _ if inClass => i += 1
+        case '[' => inClass = true; prevQuant = false; i += 1
+        case '+' if prevQuant =>
+          return Some("possessive quantifier — Java-only (the reference's " +
+            "JS dialect rejects '*+', '++', '?+', '{m,n}+'); drop the " +
+            "trailing '+' or use an atomic rewrite")
+        case '*' | '+' | '?' => prevQuant = true; i += 1
+        case '{' =>
+          // only a well-formed brace quantifier makes a trailing '+'
+          // possessive; a literal '{' does not
+          val end = p.indexOf('}', i + 1)
+          val body = if (end < 0) "" else p.substring(i + 1, end)
+          if (end > 0 && body.matches("[0-9]+(,[0-9]*)?")) {
+            prevQuant = true; i = end + 1
+          } else { prevQuant = false; i += 1 }
+        case _ => prevQuant = false; i += 1
+      }
+    }
+    None
+  }
+
   /** CRUD-boundary validation (P13, /root/reference/src/databaseUtil.ts:17-75):
-    * record-name shape, regex compilability, non-negative ints. */
+    * record-name shape, regex compilability, non-negative ints — plus
+    * (r19) rejection of the documented Java-only constructs that would
+    * otherwise compile here and silently diverge from the reference's JS
+    * dialect ([[javaOnlyConstruct]]). */
   def validate(raw: ConditionRaw): Either[String, ConditionRaw] = {
     def compiles(p: String): Boolean =
       p.isEmpty || Try(Pattern.compile(p, Pattern.CASE_INSENSITIVE)).isSuccess
@@ -73,6 +150,10 @@ object Condition {
       Left(s"invalid inputRegex: ${raw.inputRegex}")
     else if (!compiles(raw.invertRegex.getOrElse("")))
       Left(s"invalid invertRegex")
+    else if (javaOnlyConstruct(raw.inputRegex).isDefined)
+      Left(s"invalid inputRegex: ${javaOnlyConstruct(raw.inputRegex).get}")
+    else if (raw.invertRegex.exists(javaOnlyConstruct(_).isDefined))
+      Left(s"invalid invertRegex: ${raw.invertRegex.flatMap(javaOnlyConstruct).get}")
     else if (raw.initPost.exists(_ < 0) || raw.limitCount.exists(_ < 0))
       Left("negative count")
     else Right(raw)

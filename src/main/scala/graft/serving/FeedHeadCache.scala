@@ -110,6 +110,14 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
     * Spark job amortized over the next ~headSize/limit deep pages. */
   def extensions: Long = extensionsN.get
 
+  private val coalescedN = new java.util.concurrent.atomic.AtomicLong
+
+  /** Requests that WAITED on another request's in-flight build of the
+    * same head instead of duplicating its Spark job (the cold-feed
+    * thundering herd: ServeSmoke's 4-client phase measured ~3.2 builds
+    * per cold feed before single-flight). */
+  def coalesced: Long = coalescedN.get
+
   /** Drop every cached head (tests; production relies on `version()`). */
   def invalidateAll(): Unit = cache.clear()
 
@@ -141,38 +149,74 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
     }
   }
 
+  // single-flight registry: at most one in-flight build per feed —
+  // concurrent cold requests WAIT on the winner's future instead of
+  // duplicating its Spark job
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[Head]]()
+
   private def headFor(c: Condition, v: String): Head = {
-    val cur = cache.get(c.key)
-    if (cur != null && cur.version == v) { hitsN.incrementAndGet(); cur.touch(); cur }
-    else {
-      // build OUTSIDE any map lock (it runs a Spark job); a racing
-      // request for the same feed builds a duplicate head — harmless,
-      // last write wins, both are snapshots of the same version
-      buildsN.incrementAndGet()
-      // past the bound: evict the LEAST-RECENTLY-USED entry, one per
-      // insert — hot feeds keep their heads (a wholesale clear()
-      // stampeded ~70 ms rebuilds of EVERY hot head whenever a tenant
-      // crossed maxFeeds). The O(size) min-scan is driver-local over
-      // ≤ maxFeeds+1 entries, on a path already paying a Spark job.
-      // cur != null means we REPLACE our own stale entry — no growth,
-      // no eviction needed.
-      if (cur == null && cache.size >= maxFeeds) {
-        var victim: java.util.Map.Entry[String, Head] = null
-        val it = cache.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (victim == null ||
-              e.getValue.lastAccess.get < victim.getValue.lastAccess.get)
-            victim = e
-        }
-        if (victim != null && cache.remove(victim.getKey, victim.getValue))
-          evictionsN.incrementAndGet()
+    var waits = 0
+    while (true) {
+      val cur = cache.get(c.key)
+      if (cur != null && cur.version == v) {
+        hitsN.incrementAndGet(); cur.touch(); return cur
       }
-      val rows = FeedPage.collectSorted(store(c.key), c, headSize, None)
-      val head = Head(v, rows, complete = rows.length < headSize)
-      cache.put(c.key, head)
-      head
+      val fut = new java.util.concurrent.CompletableFuture[Head]()
+      val prior = if (waits >= 2) null else building.putIfAbsent(c.key, fut)
+      if (prior == null) {
+        // we own the build (or gave up coalescing after repeated
+        // version-mismatched waits — the tiny race where tokens flip
+        // faster than builds complete must not spin forever). The future
+        // MUST be completed on every path, exceptionally included, or
+        // waiters would hang forever.
+        try {
+          val h = try build(c, v, cur == null) catch {
+            case t: Throwable => fut.completeExceptionally(t); throw t
+          }
+          fut.complete(h)
+          return h
+        } finally building.remove(c.key, fut)
+      } else {
+        // another request is building this feed's head: wait for it
+        // (a failed build rethrows here — same error a direct build
+        // would have surfaced)
+        val h = prior.join()
+        if (h.version == v) {
+          coalescedN.incrementAndGet(); h.touch(); return h
+        }
+        waits += 1 // builder raced an older token; retry the cache/build
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def build(c: Condition, v: String, insert: Boolean): Head = {
+    buildsN.incrementAndGet()
+    // past the bound: evict the LEAST-RECENTLY-USED entry, one per
+    // insert — hot feeds keep their heads (a wholesale clear()
+    // stampeded ~70 ms rebuilds of EVERY hot head whenever a tenant
+    // crossed maxFeeds). The O(size) min-scan is driver-local over
+    // ≤ maxFeeds+1 entries, on a path already paying a Spark job.
+    // insert=false means we REPLACE our own stale entry — no growth,
+    // no eviction needed.
+    if (insert && cache.size >= maxFeeds) {
+      var victim: java.util.Map.Entry[String, Head] = null
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (victim == null ||
+            e.getValue.lastAccess.get < victim.getValue.lastAccess.get)
+          victim = e
+      }
+      if (victim != null && cache.remove(victim.getKey, victim.getValue))
+        evictionsN.incrementAndGet()
+    }
+    val rows = FeedPage.collectSorted(store(c.key), c, headSize, None)
+    val head = Head(v, rows, complete = rows.length < headSize)
+    cache.put(c.key, head)
+    head
   }
 
   /** Grow a feed's chain by one block: the next `headSize` rows strictly

@@ -17,10 +17,14 @@ import org.scalacheck.rng.Seed
   *  - For ASCII patterns — every DQ oracle pattern — (?i) and (?iu) are
   *    indistinguishable (property-checked), which is why the oracle suite
   *    is dialect-neutral.
-  *  - Accepted, documented divergences that remain: Java admits possessive
-  *    quantifiers (JS errors on them), and Unicode property names differ
-  *    (Java \p{L} vs JS \p{Letter}). Patterns using those are
-  *    Java-semantics by policy.
+  *  - Residual divergences, now FENCED at the CRUD boundary (r19,
+  *    Condition.javaOnlyConstruct): possessive quantifiers and
+  *    non-general-category \p{} names COMPILE under Java but the
+  *    reference's `new RegExp` rejects them, so validate() rejects them
+  *    with a pointed error instead of silently running Java-only
+  *    semantics. Engine-internal patterns (tests below) still exercise
+  *    Java semantics directly — the fence is the admin surface, not the
+  *    regex engine.
   */
 class RegexDialectSpec extends SparkSpec {
 
@@ -70,6 +74,38 @@ class RegexDialectSpec extends SparkSpec {
       val b = df.filter(col("t").rlike(s"(?iu)$pat")).collect().map(_.getString(0)).toSeq
       assert(a == b)
     }
+  }
+
+  test("CRUD fence: validate() rejects the Java-only residuals the compile gate admits") {
+    import graft.model.{Condition, ConditionRaw}
+    def raw(re: String, inv: Option[String] = None) = ConditionRaw(
+      "k", "my-feed", "q", re, inv, None, None, None, None, None, None,
+      None, None, None, None, None)
+    // every rejected pattern below COMPILES under Java — the old gate
+    // admitted them and the engine silently ran Java-only semantics the
+    // reference's `new RegExp` would have refused outright
+    val javaOnly = Seq(
+      "a*+a",        // possessive star (the divergence test below)
+      "a++",         // possessive plus
+      "ab?+",        // possessive optional
+      "a{2,3}+",     // possessive brace quantifier
+      "\\p{Alpha}+", // POSIX class: ASCII-only in Java, SyntaxError in JS
+      "\\p{IsGreek}x", // Is-prefix: Java-only
+      "\\pL",        // brace-less shorthand: Java-only
+    )
+    javaOnly.foreach { p =>
+      assert(java.util.regex.Pattern.compile(p) != null, s"$p must be Java-compilable")
+      assert(Condition.validate(raw(p)).isLeft, s"$p must be rejected at the CRUD fence")
+      assert(Condition.validate(raw("ok", inv = Some(p))).isLeft,
+        s"$p must be rejected on invertRegex too")
+    }
+    // portable shapes keep flowing: general categories, reluctant
+    // quantifiers, escaped metas, classes and \Q...\E literals
+    Seq("\\p{L}+", "\\P{Nd}", "a+?", "a*?b", "a\\++", "[*+?]+", "x{2,3}b",
+        "\\Qa*+\\E")
+      .foreach { p =>
+        assert(Condition.validate(raw(p)).isRight, s"$p must remain valid")
+      }
   }
 
   test("documented divergence: Java accepts possessive quantifiers JS rejects") {

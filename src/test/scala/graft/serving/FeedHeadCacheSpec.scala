@@ -151,6 +151,42 @@ class FeedHeadCacheSpec extends SparkSpec {
     assert(hcOff.page(c, 10, None)._1.nonEmpty && hcOff.stats._2 == 0)
   }
 
+  test("single-flight: concurrent cold requests coalesce into ONE build; failures " +
+      "propagate and never wedge the slot") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i =>
+      ("f1", s"at://u/$i", s"c$i", ts(f"2024-03-01T10:0$i%d:00Z")))
+      .toDF("key", "uri", "cid", "indexedAt").cache()
+    df.count() // materialize before the slow thunk measures anything
+    val slowStore: String => org.apache.spark.sql.DataFrame =
+      _ => { Thread.sleep(300); df }
+    val hc = new FeedHeadCache(spark, slowStore, _ => Some("v1"), headSize = 50)
+    val c = Fixtures.cond(key = "f1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[(Seq[(Long, String)], Option[String])] {
+          def call() = hc.page(c, 3, None)
+        }))
+      val pages = futs.map(_.get())
+      assert(pages.toSet.size == 1, "coalesced requests must serve identical pages")
+      assert(hc.stats._2 == 1,
+        s"4 concurrent cold requests must produce ONE build, got ${hc.stats._2}")
+      assert(hc.stats._1 + hc.coalesced == 3,
+        "the other three must have waited or hit, never rebuilt")
+    } finally pool.shutdown()
+    // a failed build rethrows (to the builder AND any waiter) and leaves
+    // the slot usable — the next request builds cleanly
+    var fail = true
+    val flaky: String => org.apache.spark.sql.DataFrame =
+      _ => { if (fail) throw new RuntimeException("store offline"); df }
+    val hc2 = new FeedHeadCache(spark, flaky, _ => Some("v1"), headSize = 50)
+    intercept[RuntimeException] { hc2.page(c, 3, None) }
+    fail = false
+    assert(hc2.page(c, 3, None)._1.nonEmpty, "a failed build must not wedge the feed")
+  }
+
   test("past maxFeeds, ONE least-recently-used head is evicted — hot feeds keep theirs") {
     val s = spark
     import s.implicits._
