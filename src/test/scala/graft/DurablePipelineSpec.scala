@@ -94,6 +94,25 @@ class DurablePipelineSpec extends SparkSpec {
         .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 200)
       assert(mapper.readTree(resp.body()).get("feed").size() == 10, resp.body())
+
+      // r19: the REAL streaming drain persisted the per-feed cycle
+      // manifest next to the store pointer (ConditionMetrics persist
+      // hook -> CycleManifest.Writer), with the generation resumed
+      // monotone across the phase-1 -> phase-2 process boundary — and a
+      // NON-INGEST replica cache over the same dataDir serves the full
+      // feed through it, zero shared process state
+      import graft.streaming.CycleManifest
+      val manifest = CycleManifest.read(s"$dir/store")
+      assert(manifest.exists(_._2.getOrElse("dur1", 0L) > 0L),
+        s"the drain must persist dur1's landed-batch counter, got $manifest")
+      assert(manifest.exists(_._1 >= 1L),
+        "the restarted drain's generation must have resumed past phase 1's")
+      val replica = new graft.serving.FeedHeadCache(spark,
+        key => Ingest.readStoreKey(spark, s"$dir/store", key),
+        CycleManifest.replicaVersion(s"$dir/store"))
+      val (rRows, _) = replica.page(conditions.head, 50, None)
+      assert(rRows.size == 10 && replica.stats._2 == 1,
+        "a replica over the same store must cache-serve the full feed")
     } finally { p2.stop(); stub2.stop() }
   }
 
