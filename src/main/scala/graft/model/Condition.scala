@@ -62,35 +62,34 @@ object Condition {
     },
   )
 
-  /** General-category property names — the ONLY `\p{...}` spellings that
-    * compile in BOTH dialects with identical semantics (Java and JS each
-    * accept the short Unicode category forms; everything else Java
-    * accepts is Java-only: POSIX classes like `\p{Alpha}` are ASCII-only
-    * in Java and a SyntaxError in JS, `Is`/`In`/`java` prefixes are
-    * Java-only, and JS long names like `\p{Letter}` don't compile in
-    * Java at all — those the compile gate already rejects). */
-  private val PortableCategories = Set(
-    "L", "Lu", "Ll", "Lt", "Lm", "Lo", "M", "Mn", "Mc", "Me",
-    "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po",
-    "S", "Sm", "Sc", "Sk", "So", "Z", "Zs", "Zl", "Zp",
-    "C", "Cc", "Cf", "Co", "Cn")
-
-  /** RegexDialectSpec's documented residuals: constructs that COMPILE
-    * under Java but the reference's `new RegExp(p, "is")` would reject —
-    * so a pattern slipping through the compile gate would silently run
-    * with Java-only semantics the user never tested. Scans a
-    * Java-COMPILABLE pattern (call after the compile gate) for:
+  /** RegexDialectSpec's documented residuals, measured against the
+    * reference's ACTUAL dialect: it compiles `new RegExp(p, 'i'/'ig')`
+    * (/root/reference/src/subscription.ts:203-204,
+    * databaseUtil.ts:19-27) — NO 'u' flag, so Annex-B non-unicode-mode
+    * JS, where `\p`, `\P`, `\Q`, `\E` are all identity escapes matching
+    * the LITERAL letter. Three construct classes therefore compile under
+    * Java yet can never mean the same thing on the reference's wire:
     *
-    *  - possessive quantifiers (`*+` `++` `?+` `{m,n}+`) — JS
-    *    SyntaxError, Java silently never backtracks;
-    *  - `\p`/`\P` property names outside the general-category set
-    *    (`\p{Alpha}` is ASCII-only POSIX in Java, an error in JS), and
-    *    the brace-less Java shorthand `\pL`.
+    *  - possessive quantifiers (`*+` `++` `?+` `{m,n}+`) — a JS
+    *    SyntaxError in every mode; Java silently never backtracks;
+    *  - `\p`/`\P` in ANY form — Java reads Unicode/POSIX property
+    *    classes, Annex-B JS matches a literal 'p'/'P' (there IS no
+    *    portable `\p` spelling without the 'u' flag the reference never
+    *    passes — `\p{L}` matches letters here and the literal text
+    *    "p{L}" there);
+    *  - `\Q…\E` quoting — Java-only; Annex-B JS matches literal
+    *    'Q'/'E' characters, and quantifier-looking quoted content
+    *    (`\Qa*+\E`) is a JS SyntaxError outright.
     *
-    * Quoted `\Q…\E` regions and character classes are skipped — their
-    * contents are literal/member chars, never quantifiers. Returns the
-    * offending construct for a pointed CRUD error. */
-  private[model] def javaOnlyConstruct(p: String): Option[String] = {
+    * We REJECT all three with a pointed error rather than mimic the
+    * literal-letter reading — a user typing `\p{L}` wants a property
+    * class, and silently matching "p{L}" would be absurd fidelity; the
+    * deliberate divergence is documented in RegexDialectSpec. Scans a
+    * Java-COMPILABLE pattern (call after the compile gate); character
+    * classes are skipped for quantifier purposes but `\p`/`\Q` are
+    * rejected inside them too (Java honors both in classes). Returns
+    * the offending construct for a pointed CRUD error. */
+  private[graft] def javaOnlyConstruct(p: String): Option[String] = {
     var i = 0
     var inClass = false
     var prevQuant = false
@@ -98,22 +97,16 @@ object Condition {
       p.charAt(i) match {
         case '\\' if i + 1 < p.length =>
           val n = p.charAt(i + 1)
-          if (n == 'Q') {
-            val end = p.indexOf("\\E", i + 2)
-            i = if (end < 0) p.length else end + 2
-          } else if (!inClass && (n == 'p' || n == 'P')) {
-            if (i + 2 >= p.length || p.charAt(i + 2) != '{')
-              return Some(s"\\$n without braces — Java-only shorthand, " +
-                s"the reference's JS dialect requires \\$n{...}")
-            val end = p.indexOf('}', i + 3)
-            val name = if (end < 0) "" else p.substring(i + 3, end)
-            if (!PortableCategories.contains(name))
-              return Some(s"\\$n{$name} — Java-only property name " +
-                "(only general-category names like \\p{L} mean the same " +
-                "in the reference's JS dialect)")
-            i = end + 1
-          } else i += 2
-          prevQuant = false
+          if (n == 'p' || n == 'P')
+            return Some(s"\\$n — Java-only property class (the " +
+              "reference's JS dialect compiles without the 'u' flag and " +
+              s"would match a literal '$n'); spell the class out, e.g. " +
+              "[a-zA-Z] or an explicit range")
+          if (n == 'Q' || n == 'E')
+            return Some(s"\\$n — Java-only quoting (the reference's JS " +
+              "dialect would match a literal '" + n + "'); escape each " +
+              "special character individually instead")
+          prevQuant = false; i += 2
         case ']' if inClass => inClass = false; i += 1
         case _ if inClass => i += 1
         case '[' => inClass = true; prevQuant = false; i += 1
@@ -150,12 +143,13 @@ object Condition {
       Left(s"invalid inputRegex: ${raw.inputRegex}")
     else if (!compiles(raw.invertRegex.getOrElse("")))
       Left(s"invalid invertRegex")
-    else if (javaOnlyConstruct(raw.inputRegex).isDefined)
-      Left(s"invalid inputRegex: ${javaOnlyConstruct(raw.inputRegex).get}")
-    else if (raw.invertRegex.exists(javaOnlyConstruct(_).isDefined))
-      Left(s"invalid invertRegex: ${raw.invertRegex.flatMap(javaOnlyConstruct).get}")
-    else if (raw.initPost.exists(_ < 0) || raw.limitCount.exists(_ < 0))
-      Left("negative count")
-    else Right(raw)
+    else (javaOnlyConstruct(raw.inputRegex),
+        raw.invertRegex.flatMap(javaOnlyConstruct)) match {
+      case (Some(err), _) => Left(s"invalid inputRegex: $err")
+      case (_, Some(err)) => Left(s"invalid invertRegex: $err")
+      case _ if raw.initPost.exists(_ < 0) || raw.limitCount.exists(_ < 0) =>
+        Left("negative count")
+      case _ => Right(raw)
+    }
   }
 }

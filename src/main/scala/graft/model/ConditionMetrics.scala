@@ -69,7 +69,15 @@ final class ConditionMetrics {
     * feed's cap the way the reference's post-cycle delete leaves them
     * (subscription.ts:378-393). */
   def record(conditions: Seq[Condition], newRowsByKey: Map[String, Long],
-      execMs: Long): Unit = {
+      execMs: Long): Unit = synchronized {
+    // serialized: every production caller already records under a store/
+    // pipeline lock, but the class must not depend on that — two
+    // unserialized record()s racing the bounded-map reset could both
+    // install gen+1 over the same base (re-minting issued tokens over a
+    // fresh map), and their end-of-record persists could publish
+    // snapshots out of order, regressing the manifest's counters so a
+    // replica's older cached token re-validates. record() is per-drain
+    // driver-side work; the lock costs nothing.
     conditions.foreach { c =>
       val prev = m.get(c.key).map(_.recordCount).getOrElse(0L)
       val total = math.min(prev + newRowsByKey.getOrElse(c.key, 0L), c.limitCount.toLong)
@@ -79,9 +87,9 @@ final class ConditionMetrics {
     // pair replaces the reference in one volatile write, so a re-climbing
     // counter can never collide with a token cached before the reset (a
     // bare clear would eventually re-produce "ptr:5" and serve a stale
-    // head as current; a reset only ever forces rebuilds). A record()
-    // racing the swap may bump the OLD pair's map — those bumps are
-    // moot, because the gen flip already invalidates every feed's token.
+    // head as current; a reset only ever forces rebuilds). The method
+    // lock serializes reset vs bump; concurrent keyCycle READERS see
+    // either whole pair, never a torn one.
     if (keyCycles.m.size > KeyCyclesMax)
       keyCycles = new KeyCycles(keyCycles.gen + 1)
     val kc = keyCycles

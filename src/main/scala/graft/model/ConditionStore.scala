@@ -20,15 +20,34 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   */
 object ConditionStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val rawSchema = Encoders.product[ConditionRaw].schema
 
+  /** Validate with a SIGNAL on drop: the reference rejects invalid rows
+    * at its CRUD boundary with a 4xx the admin sees, but the load/
+    * restore paths have no requester to answer — and since r19 the
+    * dialect fence can newly invalidate a PREVIOUSLY-STORED pattern
+    * (possessive quantifiers, `\p`, `\Q` were formerly accepted with
+    * Java-only semantics), so a feed silently vanishing on restart
+    * would be undiagnosable. One pointed WARN per dropped row. */
+  private def validateLogged(r: ConditionRaw): Option[ConditionRaw] =
+    Condition.validate(r) match {
+      case Right(ok) => Some(ok)
+      case Left(err) =>
+        log.warn(s"dropping stored condition '${r.key}' " +
+          s"(recordName '${r.recordName}'): $err — the feed will not " +
+          "serve until the pattern is fixed via setQuery")
+        None
+    }
+
   /** Load + validate + normalize; invalid rows are dropped (the reference
-    * rejects them at the CRUD boundary with a 4xx). */
+    * rejects them at the CRUD boundary with a 4xx) — each drop WARNs. */
   def load(spark: SparkSession, path: String): Seq[Condition] = {
     import spark.implicits._
     spark.read.schema(rawSchema).json(path)
       .as[ConditionRaw].collect().toSeq // control plane: few rows by design
-      .flatMap(r => Condition.validate(r).toOption)
+      .flatMap(validateLogged)
       .map(Condition.normalize)
   }
 
@@ -76,7 +95,7 @@ object ConditionStore {
         else {
           val nodes = root.path("resultRecord").elements().asScala.toSeq
           val conds = nodes.map(rawFromNode)
-            .flatMap(r => Condition.validate(r).toOption)
+            .flatMap(validateLogged)
             .map(Condition.normalize)
           val keys = conds.map(_.key).toSet
           val metas = nodes.flatMap { n =>

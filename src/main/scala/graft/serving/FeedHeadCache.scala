@@ -226,18 +226,35 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
     * too (they sort last) and cursored pages exclude those, so the chain
     * is complete for every page a cursor can reach. */
   private def extend(c: Condition, head: Head): Head = {
-    extensionsN.incrementAndGet()
-    val grown = head.rows.lastOption match {
-      case Some((_, Some(t), cid)) =>
-        val block = FeedPage.collectSorted(store(c.key), c, headSize,
-          Some(s"$t${Paging.CursorSep}$cid"))
-        Head(head.version, head.rows ++ block,
-          complete = block.length < headSize)
-      case _ => // empty head is already complete at build; null-ts tail
-        Head(head.version, head.rows, complete = true)
-    }
-    cache.put(c.key, grown)
-    grown
+    // single-flight per (feed, version, boundary): concurrent deep walks
+    // of one feed coalesce onto one block job, like cold builds do
+    val slot = c.key + "\u0000ext\u0000" + head.version +
+      "\u0000" + head.rows.length
+    val fut = new java.util.concurrent.CompletableFuture[Head]()
+    val prior = building.putIfAbsent(slot, fut)
+    if (prior != null) return prior.join()
+    try {
+      val grown = try {
+        extensionsN.incrementAndGet()
+        head.rows.lastOption match {
+          case Some((_, Some(t), cid)) =>
+            val block = FeedPage.collectSorted(store(c.key), c, headSize,
+              Some(s"$t${Paging.CursorSep}$cid"))
+            Head(head.version, head.rows ++ block,
+              complete = block.length < headSize)
+          case _ => // empty head is already complete at build; null-ts tail
+            Head(head.version, head.rows, complete = true)
+        }
+      } catch { case t: Throwable => fut.completeExceptionally(t); throw t }
+      // publish with a CAS, not a put: a racing request may have
+      // installed a NEWER-token head while this block built — clobbering
+      // it with our older chain would force a redundant rebuild. On CAS
+      // failure we still serve `grown` (a correct snapshot for OUR
+      // token), just without caching it.
+      cache.replace(c.key, head, grown)
+      fut.complete(grown)
+      grown
+    } finally building.remove(slot, fut)
   }
 
   private def serveFromHead(head: Head, c: Condition, limit: Int,

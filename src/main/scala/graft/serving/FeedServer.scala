@@ -283,6 +283,22 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
       return resultError("INPUT_REGEX_ERROR", "inputRegex error. Please input valid regex.")
     if (!compiles(invertRegex))
       return resultError("INVERT_REGEX_ERROR", "invertRegex error. Please input valid regex.")
+    // r19 dialect fence (Condition.javaOnlyConstruct): constructs that
+    // compile under Java but can never mean the same on the reference's
+    // non-'u' JS wire — possessive quantifiers (a JS SyntaxError, so the
+    // reference itself would answer this code) and \p/\P/\Q/\E (literal-
+    // letter identity escapes there). Same result codes the reference
+    // uses for an uncompilable regex, with the construct named.
+    Condition.javaOnlyConstruct(inputRegex) match {
+      case Some(err) =>
+        return resultError("INPUT_REGEX_ERROR", s"inputRegex error. $err")
+      case None => ()
+    }
+    Condition.javaOnlyConstruct(invertRegex) match {
+      case Some(err) =>
+        return resultError("INVERT_REGEX_ERROR", s"invertRegex error. $err")
+      case None => ()
+    }
     if (!recordName.matches("^[a-z0-9-]{1,15}$"))
       return resultError("RECORDNAME_NOTALPHA", "RecordName should be 15 digit lowercase alphabets.")
     if (!refresh.matches("^-?\\d+$"))

@@ -71,13 +71,29 @@ object CycleManifest {
   final class Writer(storeDir: String) {
     private val baseGen: Long = read(storeDir).map(_._1 + 1L).getOrElse(0L)
 
+    // Unique per-incarnation staging name. It must NOT contain ".tmp":
+    // VersionedStore.swap's GC deletes any store-root `*.tmp*` name as a
+    // crash leftover, so a persist racing a compaction would lose its
+    // staging file between write and rename. Per-incarnation uniqueness
+    // also keeps a split-brain restart from interleaving writes into one
+    // staging file. Construction sweeps previous incarnations' crash
+    // leftovers (≤1 per crash); a DEPOSED still-alive writer can lose
+    // the one persist in flight during that sweep — benign, its counters
+    // are monotone and re-persist on its next record (and deposed drains
+    // are fenced by the store lease anyway).
+    private val staging =
+      Name + ".staging." + java.util.UUID.randomUUID().toString
+    StoreFs.listNames(StoreFs.path(storeDir))
+      .filter(_.startsWith(Name + ".staging."))
+      .foreach(n => StoreFs.deleteRecursively(StoreFs.path(storeDir, n)))
+
     def persist(gen: Long, counts: Map[String, Long]): Unit = {
       val om = new ObjectMapper()
       val root = om.createObjectNode()
       root.put("gen", baseGen + gen)
       val c = root.putObject("counts")
       counts.foreach { case (k, v) => c.put(k, v) }
-      val tmp = StoreFs.path(storeDir, Name + ".tmp")
+      val tmp = StoreFs.path(storeDir, staging)
       StoreFs.writeString(tmp, om.writeValueAsString(root))
       // readers see the whole old manifest or the whole new one
       StoreFs.rename(tmp, manifestPath(storeDir), overwrite = true)

@@ -82,16 +82,28 @@ class RegexDialectSpec extends SparkSpec {
       "k", "my-feed", "q", re, inv, None, None, None, None, None, None,
       None, None, None, None, None)
     // every rejected pattern below COMPILES under Java — the old gate
-    // admitted them and the engine silently ran Java-only semantics the
-    // reference's `new RegExp` would have refused outright
+    // admitted them and the engine silently ran Java-only semantics. The
+    // reference compiles `new RegExp(p, 'i'/'ig')` — NO 'u' flag — so in
+    // ITS dialect possessive quantifiers are a SyntaxError, while \p/\P
+    // and \Q/\E are Annex-B identity escapes matching the LITERAL
+    // letter: every spelling of them is divergent, so all are fenced.
+    // (The \Q...\E mining in FilterCascade is unaffected: it serves
+    // conditions constructed through the library API, which does not
+    // promise reference-wire compatibility the way the CRUD surface
+    // does.)
     val javaOnly = Seq(
       "a*+a",        // possessive star (the divergence test below)
       "a++",         // possessive plus
       "ab?+",        // possessive optional
       "a{2,3}+",     // possessive brace quantifier
-      "\\p{Alpha}+", // POSIX class: ASCII-only in Java, SyntaxError in JS
-      "\\p{IsGreek}x", // Is-prefix: Java-only
-      "\\pL",        // brace-less shorthand: Java-only
+      "\\p{L}+",     // ANY \p: property class in Java, literal 'p' in non-'u' JS
+      "\\P{Nd}",     // negated property: same divergence
+      "\\p{Alpha}+", // POSIX class: ASCII-only in Java, literal in JS
+      "\\p{IsGreek}x", // Is-prefix: Java-only reading
+      "\\pL",        // brace-less shorthand
+      "[\\p{L}x]",   // property inside a class: Java honors it there too
+      "\\Qfoo\\E",   // Java quoting: matches "foo" here, "QfooE" there
+      "\\Qa*+\\E",   // quoted quantifiers: a JS SyntaxError outright
     )
     javaOnly.foreach { p =>
       assert(java.util.regex.Pattern.compile(p) != null, s"$p must be Java-compilable")
@@ -99,13 +111,15 @@ class RegexDialectSpec extends SparkSpec {
       assert(Condition.validate(raw("ok", inv = Some(p))).isLeft,
         s"$p must be rejected on invertRegex too")
     }
-    // portable shapes keep flowing: general categories, reluctant
-    // quantifiers, escaped metas, classes and \Q...\E literals
-    Seq("\\p{L}+", "\\P{Nd}", "a+?", "a*?b", "a\\++", "[*+?]+", "x{2,3}b",
-        "\\Qa*+\\E")
+    // portable shapes keep flowing: reluctant quantifiers, escaped
+    // metas, character classes, brace quantifiers, anchors
+    Seq("a+?", "a*?b", "a\\++", "[*+?]+", "x{2,3}b", "^sp(ark|orts)\\b",
+        "(?:a|b)+c?")
       .foreach { p =>
         assert(Condition.validate(raw(p)).isRight, s"$p must remain valid")
       }
+    // the HTTP CRUD surface enforces the same fence with the reference's
+    // own result codes — pinned in FeedServerSpec's setQuery cases
   }
 
   test("documented divergence: Java accepts possessive quantifiers JS rejects") {

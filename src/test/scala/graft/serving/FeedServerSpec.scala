@@ -349,6 +349,13 @@ class FeedServerSpec extends SparkSpec {
       assert(code(setQueryBody("k", "k", limitCount = "0x1p3")) == (500, "NOT_NUMBER_LIMITCOUNT"))
       assert(code(setQueryBody("k", "k",
         extra = Map("profileMatch" -> "term::[bad"))) == (500, "PROFILE_MATCH_REGEX_ERROR"))
+      // r19 dialect fence AT THE REAL CRUD BOUNDARY: Java-compilable
+      // constructs the reference's non-'u' RegExp rejects (possessive)
+      // or reads as literal letters (\p, \Q) answer the reference's own
+      // regex-error codes with the construct named
+      assert(code(setQueryBody("k", "k", inputRegex = "a++")) == (500, "INPUT_REGEX_ERROR"))
+      assert(code(setQueryBody("k", "k", inputRegex = "\\p{L}+")) == (500, "INPUT_REGEX_ERROR"))
+      assert(code(setQueryBody("k", "k", invertRegex = "\\Qx\\E")) == (500, "INVERT_REGEX_ERROR"))
       assert(control.conditions.isEmpty) // nothing persisted on any failure
       // negative refresh is allowed by the reference's /^-?\d+$/
       assert(code(setQueryBody("k", "k", refresh = "-1")) == (200, "OK"))
