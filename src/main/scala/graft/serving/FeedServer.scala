@@ -316,6 +316,14 @@ final class FeedServer(spark: SparkSession, store: () => DataFrame,
         !parts.forall(compiles)
       })
       return resultError("PROFILE_MATCH_REGEX_ERROR", "profileMatch error. Please input valid regex.")
+    // both halves compile with 'i' on the reference too
+    // (databaseUtil.ts:66-69) — same dialect fence as input/invert
+    profileMatch.flatMap(_.split("::", 2).toSeq
+        .flatMap(Condition.javaOnlyConstruct).headOption) match {
+      case Some(err) =>
+        return resultError("PROFILE_MATCH_REGEX_ERROR", s"profileMatch error. $err")
+      case None => ()
+    }
 
     val raw = ConditionRaw(
       key = key,

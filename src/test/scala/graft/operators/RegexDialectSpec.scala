@@ -17,14 +17,21 @@ import org.scalacheck.rng.Seed
   *  - For ASCII patterns — every DQ oracle pattern — (?i) and (?iu) are
   *    indistinguishable (property-checked), which is why the oracle suite
   *    is dialect-neutral.
-  *  - Residual divergences, now FENCED at the CRUD boundary (r19,
-  *    Condition.javaOnlyConstruct): possessive quantifiers and
-  *    non-general-category \p{} names COMPILE under Java but the
-  *    reference's `new RegExp` rejects them, so validate() rejects them
-  *    with a pointed error instead of silently running Java-only
-  *    semantics. Engine-internal patterns (tests below) still exercise
-  *    Java semantics directly — the fence is the admin surface, not the
-  *    regex engine.
+  *  - Residual divergences, now FENCED at both CRUD boundaries (r19,
+  *    Condition.javaOnlyConstruct in validate() AND FeedServer.setQuery):
+  *    the reference compiles `new RegExp(p, 'i'/'ig')` — NO 'u' flag —
+  *    so possessive quantifiers are a SyntaxError there while Java
+  *    silently never backtracks, and `\p` `\P` `\Q` `\E` are Annex-B
+  *    identity escapes matching the LITERAL letter while Java reads
+  *    property classes / quoting. Verified empirically against V8
+  *    (node, this container): `a*+`/`a++`/`a{2,3}+`/`\Qa*+\E` all throw
+  *    "Nothing to repeat"; `\p{L}` matches "p{L}" and not "x";
+  *    `\Qfoo\E` matches "QfooE" and not "foo"; `[\p{L}x]` is the member
+  *    set {p,{,L,},x}; `a+?` stays a valid reluctant quantifier. We
+  *    REJECT all three classes with pointed errors rather than mimic
+  *    the literal-letter reading. Engine-internal patterns (tests
+  *    below, FilterCascade's \Q mining) still exercise Java semantics
+  *    directly — the fence is the admin surface, not the regex engine.
   */
 class RegexDialectSpec extends SparkSpec {
 

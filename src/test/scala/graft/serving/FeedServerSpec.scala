@@ -356,6 +356,8 @@ class FeedServerSpec extends SparkSpec {
       assert(code(setQueryBody("k", "k", inputRegex = "a++")) == (500, "INPUT_REGEX_ERROR"))
       assert(code(setQueryBody("k", "k", inputRegex = "\\p{L}+")) == (500, "INPUT_REGEX_ERROR"))
       assert(code(setQueryBody("k", "k", invertRegex = "\\Qx\\E")) == (500, "INVERT_REGEX_ERROR"))
+      assert(code(setQueryBody("k", "k",
+        extra = Map("profileMatch" -> "term::a++"))) == (500, "PROFILE_MATCH_REGEX_ERROR"))
       assert(control.conditions.isEmpty) // nothing persisted on any failure
       // negative refresh is allowed by the reference's /^-?\d+$/
       assert(code(setQueryBody("k", "k", refresh = "-1")) == (200, "OK"))
