@@ -253,7 +253,12 @@ object ScaleSmoke {
     def selected(label: String): Boolean =
       only match {
         case None => !label.endsWith("_ab")
-        case Some(f) => f.split(',').exists(label.contains)
+        // a token ending in '$' matches EXACTLY — "feed_fanout_w1000"
+        // as a substring also selects the *_worstcase_ab arms, which at
+        // 20 M is a deliberate 20-billion-pair ledger, not a smoke
+        case Some(f) => f.split(',').filter(_.nonEmpty).exists(tok =>
+          if (tok.endsWith("$")) label == tok.dropRight(1)
+          else label.contains(tok))
       }
 
     /** Run a section: JIT-warm every selected op at n/100, then time at n.
