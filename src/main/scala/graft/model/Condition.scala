@@ -79,9 +79,19 @@ object Condition {
     *    "p{L}" there);
     *  - `\Q…\E` quoting — Java-only; Annex-B JS matches literal
     *    'Q'/'E' characters, and quantifier-looking quoted content
-    *    (`\Qa*+\E`) is a JS SyntaxError outright.
+    *    (`\Qa*+\E`) is a JS SyntaxError outright;
+    *  - atomic groups and inline flags (`(?>…)`, `(?i)…`, `(?s)…`) — a
+    *    JS "Invalid group" SyntaxError (possessives are sugar for
+    *    atomic groups; same class);
+    *  - the Java-only escapes `\A \G \R \h \H \v \V \Z \z \a \e` and
+    *    braced hex `\x{…}` — all V8-verified Annex-B identity escapes
+    *    matching the literal letter (`\Afoo` matches "Afoo" there; Java
+    *    anchors), `\v` matches ONLY U+000B there while Java reads a
+    *    vertical-whitespace CLASS including \n, and `\x{41}` parses as
+    *    a 41-fold quantifier on a literal 'x' there while Java reads
+    *    U+0041.
     *
-    * We REJECT all three with a pointed error rather than mimic the
+    * We REJECT all of these with a pointed error rather than mimic the
     * literal-letter reading — a user typing `\p{L}` wants a property
     * class, and silently matching "p{L}" would be absurd fidelity; the
     * deliberate divergence is documented in RegexDialectSpec. Scans a
@@ -106,10 +116,39 @@ object Condition {
             return Some(s"\\$n — Java-only quoting (the reference's JS " +
               "dialect would match a literal '" + n + "'); escape each " +
               "special character individually instead")
+          if ("AGRhHvVZzae".indexOf(n.toInt) >= 0)
+            return Some(s"\\$n — Java-only escape (the reference's JS " +
+              s"dialect would match a literal '$n'); use the portable " +
+              "equivalent (^/$ anchors, [ \\t] for \\h, \\x0B for \\v, " +
+              "\\x07/\\x1B for \\a/\\e)")
+          if (n == 'x' && i + 2 < p.length && p.charAt(i + 2) == '{')
+            return Some("\\x{...} — Java-only braced hex (the reference's " +
+              "JS dialect reads it as a quantified literal 'x'); use " +
+              "\\uXXXX, which both dialects share")
           prevQuant = false; i += 2
         case ']' if inClass => inClass = false; i += 1
         case _ if inClass => i += 1
         case '[' => inClass = true; prevQuant = false; i += 1
+        case '(' =>
+          // Java-only group forms: atomic groups `(?>` and inline flags
+          // `(?i)`/`(?s)`/… are an "Invalid group" SyntaxError in JS.
+          // The portable `(?…` forms — (?:, (?=, (?!, (?<=, (?<!,
+          // (?<name> — pass (Java-compilable named groups start with a
+          // letter, so the letter check is exhaustive post-compile-gate).
+          if (i + 1 < p.length && p.charAt(i + 1) == '?') {
+            val c2 = if (i + 2 < p.length) p.charAt(i + 2) else ' '
+            val ok = c2 == ':' || c2 == '=' || c2 == '!' ||
+              (c2 == '<' && i + 3 < p.length &&
+                (p.charAt(i + 3) == '=' || p.charAt(i + 3) == '!' ||
+                  p.charAt(i + 3).isLetter))
+            if (!ok)
+              return Some(s"(?$c2 — Java-only group (atomic group or " +
+                "inline flags; the reference's JS dialect rejects it " +
+                "as an invalid group); use (?: ) / (?= ) / (?! ) / " +
+                "lookbehind / named groups, which both dialects share")
+            i += 2
+          } else i += 1
+          prevQuant = false
         case '+' if prevQuant =>
           return Some("possessive quantifier — Java-only (the reference's " +
             "JS dialect rejects '*+', '++', '?+', '{m,n}+'); drop the " +
@@ -137,16 +176,24 @@ object Condition {
   def validate(raw: ConditionRaw): Either[String, ConditionRaw] = {
     def compiles(p: String): Boolean =
       p.isEmpty || Try(Pattern.compile(p, Pattern.CASE_INSENSITIVE)).isSuccess
+    // both profileMatch halves compile with 'i' on the reference too
+    // (databaseUtil.ts:66-69), so the same compile gate + dialect fence
+    // apply — the load/restore path must not accept what setQuery rejects
+    val pmHalves = raw.profileMatch.toSeq.flatMap(_.split("::", 2).toSeq)
     if (!raw.recordName.matches("^[a-z0-9-]{1,15}$"))
       Left(s"invalid recordName: ${raw.recordName}")
     else if (raw.inputRegex.isEmpty || !compiles(raw.inputRegex))
       Left(s"invalid inputRegex: ${raw.inputRegex}")
     else if (!compiles(raw.invertRegex.getOrElse("")))
       Left(s"invalid invertRegex")
+    else if (!pmHalves.forall(compiles))
+      Left("invalid profileMatch")
     else (javaOnlyConstruct(raw.inputRegex),
-        raw.invertRegex.flatMap(javaOnlyConstruct)) match {
-      case (Some(err), _) => Left(s"invalid inputRegex: $err")
-      case (_, Some(err)) => Left(s"invalid invertRegex: $err")
+        raw.invertRegex.flatMap(javaOnlyConstruct),
+        pmHalves.flatMap(javaOnlyConstruct(_)).headOption) match {
+      case (Some(err), _, _) => Left(s"invalid inputRegex: $err")
+      case (_, Some(err), _) => Left(s"invalid invertRegex: $err")
+      case (_, _, Some(err)) => Left(s"invalid profileMatch: $err")
       case _ if raw.initPost.exists(_ < 0) || raw.limitCount.exists(_ < 0) =>
         Left("negative count")
       case _ => Right(raw)

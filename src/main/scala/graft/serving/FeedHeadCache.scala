@@ -164,7 +164,11 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
         hitsN.incrementAndGet(); cur.touch(); return cur
       }
       val fut = new java.util.concurrent.CompletableFuture[Head]()
-      val prior = if (waits >= 2) null else building.putIfAbsent(c.key, fut)
+      // "b\u0000" purpose prefix: build and extension slots share one
+      // registry, and feed keys are unvalidated admin strings — a bare
+      // key could collide with another feed's extension slot
+      val prior = if (waits >= 2) null
+        else building.putIfAbsent("b\u0000" + c.key, fut)
       if (prior == null) {
         // we own the build (or gave up coalescing after repeated
         // version-mismatched waits — the tiny race where tokens flip
@@ -177,7 +181,7 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
           }
           fut.complete(h)
           return h
-        } finally building.remove(c.key, fut)
+        } finally building.remove("b\u0000" + c.key, fut)
       } else {
         // another request is building this feed's head: wait for it
         // (a failed build rethrows here — same error a direct build
@@ -228,11 +232,18 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
   private def extend(c: Condition, head: Head): Head = {
     // single-flight per (feed, version, boundary): concurrent deep walks
     // of one feed coalesce onto one block job, like cold builds do
-    val slot = c.key + "\u0000ext\u0000" + head.version +
+    val slot = "x\u0000" + c.key + "\u0000" + head.version +
       "\u0000" + head.rows.length
     val fut = new java.util.concurrent.CompletableFuture[Head]()
     val prior = building.putIfAbsent(slot, fut)
-    if (prior != null) return prior.join()
+    if (prior != null) {
+      // waited on another request's block job: count it, like headFor's
+      // cold-build waits — the coalesced stat is the single-flight
+      // savings ledger
+      val h = prior.join()
+      coalescedN.incrementAndGet()
+      return h
+    }
     try {
       val grown = try {
         extensionsN.incrementAndGet()

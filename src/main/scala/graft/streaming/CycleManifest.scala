@@ -42,6 +42,8 @@ import org.apache.hadoop.fs.Path
   */
 object CycleManifest {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val Name = "_graft_cycles"
 
   def manifestPath(storeDir: String): Path = StoreFs.path(storeDir, Name)
@@ -87,17 +89,30 @@ object CycleManifest {
       .filter(_.startsWith(Name + ".staging."))
       .foreach(n => StoreFs.deleteRecursively(StoreFs.path(storeDir, n)))
 
-    def persist(gen: Long, counts: Map[String, Long]): Unit = {
-      val om = new ObjectMapper()
-      val root = om.createObjectNode()
-      root.put("gen", baseGen + gen)
-      val c = root.putObject("counts")
-      counts.foreach { case (k, v) => c.put(k, v) }
-      val tmp = StoreFs.path(storeDir, staging)
-      StoreFs.writeString(tmp, om.writeValueAsString(root))
-      // readers see the whole old manifest or the whole new one
-      StoreFs.rename(tmp, manifestPath(storeDir), overwrite = true)
-    }
+    def persist(gen: Long, counts: Map[String, Long]): Unit =
+      try {
+        val om = new ObjectMapper()
+        val root = om.createObjectNode()
+        root.put("gen", baseGen + gen)
+        val c = root.putObject("counts")
+        counts.foreach { case (k, v) => c.put(k, v) }
+        val tmp = StoreFs.path(storeDir, staging)
+        StoreFs.writeString(tmp, om.writeValueAsString(root))
+        // readers see the whole old manifest or the whole new one
+        StoreFs.rename(tmp, manifestPath(storeDir), overwrite = true)
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          // a lost persist must actually BE benign, not fail the drain's
+          // micro-batch: counters are monotone and re-persist on the next
+          // record, and the concrete loss cases are losses we accept — a
+          // successor incarnation's constructor sweep deleting a deposed
+          // writer's in-flight staging file, or FS hiccups a replica just
+          // rides out on the previous manifest. Persistent failure = one
+          // WARN per drain, impossible to miss.
+          log.warn(s"cycle-manifest persist failed for '$storeDir' " +
+            "(replicas keep serving the previous manifest until the next " +
+            s"drain persists): $t")
+      }
   }
 
   /** Replica-side reader: per call it STATS the manifest and re-parses

@@ -111,6 +111,13 @@ class RegexDialectSpec extends SparkSpec {
       "[\\p{L}x]",   // property inside a class: Java honors it there too
       "\\Qfoo\\E",   // Java quoting: matches "foo" here, "QfooE" there
       "\\Qa*+\\E",   // quoted quantifiers: a JS SyntaxError outright
+      "(?>ab)+c",    // atomic group: "Invalid group" in JS (V8-verified)
+      "(?i)foo",     // inline flags: "Invalid group" in JS
+      "\\Afoo",      // Java anchor; JS matches the literal "Afoo"
+      "bar\\z",      // Java anchor; JS matches "barz"
+      "a\\v",        // Java vertical-whitespace CLASS; JS = only U+000B
+      "\\h+",        // Java horizontal whitespace; JS literal 'h'
+      "\\x{41}",     // Java U+0041; JS = a 41-fold quantified literal 'x'
     )
     javaOnly.foreach { p =>
       assert(java.util.regex.Pattern.compile(p) != null, s"$p must be Java-compilable")
@@ -119,12 +126,24 @@ class RegexDialectSpec extends SparkSpec {
         s"$p must be rejected on invertRegex too")
     }
     // portable shapes keep flowing: reluctant quantifiers, escaped
-    // metas, character classes, brace quantifiers, anchors
+    // metas, character classes, brace quantifiers, anchors, and the
+    // `(?…` group forms BOTH dialects share
     Seq("a+?", "a*?b", "a\\++", "[*+?]+", "x{2,3}b", "^sp(ark|orts)\\b",
-        "(?:a|b)+c?")
+        "(?:a|b)+c?", "(?=x)a", "(?!y)a", "(?<=a)b", "(?<nm>a)\\k<nm>",
+        "\\x41\\u0042", "\\d+\\s\\w")
       .foreach { p =>
         assert(Condition.validate(raw(p)).isRight, s"$p must remain valid")
       }
+    // profileMatch halves ride the SAME gate on the load/restore path —
+    // what setQuery rejects must not slip in through a stored row
+    def rawPm(pm: String) = ConditionRaw(
+      "k", "my-feed", "q", "ok", None, None, None, None, None, None, None,
+      None, None, None, None, Some(pm))
+    assert(Condition.validate(rawPm("term::\\p{L}+")).isLeft,
+      "a Java-only profileMatch regex must be rejected on load/restore too")
+    assert(Condition.validate(rawPm("term::[unclosed")).isLeft,
+      "an uncompilable profileMatch half must be rejected")
+    assert(Condition.validate(rawPm("term::sp(ark|am)")).isRight)
     // the HTTP CRUD surface enforces the same fence with the reference's
     // own result codes — pinned in FeedServerSpec's setQuery cases
   }
