@@ -125,8 +125,36 @@ object Condition {
             return Some("\\x{...} — Java-only braced hex (the reference's " +
               "JS dialect reads it as a quantified literal 'x'); use " +
               "\\uXXXX, which both dialects share")
+          // octal escapes: Java's \0n and \0nn forms consume the same
+          // digits V8's Annex-B legacy octal does (verified: both read
+          // \045 as '%', \0456 as "%6"), but Java's FOUR-char \0mnn form
+          // (m ≤ 3) consumes three digits after the 0 where JS stops at
+          // three INCLUDING it — \0123 is 'S' in Java, LF + "3" in JS
+          def oct(c: Char) = c >= '0' && c <= '7'
+          if (n == '0' && i + 4 < p.length && p.charAt(i + 2) <= '3' &&
+              oct(p.charAt(i + 2)) && oct(p.charAt(i + 3)) && oct(p.charAt(i + 4)))
+            return Some("\\0mnn — Java-only 4-digit octal escape (the " +
+              "reference's JS dialect reads at most three octal digits " +
+              "counting the 0, leaving the last as a literal digit); use " +
+              "\\xHH or \\uHHHH, which both dialects share")
           prevQuant = false; i += 2
         case ']' if inClass => inClass = false; i += 1
+        // inside a class, Java-compilable '[' opens a NESTED class
+        // (union) and '&&' is intersection; the reference's JS dialect
+        // reads both as literal members (V8-verified: JS [a[b]] is the
+        // set {a,[,b} followed by a literal ']', so "b" alone does not
+        // match; JS [a-c&&d] matches '&') — compilable-but-divergent,
+        // exactly the class the fence exists to catch
+        case '[' if inClass =>
+          return Some("[ inside a character class — Java-only nested " +
+            "class / union (the reference's JS dialect reads it as a " +
+            "literal '[', changing both the member set and where the " +
+            "class ends); escape it as \\[ if a literal is meant")
+        case '&' if inClass && i + 1 < p.length && p.charAt(i + 1) == '&' =>
+          return Some("&& inside a character class — Java-only " +
+            "intersection (the reference's JS dialect reads two literal " +
+            "ampersands); rewrite the intersection as an explicit range " +
+            "or escape as \\&\\& if literals are meant")
         case _ if inClass => i += 1
         case '[' => inClass = true; prevQuant = false; i += 1
         case '(' =>

@@ -31,10 +31,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on the chain's last (ts, cid) boundary (exactly the fallback query,
   * but its result is cached, so one job serves the next ~headSize/limit
   * deep pages instead of one) — up to `maxBlocks` blocks per feed.
-  * Extension under an unchanged token is sound for the same reason the
-  * head itself is: any landed drain or pointer flip changes the token
-  * BEFORE the next request, so all blocks of one chain describe one
-  * store state. Past maxBlocks, or for a limit above headSize, requests
+  * What a chain guarantees: every block is strictly after the previous
+  * block's (ts, cid) boundary, so a walk never duplicates or loses a
+  * row, and every cursored page it serves is keyset-exact. It does NOT
+  * guarantee one store snapshot across blocks: extend() queries the
+  * CURRENT store under the earlier token, so a late-arriving older-ts
+  * row that lands mid-walk (its drain's token flip invalidates the
+  * chain for the NEXT request) can appear in a later block that
+  * block 0's scan never saw — the same bounded read-your-writes
+  * staleness two back-to-back uncached requests already have.
+  * Past maxBlocks, or for a limit above headSize, requests
   * fall back to the per-request Spark query, unchanged semantics. A
   * chain whose last row has a null ts is complete for cursored
   * purposes: null-ts rows sort last and cursored pages exclude them.
@@ -156,6 +162,18 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.CompletableFuture[Head]]()
 
+  /** `join()` wraps the builder's exception in CompletionException, so a
+    * request that coalesced onto a FAILED build would see a different
+    * exception type than the winning builder (which throws raw) — unwrap,
+    * so the error surface is identical on both sides of the race. */
+  private def joinUnwrapped(
+      f: java.util.concurrent.CompletableFuture[Head]): Head =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
+
   private def headFor(c: Condition, v: String): Head = {
     var waits = 0
     while (true) {
@@ -186,7 +204,7 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
         // another request is building this feed's head: wait for it
         // (a failed build rethrows here — same error a direct build
         // would have surfaced)
-        val h = prior.join()
+        val h = joinUnwrapped(prior)
         if (h.version == v) {
           coalescedN.incrementAndGet(); h.touch(); return h
         }
@@ -240,7 +258,7 @@ final class FeedHeadCache(spark: SparkSession, store: String => DataFrame,
       // waited on another request's block job: count it, like headFor's
       // cold-build waits — the coalesced stat is the single-flight
       // savings ledger
-      val h = prior.join()
+      val h = joinUnwrapped(prior)
       coalescedN.incrementAndGet()
       return h
     }

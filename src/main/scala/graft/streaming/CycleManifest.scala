@@ -59,19 +59,54 @@ object CycleManifest {
     (node.get("gen").asLong(), counts.result())
   }
 
-  /** Current persisted (generation, per-feed landed-batch counts), or
-    * None when no drain has ever persisted one. */
-  def read(storeDir: String): Option[(Long, Map[String, Long])] = {
+  /** Missing / Corrupt / Parsed — a corrupt manifest must degrade like a
+    * missing one (replica serves uncached, drain keeps draining), not
+    * take down Writer construction or every replica request, the way
+    * persist() failures already degrade to a WARN. */
+  private sealed trait Manifest
+  private case object Missing extends Manifest
+  private case object Corrupt extends Manifest
+  private final case class Parsed(gen: Long, counts: Map[String, Long])
+      extends Manifest
+
+  private def readManifest(storeDir: String): Manifest = {
     val p = manifestPath(storeDir)
-    if (StoreFs.exists(p)) Some(parse(StoreFs.readString(p))) else None
+    if (!StoreFs.exists(p)) Missing
+    else
+      try { val (g, c) = parse(StoreFs.readString(p)); Parsed(g, c) }
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          log.warn(s"cycle manifest at '$p' is unreadable (corrupt or " +
+            s"truncated) — treating it as absent until the next drain " +
+            s"persists a fresh one: $t")
+          Corrupt
+      }
   }
+
+  /** Current persisted (generation, per-feed landed-batch counts), or
+    * None when no drain has ever persisted one — or when the file is
+    * corrupt (WARNed; callers degrade exactly as if it were absent). */
+  def read(storeDir: String): Option[(Long, Map[String, Long])] =
+    readManifest(storeDir) match {
+      case Parsed(g, c) => Some((g, c))
+      case _ => None
+    }
 
   /** Drain-side writer: wire it as the [[graft.model.ConditionMetrics]]
     * persist hook so every recorded micro-batch publishes its counters.
     * One instance per drain process — construction reads the previous
     * incarnation's manifest to resume generations monotone. */
   final class Writer(storeDir: String) {
-    private val baseGen: Long = read(storeDir).map(_._1 + 1L).getOrElse(0L)
+    // Monotone resume: prior gen + 1. A CORRUPT prior manifest hides the
+    // value to resume above, so take a conservative bump far beyond any
+    // count-derived gen (gens count bounded-map resets — reaching epoch-ms
+    // magnitude organically would take millennia): the successor's tokens
+    // can never collide with any token the unreadable history issued.
+    private val baseGen: Long = readManifest(storeDir) match {
+      case Parsed(g, _) => g + 1L
+      case Missing => 0L
+      case Corrupt => System.currentTimeMillis()
+    }
 
     // Unique per-incarnation staging name. It must NOT contain ".tmp":
     // VersionedStore.swap's GC deletes any store-root `*.tmp*` name as a
@@ -128,28 +163,61 @@ object CycleManifest {
   final class Reader(storeDir: String, statIntervalMs: Long = 0L) {
     private final case class Cached(mtime: Long, len: Long, gen: Long,
         counts: Map[String, Long])
+    // sentinel gen marking "this (mtime, len) failed to parse" — lets the
+    // corrupt-file answer (None, serve uncached) be cached per CHANGE
+    // instead of re-parsing the bad bytes on every request
+    private val CorruptGen = Long.MinValue
     @volatile private var cached: Cached = _
     @volatile private var lastStat = 0L
+
+    private def cachedResult(c: Cached): Option[(Long, Map[String, Long])] =
+      if (c.gen == CorruptGen) None else Some((c.gen, c.counts))
 
     def snapshot(): Option[(Long, Map[String, Long])] = {
       val c = cached
       if (c != null && statIntervalMs > 0 &&
           System.currentTimeMillis() - lastStat < statIntervalMs)
-        return Some((c.gen, c.counts))
+        return cachedResult(c)
       val p = manifestPath(storeDir)
       StoreFs.statOf(p) match {
         case None => None // no manifest yet: replica cannot cache
         case Some((mtime, len)) =>
           lastStat = System.currentTimeMillis()
           if (c != null && c.mtime == mtime && c.len == len)
-            Some((c.gen, c.counts))
+            cachedResult(c)
           else {
             // a concurrent rename between the stat and this read just
             // means we parse the NEWER manifest under the older stat;
             // the next change re-parses (counters are monotone)
-            val (gen, counts) = parse(StoreFs.readString(p))
-            cached = Cached(mtime, len, gen, counts)
-            Some((gen, counts))
+            val parsed =
+              try Some(parse(StoreFs.readString(p)))
+              catch {
+                case scala.util.control.NonFatal(t) =>
+                  log.warn(s"cycle manifest at '$p' is unreadable — " +
+                    s"replica serves uncached until a drain persists a " +
+                    s"fresh one: $t")
+                  None
+              }
+            val next = parsed match {
+              case None =>
+                // corrupt: remember the (mtime, len) so the bad file is
+                // parsed once per change, not once per request
+                Cached(mtime, len, CorruptGen, Map.empty)
+              case Some((gen, _))
+                  if c != null && c.gen != CorruptGen && gen < c.gen =>
+                // monotone-gen fence (belt and suspenders for a deposed
+                // writer's late rename landing after its successor's):
+                // keep the newer counters, adopt the stat so the stale
+                // file is not re-parsed per request — the live writer's
+                // next persist moves the stat again and wins
+                log.warn(s"cycle manifest at '$p' regressed gen $gen < " +
+                  s"${c.gen} (late write from a deposed drain?) — keeping " +
+                  "the newer generation")
+                Cached(mtime, len, c.gen, c.counts)
+              case Some((gen, counts)) => Cached(mtime, len, gen, counts)
+            }
+            cached = next
+            cachedResult(next)
           }
       }
     }

@@ -118,6 +118,14 @@ class RegexDialectSpec extends SparkSpec {
       "a\\v",        // Java vertical-whitespace CLASS; JS = only U+000B
       "\\h+",        // Java horizontal whitespace; JS literal 'h'
       "\\x{41}",     // Java U+0041; JS = a 41-fold quantified literal 'x'
+      // r20, V8-verified class constructs: Java-compilable-but-divergent
+      "[a[b]]",      // Java nested class {a,b}; JS set {a,[,b} + literal ']'
+                     //   — JS /[a[b]]/.test("b") is false, Java matches
+      "[a-c&&d]",    // Java intersection (empty set); JS literal '&' —
+                     //   JS matches 'b' and '&', Java matches neither
+      "[x[^y]]",     // negated nested class: same divergence family
+      "\\0123",      // Java 4-char octal \0mnn = 'S'; JS reads 3 digits
+                     //   (\012 = LF) then a literal '3'
     )
     javaOnly.foreach { p =>
       assert(java.util.regex.Pattern.compile(p) != null, s"$p must be Java-compilable")
@@ -130,7 +138,13 @@ class RegexDialectSpec extends SparkSpec {
     // `(?…` group forms BOTH dialects share
     Seq("a+?", "a*?b", "a\\++", "[*+?]+", "x{2,3}b", "^sp(ark|orts)\\b",
         "(?:a|b)+c?", "(?=x)a", "(?!y)a", "(?<=a)b", "(?<nm>a)\\k<nm>",
-        "\\x41\\u0042", "\\d+\\s\\w")
+        "\\x41\\u0042", "\\d+\\s\\w",
+        // the fence is PRECISE on class members and octal escapes:
+        // escaped brackets and lone ampersands are literals in both
+        // dialects, and the 2-/3-char octal forms consume the same
+        // digits in both (V8-verified: \045 is '%' in JS too, \0456 is
+        // "%6" in both) — only the 4-char \0mnn form diverges
+        "[\\[x]", "[a\\]b]", "[a&b]", "\\045", "\\07", "\\012x", "\\0456")
       .foreach { p =>
         assert(Condition.validate(raw(p)).isRight, s"$p must remain valid")
       }

@@ -185,6 +185,30 @@ class FeedHeadCacheSpec extends SparkSpec {
     intercept[RuntimeException] { hc2.page(c, 3, None) }
     fail = false
     assert(hc2.page(c, 3, None)._1.nonEmpty, "a failed build must not wedge the feed")
+
+    // error-surface parity: a request that COALESCED onto the failed
+    // build must see the same exception type as the winning builder —
+    // not join()'s CompletionException wrapper
+    val slowFlaky: String => org.apache.spark.sql.DataFrame =
+      _ => { Thread.sleep(200); throw new RuntimeException("store offline") }
+    val hc3 = new FeedHeadCache(spark, slowFlaky, _ => Some("v1"), headSize = 50)
+    val errs = (0 until 3).map(_ => pool2Submit(hc3, c)).map { f =>
+      try { f.get(); null }
+      catch { case e: java.util.concurrent.ExecutionException => e.getCause }
+    }
+    errs.foreach { t =>
+      assert(t != null && t.isInstanceOf[RuntimeException] &&
+        t.getMessage == "store offline",
+        s"winner and waiters must surface the SAME raw exception, got $t")
+    }
+  }
+
+  private def pool2Submit(hc: FeedHeadCache, c: graft.model.Condition) = {
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { hc.page(c, 3, None); () }
+    })
+    finally pool.shutdown()
   }
 
   test("past maxFeeds, ONE least-recently-used head is evicted — hot feeds keep theirs") {
