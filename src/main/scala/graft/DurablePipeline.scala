@@ -143,8 +143,14 @@ final class DurablePipeline(
   // replicas that don't run this drain read them back through
   // CycleManifest.replicaVersion, so their head caches invalidate
   // per-feed exactly like this process's in-process token does.
+  // The write itself runs on the AsyncPublisher's worker, OFF the
+  // record() lock — a slow store (object-store latency spike) delays
+  // replica visibility by that latency, never the drain's next batch;
+  // monotone publication is preserved (latest-wins subsequence).
   private val cycleWriter = new graft.streaming.CycleManifest.Writer(storeDir.toString)
-  metrics.persistWith(cycleWriter.persist)
+  private val cyclePublisher =
+    new graft.streaming.CycleManifest.AsyncPublisher(cycleWriter.persist)
+  metrics.persistWith(cyclePublisher.submit)
 
   /** LIVE control plane: the serving tier's admin CRUD mutates it and the
     * NEXT micro-batch picks the change up, the reference's
@@ -241,6 +247,12 @@ final class DurablePipeline(
     }
   }
 
+  /** Barrier for replicas/specs that need the LAST recorded batch's
+    * counters visible in the store: waits out the async publisher's
+    * pending + in-flight snapshot (true), or times out (false). */
+  def flushCycleManifest(timeoutMs: Long = 10000L): Boolean =
+    cyclePublisher.flush(timeoutMs)
+
   def storedCursor: Long = readCursor().getOrElse(-1L)
   def storedRows: Long = Ingest.readStore(spark, storeDir.toString).count()
 
@@ -248,6 +260,7 @@ final class DurablePipeline(
     client.stop()
     flushSpool()
     queryOpt.foreach(_.stop())
+    cyclePublisher.close() // flush the last counters for replicas
     server.stop()
   }
 
@@ -260,6 +273,9 @@ final class DurablePipeline(
     client.stop()
     pendingFrames.synchronized(pendingFrames.clear())
     queryOpt.foreach(_.stop())
+    // discard any pending manifest snapshot — the loss a real kill has
+    // (benign: the restarted drain's next record re-persists counters)
+    cyclePublisher.close(flushPending = false)
     server.stop()
   }
 }

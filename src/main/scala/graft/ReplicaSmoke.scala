@@ -55,7 +55,11 @@ object ReplicaSmoke {
       println(f"[drain] store build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val metrics = new graft.model.ConditionMetrics
-    metrics.persistWith(new CycleManifest.Writer(dir).persist)
+    // same wiring as DurablePipeline: the manifest write rides the async
+    // single-flight publisher, off the record() path
+    val publisher = new CycleManifest.AsyncPublisher(
+      new CycleManifest.Writer(dir).persist)
+    metrics.persistWith(publisher.submit)
     val s = spark
     import s.implicits._
     val deadline = System.nanoTime() + seconds * 1000000000L
@@ -72,7 +76,9 @@ object ReplicaSmoke {
       i += 1
       Thread.sleep(drainMs)
     }
-    println(s"[drain] done: $i drains recorded")
+    println(s"[drain] done: $i drains recorded, " +
+      s"${publisher.published} manifests published")
+    publisher.close()
   }
 
   private def serve(args: Array[String]): Unit = {

@@ -150,6 +150,91 @@ object CycleManifest {
       }
   }
 
+  /** Asynchronous single-flight latest-wins wrapper around a persist
+    * hook — the drain-side wiring that takes the manifest write OFF the
+    * [[graft.model.ConditionMetrics.record]] lock. record() used to run
+    * the FS write + rename inline (ordering was the point: out-of-order
+    * persists would regress the replica counters), which meant a slow
+    * store — object-store latency spikes, an NFS hiccup — stalled the
+    * drain's NEXT micro-batch behind a metadata write.
+    *
+    * This preserves exactly the property the inline call bought, without
+    * the blocking: `submit` replaces a single pending slot and returns
+    * (never waits on the FS); ONE worker thread drains the slot,
+    * persisting the newest snapshot. Because submits arrive in record()
+    * order (record is synchronized) and the worker takes the latest slot
+    * value serially, the published sequence is a SUBSEQUENCE of the
+    * submitted sequence — monotone (gen, count) publication, skipping
+    * intermediates under load (latest-wins: replicas only ever want the
+    * newest counters anyway).
+    *
+    * Loss bound: a crash loses at most the pending + in-flight snapshots
+    * — the same "last persist in flight" loss the synchronous form had,
+    * already proven benign (counters re-persist on the next record;
+    * [[Writer.persist]] WARNs on failure instead of throwing). `close`
+    * flushes on an orderly drain stop. */
+  final class AsyncPublisher(underlying: (Long, Map[String, Long]) => Unit,
+      threadName: String = "graft-cycle-manifest-publisher") {
+    private val lock = new Object
+    private var latest: (Long, Map[String, Long]) = null
+    private var inFlight = false
+    private var closed = false
+    private val publishedN = new java.util.concurrent.atomic.AtomicLong
+    private val worker = new Thread(() => run(), threadName)
+    worker.setDaemon(true)
+    worker.start()
+
+    /** Snapshots actually persisted (≤ submits under load — the
+      * latest-wins savings ledger, for specs and smokes). */
+    def published: Long = publishedN.get
+
+    /** Replace the pending snapshot; never blocks on the filesystem. */
+    def submit(gen: Long, counts: Map[String, Long]): Unit =
+      lock.synchronized {
+        if (!closed) { latest = (gen, counts); lock.notifyAll() }
+      }
+
+    private def run(): Unit = {
+      while (true) {
+        val next = lock.synchronized {
+          while (latest == null && !closed) lock.wait()
+          if (latest == null) return // closed and drained
+          val n = latest; latest = null; inFlight = true; n
+        }
+        // underlying is Writer.persist in production, which WARNs
+        // instead of throwing; the guard keeps a foreign hook's failure
+        // from killing the worker (the loop must outlive any one write)
+        try underlying(next._1, next._2)
+        catch { case scala.util.control.NonFatal(_) => () }
+        publishedN.incrementAndGet()
+        lock.synchronized { inFlight = false; lock.notifyAll() }
+      }
+    }
+
+    /** Wait until nothing is pending or in flight (true) or the timeout
+      * passes (false) — the orderly-shutdown and spec barrier. */
+    def flush(timeoutMs: Long = 10000L): Boolean = lock.synchronized {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while ((latest != null || inFlight) &&
+          System.currentTimeMillis() < deadline)
+        lock.wait(math.max(1L, deadline - System.currentTimeMillis()))
+      latest == null && !inFlight
+    }
+
+    /** Orderly stop: flush the last snapshot, then end the worker. With
+      * `flushPending = false` (the hard-kill path) any pending snapshot
+      * is DISCARDED — the documented benign loss a real kill has. */
+    def close(flushPending: Boolean = true): Unit = {
+      if (flushPending) flush()
+      lock.synchronized {
+        if (!flushPending) latest = null
+        closed = true
+        lock.notifyAll()
+      }
+      worker.join(10000L)
+    }
+  }
+
   /** Replica-side reader: per call it STATS the manifest and re-parses
     * only when (mtime, length) changed — a namespace op, not a read, on
     * the head-cache hot path. Caveat: two manifests landing within the

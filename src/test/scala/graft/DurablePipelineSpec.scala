@@ -102,6 +102,9 @@ class DurablePipelineSpec extends SparkSpec {
       // NON-INGEST replica cache over the same dataDir serves the full
       // feed through it, zero shared process state
       import graft.streaming.CycleManifest
+      // the manifest write rides the async publisher (off the record()
+      // lock) — barrier on it before asserting store-side visibility
+      assert(p2.flushCycleManifest(), "manifest publisher must drain")
       val manifest = CycleManifest.read(s"$dir/store")
       assert(manifest.exists(_._2.getOrElse("dur1", 0L) > 0L),
         s"the drain must persist dur1's landed-batch counter, got $manifest")

@@ -74,6 +74,107 @@ class CycleManifestSpec extends AnyFunSuite {
     assert(reader.snapshot() == Some((8L, Map("f1" -> 4L))))
   }
 
+  test("async publisher: monotone latest-wins publication under concurrent-looking load") {
+    val published = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    val slow: (Long, Map[String, Long]) => Unit = (g, c) => {
+      Thread.sleep(1) // make the worker slower than the submit loop
+      published.add((g, c("f1")))
+    }
+    val pub = new CycleManifest.AsyncPublisher(slow)
+    // submits arrive in record() order (record is synchronized); model
+    // that: a strictly monotone (gen, count) stream with a gen reset bump
+    (1 to 150).foreach(i => pub.submit(0L, Map("f1" -> i.toLong)))
+    (1 to 150).foreach(i => pub.submit(1L, Map("f1" -> i.toLong)))
+    assert(pub.flush(), "publisher must drain")
+    val seq = published.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(seq.nonEmpty && seq.last == ((1L, 150L)),
+      s"the FINAL snapshot must always publish, got ${seq.lastOption}")
+    seq.sliding(2).foreach {
+      case Seq((g1, c1), (g2, c2)) =>
+        assert(g2 > g1 || (g2 == g1 && c2 > c1),
+          s"published sequence must be strictly monotone: ($g1,$c1) -> ($g2,$c2)")
+      case _ =>
+    }
+    assert(pub.published < 300,
+      s"latest-wins must skip intermediates under load, published all ${pub.published}")
+    pub.close()
+  }
+
+  test("async publisher unblocks record() from a slow store (drain-latency A/B)") {
+    val c = graft.domain.Fixtures.cond(key = "f1")
+    val slowMs = 40L
+    def slowPersist: (Long, Map[String, Long]) => Unit =
+      (_, _) => Thread.sleep(slowMs)
+    val n = 10
+
+    // A: the old inline wiring — every record() eats the store latency
+    val syncMetrics = new graft.model.ConditionMetrics
+    syncMetrics.persistWith(slowPersist)
+    val t0 = System.nanoTime()
+    (1 to n).foreach(_ => syncMetrics.record(Seq(c), Map("f1" -> 1L), 1L))
+    val syncMs = (System.nanoTime() - t0) / 1e6
+
+    // B: the async publisher — record() returns without waiting on the FS
+    val pub = new CycleManifest.AsyncPublisher(slowPersist)
+    val asyncMetrics = new graft.model.ConditionMetrics
+    asyncMetrics.persistWith(pub.submit)
+    val t1 = System.nanoTime()
+    (1 to n).foreach(_ => asyncMetrics.record(Seq(c), Map("f1" -> 1L), 1L))
+    val asyncMs = (System.nanoTime() - t1) / 1e6
+    assert(pub.flush(), "publisher must drain")
+    pub.close()
+
+    assert(syncMs >= n * slowMs,
+      s"control: inline persists must serialize behind the store ($syncMs ms)")
+    assert(asyncMs < syncMs / 2,
+      s"async record() must not stall behind the store: $asyncMs ms vs $syncMs ms inline")
+  }
+
+  test("split-brain soak: a deposed writer racing its successor never regresses reader tokens") {
+    val dir = tmpStore()
+    // incarnation A (baseGen 0) writes some history…
+    val a = new CycleManifest.Writer(dir)
+    a.persist(0L, Map("f1" -> 1L))
+    a.persist(0L, Map("f1" -> 2L))
+    // …then is deposed: B constructs (sweeps staging, resumes gen 0+1=1)
+    val b = new CycleManifest.Writer(dir)
+    val reader = new CycleManifest.Reader(dir)
+    assert(reader.snapshot().exists(_._1 == 0L))
+
+    // A keeps persisting stale gen-0 snapshots (a deposed drain's late
+    // renames), racing B's live gen-1 stream and a hammering reader
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // touched only by tR; read after join() (which is the memory barrier)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    def spawn(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch {
+        case e: Throwable => errs.add(e); ()
+      })
+      t.start(); t
+    }
+    val tA = spawn((3 to 120).foreach { i =>
+      a.persist(0L, Map("f1" -> i.toLong)); Thread.sleep(1) })
+    val tB = spawn((1 to 120).foreach { i =>
+      b.persist(0L, Map("f1" -> i.toLong)); Thread.sleep(1) })
+    val tR = spawn(while (!stop.get()) reader.snapshot().foreach(s => seen += s._1))
+    tA.join(30000); tB.join(30000)
+    stop.set(true); tR.join(30000)
+    assert(errs.isEmpty, s"nothing may throw under the race: ${errs.toArray.toSeq}")
+
+    val gens = seen.toSeq
+    assert(gens.nonEmpty)
+    gens.sliding(2).foreach {
+      case Seq(g1, g2) => assert(g2 >= g1,
+        s"reader generations must never regress under split-brain: $g1 -> $g2")
+      case _ =>
+    }
+    // the live writer's final persist wins: no head can revalidate a
+    // stale-as-current token once the successor has published
+    b.persist(0L, Map("f1" -> 200L))
+    assert(reader.snapshot() == Some((1L, Map("f1" -> 200L))))
+  }
+
   test("a throttled reader bounds staleness to the stat interval") {
     val dir = tmpStore()
     val reader = new CycleManifest.Reader(dir, statIntervalMs = 50L)
