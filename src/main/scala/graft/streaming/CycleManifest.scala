@@ -242,10 +242,17 @@ object CycleManifest {
     * to the stat; drains are seconds apart in production and the next
     * drain heals a missed one, so the exposure is the same
     * read-your-writes bound the token already carries. `statIntervalMs`
-    * optionally throttles the stat itself (bounded staleness for
-    * deployments where a namespace RPC per request matters); 0 = stat
-    * every call. */
-  final class Reader(storeDir: String, statIntervalMs: Long = 0L) {
+    * throttles the stat itself: within the interval the cached snapshot
+    * is served with NO filesystem call, so a drain's counters become
+    * visible at most `statIntervalMs` later than its rename — the
+    * staleness bound. 0 = stat every call (exact, right when the store
+    * is a local FS/HDFS where a stat is ~µs; on object storage a
+    * per-request ~10–30 ms RPC re-adds the very floor the head cache
+    * exists to kill — see [[DefaultStatIntervalMs]] for the measured
+    * default the deployment entry point uses). `statFn` is the
+    * simulation hook the cadence A/B injects latency through. */
+  final class Reader(storeDir: String, statIntervalMs: Long = 0L,
+      statFn: Path => Option[(Long, Long)] = StoreFs.statOf) {
     private final case class Cached(mtime: Long, len: Long, gen: Long,
         counts: Map[String, Long])
     // sentinel gen marking "this (mtime, len) failed to parse" — lets the
@@ -264,7 +271,7 @@ object CycleManifest {
           System.currentTimeMillis() - lastStat < statIntervalMs)
         return cachedResult(c)
       val p = manifestPath(storeDir)
-      StoreFs.statOf(p) match {
+      statFn(p) match {
         case None => None // no manifest yet: replica cannot cache
         case Some((mtime, len)) =>
           lastStat = System.currentTimeMillis()
@@ -313,6 +320,20 @@ object CycleManifest {
       snapshot().map { case (g, m) => s"$g:${m.getOrElse(key, 0L)}" }
   }
 
+  /** Default version-source cadence for serving replicas, picked from
+    * the measured A/B in SCALE.md (§replica stat cadence): an uncached
+    * version read costs THREE namespace ops (manifest stat + pointer
+    * exists + pointer read) — ~µs on a local FS, but ~10–30 ms EACH on
+    * object storage, which would quietly re-add the per-request floor
+    * the head cache exists to kill. At 250 ms the FS cost amortizes to
+    * ~zero per request while a drain's counters (and a compaction's
+    * pointer flip) become visible at most 250 ms late — well inside the
+    * seconds-apart drain cadence, and the same read-your-writes
+    * staleness class the token already carries. Pass 0 for
+    * stat-per-request exactness (local-FS deployments, specs that
+    * assert immediate visibility). */
+  val DefaultStatIntervalMs = 250L
+
   /** The complete replica-side version source for a
     * [[graft.serving.FeedHeadCache]] over `storeDir`: store pointer +
     * persisted per-feed landed-batch counter — token-compatible in
@@ -320,13 +341,27 @@ object CycleManifest {
     * keyCycle), but routed entirely through the store. Returns None
     * (caching disabled) until the first drain persists a manifest, so a
     * replica over a store whose drain predates the manifest never
-    * serves a stale head. */
-  def replicaVersion(storeDir: String, statIntervalMs: Long = 0L)
+    * serves a stale head. Both the manifest stat AND the pointer read
+    * ride the same `statIntervalMs` throttle ([[DefaultStatIntervalMs]])
+    * — the pointer is the other per-request namespace op, and it flips
+    * only on compaction/delete swaps, so a ≤interval-late flip is the
+    * same bounded staleness. */
+  def replicaVersion(storeDir: String,
+      statIntervalMs: Long = DefaultStatIntervalMs)
       : String => Option[String] = {
     val reader = new Reader(storeDir, statIntervalMs)
     val root = new Path(storeDir)
-    key => reader.keyCycle(key).map { kc =>
-      VersionedStore.currentVersion(root).getOrElse("_root") + ":" + kc
+    @volatile var ptrCache: (Long, String) = null // (readAtMs, pointer)
+    def pointer(): String = {
+      val c = ptrCache
+      val now = System.currentTimeMillis()
+      if (c != null && statIntervalMs > 0 && now - c._1 < statIntervalMs) c._2
+      else {
+        val p = VersionedStore.currentVersion(root).getOrElse("_root")
+        ptrCache = (now, p)
+        p
+      }
     }
+    key => reader.keyCycle(key).map(kc => pointer() + ":" + kc)
   }
 }

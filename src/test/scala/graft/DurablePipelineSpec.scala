@@ -112,7 +112,9 @@ class DurablePipelineSpec extends SparkSpec {
         "the restarted drain's generation must have resumed past phase 1's")
       val replica = new graft.serving.FeedHeadCache(spark,
         key => Ingest.readStoreKey(spark, s"$dir/store", key),
-        CycleManifest.replicaVersion(s"$dir/store"))
+        // interval 0: the assertion right below wants the just-flushed
+        // manifest visible NOW, not within the deployment default's 250 ms
+        CycleManifest.replicaVersion(s"$dir/store", statIntervalMs = 0L))
       val (rRows, _) = replica.page(conditions.head, 50, None)
       assert(rRows.size == 10 && replica.stats._2 == 1,
         "a replica over the same store must cache-serve the full feed")

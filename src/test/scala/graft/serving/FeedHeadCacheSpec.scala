@@ -260,8 +260,12 @@ class FeedHeadCacheSpec extends SparkSpec {
     }
 
     // ---- "serving replica": fresh objects, version routed via the store ----
+    // statIntervalMs = 0: this spec's drains are milliseconds apart and
+    // assert IMMEDIATE visibility; the deployment default (250 ms) trades
+    // that for zero namespace RPCs per request — CycleManifestSpec pins
+    // the staleness bound
     val hc = new FeedHeadCache(spark, _ => store(),
-      CycleManifest.replicaVersion(dir), headSize = 50)
+      CycleManifest.replicaVersion(dir, statIntervalMs = 0L), headSize = 50)
     val c1 = Fixtures.cond(key = "f1")
 
     // no manifest yet: the replica must not cache (fallback path only)

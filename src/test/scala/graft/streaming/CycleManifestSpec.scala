@@ -175,6 +175,54 @@ class CycleManifestSpec extends AnyFunSuite {
     assert(reader.snapshot() == Some((1L, Map("f1" -> 200L))))
   }
 
+  test("stat-cadence A/B: the 250 ms default amortizes a simulated object-store stat to ~zero") {
+    val dir = tmpStore()
+    writeRaw(dir, manifestJson(1L, "f1" -> 1L))
+    val n = 100
+    // simulated object-store namespace RPC: statOf plus a latency
+    def simStat(ms: Long): org.apache.hadoop.fs.Path => Option[(Long, Long)] =
+      p => { if (ms > 0) Thread.sleep(ms); StoreFs.statOf(p) }
+    def measure(simMs: Long, intervalMs: Long): Double = {
+      val r = new CycleManifest.Reader(dir, intervalMs, simStat(simMs))
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => assert(r.keyCycle("f1").contains("1:1")))
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    val table = for {
+      sim <- Seq(0L, 10L, 30L); interval <- Seq(0L, CycleManifest.DefaultStatIntervalMs)
+    } yield (sim, interval, measure(sim, interval))
+    table.foreach { case (s, i, ms) =>
+      info(f"simulated stat latency ${s}%2d ms, statIntervalMs $i%3d -> $ms%8.3f ms/request")
+    }
+    // per-request cost at interval 0 IS the RPC; at the default it
+    // amortizes below a tenth of it (one stat per interval, not per call)
+    val at30int0 = table.find(t => t._1 == 30L && t._2 == 0L).get._3
+    val at30def = table.find(t => t._1 == 30L && t._2 > 0L).get._3
+    assert(at30int0 >= 30.0,
+      f"control: uncached readers must pay the RPC per request ($at30int0%.2f ms)")
+    assert(at30def < 3.0,
+      f"the default cadence must amortize a 30 ms stat below 10%% ($at30def%.2f ms/request)")
+  }
+
+  test("replicaVersion throttles BOTH namespace reads; staleness is bounded by the interval") {
+    val dir = tmpStore()
+    writeRaw(dir, manifestJson(1L, "f1" -> 1L))
+    StoreFs.writeString(StoreFs.path(dir, "_current"), "v0000000000000001")
+    val interval = 120L
+    val v = CycleManifest.replicaVersion(dir, statIntervalMs = interval)
+    assert(v("f1").contains("v0000000000000001:1:1"))
+    // a pointer flip AND a drain land inside the interval: the replica
+    // serves the cached token (zero FS calls), then sees both by the
+    // time the interval expires — the documented bound
+    StoreFs.writeString(StoreFs.path(dir, "_current"), "v0000000000000002")
+    writeRaw(dir, manifestJson(1L, "f1" -> 2L))
+    assert(v("f1").contains("v0000000000000001:1:1"),
+      "inside the interval the cached token is served")
+    Thread.sleep(interval + 30L)
+    assert(v("f1").contains("v0000000000000002:1:2"),
+      "past the interval both the pointer flip and the new counter are visible")
+  }
+
   test("a throttled reader bounds staleness to the stat interval") {
     val dir = tmpStore()
     val reader = new CycleManifest.Reader(dir, statIntervalMs = 50L)
