@@ -510,4 +510,36 @@ object KMeansIvf {
     // long-lived session
     } finally brute.unpersist(blocking = false)
   }
+
+  /** Composed calibrate→search for the SQ8 IVF family: run the
+    * recall-targeted calibration ([[calibrateNProbeSq8]]) over the query
+    * sample and immediately search with the CHOSEN setting — the
+    * auto-tuned knob is load-bearing here, not advisory (ns62 takes
+    * nProbe as a manual literal; ns76 is this composition). Returns the
+    * [[searchSq8MultiProbe]] frame with the chosen setting appended as
+    * a constant `n_probe` column, so a consumer can audit which knob
+    * produced each page.
+    *
+    * Cost: the SQ8 bounds pass, the code k-means fit, and the cell
+    * table all ride the SAME SharedCache keys as the calibration, so
+    * the composition trains ONCE; the only cost on top of a manual-knob
+    * search is the calibration harness itself (sample-bounded brute
+    * truth + the one-pass probe-rank pipeline). Driver-side state: the
+    * calibration frame is already driver-built (≤ maxProbe rows), so
+    * reading the chosen setting adds no job. */
+  def autoTunedSearchSq8(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, iters: Int,
+      maxProbe: Int, target: Double,
+      boundsCacheKey: Option[String] = None,
+      cacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    val cal = calibrateNProbeSq8(queries, candidates, idCol, vecCol, k,
+      nCells, iters, maxProbe, target, boundsCacheKey, cacheKey, corpusKey)
+    // exactly one chosen row by construction; the frame is driver-local
+    val chosen = cal.filter(col("chosen")).select(col("n_probe"))
+      .head().getLong(0)
+    searchSq8MultiProbe(queries, candidates, idCol, vecCol, k, nCells,
+        chosen.toInt, iters, boundsCacheKey, cacheKey, corpusKey)
+      .withColumn("n_probe", lit(chosen))
+  }
 }

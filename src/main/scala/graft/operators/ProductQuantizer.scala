@@ -473,4 +473,31 @@ object ProductQuantizer {
         .toDF("n_probe", "mean_recall", "chosen")
     } finally truth.unpersist(blocking = false)
   }
+
+  /** Composed calibrate→search for the IVF-PQ index: run the
+    * recall-targeted calibration ([[calibrateNProbePq]]) over the query
+    * sample and immediately search ([[ivfPqTopK]]) with the CHOSEN
+    * setting — [[KMeansIvf.autoTunedSearchSq8]]'s ADC counterpart,
+    * making the ns75 pick load-bearing where ns68 takes the knob as a
+    * manual literal. Returns the search frame with the chosen setting
+    * appended as a constant `n_probe` column. Codebooks, cell fit, and
+    * code table all ride the SAME SharedCache keys as the calibration,
+    * so the composition trains once; reading the chosen setting from
+    * the driver-built calibration frame (≤ maxProbe rows) adds no job. */
+  def autoTunedIvfPqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nCells: Int,
+      m: Int = 4, ks: Int = 16, iters: Int = 2, cellIters: Int = 2,
+      maxProbe: Int, target: Double, cacheKey: Option[String] = None,
+      cellCacheKey: Option[String] = None,
+      corpusKey: Option[String] = None): DataFrame = {
+    val cal = calibrateNProbePq(queries, candidates, idCol, vecCol, k,
+      dim, nCells, m, ks, iters, cellIters, maxProbe, target,
+      cacheKey, cellCacheKey, corpusKey)
+    val chosen = cal.filter(col("chosen")).select(col("n_probe"))
+      .head().getLong(0)
+    ivfPqTopK(queries, candidates, idCol, vecCol, k, dim, nCells, m, ks,
+        iters, cellIters, cacheKey, cellCacheKey, corpusKey,
+        nProbe = chosen.toInt)
+      .withColumn("n_probe", lit(chosen))
+  }
 }

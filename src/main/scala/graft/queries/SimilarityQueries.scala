@@ -1018,7 +1018,143 @@ object SimilarityQueries extends QueryModule {
     },
   )
 
+  /** COMPOSED calibrate→search on the SQ8 IVF family (VERDICT r19
+    * "calibration output is not consumed"): the ns74 calibration runs
+    * first, its chosen setting drives the ns62-shaped search, and the
+    * result rows carry that setting as `n_probe` — the auto-tuned knob
+    * is load-bearing, not advisory. The oracle replays the WHOLE
+    * composition: the ns74 chain through `sel` picks `cp`, and the
+    * final ranking admits exactly the candidates whose first-admitting
+    * probe rank is ≤ cp — so a divergent pick would shift the admitted
+    * candidate set and break the hash, proving the pick itself is what
+    * the search consumed. Fits share ns62/ns74's SharedCache keys:
+    * ONE bounds pass, ONE code k-means fit across all three entries. */
+  private val ns76 = QueryEntry(
+    "ns76_ann_sq8_autotuned_search",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.KMeansIvf.autoTunedSearchSq8(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+          maxProbe = 4, target = 0.95,
+          boundsCacheKey = Some(s"sq8bounds:$dir:embedding:64"),
+          cacheKey = Some(s"kmeanssq8:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings:sq8"))
+        .select(col("q_id"), col("cand_id"), col("qsim"),
+          col("rank").as("rnk"), col("n_probe"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(
+      s"""WITH $FpSql,
+         |${sq8Sql("qn")},
+         |${kmeansChainSql(8, 2, "qn")},
+         |probes AS (SELECT unnest(range(1, 5)) AS p),
+         |qp AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad),
+         |scored AS (
+         |  SELECT pr.p, q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(list_zip(q.fe, c.fe), z -> z[1] * z[2])) AS BIGINT) AS qsim
+         |  FROM qn q
+         |  JOIN qp ON qp.vec_id = q.vec_id AND q.vec_id < 5
+         |  JOIN probes pr ON qp.rn <= pr.p
+         |  JOIN af ca ON ca.cluster = qp.cluster
+         |  JOIN qn c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id),
+         |ivfk AS (SELECT p, q_id, cand_id FROM (
+         |  SELECT p, q_id, cand_id,
+         |    row_number() OVER (PARTITION BY p, q_id ORDER BY qsim DESC, cand_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         |brute5 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $CosSql AS sim
+         |        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT pr.p,
+         |    CAST(sum(CASE WHEN iv.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM probes pr CROSS JOIN brute5 br
+         |  LEFT JOIN ivfk iv ON iv.p = pr.p AND iv.q_id = br.q_id AND iv.cand_id = br.cand_id
+         |  GROUP BY pr.p),
+         |rec AS (SELECT p,
+         |    CAST(s AS DOUBLE) / (5 * (SELECT count(DISTINCT q_id) FROM brute5)) AS mean_recall
+         |  FROM hits),
+         |sel AS (SELECT COALESCE(MIN(CASE WHEN mean_recall >= 0.95 THEN p END), 4) AS cp FROM rec),
+         |fin AS (SELECT q_id, cand_id, qsim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored WHERE p = (SELECT cp FROM sel))
+         |SELECT q_id, cand_id, qsim, rnk,
+         |  (SELECT CAST(cp AS BIGINT) FROM sel) AS n_probe
+         |FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+  )
+
+  /** COMPOSED calibrate→search on the IVF-PQ index — ns76's ADC
+    * counterpart, closing ns68's manual `nProbe = 2` the same way: the
+    * ns75 calibration's chosen setting drives the ADC search, result
+    * rows carry it as `n_probe`, and the oracle replays calibration AND
+    * search in one chain so the hash proves the pick was consumed. */
+  private val ns77 = QueryEntry(
+    "ns77_ann_ivf_pq_autotuned_search",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 5)
+      graft.operators.ProductQuantizer.autoTunedIvfPqTopK(queries, t.embeddings,
+          "vec_id", "embedding", k = 5, dim = 64, nCells = 8, m = 4, ks = 16,
+          iters = 2, cellIters = 2, maxProbe = 4, target = 0.95,
+          cacheKey = Some(s"pqfit:$dir:embeddings:4:16:2"),
+          cellCacheKey = Some(s"kmeansfit:$dir:embeddings:8:2"),
+          corpusKey = Some(s"corpus:$dir:embeddings"))
+        .select(col("q_id"), col("cand_id"), col("pq_dist"),
+          col("rank").as("rnk"), col("n_probe"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some {
+      val subs = (0 until 4).map(j => pqSubCtes(j, sub = 16, ks = 16)).mkString(",\n")
+      s"""WITH $FpSql,
+         |${kmeansChainSql(8, 2)},
+         |probes AS (SELECT unnest(range(1, 5)) AS p),
+         |qp AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM ad),
+         |$subs,
+         |codes AS (SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+         |  FROM af0 a0 JOIN af1 a1 USING (vec_id) JOIN af2 a2 USING (vec_id) JOIN af3 a3 USING (vec_id)),
+         |scored AS (
+         |  SELECT pr.p, d0.q_id, cand.vec_id AS cand_id, d0.d + d1.d + d2.d + d3.d AS pq_dist
+         |  FROM codes cand
+         |  JOIN af ca ON ca.vec_id = cand.vec_id
+         |  JOIN qd0 d0 ON d0.cluster = cand.k0
+         |  JOIN qp ON qp.vec_id = d0.q_id AND qp.cluster = ca.cluster
+         |  JOIN probes pr ON qp.rn <= pr.p
+         |  JOIN qd1 d1 ON d1.q_id = d0.q_id AND d1.cluster = cand.k1
+         |  JOIN qd2 d2 ON d2.q_id = d0.q_id AND d2.cluster = cand.k2
+         |  JOIN qd3 d3 ON d3.q_id = d0.q_id AND d3.cluster = cand.k3
+         |  WHERE cand.vec_id <> d0.q_id),
+         |ivfk AS (SELECT p, q_id, cand_id FROM (
+         |  SELECT p, q_id, cand_id,
+         |    row_number() OVER (PARTITION BY p, q_id ORDER BY pq_dist, cand_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5),
+         |l2b AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY d, cand_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      q.nsq - 2 * CAST(list_sum(list_transform(list_zip(q.fe, c.fe), p -> p[1] * p[2])) AS BIGINT) + c.nsq AS d
+         |    FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id))
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT pr.p,
+         |    CAST(sum(CASE WHEN iv.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM probes pr CROSS JOIN l2b br
+         |  LEFT JOIN ivfk iv ON iv.p = pr.p AND iv.q_id = br.q_id AND iv.cand_id = br.cand_id
+         |  GROUP BY pr.p),
+         |rec AS (SELECT p,
+         |    CAST(s AS DOUBLE) / (5 * (SELECT count(DISTINCT q_id) FROM l2b)) AS mean_recall
+         |  FROM hits),
+         |sel AS (SELECT COALESCE(MIN(CASE WHEN mean_recall >= 0.95 THEN p END), 4) AS cp FROM rec),
+         |fin AS (SELECT q_id, cand_id, pq_dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY pq_dist, cand_id) AS BIGINT) AS rnk
+         |  FROM scored WHERE p = (SELECT cp FROM sel))
+         |SELECT q_id, cand_id, pq_dist, rnk,
+         |  (SELECT CAST(cp AS BIGINT) FROM sel) AS n_probe
+         |FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns07, ns08, ns09, ns20, ns30, ns36, ns37, ns42, ns44, ns61, ns62,
-      ns63, ns65, ns66, ns67, ns68, ns69, ns70, ns74, ns75)
+      ns63, ns65, ns66, ns67, ns68, ns69, ns70, ns74, ns75, ns76, ns77)
 }

@@ -353,4 +353,42 @@ class KMeansIvfSpec extends SparkSpec {
       assert(q % 3 == cand % 3, s"query $q retrieved $cand from another cluster")
     }
   }
+
+  test("composed calibrate→search consumes the calibration's pick (SQ8 and IVF-PQ)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    // SQ8: the auto-tuned result must BE the manual-knob search at the
+    // calibration's chosen setting — same rows, same ranks — with the
+    // setting carried on every row, so the pick is provably load-bearing
+    val calSq8 = KMeansIvf.calibrateNProbeSq8(queries, emb, "vec_id",
+        "embedding", k = 5, nCells = 4, iters = 2, maxProbe = 4, target = 0.95)
+      .filter(col("chosen")).collect()
+    assert(calSq8.length == 1)
+    val pickSq8 = calSq8.head.getLong(0)
+    val auto = KMeansIvf.autoTunedSearchSq8(queries, emb, "vec_id",
+      "embedding", k = 5, nCells = 4, iters = 2, maxProbe = 4, target = 0.95)
+    assert(auto.select("n_probe").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(pickSq8), "n_probe column must carry exactly the chosen setting")
+    val manual = KMeansIvf.searchSq8MultiProbe(queries, emb, "vec_id",
+        "embedding", k = 5, nCells = 4, nProbe = pickSq8.toInt, iters = 2)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    assert(auto.select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+      == manual, "auto-tuned SQ8 search must equal the manual search at the pick")
+    // IVF-PQ: same contract on the composed ADC index
+    val calPq = graft.operators.ProductQuantizer.calibrateNProbePq(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64, nCells = 4, maxProbe = 4,
+        target = 0.95)
+      .filter(col("chosen")).collect()
+    assert(calPq.length == 1)
+    val pickPq = calPq.head.getLong(0)
+    val autoPq = graft.operators.ProductQuantizer.autoTunedIvfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 5, dim = 64, nCells = 4, maxProbe = 4,
+      target = 0.95)
+    assert(autoPq.select("n_probe").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(pickPq))
+    val manualPq = graft.operators.ProductQuantizer.ivfPqTopK(queries, emb,
+        "vec_id", "embedding", k = 5, dim = 64, nCells = 4, nProbe = pickPq.toInt)
+      .select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+    assert(autoPq.select("q_id", "cand_id", "rank").collect().map(_.toSeq).toSet
+      == manualPq, "auto-tuned IVF-PQ search must equal the manual search at the pick")
+  }
 }
