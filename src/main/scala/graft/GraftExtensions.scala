@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("dot_fp", cs, 2, "vec_a, vec_b")
       DotFp(cs(0), cs(1))
     }, classOf[DotFp])
+    // bpe_count(text) -> bigint token count under the committed fixture
+    // merges table (graft.operators.Bpe.Fixture — the one table the SQL
+    // surface can name; arbitrary tables stay Column-API-only, same
+    // rule as the model-carrying expressions)
+    register("bpe_count", cs => {
+      arity("bpe_count", cs, 1, "text")
+      BpeCount(cs(0), graft.operators.Bpe.Fixture)
+    }, classOf[BpeCount])
     // term_counts(words_array) -> array<struct<term,tf>> (in-row tf)
     register("term_counts", cs => {
       arity("term_counts", cs, 1, "words_array")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Bpe, Multimodal, TextAnalysis}
 import graft.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.functions._
 
@@ -889,8 +889,80 @@ object TextQueries extends QueryModule {
     headline = true,
   )
 
+  /** Real merges-table BPE token counts (the budget arithmetic ns12's
+    * whitespace count and ns32's regex proxy stand in for) — per doc,
+    * under the committed [[graft.operators.Bpe.Fixture]] table (48
+    * merges trained from the sf0.001 corpus, spec-pinned to the
+    * trainer's output). The Spark side is ONE scan through the native
+    * [[org.apache.spark.sql.graft.BpeCount]] expression (merges ride
+    * the expression as a constant; per-word results memoized
+    * executor-side). The oracle replays the merge LOOP itself in SQL: a
+    * recursive CTE over the DISTINCT words advances each word one merge
+    * per iteration — always the lowest-ranked adjacent pair present,
+    * all occurrences merged per step via a per-position list rewrite
+    * (exact because the trainer never emits self-merges, so occurrences
+    * cannot overlap) — then joins terminal symbol counts back to the
+    * per-doc word multiset. Same vocabulary-not-corpus shape both
+    * sides: the loop runs over distinct words (vocabulary-sized at any
+    * corpus scale), the corpus pass is a scan + join on word. */
+  private val ns78 = QueryEntry(
+    "ns78_bpe_token_count",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Bpe.tokenCounts(t.documents, "doc_id", "text").orderBy(col("doc_id"))
+    },
+    Some {
+      val fixtureRows = Bpe.Fixture.zipWithIndex.map { case ((l, r), i) =>
+        s"(${i + 1}, '$l', '$r')"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |mk(rank, l, r) AS (VALUES $fixtureRows),
+         |mkl AS (SELECT list(l || ' ' || r ORDER BY rank) AS ks FROM mk),
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |words AS (SELECT DISTINCT w FROM dw),
+         |init AS (SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS s
+         |  FROM words),
+         |st AS (
+         |  SELECT w, s FROM init
+         |  UNION ALL
+         |  SELECT w,
+         |    list_filter(
+         |      list_transform(range(1, len(s) + 1), i ->
+         |        CASE
+         |          WHEN s[i] = bl AND i < len(s) AND s[i + 1] = br THEN bl || br
+         |          WHEN s[i] = br AND i > 1 AND s[i - 1] = bl THEN NULL
+         |          ELSE s[i]
+         |        END),
+         |      x -> x IS NOT NULL) AS s
+         |  FROM (
+         |    SELECT w, s,
+         |      string_split(ks[best], ' ')[1] AS bl,
+         |      string_split(ks[best], ' ')[2] AS br
+         |    FROM (
+         |      SELECT w, s, ks,
+         |        list_min(list_filter(
+         |          list_transform(range(1, len(s)),
+         |            i -> list_position(ks, s[i] || ' ' || s[i + 1])),
+         |          p -> p > 0)) AS best
+         |      FROM st, mkl)
+         |    WHERE best IS NOT NULL)),
+         |fin AS (
+         |  SELECT w, len(s) AS n FROM st, mkl
+         |  WHERE len(list_filter(
+         |    list_transform(range(1, len(s)),
+         |      i -> list_position(ks, s[i] || ' ' || s[i + 1])),
+         |    p -> p > 0)) = 0)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN fin USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    headline = true,
+  )
+
   override def entries: Seq[QueryEntry] =
     Seq(ns10, ns11, ns12, ns13, ns14, ns22, ns23, ns27, ns28, ns29, ns31, ns32,
       ns33, ns34, ns38, ns46, ns47, ns48, ns49, ns50, ns51, ns52, ns55, ns56,
-      ns57, ns58, ns59, ns71, ns72)
+      ns57, ns58, ns59, ns71, ns72, ns78)
 }

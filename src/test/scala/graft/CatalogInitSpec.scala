@@ -11,9 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class CatalogInitSpec extends AnyFunSuite {
 
   test("SparkEntry catalog initializes and has the expected size") {
-    assert(SparkEntry.all.size == 108,
+    assert(SparkEntry.all.size == 109,
       s"catalog size drifted: ${SparkEntry.all.size} (update this pin when adding queries)")
-    assert(SparkEntry.oracleSql.size == 108,
+    assert(SparkEntry.oracleSql.size == 109,
       s"oracle count drifted: ${SparkEntry.oracleSql.size}")
   }
 
