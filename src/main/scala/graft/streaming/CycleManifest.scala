@@ -131,10 +131,9 @@ object CycleManifest {
         root.put("gen", baseGen + gen)
         val c = root.putObject("counts")
         counts.foreach { case (k, v) => c.put(k, v) }
-        val tmp = StoreFs.path(storeDir, staging)
-        StoreFs.writeString(tmp, om.writeValueAsString(root))
         // readers see the whole old manifest or the whole new one
-        StoreFs.rename(tmp, manifestPath(storeDir), overwrite = true)
+        StoreFs.publishString(manifestPath(storeDir),
+          om.writeValueAsString(root), staging)
       } catch {
         case scala.util.control.NonFatal(t) =>
           // a lost persist must actually BE benign, not fail the drain's

@@ -167,9 +167,7 @@ object SemanticDedupStream {
       // best-effort sweep of superseded data dirs. A kill anywhere
       // leaves a marker that points at a complete data dir.
       frame.write.mode("overwrite").parquet(dataDirFor(mv).toString)
-      val tmpM = StoreFs.path(stageDir.toString, "_VERDICT.tmp")
-      StoreFs.writeString(tmpM, s"$mv $fingerprint")
-      StoreFs.rename(tmpM, marker, overwrite = true)
+      StoreFs.publishString(marker, s"$mv $fingerprint", "_VERDICT.tmp")
       StoreFs.listNames(stageDir)
         .filter(n => n.startsWith("data-") && n != s"data-$mv")
         .foreach(n => StoreFs.deleteRecursively(

@@ -132,6 +132,30 @@ private[graft] object StoreFs {
       finally ch.close()
     } else writeString(p, s, createNew = true)
 
+  /** THE atomic-publish primitive every pointer-class publish in the
+    * store plane goes through: write `content` to a staging sibling
+    * (`stagingName`, same directory so the rename never crosses a mount
+    * or bucket boundary), then [[rename]] it over `dst` with overwrite.
+    * A reader concurrent with the publish sees the WHOLE old file or the
+    * WHOLE new one — never a partial write — and a crash at any point
+    * leaves at worst one staging file (swept by the owning protocol's
+    * startup/GC pass) with `dst` intact.
+    *
+    * That guarantee is exactly as strong as the backend's rename (the
+    * object scaladoc's contract): atomic on HDFS and POSIX, NOT on raw
+    * object stores, where the emulated copy+delete exposes a window with
+    * `dst` missing or partial — [[requireAtomicRename]] refuses those
+    * schemes at store open, and `NonAtomicRenameSpec` drives this exact
+    * primitive over a simulated copy+delete FS to prove both the torn
+    * window and each caller's degrade path. Callers: the versioned
+    * store's `_current` pointer flip, [[CycleManifest]]'s counter
+    * manifest, [[SemanticDedupStream]]'s screen-verdict marker. */
+  def publishString(dst: Path, content: String, stagingName: String): Unit = {
+    val tmp = new Path(dst.getParent, stagingName)
+    writeString(tmp, content)
+    rename(tmp, dst, overwrite = true)
+  }
+
   def modificationTime(p: Path): Long = fc(p).getFileStatus(p).getModificationTime
 
   /** (modification time ms, byte length) for a change-detection stat, or
@@ -148,6 +172,18 @@ private[graft] object StoreFs {
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
 
+  /** Deployment-extensible additions to [[NonAtomicRenameSchemes]]
+    * (`-Dgraft.store.extraNonAtomicSchemes=scheme1,scheme2`): the
+    * built-in list names the schemes Hadoop ships copy+delete rename
+    * for, but a site mounting a different object-store connector (or a
+    * FUSE layer with the same weakness) must be able to put its scheme
+    * behind the same store-open gate without a code change. Read per
+    * call — it's a startup-path check, not a hot path. */
+  private def extraNonAtomicSchemes: Set[String] =
+    sys.props.get("graft.store.extraNonAtomicSchemes")
+      .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Enforce the atomicity contract at store-open time instead of letting
     * a raw-object-store deployment corrupt itself slowly: refuse any
     * store rooted on a scheme in [[NonAtomicRenameSchemes]]. A deliberate
@@ -157,7 +193,8 @@ private[graft] object StoreFs {
     * commit is a transaction-log entry (Delta/Iceberg). */
   def requireAtomicRename(dir: String): Unit = {
     val scheme = Option(new Path(dir).toUri.getScheme).map(_.toLowerCase)
-    if (scheme.exists(NonAtomicRenameSchemes.contains) &&
+    val blocked = NonAtomicRenameSchemes ++ extraNonAtomicSchemes
+    if (scheme.exists(blocked.contains) &&
         !sys.props.get("graft.store.allowNonAtomicRename").contains("true"))
       throw new IllegalArgumentException(
         s"store '$dir' is rooted on ${scheme.get}://, whose rename is non-atomic " +

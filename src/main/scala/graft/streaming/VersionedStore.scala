@@ -398,12 +398,11 @@ private[graft] object VersionedStore {
     currentVersion(root).map(v => new Path(root, v).toString).getOrElse(storeDir)
   }
 
-  private def writePointer(root: Path, version: String): Unit = {
-    val tmp = new Path(root, CurrentPtr + ".tmp")
-    StoreFs.writeString(tmp, version)
-    // atomic on HDFS and POSIX; see StoreFs for the object-store caveat
-    StoreFs.rename(tmp, new Path(root, CurrentPtr), overwrite = true)
-  }
+  private def writePointer(root: Path, version: String): Unit =
+    // atomic on HDFS and POSIX; see StoreFs.publishString for the
+    // contract and the object-store caveat
+    StoreFs.publishString(new Path(root, CurrentPtr), version,
+      CurrentPtr + ".tmp")
 
   /** Land the next version: `writeVersion` populates a `.tmp` directory
     * beside the live data, which is then renamed into place, the pointer
