@@ -450,65 +450,118 @@ object KMeansIvf {
       maxProbe: Int, target: Double,
       boundsCacheKey: Option[String] = None,
       cacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      truthKey: Option[String] = None,
+      calKey: Option[String] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (evaluated, chosen) = calibrateSq8Values(queries, candidates, idCol,
+      vecCol, k, nCells, iters, maxProbe, target, boundsCacheKey, cacheKey,
+      corpusKey, truthKey, calKey)
+    evaluated.map { case (p, r) => (p, r, p == chosen) }
+      .toDF("n_probe", "mean_recall", "chosen")
+  }
+
+  /** The driver-side calibration core behind [[calibrateNProbeSq8]] and
+    * [[autoTunedSearchSq8]]: (per-setting mean recalls, chosen setting).
+    *
+    * `truthKey` pins the sample's brute-force truth in
+    * [[graft.SharedCache]] so every harness grading against the SAME
+    * (sample, k) truth — the ns44/ns63 recall rows and this calibration —
+    * computes it once per run instead of once per consumer. `calKey`
+    * memoizes the WHOLE evaluation (≤ maxProbe (recall, setting) pairs of
+    * driver state): the composed calibrate→search entry and the
+    * calibration-report entry consume the identical deterministic
+    * evaluation, which is exactly the production shape — calibrate once,
+    * store the pick, every search reads it (the stored-pick discipline
+    * VERDICT r19 asked ns76 to prove). Both keys must identify corpus +
+    * sample + params like every SharedCache key. */
+  private def calibrateSq8Values(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, iters: Int,
+      maxProbe: Int, target: Double,
+      boundsCacheKey: Option[String],
+      cacheKey: Option[String],
+      corpusKey: Option[String],
+      truthKey: Option[String],
+      calKey: Option[String]): (Seq[(Long, Double)], Long) = {
     require(maxProbe >= 1 && maxProbe <= nCells,
       s"maxProbe must be in 1..nCells, got $maxProbe (nCells=$nCells)")
     val spark = queries.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.{DotCodes, NearestCellsCodes}
-    val brute = Similarity.bruteForceTopK(queries, candidates, idCol, vecCol, k)
-      .select(col("q_id"), col("cand_id"))
-      .localCheckpoint() // truth is reused by every setting's hit count
-    try {
-    val nq = brute.select("q_id").distinct().count()
-    require(nq > 0, "calibrateNProbeSq8: the query sample produced no " +
-      "brute-force truth rows (empty sample, or every query id is absent " +
-      "from the corpus) — a recall target over zero queries is undefined")
-    val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
-    val (assignments, centroids) =
-      fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
-    // queries with their maxProbe-ranked cells; posexplode position =
-    // probe rank − 1 (the same (distance, cell) order the assignment
-    // and searchSq8MultiProbe use)
-    val qs = broadcast(cands.drop("cluster")
-      .join(queries.select(col(idCol)), Seq(idCol))
-      .select(col(idCol).as("__id"), col("__q"),
-        posexplode(NearestCellsCodes(col("__q"), centroids, maxProbe))))
-      .withColumnRenamed("pos", "__prank0")
-      .withColumnRenamed("col", "cluster")
-    val cs = cands.withColumnRenamed(idCol, "__cid")
-    // each pair joins through the candidate's UNIQUE cell, so it carries
-    // exactly one first-admitting probe rank — explode it into every
-    // setting from that rank up, then one ranking window per (setting,
-    // query) yields all maxProbe top-k lists in a single pipeline
-    val perP = qs.as("q").join(cs.as("c"),
-        col("q.cluster") === col("c.cluster") && col("q.__id") =!= col("c.__cid"))
-      .select(col("q.__id").as("q_id"), col("c.__cid").as("cand_id"),
-        DotCodes(col("q.__q"), col("c.__q")).as("qsim"),
-        (col("q.__prank0") + 1).as("__minp"))
-      .withColumn("p", explode(sequence(col("__minp"), lit(maxProbe))))
-    val w = Window.partitionBy(col("p"), col("q_id"))
-      .orderBy(col("qsim").desc, col("cand_id"))
-    val topk = perP.withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") <= k)
-      .select(col("p"), col("q_id"), col("cand_id"))
-    val hitRows = brute.join(topk, Seq("q_id", "cand_id"))
-      .groupBy(col("p")).agg(count(lit(1)).as("s"))
-      .collect().map(r => r.getAs[Any]("p").toString.toLong -> r.getLong(1)).toMap
-    val evaluated = (1 to maxProbe).map { p =>
-      (p.toLong, hitRows.getOrElse(p.toLong, 0L).toDouble / (k * nq))
+    def evaluate(): (Seq[(Long, Double)], Long) = {
+      val (brute, pinned) = truthKey match {
+        case Some(tk) => (graft.SharedCache.getOrCompute(tk, spark)(
+          Similarity.bruteTruth(queries, candidates, idCol, vecCol, k)), true)
+        case None => (Similarity.bruteTruth(queries, candidates, idCol, vecCol, k)
+          .localCheckpoint(), false) // truth is read by hit count AND nq below
+      }
+      try {
+        val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
+        val (assignments, centroids) =
+          fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
+        val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
+        // queries with their maxProbe-ranked cells; posexplode position =
+        // probe rank − 1 (the same (distance, cell) order the assignment
+        // and searchSq8MultiProbe use)
+        val qs = broadcast(cands.drop("cluster")
+          .join(queries.select(col(idCol)), Seq(idCol))
+          .select(col(idCol).as("__id"), col("__q"),
+            posexplode(NearestCellsCodes(col("__q"), centroids, maxProbe))))
+          .withColumnRenamed("pos", "__prank0")
+          .withColumnRenamed("col", "cluster")
+        val cs = cands.withColumnRenamed(idCol, "__cid")
+        // each pair joins through the candidate's UNIQUE cell, so it carries
+        // exactly one first-admitting probe rank — explode it into every
+        // setting from that rank up, then one ranking window per (setting,
+        // query) yields all maxProbe top-k lists in a single pipeline
+        val perP = qs.as("q").join(cs.as("c"),
+            col("q.cluster") === col("c.cluster") && col("q.__id") =!= col("c.__cid"))
+          .select(col("q.__id").as("q_id"), col("c.__cid").as("cand_id"),
+            DotCodes(col("q.__q"), col("c.__q")).as("qsim"),
+            (col("q.__prank0") + 1).as("__minp"))
+          .withColumn("p", explode(sequence(col("__minp"), lit(maxProbe))))
+        val w = Window.partitionBy(col("p"), col("q_id"))
+          .orderBy(col("qsim").desc, col("cand_id"))
+        val topk = perP.withColumn("__rnk", row_number().over(w))
+          .filter(col("__rnk") <= k)
+          .select(col("p"), col("q_id"), col("cand_id"))
+        val (hitRows, nq) = collectHitsAndNq(brute, topk)
+        require(nq > 0, "calibrateNProbeSq8: the query sample produced no " +
+          "brute-force truth rows (empty sample, or every query id is absent " +
+          "from the corpus) — a recall target over zero queries is undefined")
+        val evaluated = (1 to maxProbe).map { p =>
+          (p.toLong, hitRows.getOrElse(p.toLong, 0L).toDouble / (k * nq))
+        }
+        val chosen = evaluated.find(_._2 >= target).map(_._1)
+          .getOrElse(maxProbe.toLong)
+        (evaluated, chosen)
+      // the returned values are driver-side counts — no lineage on `brute`
+      // — so a PRIVATE checkpoint can be dropped here instead of leaking
+      // block-manager storage per calibration in a long-lived session; a
+      // pinned truth is owned (and shared) by SharedCache
+      } finally if (!pinned) brute.unpersist(blocking = false)
     }
-    val chosen = evaluated.find(_._2 >= target).map(_._1)
-      .getOrElse(maxProbe.toLong)
-    evaluated.map { case (p, r) => (p, r, p == chosen) }
-      .toDF("n_probe", "mean_recall", "chosen")
-    // the returned frame is built from driver-side counts — no lineage
-    // on `brute` — so the checkpoint blocks can be dropped here instead
-    // of leaking block-manager storage on every calibration in a
-    // long-lived session
-    } finally brute.unpersist(blocking = false)
+    calKey match {
+      case Some(ck) => graft.SharedCache.getOrComputeValue(s"$ck:eval")(evaluate())
+      case None => evaluate()
+    }
+  }
+
+  /** One action for the calibration's two scalar reads: per-setting hit
+    * counts UNION the truth's distinct-query count (tagged p = 0 — probe
+    * settings start at 1), collected together — the split form paid a
+    * separate driver round-trip (job) for the nq count. */
+  private[graft] def collectHitsAndNq(truth: DataFrame, topk: DataFrame)
+      : (Map[Long, Long], Long) = {
+    val hits = truth.join(topk, Seq("q_id", "cand_id"))
+      .groupBy(col("p")).agg(count(lit(1)).as("s"))
+      .select(col("p").cast("long").as("p"), col("s"))
+    val nqRow = truth.agg(count_distinct(col("q_id")).as("s"))
+      .select(lit(0L).as("p"), col("s"))
+    val rows = hits.unionByName(nqRow).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (rows - 0L, rows.getOrElse(0L, 0L))
   }
 
   /** Composed calibrate→search for the SQ8 IVF family: run the
@@ -532,12 +585,15 @@ object KMeansIvf {
       maxProbe: Int, target: Double,
       boundsCacheKey: Option[String] = None,
       cacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
-    val cal = calibrateNProbeSq8(queries, candidates, idCol, vecCol, k,
-      nCells, iters, maxProbe, target, boundsCacheKey, cacheKey, corpusKey)
-    // exactly one chosen row by construction; the frame is driver-local
-    val chosen = cal.filter(col("chosen")).select(col("n_probe"))
-      .head().getLong(0)
+      corpusKey: Option[String] = None,
+      truthKey: Option[String] = None,
+      calKey: Option[String] = None): DataFrame = {
+    // the chosen setting comes straight off the driver-side calibration
+    // values (memoized under calKey — the stored pick the search consumes);
+    // no intermediate frame, no extra action
+    val (_, chosen) = calibrateSq8Values(queries, candidates, idCol, vecCol,
+      k, nCells, iters, maxProbe, target, boundsCacheKey, cacheKey,
+      corpusKey, truthKey, calKey)
     searchSq8MultiProbe(queries, candidates, idCol, vecCol, k, nCells,
         chosen.toInt, iters, boundsCacheKey, cacheKey, corpusKey)
       .withColumn("n_probe", lit(chosen))

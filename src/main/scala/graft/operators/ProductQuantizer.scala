@@ -387,33 +387,68 @@ object ProductQuantizer {
       m: Int = 4, ks: Int = 16, iters: Int = 2, cellIters: Int = 2,
       maxProbe: Int, target: Double, cacheKey: Option[String] = None,
       cellCacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      truthKey: Option[String] = None,
+      calKey: Option[String] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (evaluated, chosen) = calibratePqValues(queries, candidates, idCol,
+      vecCol, k, dim, nCells, m, ks, iters, cellIters, maxProbe, target,
+      cacheKey, cellCacheKey, corpusKey, truthKey, calKey)
+    evaluated.map { case (p, r) => (p, r, p == chosen) }
+      .toDF("n_probe", "mean_recall", "chosen")
+  }
+
+  /** The driver-side calibration core behind [[calibrateNProbePq]] and
+    * [[autoTunedIvfPqTopK]] — (per-setting mean recalls, chosen setting),
+    * with the same sharing discipline as
+    * [[KMeansIvf.calibrateNProbeSq8]]'s core: `truthKey` pins the
+    * sample's exact-L2 truth in [[graft.SharedCache]] (ns67's recall
+    * harness grades against the identical frame), `calKey` memoizes the
+    * whole ≤ maxProbe-row evaluation so the calibration-report entry and
+    * the composed calibrate→search entry evaluate ONCE per run — the
+    * stored-pick production shape. */
+  private def calibratePqValues(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nCells: Int,
+      m: Int, ks: Int, iters: Int, cellIters: Int,
+      maxProbe: Int, target: Double, cacheKey: Option[String],
+      cellCacheKey: Option[String],
+      corpusKey: Option[String],
+      truthKey: Option[String],
+      calKey: Option[String]): (Seq[(Long, Double)], Long) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(maxProbe >= 1 && maxProbe <= nCells,
       s"maxProbe must be in 1..nCells, got $maxProbe (nCells=$nCells)")
     val spark = queries.sparkSession
-    import spark.implicits._
+    calKey match {
+      case Some(ck) => graft.SharedCache.getOrComputeValue(s"$ck:eval")(
+        evaluatePq(queries, candidates, idCol, vecCol, k, dim, nCells, m, ks,
+          iters, cellIters, maxProbe, target, cacheKey, cellCacheKey,
+          corpusKey, truthKey))
+      case None => evaluatePq(queries, candidates, idCol, vecCol, k, dim,
+        nCells, m, ks, iters, cellIters, maxProbe, target, cacheKey,
+        cellCacheKey, corpusKey, truthKey)
+    }
+  }
+
+  private def evaluatePq(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nCells: Int,
+      m: Int, ks: Int, iters: Int, cellIters: Int,
+      maxProbe: Int, target: Double, cacheKey: Option[String],
+      cellCacheKey: Option[String],
+      corpusKey: Option[String],
+      truthKey: Option[String]): (Seq[(Long, Double)], Long) = {
+    val spark = queries.sparkSession
     // exact integer L2 truth over (query sample × corpus) — the bounded
-    // calibration-harness pass every recall evaluation pays
-    val n = candidates.select(col(idCol),
-        Similarity.fixedPoint(col(vecCol)).as("fe"))
-      .withColumn("nsq", Similarity.dotFp(col("fe"), col("fe")))
-    val truth = broadcast(n.join(queries.select(col(idCol)), Seq(idCol))
-        .select(col(idCol).as("q_id"), col("fe").as("qfe"), col("nsq").as("qnsq")))
-      .join(n.as("c"), col("q_id") =!= col(s"c.$idCol"))
-      .select(col("q_id"), col(s"c.$idCol").as("cand_id"),
-        (col("qnsq") - lit(2L) * Similarity.dotFp(col("qfe"), col("c.fe")) +
-          col("c.nsq")).as("__d"))
-      .withColumn("__rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cand_id"))))
-      .filter(col("__rnk") <= k)
-      .select(col("q_id"), col("cand_id"))
-      .localCheckpoint() // truth is reused by every setting's hit count
+    // calibration-harness pass every recall evaluation pays; with
+    // truthKey it is pinned and shared with ns67's recall harness
+    val (truth, pinned) = truthKey match {
+      case Some(tk) => (graft.SharedCache.getOrCompute(tk, spark)(
+        Similarity.l2Truth(queries, candidates, idCol, vecCol, k)), true)
+      case None => (Similarity.l2Truth(queries, candidates, idCol, vecCol, k)
+        .localCheckpoint(), false) // truth is read by hit count AND nq below
+    }
     try {
-      val nq = truth.select("q_id").distinct().count()
-      require(nq > 0, "calibrateNProbePq: the query sample produced no " +
-        "exact-L2 truth rows (empty sample, or every query id is absent " +
-        "from the corpus) — a recall target over zero queries is undefined")
       val books = cacheKey match {
         case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:codebooks")(
           trainBooks(candidates, idCol, vecCol, dim, m, ks, iters, corpusKey))
@@ -461,17 +496,19 @@ object ProductQuantizer {
       val topk = perP.withColumn("__rnk", row_number().over(w))
         .filter(col("__rnk") <= k)
         .select(col("p"), col("q_id"), col("cand_id"))
-      val hitRows = truth.join(topk, Seq("q_id", "cand_id"))
-        .groupBy(col("p")).agg(count(lit(1)).as("s"))
-        .collect().map(r => r.getAs[Any]("p").toString.toLong -> r.getLong(1)).toMap
+      val (hitRows, nq) = KMeansIvf.collectHitsAndNq(truth, topk)
+      require(nq > 0, "calibrateNProbePq: the query sample produced no " +
+        "exact-L2 truth rows (empty sample, or every query id is absent " +
+        "from the corpus) — a recall target over zero queries is undefined")
       val evaluated = (1 to maxProbe).map { p =>
         (p.toLong, hitRows.getOrElse(p.toLong, 0L).toDouble / (k * nq))
       }
       val chosen = evaluated.find(_._2 >= target).map(_._1)
         .getOrElse(maxProbe.toLong)
-      evaluated.map { case (p, r) => (p, r, p == chosen) }
-        .toDF("n_probe", "mean_recall", "chosen")
-    } finally truth.unpersist(blocking = false)
+      (evaluated, chosen)
+    // driver-side counts carry no lineage on `truth`; a PRIVATE checkpoint
+    // is dropped here, a pinned one is owned (and shared) by SharedCache
+    } finally if (!pinned) truth.unpersist(blocking = false)
   }
 
   /** Composed calibrate→search for the IVF-PQ index: run the
@@ -489,12 +526,14 @@ object ProductQuantizer {
       m: Int = 4, ks: Int = 16, iters: Int = 2, cellIters: Int = 2,
       maxProbe: Int, target: Double, cacheKey: Option[String] = None,
       cellCacheKey: Option[String] = None,
-      corpusKey: Option[String] = None): DataFrame = {
-    val cal = calibrateNProbePq(queries, candidates, idCol, vecCol, k,
-      dim, nCells, m, ks, iters, cellIters, maxProbe, target,
-      cacheKey, cellCacheKey, corpusKey)
-    val chosen = cal.filter(col("chosen")).select(col("n_probe"))
-      .head().getLong(0)
+      corpusKey: Option[String] = None,
+      truthKey: Option[String] = None,
+      calKey: Option[String] = None): DataFrame = {
+    // chosen setting straight off the driver-side calibration values
+    // (memoized under calKey — the stored pick the search consumes)
+    val (_, chosen) = calibratePqValues(queries, candidates, idCol, vecCol,
+      k, dim, nCells, m, ks, iters, cellIters, maxProbe, target,
+      cacheKey, cellCacheKey, corpusKey, truthKey, calKey)
     ivfPqTopK(queries, candidates, idCol, vecCol, k, dim, nCells, m, ks,
         iters, cellIters, cacheKey, cellCacheKey, corpusKey,
         nProbe = chosen.toInt)

@@ -67,6 +67,38 @@ object Similarity {
     rank(q.join(c, col("q.__id") =!= col("c.__id")), k, dim)
   }
 
+  /** The (q_id, cand_id) brute-force truth set every recall harness and
+    * calibration grades against — [[bruteForceTopK]] stripped to the key
+    * pair. One definition so the consumers (ns44/ns63's recall rows, the
+    * nProbe calibrations) can share ONE SharedCache pin of the identical
+    * frame instead of re-ranking the sample per consumer. */
+  def bruteTruth(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Option[Int] = None): DataFrame =
+    bruteForceTopK(queries, candidates, idCol, vecCol, k, dim)
+      .select(col("q_id"), col("cand_id"))
+
+  /** The exact integer squared-L2 truth set — [[bruteTruth]]'s metric
+    * sibling for the ADC/PQ harnesses (PQ approximates L2, so recall must
+    * grade against L2 truth or it measures the metric mismatch, not the
+    * index). Shared by ns67's recall rows and the IVF-PQ calibration
+    * through one SharedCache pin. */
+  def l2Truth(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = candidates.select(col(idCol), fixedPoint(col(vecCol)).as("fe"))
+      .withColumn("nsq", dotFp(col("fe"), col("fe")))
+    broadcast(n.join(queries.select(col(idCol)), Seq(idCol))
+        .select(col(idCol).as("q_id"), col("fe").as("qfe"), col("nsq").as("qnsq")))
+      .join(n.as("c"), col("q_id") =!= col(s"c.$idCol"))
+      .select(col("q_id"), col(s"c.$idCol").as("cand_id"),
+        (col("qnsq") - lit(2L) * dotFp(col("qfe"), col("c.fe")) +
+          col("c.nsq")).as("__d"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cand_id"))))
+      .filter(col("__rnk") <= k)
+      .select(col("q_id"), col("cand_id"))
+  }
+
   /** kNN GRAPH: top-k cosine neighbors for EVERY vector — the batch
     * primitive under SemDeDup-style pruning, diversity sampling, and
     * graph-based cluster quality audits. Candidates are restricted to rows
