@@ -69,18 +69,23 @@ object KMeansIvf {
       nearest: (org.apache.spark.sql.Column, Array[Array[Long]]) => org.apache.spark.sql.Column,
       unpack: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : (DataFrame, Array[Array[Long]]) = {
+    // The assignment frame on BOTH paths is a pure projection of the
+    // input against the final centroids — the fit's own last assignment
+    // pass uses the identical deterministic nearest-cell rule (exact Long
+    // distances, strict-< first-min; spec-asserted), so projecting equals
+    // materializing the per-row assignment. The former local-path shape
+    // (collect → createDataFrame → the memoizer's checkpoint pin) spent a
+    // parallelize + checkpoint job per fit on rows the projection derives
+    // in-scan for free, and the former distributed-path shape kept the
+    // work checkpoint alive in the returned lineage.
+    def assignProjection(centroids: Array[Array[Long]]): DataFrame =
+      df.select(col(idCol).as(idCol), nearest(work, centroids).as("cluster"))
+
     val localThreshold = df.sparkSession.conf
       .get("spark.graft.kmeans.localThreshold", "65536").toInt
     LocalLloyd.probeSorted(df, idCol, probe, localThreshold, corpusKey).foreach { vecs =>
-      val (assignment, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(vecs.indices.map(i =>
-          org.apache.spark.sql.Row(vecs(i)._1, assignment(i))): _*)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        df.schema(idCol).copy(name = idCol),
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.IntegerType, nullable = false)))
-      return (df.sparkSession.createDataFrame(rows, schema), centroids)
+      val (_, centroids) = LocalLloyd.fit(vecs.map(_._2), k, iters)
+      return (assignProjection(centroids), centroids)
     }
 
     // the checkpointed working set: (id, representation) — nothing else
@@ -113,15 +118,11 @@ object KMeansIvf {
       centroids = next
     }
 
-    // fresh-alias the returned columns: fp's checkpoint REUSES the input
-    // frame's attribute ids, so returning them as-is makes the standard
-    // `input.join(assignments, idCol)` a same-attribute join whenever the
-    // caller's id column is alias-derived (e.g. a cast) — a collision the
-    // analyzer's relation dedup cannot repair (it re-instances duplicated
-    // leaves, not alias-vs-checkpoint overlaps). The local path above
-    // returns a fresh LocalRelation and never collides; this makes the
-    // distributed path's contract identical.
-    (assign(fp).select(col(idCol).as(idCol), col("cluster").as("cluster")), centroids)
+    // the projection re-aliases idCol (fresh exprId), so the standard
+    // `input.join(assignments, idCol)` never collides with the caller's
+    // attributes — the contract the former checkpoint-derived frame had
+    // to restore by hand
+    (assignProjection(centroids), centroids)
   }
 
   /** [[fit]] with the result shared across consumers via
@@ -167,44 +168,46 @@ object KMeansIvf {
     memoized(codes, cacheKey)(fitCodes(codes, idCol, codeCol, k, iters, corpusKey))
 
   /** The SharedCache memoization shared by [[fitCached]] and
-    * [[fitCodesCached]]: only the first caller per key pays `doFit`; the
-    * assignment table is pinned and the centroids memoized on the driver.
-    * The 100 TB analog: a fitted index is written once and every search
-    * job loads it, it is not retrained per query. */
+    * [[fitCodesCached]]: only the first caller per key pays `doFit` —
+    * the memoized state is the (lazy assignment projection, centroids)
+    * pair, all driver-side (the Lloyd work lives in the centroids; the
+    * assignment frame is a pure projection against them, so there is
+    * nothing to pin — the former per-fit checkpoint of the assignment
+    * table was a parallelize + materialization job per pass that bought
+    * no recompute savings over the in-scan projection). The 100 TB
+    * analog: a fitted index is written once and every search job loads
+    * it, it is not retrained per query. */
   private def memoized(df: DataFrame, cacheKey: Option[String])(
       doFit: => (DataFrame, Array[Array[Long]])): (DataFrame, Array[Array[Long]]) =
     cacheKey match {
       case None => doFit
-      case Some(key) =>
-        val spark = df.sparkSession
-        val assignments = graft.SharedCache.getOrCompute(s"$key:assign", spark) {
-          val (a, c) = doFit
-          graft.SharedCache.getOrComputeValue(s"$key:centroids")(c)
-          a
-        }
-        val centroids = graft.SharedCache.getOrComputeValue[Array[Array[Long]]](
-          s"$key:centroids")(sys.error(s"centroids missing for $key"))
-        (assignments, centroids)
+      case Some(key) => graft.SharedCache.getOrComputeValue(s"$key:fit")(doFit)
     }
 
-  /** The corpus frame with its cell assignment joined in, pinned via
+  /** The corpus frame with its cell attached, pinned via
     * [[graft.SharedCache]] under `<cacheKey>:cells:<tag>`. Six catalog
     * entries (ns20/ns30/ns61/ns62, ns65's cell scoping, plus recall
-    * consumers) read the same (id → cell)-joined corpus and re-derived it
-    * per entry — scan + fixed-point/quantize + assignment probe, a
-    * multi-job prefix each — even though the fit itself was cached; one
-    * pin makes every consumer after the first a checkpoint scan. The
+    * consumers) read the same (id → cell) corpus and re-derived it per
+    * entry — one pin makes every consumer after the first a checkpoint
+    * scan. The cell is a PURE PROJECTION against the fitted centroids
+    * (`clusterCol` — the same deterministic nearest-cell expression the
+    * fit's own final assignment uses, so projecting equals joining the
+    * assignment table; ProductQuantizer.ivfPqTopK states the argument).
+    * The former id equi-join with the assignment frame was a broadcast
+    * build + join at bench scale and a corpus-sized equi-join at 100 TB —
+    * an exchange the projection simply does not have (guide §2.4). The
     * 100 TB analog: a PUBLISHED index stores vectors WITH their cell
     * ([[graft.streaming.IvfStore]]'s on-disk layout is exactly this
-    * frame), so search jobs read it — they do not re-join it. `tag`
+    * frame), so search jobs read it — they do not re-derive it. `tag`
     * separates representations under one fit key (exact vectors vs
     * packed codes). */
-  private[graft] def cellsCached(frame: DataFrame, idCol: String,
-      assignments: DataFrame, cacheKey: Option[String], tag: String): DataFrame =
+  private[graft] def cellsCached(frame: DataFrame,
+      clusterCol: org.apache.spark.sql.Column, cacheKey: Option[String],
+      tag: String): DataFrame =
     cacheKey match {
-      case None => frame.join(assignments, idCol)
+      case None => frame.withColumn("cluster", clusterCol)
       case Some(key) => graft.SharedCache.getOrCompute(s"$key:cells:$tag",
-        frame.sparkSession)(frame.join(assignments, idCol))
+        frame.sparkSession)(frame.withColumn("cluster", clusterCol))
     }
 
   /** IVF entirely over PACKED SQ8 codes — the 100 TB scale path for
@@ -224,9 +227,11 @@ object KMeansIvf {
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None): DataFrame = {
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
-    val (assignments, _) =
+    val (_, centroids) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
+    val cands = cellsCached(codes,
+      org.apache.spark.sql.graft.NearestCellsCodes.nearest(col("__q"), centroids),
+      cacheKey, "codes")
     // queries drawn from the corpus by id: their codes and cells come from
     // the same quantize/assign pass — no separate query-side encode
     val qs = broadcast(cands.join(queries.select(col(idCol)), Seq(idCol))
@@ -293,9 +298,11 @@ object KMeansIvf {
       corpusKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graft.NearestCellsCodes
     val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
-    val (assignments, centroids) =
+    val (_, centroids) =
       fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
+    val cands = cellsCached(codes,
+      org.apache.spark.sql.graft.NearestCellsCodes.nearest(col("__q"), centroids),
+      cacheKey, "codes")
     // queries probe their nProbe nearest cells, ranked by the same
     // (distance, cell) order as the assignment pass. Query codes read
     // from the pinned cells frame like every other consumer (the
@@ -325,9 +332,12 @@ object KMeansIvf {
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None,
       assertCovered: Boolean = false): DataFrame = {
-    val (assignments, _) =
+    val (_, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    val cands = cellsCached(candidates,
+      org.apache.spark.sql.graft.NearestCells.nearest(
+        Similarity.fixedPoint(col(vecCol)), centroids),
+      cacheKey, "exact")
     if (assertCovered) requireCovered(queries, cands, idCol, "search")
     // queries drawn from the corpus by id (the inner assignment join this
     // replaces already implied it — a non-corpus id silently dropped):
@@ -357,9 +367,12 @@ object KMeansIvf {
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None,
       assertCovered: Boolean = false): DataFrame = {
-    val (assignments, centroids) =
+    val (_, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    val cands = cellsCached(candidates,
+      org.apache.spark.sql.graft.NearestCells.nearest(
+        Similarity.fixedPoint(col(vecCol)), centroids),
+      cacheKey, "exact")
     if (assertCovered) requireCovered(queries, cands, idCol, "searchMultiProbe")
     // the nProbe nearest cells per query, ascending by (distance, cell) —
     // NearestCells reproduces the former sort_array(struct(d, c)) order,
@@ -391,9 +404,12 @@ object KMeansIvf {
       vecCol: String, k: Int, nCells: Int, nProbe: Int = 1, iters: Int = 3,
       cacheKey: Option[String] = None,
       corpusKey: Option[String] = None): DataFrame = {
-    val (assignments, centroids) =
+    val (_, centroids) =
       fitCached(candidates, idCol, vecCol, nCells, iters, cacheKey, corpusKey)
-    val cands = cellsCached(candidates, idCol, assignments, cacheKey, "exact")
+    val cands = cellsCached(candidates,
+      org.apache.spark.sql.graft.NearestCells.nearest(
+        Similarity.fixedPoint(col(vecCol)), centroids),
+      cacheKey, "exact")
     val probed = queries.select(col(idCol), col(vecCol))
       .select(col(idCol), col(vecCol), Similarity.fixedPoint(col(vecCol)).as("__fe"))
       .withColumn("cluster", explode(
@@ -498,9 +514,10 @@ object KMeansIvf {
       }
       try {
         val codes = Similarity.sq8PackedCodes(candidates, idCol, vecCol, boundsCacheKey)
-        val (assignments, centroids) =
+        val (_, centroids) =
           fitCodesCached(codes, idCol, "__q", nCells, iters, cacheKey, corpusKey)
-        val cands = cellsCached(codes, idCol, assignments, cacheKey, "codes")
+        val cands = cellsCached(codes,
+          NearestCellsCodes.nearest(col("__q"), centroids), cacheKey, "codes")
         // queries with their maxProbe-ranked cells; posexplode position =
         // probe rank − 1 (the same (distance, cell) order the assignment
         // and searchSq8MultiProbe use)

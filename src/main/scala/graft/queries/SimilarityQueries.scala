@@ -598,14 +598,16 @@ object SimilarityQueries extends QueryModule {
       val t = Tables(spark, dir)
       val emb = t.embeddings
       val fitKey = s"kmeansfit:$dir:embeddings:8:2"
-      val (assignments, _) = graft.operators.KMeansIvf.fitCached(
+      val (assignments, centroids) = graft.operators.KMeansIvf.fitCached(
         emb, "vec_id", "embedding", k = 8, iters = 2,
         cacheKey = Some(fitKey),
         corpusKey = Some(s"corpus:$dir:embeddings"))
-      // the SAME pinned (id → cell)-joined corpus ns20/ns30 search —
-      // SemDeDup's cell scoping is one more consumer of the published fit
-      val cells = graft.operators.KMeansIvf.cellsCached(
-        emb, "vec_id", assignments, Some(fitKey), "exact")
+      // the SAME pinned (id → cell) corpus ns20/ns30 search — SemDeDup's
+      // cell scoping is one more consumer of the published fit
+      val cells = graft.operators.KMeansIvf.cellsCached(emb,
+        org.apache.spark.sql.graft.NearestCells.nearest(
+          Similarity.fixedPoint(col("embedding")), centroids),
+        Some(fitKey), "exact")
       val pairs = Similarity.cosineNearDupPairs(cells, "vec_id", "embedding",
         bucket = Seq("cluster"), threshold = 0.35, dim = Some(64))
       graft.operators.Dedup.connectedComponents(

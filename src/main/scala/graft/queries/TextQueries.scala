@@ -142,8 +142,13 @@ object TextQueries extends QueryModule {
       val t = Tables(spark, dir)
       // bounded probe: 500 round-trips prove the codec at every SF — the
       // oracle side is pure arithmetic, so scaling the image count with
-      // the corpus would only benchmark ImageIO against a constant
-      val media = t.documents.select(col("doc_id")).filter(col("doc_id") < 500)
+      // the corpus would only benchmark ImageIO against a constant.
+      // Widened: the probe reads ONE parquet split, so the PNG
+      // encode+decode loop (the dominant cost — ImageIO, ~0.5 ms/image)
+      // otherwise runs serially on ≤3 cores; compute-dense scans follow
+      // cores, not input bytes (Parallelism.widen is a no-op at scale)
+      val media = graft.operators.Parallelism.widen(
+          t.documents.select(col("doc_id")).filter(col("doc_id") < 500))
         .as[Long].mapPartitions(_.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + (id % 8).toInt
